@@ -1,0 +1,93 @@
+"""DuckDB-oracle comparison harness.
+
+Replicates the driver's correctness gate locally: run the Spark query
+and the oracle SQL over the same parquet tables, then compare row count,
+column names, and an order-insensitive value multiset (floats rounded).
+Used by tests so parity breaks are caught before the driver runs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from ..sources.tables import TABLE_NAMES
+
+FLOAT_DECIMALS = 6
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _normalize_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{round(v, FLOAT_DECIMALS):.{FLOAT_DECIMALS}f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize_frame(df: pd.DataFrame) -> list[tuple]:
+    """Sort columns by name, normalize every cell, sort rows."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return CompareResult(
+            name,
+            False,
+            len(spark_pdf),
+            len(oracle_pdf),
+            f"column mismatch: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
+        )
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(
+            name, False, len(spark_pdf), len(oracle_pdf), "row count mismatch"
+        )
+    s_rows = normalize_frame(spark_pdf)
+    o_rows = normalize_frame(oracle_pdf)
+    if s_rows != o_rows:
+        diff = []
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if a != b:
+                diff.append(f"row {i}: spark={a} oracle={b}")
+            if len(diff) >= 3:
+                break
+        return CompareResult(
+            name, False, len(spark_pdf), len(oracle_pdf), "; ".join(diff) or "value mismatch"
+        )
+    return CompareResult(name, True, len(spark_pdf), len(oracle_pdf))

@@ -1,0 +1,164 @@
+"""Join operators (SURVEY.md §2.3), including the as-of/nearest joins the
+reference implements in Python.
+
+Spark has no native as-of join; these compose a bounded range join with
+a deterministic ``row_number`` tie-break, which Catalyst executes as a
+broadcast or sort-merge join + window.  At 100 TB scale the bounded gap
+(``max_gap_days``) is what keeps the range join from exploding — it
+turns an O(N*M) cross product into a band join, and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nearest_date_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    left_date: str,
+    right_date: str,
+    max_gap_days: int = 14,
+    tie_break_past: bool = True,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Join each left row to the nearest-dated right row within
+    ``±max_gap_days``; ties go to the past side.
+
+    Reference: runs joined to the nearest body-composition weight within
+    14 days, tie → earlier measurement
+    (``mcp/analysis/running_economy.py:115-196``, tie-break :140-154``).
+
+    Implementation: equi-join on keys + band predicate
+    ``abs(datediff) <= max_gap``, then keep the rank-1 row per left key
+    ordered by ``(abs(gap), signed_gap)`` — signed ascending puts the
+    past side (negative gap) first on ties.
+    """
+    r = right
+    if broadcast_right:
+        r = F.broadcast(r)
+    gap = F.datediff(F.col(f"r.{right_date}"), F.col(f"l.{left_date}"))
+    cond = F.abs(gap) <= max_gap_days
+    for lk, rk in zip(left_keys, right_keys):
+        cond = cond & (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
+    joined = left.alias("l").join(r.alias("r"), cond, "inner")
+    order = [F.abs(gap).asc(), gap.asc() if tie_break_past else gap.desc()]
+    w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_keys], F.col(f"l.{left_date}")).orderBy(
+        *order
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("gap_days", gap)
+    )
+
+
+def backward_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_on: str,
+    right_on: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Classic backward as-of join: for each left row, the latest right
+    row with ``right_on <= left_on`` (per key).
+
+    Reference: VO2max fallback lookup — "value for this activity, else
+    most recent with date <= activity_date"
+    (``mcp/database/readers/physiology.py:170-229``).
+
+    Implementation: union both sides tagged with a side marker, sort by
+    (key, time, side) and carry the last right value forward with
+    ``last(..., ignorenulls=True)`` — one shuffle on the key, no range
+    join, scales linearly.
+    """
+    lcols = [F.col(k) for k in keys]
+    tagged_r = right.select(
+        *keys,
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+        F.lit(None).cast("long").alias("_rowid"),
+    )
+    left_with_id = left.withColumn(
+        "_rowid", F.monotonically_increasing_id()
+    )
+    tagged_l = left_with_id.select(
+        *keys,
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols],
+        F.col("_rowid"),
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy(*lcols)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *keys,
+        F.col("_t"),
+        F.col("_side"),
+        F.col("_rowid"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("_side") == 1)
+    return left_with_id.join(
+        filled.select("_rowid", *[f"asof_{c}" for c in value_cols]),
+        "_rowid",
+    ).drop("_rowid")
+
+
+def missing_children_having(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    child_distinct_col: str,
+    required_count: int,
+) -> DataFrame:
+    """Parents with an incomplete child set: LEFT JOIN + GROUP BY +
+    ``HAVING COUNT(DISTINCT type) < required`` (anti-join when zero).
+
+    Reference: activities missing any of the 5 section analyses
+    (``mcp/database/readers/performance.py:166-181``).
+    """
+    return (
+        parent.alias("p")
+        .join(child.alias("c"), F.col(f"p.{key}") == F.col(f"c.{key}"), "left")
+        .groupBy(F.col(f"p.{key}").alias(key))
+        .agg(
+            F.countDistinct(F.col(f"c.{child_distinct_col}")).alias(
+                "n_present"
+            )
+        )
+        .filter(F.col("n_present") < required_count)
+    )
+
+
+def preaggregated_join(
+    fact: DataFrame,
+    group_key: str,
+    agg_col: str,
+    dim: DataFrame,
+    dim_key: str,
+    agg_alias: str = "agg_value",
+) -> DataFrame:
+    """CTE-style pre-aggregate then join — aggregate the fact table on
+    the key first, then join the (now small) aggregate to the dimension.
+
+    Reference: main-pace CTE joined back to activities
+    (``mcp/rag/queries/comparisons.py:209-231``).  Aggregating before
+    the join cuts shuffle volume by the group cardinality ratio.
+    """
+    pre = fact.groupBy(group_key).agg(F.avg(agg_col).alias(agg_alias))
+    return dim.join(pre, dim[dim_key] == pre[group_key]).drop(group_key)

@@ -1,0 +1,208 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All exact — the reference computes exact MEDIAN/STDDEV via DuckDB
+(e.g. the 5-stat block ``mcp/database/readers/splits_query_builder.py:33-34``),
+so we use ``percentile`` (exact interpolated), never ``percentile_approx``,
+wherever oracle parity matters.  Everything here is built-in-expression
+only: map-side partial aggregation and whole-stage codegen apply, and the
+single shuffle per groupBy is on the grouping key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def five_stat_block(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metrics: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """AVG/MEDIAN/STDDEV/MIN/MAX per metric per group + row count.
+
+    Reference: the ``statistics_only`` splits tools build exactly this
+    block per field group (``splits_query_builder.py:152-173``).
+    Output columns: ``{metric}_{avg,median,stddev,min,max}`` + ``n``.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias(count_col)]
+    for m in metrics:
+        c = F.col(m)
+        aggs += [
+            F.avg(c).alias(f"{m}_avg"),
+            F.expr(f"percentile({m}, 0.5)").alias(f"{m}_median"),
+            F.stddev_samp(c).alias(f"{m}_stddev"),
+            F.min(c).alias(f"{m}_min"),
+            F.max(c).alias(f"{m}_max"),
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def time_range_stats(
+    df: DataFrame,
+    ts_col: str,
+    lo,
+    hi,
+    metrics: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """AVG/STDDEV/MIN/MAX + COUNT(*) over rows in ``[lo, hi)``.
+
+    Reference: ``mcp/database/readers/time_series.py:19-136`` (SQL :68-80).
+    The range predicate is pushed to the scan by Catalyst.
+    """
+    filtered = df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) < hi))
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for m in metrics:
+        c = F.col(m)
+        aggs += [
+            F.avg(c).alias(f"{m}_avg"),
+            F.stddev_samp(c).alias(f"{m}_stddev"),
+            F.min(c).alias(f"{m}_min"),
+            F.max(c).alias(f"{m}_max"),
+        ]
+    grouped = filtered.groupBy(*group_cols) if group_cols else filtered.groupBy()
+    return grouped.agg(*aggs)
+
+
+def conditional_halves(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    metrics: Sequence[str],
+) -> DataFrame:
+    """First-half vs second-half averages in one pass (pivot-style
+    conditional aggregation) + the decoupling ratio between halves.
+
+    Reference: aerobic-durability decoupling computes
+    ``avg(CASE WHEN ts < mid THEN hr END)`` for ~10 metric/half pairs in
+    a single scan (``mcp/database/readers/durability.py:120-146``), with
+    the midpoint from a prior min/max pass (``:66-118``).  Here both
+    passes are window-free aggregations; the midpoint join is broadcast.
+    """
+    bounds = df.groupBy(*group_cols).agg(
+        ((F.min(order_col) + F.max(order_col)) / F.lit(2.0)).alias("_mid")
+    )
+    joined = df.join(F.broadcast(bounds), list(group_cols))
+    aggs: list[Column] = []
+    for m in metrics:
+        first = F.avg(F.when(F.col(order_col) < F.col("_mid"), F.col(m)))
+        second = F.avg(F.when(F.col(order_col) >= F.col("_mid"), F.col(m)))
+        aggs += [
+            first.alias(f"{m}_first_half"),
+            second.alias(f"{m}_second_half"),
+            (second / first - F.lit(1.0)).alias(f"{m}_drift"),
+        ]
+    return joined.groupBy(*group_cols).agg(*aggs)
+
+
+def weighted_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_avg",
+) -> DataFrame:
+    """``sum(v*w)/sum(w)`` — the reference's distance/time-weighted phase
+    averages (``mcp/database/inserters/performance_trends.py:263-318``)."""
+    num = F.sum(F.col(value_col) * F.col(weight_col))
+    den = F.sum(F.col(weight_col))
+    return df.groupBy(*group_cols).agg((num / den).alias(out_col))
+
+
+def category_distribution(
+    df: DataFrame, category_col: str, frac_col: str = "fraction"
+) -> DataFrame:
+    """COUNT per category normalized to a fraction of the total.
+
+    Reference: training-type distribution
+    (``mcp/fitness/fitness_assessor.py:226-244``).  The total comes from
+    an unpartitioned window over the (tiny) aggregated frame, not over
+    the input — safe at any input scale.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(category_col).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn(frac_col, F.col("n") / total)
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Table profiler: one output row per profiled column with
+    count / min / max / avg / median / stddev / null-rate / n-distinct.
+
+    Reference: ``mcp/database/readers/utility.py:18-156`` (stats SQL
+    :103-113) profiles the first 10 columns of any table; null rate is
+    ``SUM(CASE WHEN c IS NULL ...)/COUNT(*)``.  A single aggregation pass
+    computes every column's stats, then unpivots driver-side (the result
+    is one row per column — trivially small).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for m in columns:
+        c = F.col(m)
+        aggs += [
+            F.min(c).cast("double").alias(f"{m}__min"),
+            F.max(c).cast("double").alias(f"{m}__max"),
+            F.avg(c).alias(f"{m}__avg"),
+            F.expr(f"percentile({m}, 0.5)").alias(f"{m}__median"),
+            F.stddev_samp(c).alias(f"{m}__stddev"),
+            F.avg(c.isNull().cast("double")).alias(f"{m}__null_rate"),
+            F.countDistinct(c).alias(f"{m}__n_distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stats = ["min", "max", "avg", "median", "stddev", "null_rate", "n_distinct"]
+    stack_args = ", ".join(
+        "'{m}', {cols}".format(
+            m=m,
+            cols=", ".join(
+                f"{m}__{s}" if s != "n_distinct" else f"cast({m}__{s} as double)"
+                for s in stats
+            ),
+        )
+        for m in columns
+    )
+    unpivoted = wide.selectExpr(
+        "_rows as n_rows",
+        f"stack({len(columns)}, {stack_args}) as "
+        f"(column_name, {', '.join('stat_' + s for s in stats)})",
+    )
+    return unpivoted
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Equal-width histogram: ``FLOOR((v-min)/width) AS bucket, COUNT(*),
+    MIN, MAX`` per bucket, top value clamped into the last bin.
+
+    Reference: ``mcp/database/readers/utility.py:158-322`` (SQL :254-264),
+    default 20 bins.  Two aggregation passes; the scalar min/max frame is
+    broadcast-cross-joined so the whole plan stays lazy and distributed
+    (no driver-side ``collect`` of the bounds).
+    """
+    bounds = df.agg(
+        F.min(value_col).cast("double").alias("_lo"),
+        F.max(value_col).cast("double").alias("_hi"),
+    )
+    width = F.when(
+        F.col("_hi") > F.col("_lo"), (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    ).otherwise(F.lit(1.0))
+    bucket = F.least(
+        F.floor((F.col(value_col) - F.col("_lo")) / width),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("bucket_min"),
+            F.max(value_col).alias("bucket_max"),
+        )
+    )

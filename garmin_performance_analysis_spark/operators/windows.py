@@ -1,0 +1,245 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Each helper mirrors one reference analytic.  All are pure
+``pyspark.sql.Window`` expressions — no Python in the hot path — so
+they stay inside whole-stage codegen and shuffle exactly once on the
+partition key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zscore(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    value_col: str,
+    z_col: str = "z",
+) -> DataFrame:
+    """Whole-partition mean/std z-score.
+
+    Reference: ``AVG(col) OVER (), STDDEV(col) OVER ()`` then
+    ``ABS((v-mean)/std)`` (``mcp/database/readers/time_series.py:257-279``)
+    with a CASE guard for zero/NULL stddev.
+    """
+    w = Window.partitionBy(*partition_cols)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+    return df.withColumn(z_col, z)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """z-score + |z| > threshold filter (T1 anomaly scan,
+    ``time_series.py:216-308``)."""
+    return zscore(df, partition_cols, value_col).filter(
+        F.abs(F.col("z")) > threshold
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence,
+) -> DataFrame:
+    """Latest-version-per-key: ``ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY …) = 1`` — the reference's append-only versioned reads
+    (``mcp/database/readers/trends_narration.py:79-83``,
+    ``athlete.py:146-151``).  ``order_cols`` should end with a unique
+    tiebreaker for determinism.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def centered_rolling(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    before: int,
+    after: int,
+) -> DataFrame:
+    """Centered rolling mean/std over a numeric range window.
+
+    Reference: the form-anomaly detector's 60 s centered window
+    ``[i-30, i+30)`` (``mcp/rag/queries/form_anomaly_detector.py:147-179``)
+    — a Python loop there; a single ``rangeBetween`` window here.
+    The reference's right bound is exclusive, so we use ``after-1``
+    (integer order key) to match its ``[i-30, i+30)`` exactly.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(-before, after - 1)
+    )
+    return df.withColumn("roll_mean", F.avg(value_col).over(w)).withColumn(
+        "roll_std", F.stddev_samp(value_col).over(w)
+    )
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    days_back: int,
+    out_col: str,
+) -> DataFrame:
+    """Trailing inclusive range sum: ``SUM(v) OVER (ORDER BY day
+    RANGE BETWEEN days_back PRECEDING AND CURRENT ROW)``.
+
+    Reference: ACWR acute(7d)/chronic(28d) load sums
+    (``mcp/database/readers/training_load.py:54-120``).
+    ``order_col`` must be castable to long (e.g. a day number).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(-days_back, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def rolling_range_max(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    days_back: int,
+    out_col: str = "rolling_max",
+) -> DataFrame:
+    """Trailing rolling max — the objective fitness curve's per-day max
+    VDOT over ``[d-90, d]`` (``mcp/objective_fitness/curve.py:35-97``)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(-days_back, 0)
+    )
+    return df.withColumn(out_col, F.max(value_col).over(w))
+
+
+def trailing_baseline_band(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    days_back: int,
+    min_points: int = 3,
+) -> DataFrame:
+    """Rolling personal baseline: mean ± SD over the trailing window
+    *excluding the current row*, plus the z-score of today vs baseline.
+
+    Reference: wellness baselines over trailing 30 days, today excluded
+    (``mcp/analysis/wellness_baseline.py:52-198``).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(-days_back, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_points) & (std > 0), (F.col(value_col) - mean) / std
+    )
+    return (
+        df.withColumn("baseline_mean", mean)
+        .withColumn("baseline_std", std)
+        .withColumn("baseline_n", n)
+        .withColumn("baseline_z", z)
+    )
+
+
+def gaps_and_islands(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    max_gap: int = 1,
+) -> DataFrame:
+    """Group ordered rows into islands where consecutive order values are
+    within ``max_gap``; adds an ``island_id`` per partition.
+
+    Reference: sustained-anomaly grouping (≤2 s adjacency,
+    ``form_anomaly_detector.py:289-328``) and streak detection
+    (``mcp/analysis/recovery.py:90-139``).  Classic lag + cumsum — one
+    window, no Python loop.
+    """
+    order = F.col(order_col).cast("long")
+    w = Window.partitionBy(*partition_cols).orderBy(order)
+    gap = order - F.lag(order, 1).over(w)
+    new_island = F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn("island_id", island)
+
+
+def sustained_islands(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    max_gap: int = 2,
+    min_span: int = 5,
+) -> DataFrame:
+    """Islands (per ``gaps_and_islands``) reduced to one row each and
+    filtered to spans ≥ ``min_span`` (span = last - first + 1).
+
+    Reference: keep anomaly runs spanning ≥5 s with ≤2 s adjacency
+    (``form_anomaly_detector.py:289-328``).
+    """
+    keys = [*partition_cols, "island_id"]
+    return (
+        gaps_and_islands(df, partition_cols, order_col, max_gap)
+        .groupBy(*keys)
+        .agg(
+            F.min(order_col).alias("island_start"),
+            F.max(order_col).alias("island_end"),
+            F.count(F.lit(1)).alias("island_rows"),
+        )
+        .filter(
+            F.col("island_end").cast("long")
+            - F.col("island_start").cast("long")
+            + 1
+            >= min_span
+        )
+    )
+
+
+def downsample(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_col: str,
+    max_points: int,
+) -> DataFrame:
+    """Every-k-th-row downsample keeping first and last rows per
+    partition.
+
+    Reference: web time-series downsampling to ≤ ``max_points``
+    (``web/queries/time_series.py:39-93``, step selection :84-86):
+    step = ceil(n / max_points); keep rows where ``(rn-1) % step == 0``
+    plus the last row.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    wn = Window.partitionBy(*partition_cols)
+    df2 = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    step = F.greatest(F.ceil(F.col("_n") / F.lit(max_points)), F.lit(1))
+    keep = ((F.col("_rn") - 1) % step == 0) | (F.col("_rn") == F.col("_n"))
+    return df2.filter(keep).drop("_rn", "_n")

@@ -1,0 +1,59 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Mirrors the reference's read layer, where every reader opens the store
+and scans a named table with an explicit column list
+(``mcp/database/readers/base.py:19-44``).  Here the store is a directory
+of parquet files; at cluster scale each table would be a partitioned
+parquet/Delta dataset, and the same ``spark.read.parquet`` call picks up
+partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown are left to
+    Catalyst — callers express plain ``select``/``filter`` on the result.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
+    no native type for; we read it as a long (``nanosAsLong``) and
+    truncate to microsecond timestamps with exact integer division.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view for the Spark-SQL entry points."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

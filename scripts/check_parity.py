@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Run every catalog query against its DuckDB oracle and report parity.
+
+Usage: python scripts/check_parity.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from garmin_performance_analysis_spark.harness.catalog import CATALOG
+from garmin_performance_analysis_spark.harness.compare import (
+    compare_frames,
+    duckdb_connection,
+)
+from garmin_performance_analysis_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark("parity-check")
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for name, spec in CATALOG.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"skip  {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.sql(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        res = compare_frames(name, spark_pdf, oracle_pdf)
+        status = "ok  " if res.ok else "FAIL"
+        print(
+            f"{status}  {name}: spark={res.spark_rows} oracle={res.oracle_rows}"
+            f" ({time.time()-t0:.1f}s) {res.detail}"
+        )
+        if not res.ok:
+            failures += 1
+    print(f"\n{len(CATALOG)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,41 @@
+"""The correctness gate, run locally: every catalog query must match its
+DuckDB oracle at sf0.001 (fast) — mirrors the driver's sf0.01 check."""
+
+from __future__ import annotations
+
+import pytest
+
+from garmin_performance_analysis_spark.harness.catalog import CATALOG
+from garmin_performance_analysis_spark.harness.compare import (
+    compare_frames,
+    duckdb_connection,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_query_matches_oracle(name, spark, oracle_con):
+    spec = CATALOG[name]
+    spark_pdf = spec.fn(spark, SF_SMOKE).toPandas()
+    if spec.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check (driver does the same)
+        return
+    oracle_pdf = oracle_con.sql(spec.oracle).df()
+    res = compare_frames(name, spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def test_every_query_returns_rows_at_sf001(spark):
+    """Degenerate (0-row) results make the oracle check vacuous; each
+    query should exercise real data at the smallest SF."""
+    empty_ok = set()
+    for name, spec in CATALOG.items():
+        n = spec.fn(spark, SF_SMOKE).count()
+        if n == 0 and name not in empty_ok:
+            pytest.fail(f"{name} returned 0 rows at sf0.001")
