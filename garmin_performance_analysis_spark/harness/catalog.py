@@ -1,331 +1,8 @@
-"""Query catalog: every implemented operator from SURVEY.md §2, bound to
-the driver's synthetic tables, each with a DuckDB oracle SQL string.
+"""Catalog aggregator: importing this module registers every query
+family into ``CATALOG`` (see ``registry.py`` for parity conventions)."""
 
-Naming: keys are prefixed with the SURVEY §2 operator id they exercise
-(``s3_``, ``p2_``, ``j7_``, ``a1_``, ``w5_``, ``m1_`` …) so the judge can
-check the inventory line by line.
+from .registry import CATALOG, QuerySpec, register  # noqa: F401
 
-Numeric-parity conventions (Spark vs DuckDB):
-- SUMs of fractional doubles go through DECIMAL so the result is exact
-  and order-independent (Spark sums shuffle partitions in
-  nondeterministic order; a double sum would wobble in the last ulps).
-- AVG/STDDEV/MEDIAN outputs are rounded to 6 decimals on both sides.
-- Every ordering that feeds a LIMIT ends in a unique key column.
-- COUNTs are BIGINT on both sides; DuckDB SUM(int) (HUGEINT) is cast.
-"""
-
-from __future__ import annotations
-
-from dataclasses import dataclass, field
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from ..sources.tables import load_table
-
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]
-    doc: str = ""
-    tags: tuple = field(default_factory=tuple)
-
-
-CATALOG: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):
-    def deco(fn):
-        CATALOG[name] = QuerySpec(fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
-        return fn
-
-    return deco
-
-
-def _r6(col):
-    return F.round(col, 6)
-
-
-def _dec_sum(col, scale: int = 2, precision: int = 22):
-    """Exact, order-independent SUM of a fractional double column."""
-    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
-
-
-# ---------------------------------------------------------------------------
-# Flagship: TPC-H-Q1-shaped pricing summary (A1/A2-style grouped stats)
-# ---------------------------------------------------------------------------
-
-Q1_ORACLE = """
-SELECT
-  l_returnflag,
-  l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("flagship", "agg"))
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped pricing summary (scan→filter→8-agg groupBy), the classic
-    columnar-engine flagship.  Exercises the same shape as the
-    reference's splits statistics block (A1,
-    ``splits_query_builder.py:152-173``)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
-            ).alias("sum_disc_price"),
-            _dec_sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                scale=6,
-            ).alias("sum_charge"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.1 Scans  /  §2.2 Projections, filters, predicates
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "s3_projection_scan",
-    oracle="""
-SELECT l_orderkey, l_linenumber, l_quantity
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-""",
-    tags=("scan",),
-)
-def s3_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit-projection scan (S3): only 3 of 11 columns read — the
-    parquet ReadSchema must shrink accordingly (reference readers always
-    SELECT explicit lists, ``mcp/database/readers/splits.py:240-267``)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") >= "1998-01-01").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
-    )
-
-
-@register(
-    "p2_point_lookup",
-    oracle="""
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-FROM orders WHERE o_orderkey = 7
-""",
-    tags=("filter",),
-)
-def p2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup by key (P2, ``readers/metadata.py:49-52``)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") == 7)
-        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    )
-
-
-@register(
-    "p3_date_range",
-    oracle="""
-SELECT o_orderkey, o_orderdate, o_totalprice
-FROM orders
-WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-03-31 00:00:00'
-""",
-    tags=("filter",),
-)
-def p3_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-range predicate (P3, ``readers/durability.py:660-668``)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate").between("1997-01-01", "1997-03-31"))
-        .select("o_orderkey", "o_orderdate", "o_totalprice")
-    )
-
-
-@register(
-    "p5_tolerance_band",
-    oracle="""
-SELECT p_partkey, p_name, p_retailprice
-FROM part
-WHERE p_retailprice BETWEEN 910 * 0.99 AND 910 * 1.01
-""",
-    tags=("filter",),
-)
-def p5_tolerance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """±1% numeric-tolerance band (P5, similarity prefilter
-    ``mcp/rag/queries/comparisons.py:196-247``)."""
-    return (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_retailprice").between(910 * 0.99, 910 * 1.01))
-        .select("p_partkey", "p_name", "p_retailprice")
-    )
-
-
-@register(
-    "p6_like_filter",
-    oracle="""
-SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'
-""",
-    tags=("filter",),
-)
-def p6_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE keyword filter (P6, ``comparisons.py:250-252``)."""
-    return (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").contains("red"))
-        .select("p_partkey", "p_name")
-    )
-
-
-@register(
-    "p7_json_predicate",
-    oracle="""
-SELECT event_id, user_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k_raw
-FROM events
-WHERE json_extract(props, '$.k') IS NOT NULL
-  AND CAST(json_extract(props, '$.k') AS INTEGER) > 90
-""",
-    tags=("filter", "json"),
-)
-def p7_json_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-path existence + value predicate (P7,
-    ``mcp/rag/queries/insights.py:74-101``)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k")
-    return (
-        ev.filter(k.isNotNull() & (k.cast("int") > 90))
-        .select("event_id", "user_id", k.alias("k_raw"))
-    )
-
-
-@register(
-    "p9_in_list",
-    oracle="""
-SELECT c_custkey, c_name, c_acctbal
-FROM customer WHERE c_custkey IN (1, 7, 42, 99, 500, 1234)
-""",
-    tags=("filter",),
-)
-def p9_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-set membership bulk fetch (P9, ``readers/metadata.py:96-106``)."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey").isin(1, 7, 42, 99, 500, 1234))
-        .select("c_custkey", "c_name", "c_acctbal")
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.3 Joins
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "j1_revenue_by_nation",
-    oracle="""
-SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lineitems
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-GROUP BY n.n_name
-""",
-    tags=("join", "agg"),
-)
-def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ dim ⋈ dim with broadcast dims (J1/J2 shape,
-    ``form_baseline/trainer.py:431-448``): lineitem joins supplier and
-    nation — both dimension sides broadcast, so the only shuffle is the
-    final groupBy."""
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
-    nat = load_table(spark, sf_dir, "nation")
-    return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-@register(
-    "j4_having_incomplete",
-    oracle="""
-SELECT c.c_custkey, COUNT(DISTINCT o.o_orderpriority) AS n_present
-FROM customer c
-LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-GROUP BY c.c_custkey
-HAVING COUNT(DISTINCT o.o_orderpriority) < 3
-""",
-    tags=("join",),
-)
-def j4_having_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT JOIN + grouped HAVING anti-pattern (J4): customers whose
-    orders span < 3 distinct priorities, including customers with no
-    orders at all (``readers/performance.py:166-181``)."""
-    from ..operators.joins import missing_children_having
-
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
-        "o_custkey", "c_custkey"
-    )
-    return missing_children_having(
-        cust, orders, "c_custkey", "o_orderpriority", 3
-    )
-
-
-@register(
-    "j6_preagg_join",
-    oracle="""
-WITH cust_avg AS (
-  SELECT o_custkey, ROUND(AVG(o_totalprice), 6) AS avg_order_price
-  FROM orders GROUP BY o_custkey
-)
-SELECT c.c_custkey, c.c_mktsegment, ca.avg_order_price
-FROM customer c JOIN cust_avg ca ON c.c_custkey = ca.o_custkey
-WHERE ca.avg_order_price > 300000
-""",
-    tags=("join", "agg"),
-)
-def j6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-aggregated CTE join (J6, ``comparisons.py:209-231``):
-    aggregate the fact table *before* joining the dimension, shrinking
-    the shuffled side to one row per key."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    pre = orders.groupBy("o_custkey").agg(
-        _r6(F.avg("o_totalprice")).alias("avg_order_price")
-    )
-    return (
-        cust.join(pre, cust.c_custkey == pre.o_custkey)
-        .filter(F.col("avg_order_price") > 300000)
-        .select("c_custkey", "c_mktsegment", "avg_order_price")
-    )
+from . import q_core  # noqa: E402,F401
+from . import q_agg  # noqa: E402,F401
+from . import q_window  # noqa: E402,F401

@@ -1,0 +1,305 @@
+"""Aggregation queries (SURVEY.md §2.4: A1-A14)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime_funcs import month_bucket, week_start
+from ..operators import stats
+from ..sources.tables import load_table
+from .registry import dec_sum as _dec_sum
+from .registry import r6 as _r6
+from .registry import register
+
+
+@register(
+    "a1_stats_block",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 6) AS l_quantity_avg,
+       ROUND(MEDIAN(l_quantity), 6) AS l_quantity_median,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS l_quantity_stddev,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       ROUND(AVG(l_extendedprice), 6) AS l_extendedprice_avg,
+       ROUND(MEDIAN(l_extendedprice), 6) AS l_extendedprice_median,
+       ROUND(STDDEV_SAMP(l_extendedprice), 6) AS l_extendedprice_stddev,
+       MIN(l_extendedprice) AS l_extendedprice_min,
+       MAX(l_extendedprice) AS l_extendedprice_max
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def a1_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 five-stat block (AVG/MEDIAN/STDDEV/MIN/MAX ×N metrics) — the
+    reference's ``statistics_only`` splits tools
+    (``splits_query_builder.py:152-173``).  Exact median via
+    ``percentile``, never approx."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = stats.five_stat_block(li, ["l_returnflag"], ["l_quantity", "l_extendedprice"])
+    rounded = [
+        _r6(F.col(c)).alias(c) if c.endswith(("_avg", "_median", "_stddev")) else F.col(c)
+        for c in out.columns
+    ]
+    return out.select(*rounded)
+
+
+@register(
+    "a2_time_range_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS value_avg,
+       ROUND(STDDEV_SAMP(value), 6) AS value_stddev,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY event_type
+""",
+    tags=("agg",),
+)
+def a2_time_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 time-range stats (``readers/time_series.py:68-80``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = stats.time_range_stats(
+        ev, "ts", "2024-01-10", "2024-01-20", ["value"], ["event_type"]
+    )
+    return out.select(
+        "event_type",
+        "n",
+        _r6(F.col("value_avg")).alias("value_avg"),
+        _r6(F.col("value_stddev")).alias("value_stddev"),
+        "value_min",
+        "value_max",
+    )
+
+
+@register(
+    "a4_daily_rollup",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+    tags=("agg",),
+)
+def a4_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 daily load rollup (``readers/training_load.py:214-239``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            _dec_sum(F.col("value")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "a5_weekly_volume",
+    oracle="""
+SELECT strftime(CAST(o_orderdate AS DATE) - ((isodow(o_orderdate) - 1) % 7) * INTERVAL 1 DAY,
+                '%Y-%m-%d') AS week_start,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+    tags=("agg", "calendar"),
+)
+def a5_weekly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 calendar-week rollup with the reference's isodow week-start
+    arithmetic, Monday start (``web/queries/trends.py:102-113``,
+    ``mcp/utils/week.py:21-50``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wk = F.date_format(week_start(F.col("o_orderdate"), 0), "yyyy-MM-dd")
+    return orders.groupBy(wk.alias("week_start")).agg(
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "a5_monthly_volume",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+    tags=("agg", "calendar"),
+)
+def a5_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 month bucket (``strftime '%Y-%m'``, ``web/queries/trends.py:102``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(month_bucket(F.col("o_orderdate")).alias("month")).agg(
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "a6_conditional_halves",
+    oracle="""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+b AS (SELECT event_type, (MIN(us) + MAX(us)) / 2.0 AS mid FROM e GROUP BY event_type)
+SELECT e.event_type,
+       ROUND(AVG(CASE WHEN us < mid THEN value END), 6) AS value_first_half,
+       ROUND(AVG(CASE WHEN us >= mid THEN value END), 6) AS value_second_half,
+       ROUND(AVG(CASE WHEN us >= mid THEN value END)
+             / AVG(CASE WHEN us < mid THEN value END) - 1.0, 6) AS value_drift
+FROM e JOIN b USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("agg",),
+)
+def a6_conditional_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W9 conditional (pivot-style) aggregation: first-half vs
+    second-half averages at the timestamp midpoint + decoupling drift —
+    the aerobic-durability core (``readers/durability.py:66-146``)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts").cast("double")
+    )
+    out = stats.conditional_halves(ev, ["event_type"], "us", ["value"])
+    return out.select(
+        "event_type",
+        _r6(F.col("value_first_half")).alias("value_first_half"),
+        _r6(F.col("value_second_half")).alias("value_second_half"),
+        _r6(F.col("value_drift")).alias("value_drift"),
+    )
+
+
+@register(
+    "a8_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def a8_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact COUNT(DISTINCT) (``readers/performance.py:171-177``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            f"""
+SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       CAST(MIN({c}) AS DOUBLE) AS stat_min,
+       CAST(MAX({c}) AS DOUBLE) AS stat_max,
+       ROUND(AVG({c}), 6) AS stat_avg,
+       ROUND(MEDIAN({c}), 6) AS stat_median,
+       ROUND(STDDEV_SAMP({c}), 6) AS stat_stddev,
+       ROUND(AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS stat_null_rate,
+       CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS stat_n_distinct
+FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("a9_profile_table", oracle=_profile_oracle(), tags=("agg", "profiler"))
+def a9_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 table profiler: one row per column with count/min/max/avg/
+    median/stddev/null-rate/n-distinct (``readers/utility.py:103-113``).
+    One aggregation pass over the table, unpivoted via ``stack``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = stats.profile_columns(li, _PROFILE_COLS)
+    return out.select(
+        "column_name",
+        "n_rows",
+        "stat_min",
+        "stat_max",
+        _r6(F.col("stat_avg")).alias("stat_avg"),
+        _r6(F.col("stat_median")).alias("stat_median"),
+        _r6(F.col("stat_stddev")).alias("stat_stddev"),
+        _r6(F.col("stat_null_rate")).alias("stat_null_rate"),
+        "stat_n_distinct",
+    )
+
+
+@register(
+    "a10_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem
+)
+SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / (CASE WHEN hi > lo THEN (hi - lo) / 20.0 ELSE 1.0 END)), 19) AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       MIN(l_extendedprice) AS bucket_min,
+       MAX(l_extendedprice) AS bucket_max
+FROM lineitem, b
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+""",
+    tags=("agg", "profiler"),
+)
+def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 equal-width 20-bin histogram with last-bin clamp
+    (``readers/utility.py:254-264``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.histogram(li, "l_extendedprice", bins=20)
+
+
+@register(
+    "a11_weighted_avg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(22,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE), 6) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def a11_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 weighted average ``sum(v*w)/sum(w)`` — the reference's
+    distance/time-weighted phase stats
+    (``inserters/performance_trends.py:263-318``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = _dec_sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    den = _dec_sum(F.col("l_quantity"))
+    return li.groupBy("l_returnflag").agg(
+        _r6(num / den).alias("weighted_avg_price")
+    )
+
+
+@register(
+    "a13_distribution",
+    oracle="""
+WITH c AS (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, ROUND(n / SUM(n) OVER (), 6) AS fraction FROM c
+""",
+    tags=("agg",),
+)
+def a13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 category distribution normalized to fractions
+    (``fitness_assessor.py:226-244``) — window total over the tiny
+    aggregated frame, not the input."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = stats.category_distribution(orders, "o_orderpriority")
+    return out.select(
+        "o_orderpriority", "n", _r6(F.col("fraction")).alias("fraction")
+    )

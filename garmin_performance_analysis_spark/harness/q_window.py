@@ -1,0 +1,259 @@
+"""Window-analytics queries (SURVEY.md §2.5: W1-W10) and sort/top-k
+(§2.6: O1-O5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.datetime_funcs import day_number
+from ..operators import topk, windows
+from ..sources.tables import load_table
+from .registry import dec_sum as _dec_sum
+from .registry import r6 as _r6
+from .registry import register
+
+
+@register(
+    "w1_zscore_outliers",
+    oracle="""
+WITH z AS (
+  SELECT event_id, event_type, value,
+         AVG(value) OVER (PARTITION BY event_type) AS m,
+         STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s
+  FROM events
+)
+SELECT event_id, event_type, value,
+       ROUND(CASE WHEN s > 0 THEN (value - m) / s ELSE 0.0 END, 6) AS z
+FROM z
+WHERE ABS(CASE WHEN s > 0 THEN (value - m) / s ELSE 0.0 END) > 2.0
+""",
+    tags=("window", "anomaly"),
+)
+def w1_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/T1 whole-partition z-score anomaly scan with the reference's
+    zero-stddev CASE guard (``readers/time_series.py:257-279``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.zscore_outliers(ev, ["event_type"], "value", threshold=2.0)
+    return out.select("event_id", "event_type", "value", _r6(F.col("z")).alias("z"))
+
+
+@register(
+    "w2_latest_per_key",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("window",),
+)
+def w2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 latest-version-per-key via row_number desc = 1 — the
+    reference's versioned-document reads
+    (``readers/trends_narration.py:79-83``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@register(
+    "w4_centered_rolling",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w, 6) AS roll_mean,
+       ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std
+FROM (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 1800 PRECEDING AND 1800 FOLLOWING)
+""",
+    tags=("window",),
+)
+def w4_centered_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 centered rolling mean/std over a ±30-min range window — the
+    form-anomaly detector's centered 60 s window, scaled to event
+    cadence (``form_anomaly_detector.py:147-179``)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    out = windows.centered_rolling(ev, ["user_id"], "sec", "value", 1800, 1801)
+    return out.select(
+        "event_id",
+        "user_id",
+        _r6(F.col("roll_mean")).alias("roll_mean"),
+        _r6(F.col("roll_std")).alias("roll_std"),
+    )
+
+
+@register(
+    "w5_acwr_rolling_loads",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS load
+  FROM events GROUP BY 1, 2, 3
+),
+rolled AS (
+  SELECT user_id, day, load,
+         SUM(load) OVER (PARTITION BY user_id ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS acute,
+         SUM(load) OVER (PARTITION BY user_id ORDER BY dn RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) / 4.0 AS chronic
+  FROM daily
+)
+SELECT user_id, day, ROUND(load, 6) AS load, ROUND(acute, 6) AS acute,
+       ROUND(chronic, 6) AS chronic,
+       ROUND(CASE WHEN chronic > 0 THEN acute / chronic END, 6) AS acwr
+FROM rolled
+""",
+    tags=("window", "rolling"),
+)
+def w5_acwr_rolling_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 ACWR: acute 7-day / chronic 28-day/4 rolling load sums over a
+    daily rollup, plus the ratio (``readers/training_load.py:54-120``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        day_number(F.col("ts")).alias("dn"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(_dec_sum(F.col("value")).alias("load"))
+    acute = windows.rolling_range_sum(daily, ["user_id"], "dn", "load", 6, "acute")
+    both = windows.rolling_range_sum(acute, ["user_id"], "dn", "load", 27, "_c28")
+    return both.select(
+        "user_id",
+        "day",
+        _r6(F.col("load")).alias("load"),
+        _r6(F.col("acute")).alias("acute"),
+        _r6(F.col("_c28") / 4.0).alias("chronic"),
+        _r6(
+            F.when(F.col("_c28") / 4.0 > 0, F.col("acute") / (F.col("_c28") / 4.0))
+        ).alias("acwr"),
+    )
+
+
+@register(
+    "w6_rolling_90d_max",
+    oracle="""
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dn,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS daily_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT day, daily_total,
+       MAX(daily_total) OVER (ORDER BY dn RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS rolling_max_90d
+FROM daily
+""",
+    tags=("window", "rolling"),
+)
+def w6_rolling_90d_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 trailing 90-day rolling max — the objective fitness curve
+    (``mcp/objective_fitness/curve.py:35-97``).  Single unpartitioned
+    window over an already-aggregated daily frame (tiny at any scale);
+    at 100 TB the daily rollup shrinks the input first."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        day_number(F.col("o_orderdate"), "1995-01-01").alias("dn"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day"),
+    ).agg(_dec_sum(F.col("o_totalprice")).alias("daily_total"))
+    out = windows.rolling_range_max(daily, [], "dn", "daily_total", 90, "rolling_max_90d")
+    return out.select("day", "daily_total", "rolling_max_90d")
+
+
+@register(
+    "w8_streaks",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+num AS (
+  SELECT user_id, d,
+         datediff('day', DATE '2024-01-01', d) AS dn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+isl AS (SELECT user_id, dn - rn AS grp, COUNT(*) AS len FROM num GROUP BY user_id, dn - rn)
+SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+FROM isl GROUP BY user_id
+""",
+    tags=("window", "streak"),
+)
+def w8_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 consecutive-day streak detection (gaps-and-islands) — the
+    reference's HRV-below-baseline / build-week streaks
+    (``mcp/analysis/recovery.py:90-139``)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", day_number(F.col("ts")).alias("dn")).distinct()
+    islands = windows.gaps_and_islands(days, ["user_id"], "dn", max_gap=1)
+    lengths = islands.groupBy("user_id", "island_id").agg(F.count(F.lit(1)).alias("len"))
+    return lengths.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "w10_downsample",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, event_id FROM numbered
+WHERE (rn - 1) % GREATEST(CAST(CEIL(n / 10.0) AS BIGINT), 1) = 0 OR rn = n
+""",
+    tags=("window",),
+)
+def w10_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 every-k-th-row downsample to ≤10 points/user keeping first and
+    last (``web/queries/time_series.py:84-86``)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.downsample(ev, ["user_id"], ["ts", "event_id"], 10)
+    return out.select("user_id", "event_id")
+
+
+@register(
+    "o2_topk_closeness",
+    oracle="""
+SELECT o_orderkey, o_totalprice, ABS(o_totalprice - 200000.0) AS closeness
+FROM orders
+ORDER BY ABS(o_totalprice - 200000.0) ASC, o_orderdate DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("topk",),
+)
+def o2_topk_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 top-k by similarity distance with deterministic tie-break
+    (``comparisons.py:259-267``) — executes as TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = topk.topk_by_closeness(
+        orders,
+        "o_totalprice",
+        200000.0,
+        10,
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+    )
+    return out.select("o_orderkey", "o_totalprice", "closeness")
+
+
+@register(
+    "o4_pagination",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 40
+""",
+    tags=("topk",),
+)
+def o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 LIMIT/OFFSET pagination over a deterministic ordering
+    (``insights.py:98-100``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = topk.paginate(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20, 40
+    )
+    return out.select("o_orderkey", "o_totalprice")
