@@ -6,3 +6,7 @@ from .registry import CATALOG, QuerySpec, register  # noqa: F401
 from . import q_core  # noqa: E402,F401
 from . import q_agg  # noqa: E402,F401
 from . import q_window  # noqa: E402,F401
+from . import q_join  # noqa: E402,F401
+from . import q_ml  # noqa: E402,F401
+from . import q_ts  # noqa: E402,F401
+from . import q_pipeline  # noqa: E402,F401

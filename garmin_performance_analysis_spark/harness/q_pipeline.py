@@ -1,0 +1,372 @@
+"""Training-data pipeline queries: deduplication, text analysis,
+similarity search, multimodal metadata — the beyond-the-reference
+operator block, each with a DuckDB oracle where SQL can express it.
+
+All hashing is md5-based so both engines produce identical bytes; all
+set logic runs on the same lowercased single-space tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines import dedup, multimodal, similarity, text
+from ..sources.tables import load_table
+from .registry import r6 as _r6
+from .registry import register
+
+_NUM_HASHES = 16
+_BANDS = 4
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM words WHERE len(w) >= 3
+)
+"""
+
+
+@register(
+    "d1_exact_hash_groups",
+    oracle="""
+SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def d1_exact_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup mechanics: content-hash groups with a canonical
+    keep-id (min doc_id).  This corpus has no byte-identical pairs, so
+    every group has n_docs=1 — the md5 grouping itself is what the
+    oracle validates; ``dedup.exact_duplicates`` filters n_docs>1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
+@register(
+    "d2_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, x.n AS size_a, y.n AS size_b,
+       ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+""",
+    tags=("dedup",),
+)
+def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-duplicate pairs (J >= 0.5): shingle
+    self-join for |A∩B|, per-doc shingle counts for |A|,|B|."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        _r6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    rows = _NUM_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, ROUND(({matches}) / 16.0, 6) AS est_jaccard
+FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+WHERE ({matches}) / 16.0 >= 0.5
+"""
+
+
+@register("d3_minhash_lsh_pairs", oracle=_minhash_oracle(), tags=("dedup",))
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-duplicate pairs with estimated Jaccard
+    >= 0.5.  The banded bucket join is the 100 TB path: candidates only
+    form inside buckets, never O(N²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, n=3)
+    out = dedup.lsh_candidate_pairs(sigs, _NUM_HASHES, _BANDS, threshold=0.5)
+    return out.select("doc_a", "doc_b", _r6(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+@register(
+    "d4_simhash_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, bp,
+         (((strpos('0123456789abcdef', substr(h, CAST(bp // 4 AS INT) + 1, 1)) - 1)
+           // (CASE CAST(bp % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1 AS wt
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS bp)
+),
+votes AS (SELECT doc_id, bp, SUM(wt) AS vote FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bp) AS simhash64
+FROM votes GROUP BY doc_id
+""",
+    tags=("dedup",),
+)
+def d4_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (md5 bit voting over
+    distinct tokens), as a '0'/'1' string both engines can build."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text")
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+
+@register(
+    "x1_text_quality",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(lower(text), ' ')) AS n_words,
+       ROUND(length(text) * 1.0 / len(string_split(lower(text), ' ')), 6) AS chars_per_word,
+       ROUND(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) * 1.0
+             / len(string_split(lower(text), ' ')), 6) AS stopword_ratio,
+       ROUND((length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+             / length(text), 6) AS non_alpha_ratio,
+       ROUND(len(list_distinct(string_split(lower(text), ' '))) * 1.0
+             / len(string_split(lower(text), ' ')), 6) AS distinct_word_ratio
+FROM documents
+""",
+    tags=("text",),
+)
+def x1_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (C4/Gopher-style signals) as one
+    expression-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.quality_features(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        _r6(F.col("chars_per_word")).alias("chars_per_word"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("non_alpha_ratio")).alias("non_alpha_ratio"),
+        _r6(F.col("distinct_word_ratio")).alias("distinct_word_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({marker_in}))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)}, {pred} AS predicted_lang
+FROM s
+"""
+
+
+@register("x2_language_id", oracle=_langid_oracle(), tags=("text",))
+def x2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie preference."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.language_id(docs, "doc_id", "text")
+    casts = [F.col(f"score_{lang}").cast("bigint").alias(f"score_{lang}") for lang in text.LANG_MARKERS]
+    return out.select("doc_id", *casts, "predicted_lang")
+
+
+@register(
+    "x3_content_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+FROM documents
+""",
+    tags=("text",),
+)
+def x3_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted distinct
+    word set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.content_fingerprint(docs, "doc_id", "text")
+
+
+@register(
+    "x4_token_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens
+FROM documents
+""",
+    tags=("text",),
+)
+def x4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counting (tokenizer-budget proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.token_counts(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("regex_tokens").cast("bigint").alias("regex_tokens"),
+    )
+
+
+_COS_DOT = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _COS_DOT.format(a=a, b=b)
+    na = "sqrt(" + _COS_DOT.format(a=a, b=a) + ")"
+    nb = "sqrt(" + _COS_DOT.format(a=b, b=b) + ")"
+    return f"({dot}) / ({na} * {nb})"
+
+
+@register(
+    "v1_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, ROUND({_cos_expr('e.embedding', 'q.qe')}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY {_cos_expr('e.embedding', 'q.qe')} DESC, e.vec_id ASC
+LIMIT 10
+""",
+    tags=("similarity",),
+)
+def v1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs a query vector (vec_id=0): the exact
+    ANN baseline, computed with a JVM-side zip_with/aggregate fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    cos = similarity._dot("embedding", "_q") / (
+        similarity._norm("embedding") * similarity._norm("_q")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cosine", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", _r6(F.col("cosine")).alias("cosine"))
+    )
+
+
+@register(
+    "v2_cosine_dup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cos_expr('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_expr('a.embedding', 'b.embedding')} >= 0.45
+""",
+    tags=("similarity", "dedup"),
+)
+def v2_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs exact at
+    validation scale; IVF/LSH blocking is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
+
+
+@register("v3_ivf_topk", oracle=None, tags=("similarity", "rows-only"))
+def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: k-means coarse quantizer (deterministic
+    Lloyd iterations), probe the 3 nearest centroids, exact search
+    inside them.  Approximate by construction → no SQL oracle; tests
+    assert recall monotonicity vs the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0)
+    query = [float(v) for v in target.select("embedding").first()[0]]
+    assigned = similarity.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
+    cents = similarity.ivf_centroids(assigned, "embedding", "cluster_id")
+    return similarity.ivf_topk(
+        assigned.filter(F.col("vec_id") != 0),
+        cents,
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        query,
+        k=10,
+        n_probe=3,
+    )
+
+
+@register(
+    "mm1_binary_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload metadata: byte length + content digest of the
+    opaque binary column, computed JVM-side (the typed-metadata half of
+    the multimodal plumbing; decode runs via mapInPandas, see
+    ``pipelines/multimodal.py``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.attach_binary(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("sha256"),
+    )
+
+
+@register("mm2_decoded_features", oracle=None, tags=("multimodal", "rows-only"))
+def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake decoder; the real decoder is the stub's
+    integration point).  Python in the loop → rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_features(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    )

@@ -10,7 +10,7 @@ turns an O(N*M) cross product into a band join, and AQE handles skew.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 def nearest_date_asof_join(
     left: DataFrame,
     right: DataFrame,
-    left_keys: Sequence[str],
-    right_keys: Sequence[str],
+    left_id_cols: Sequence[str],
+    join_keys: Sequence[str],
     left_date: str,
     right_date: str,
     max_gap_days: int = 14,
     tie_break_past: bool = True,
+    right_tiebreak: Optional[str] = None,
     broadcast_right: bool = True,
 ) -> DataFrame:
     """Join each left row to the nearest-dated right row within
@@ -34,28 +35,33 @@ def nearest_date_asof_join(
     14 days, tie → earlier measurement
     (``mcp/analysis/running_economy.py:115-196``, tie-break :140-154``).
 
-    Implementation: equi-join on keys + band predicate
-    ``abs(datediff) <= max_gap``, then keep the rank-1 row per left key
-    ordered by ``(abs(gap), signed_gap)`` — signed ascending puts the
-    past side (negative gap) first on ties.
+    Implementation: equi-join on ``join_keys`` + band predicate
+    ``abs(datediff) <= max_gap``, then keep the rank-1 row *per left row*
+    (``left_id_cols`` must uniquely identify left rows) ordered by
+    ``(abs(gap), signed_gap, right_tiebreak)`` — signed ascending puts
+    the past side (negative gap) first on ties; ``right_tiebreak``
+    makes same-date right duplicates deterministic.
+
+    The bounded gap is what keeps this scalable: it turns an O(N·M)
+    cross product into a band join, and the small side broadcasts.
     """
     r = right
     if broadcast_right:
         r = F.broadcast(r)
     gap = F.datediff(F.col(f"r.{right_date}"), F.col(f"l.{left_date}"))
     cond = F.abs(gap) <= max_gap_days
-    for lk, rk in zip(left_keys, right_keys):
-        cond = cond & (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
+    for k in join_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     joined = left.alias("l").join(r.alias("r"), cond, "inner")
     order = [F.abs(gap).asc(), gap.asc() if tie_break_past else gap.desc()]
-    w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_keys], F.col(f"l.{left_date}")).orderBy(
-        *order
-    )
+    if right_tiebreak is not None:
+        order.append(F.col(f"r.{right_tiebreak}").asc())
+    w = Window.partitionBy(*[F.col(f"l.{k}") for k in left_id_cols]).orderBy(*order)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
+        joined.withColumn("gap_days", gap)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .withColumn("gap_days", gap)
     )
 
 
@@ -77,7 +83,9 @@ def backward_asof_join(
     Implementation: union both sides tagged with a side marker, sort by
     (key, time, side) and carry the last right value forward with
     ``last(..., ignorenulls=True)`` — one shuffle on the key, no range
-    join, scales linearly.
+    join, scales linearly.  Right timestamps must be unique per key for
+    deterministic results (the last right row at an exactly-equal
+    timestamp wins, matching ASOF's inclusive ``<=``).
     """
     lcols = [F.col(k) for k in keys]
     tagged_r = right.select(

@@ -1,0 +1,234 @@
+"""Document deduplication at pipeline scale.
+
+Beyond the reference's surface: the operators a 100 TB training-data
+pipeline needs.  All variants are pure DataFrame expressions (hashing =
+``md5`` so an ANSI-SQL oracle reproduces them bit-for-bit):
+
+- exact:     content-hash groupBy
+- n-gram Jaccard: shingle → self-join on shared shingles → set overlap
+- MinHash+LSH: shingle → K min-hashes → banded bucket join → estimate
+- SimHash:   token-hash bit voting → 64-bit fingerprint
+
+Scale notes: the shingle self-join shuffles on the shingle string — at
+100 TB the LSH path is the one to use (bucket join on band hashes cuts
+candidate pairs from O(N²) to near-linear); hot shingles (stopword
+trigrams) are the skew risk, mitigated by dropping top-frequency
+shingles (``max_shingle_freq``) exactly as public MinHash pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: groups with >1 doc, keeping the min
+    id as canonical."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded to
+    ``(id, shingle)`` rows.  Pure expressions (split + sequence +
+    transform), no UDF."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    parts = " , ".join(f"w[i + {j}]" for j in range(n))
+    shingle_expr = F.expr(f"transform(idx, i -> concat_ws(' ', {parts}))")
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc_id"), words.alias("w"), idx.alias("idx"))
+        .select("doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    ``|A∩B|`` comes from a self-join on the shingle, ``|A|``/``|B|``
+    from per-doc counts; ``J = c/(|A|+|B|-c)``.  ``max_shingle_freq``
+    drops ubiquitous shingles (skew + candidate blow-up control at
+    scale)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    jac = F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash signature per document.
+
+    Hash family: ``md5(seed || ':' || shingle)`` compared
+    lexicographically — deterministic, engine-portable, and uniform
+    enough for Jaccard estimation (public MinHash practice uses exactly
+    such seeded-hash families)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the signature, bucket-join
+    on band hashes, then estimate Jaccard as the fraction of equal
+    minhash components.
+
+    The band join is the scale path: candidates only form inside a
+    bucket, so the shuffle is on ``(band_idx, band_hash)`` and never
+    materializes O(N²) pairs."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("doc_id", *[f"mh{i}" for i in range(num_hashes)], "band.*")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(num_hashes)],
+            *[F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(num_hashes)],
+        )
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document as a 64-char '0'/'1'
+    string (MSB of md5 first).
+
+    Per token: md5 → 16 hex digits → 4 bits each; each bit votes ±1;
+    the sign of the per-position vote sum is the fingerprint bit.
+    Pure expressions: explode tokens × positions, one groupBy."""
+    words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    pos = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit_pos"),
+    )
+    # hex digit at (bit_pos div 4); bit (3 - bit_pos % 4) within the digit,
+    # extracted with integer div by 8/4/2/1 (engine-portable, no shifts)
+    bit = F.expr(
+        "((instr('0123456789abcdef', substr(h, CAST(bit_pos div 4 AS INT) + 1, 1)) - 1)"
+        " div (CASE CAST(bit_pos % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+    )
+    votes = (
+        pos.withColumn("w", bit * 2 - 1)
+        .groupBy("doc_id", "bit_pos")
+        .agg(F.sum("w").alias("vote"))
+    )
+    fp_char = F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return (
+        votes.withColumn("c", fp_char)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(bit_pos, c))), s -> s.c)"),
+                "",
+            ).alias("simhash64")
+        )
+    )
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, blocked on a
+    fingerprint prefix so the self-join is bucketed (the standard
+    rotate-and-block trick reduced to one block for brevity)."""
+    blocked = fingerprints.withColumn(
+        "block", F.substring("simhash64", 1, prefix_bits)
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pos = F.sequence(F.lit(0), F.lit(63))
+    ham = F.expr(
+        "size(filter(sequence(0, 63), i -> substr(a.simhash64, i + 1, 1) != substr(b.simhash64, i + 1, 1)))"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (one pass, JVM-side
+``zip_with``/``aggregate`` fold — no UDF); the IVF variant is the scale
+path: cluster-assign once, then probe only the nearest partitions so
+the per-query work drops from O(N·d) to O(N·d/k · n_probe).  At 100 TB
+the index table is bucketed by centroid id so probes are partition-
+pruned scans.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product in double precision (deterministic,
+    engine-portable)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+
+
+def with_query_cosine(
+    df: DataFrame, vec_col: str, query: Sequence[float], out_col: str = "cosine"
+) -> DataFrame:
+    """Cosine similarity of every row's vector vs a literal query vector."""
+    qlit = "array(" + ", ".join(f"CAST({float(v)} AS FLOAT)" for v in query) + ")"
+    qdf = df.withColumn("_q", F.expr(qlit))
+    cos = _dot(vec_col, "_q") / (_norm(vec_col) * _norm("_q"))
+    return qdf.withColumn(out_col, cos).drop("_q")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest by cosine — TakeOrderedAndProject, no global
+    sort; the correctness baseline every ANN variant is measured against."""
+    scored = with_query_cosine(df, vec_col, query)
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+
+    O(N²) — correct at validation scale; production uses
+    ``ivf_assign`` blocking or LSH first.  The join is a single
+    self-crossJoin filtered by id ordering; Spark executes it as a
+    broadcast nested loop when one side fits."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd k-means cluster assignment (cosine-free,
+    squared-L2) as an iterative DataFrame program.
+
+    Init = the vectors of the ``k`` smallest ids (deterministic, no
+    RNG); each iteration is one broadcast crossJoin (N×k distance
+    evaluations, JVM-side fold) + one element-wise-mean aggregation.
+    This is the coarse quantizer an IVF index needs when no natural
+    partition column exists."""
+    dist = F.expr(
+        f"aggregate(zip_with({vec_col}, _c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .alias("cluster_id"),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_c"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn("_d", dist)
+        w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cluster_id").asc())
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, "cluster_id")
+        )
+        centroids = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+                ).alias("_c")
+            )
+        )
+    return assigned
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, partition_col: str
+) -> DataFrame:
+    """Centroid per coarse partition: element-wise mean of vectors.
+
+    Aggregation via posexplode + groupBy(dim) keeps it distributed and
+    exact; for an unlabeled corpus the partition column comes from a
+    k-means assignment (see ``ivf_assign``)."""
+    exploded = df.select(
+        F.col(partition_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    means = exploded.groupBy("centroid_id", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("m")
+    )
+    return means.groupBy("centroid_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    partition_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids vs the query, keep the
+    ``n_probe`` nearest, then brute-force only rows in those partitions.
+
+    The partition filter is a broadcast semi-join, so the big side is
+    pruned before any vector math."""
+    ranked = with_query_cosine(centroids, "centroid", query, "c_cos")
+    probes = ranked.orderBy(F.col("c_cos").desc(), F.col("centroid_id").asc()).limit(
+        n_probe
+    )
+    pruned = df.join(
+        F.broadcast(probes.select(F.col("centroid_id").alias(partition_col))),
+        partition_col,
+        "left_semi",
+    )
+    return brute_force_topk(pruned, id_col, vec_col, query, k)

@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale corpus pipelines:
+language-ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting.  All pure column expressions — the whole
+module stays inside whole-stage codegen and needs exactly one pass over
+the corpus per feature set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny marker-word lists per language (public stopword heads). The
+# heuristic is deterministic: score = #tokens in the marker set.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "et", "que"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals: length, word count, mean word
+    length, stopword ratio, non-alpha ratio, distinct-word ratio.
+    The standard pre-training quality filters (C4/Gopher-style rules)
+    reduced to one select."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(lower({text_col}), ' '), x -> x IN ({stop_in})))")
+    non_alpha = n_chars - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words).alias("chars_per_word"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (non_alpha.cast("double") / n_chars).alias("non_alpha_ratio"),
+        (F.size(F.array_distinct(w)).cast("double") / n_words).alias(
+            "distinct_word_ratio"
+        ),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: per-language marker counts + argmax with
+    a deterministic preference order on ties."""
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        scores[lang] = F.expr(
+            f"size(filter(split(lower({text_col}), ' '), x -> x IN ({marker_in})))"
+        )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier languages win ties
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("predicted_lang", pred)
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (``[a-z]+|[0-9]+|punctuation-run``) — the cheap proxy pipelines use
+    to budget tokenizer work."""
+    ws = F.size(_words(text_col))
+    regex_tokens = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        regex_tokens.alias("regex_tokens"),
+    )
+
+
+def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    word set — a cheap canonical key for shuffled/reordered duplicates
+    (cf. rolling-hash fingerprints in dedup literature)."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " ")
+    )
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

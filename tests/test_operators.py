@@ -1,0 +1,139 @@
+"""Unit tests for operator semantics on small constructed frames —
+the edge cases SURVEY.md §7 flags as risky (as-of tie-breaks,
+gaps-and-islands off-by-ones, downsample endpoints)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from garmin_performance_analysis_spark.operators.joins import (
+    backward_asof_join,
+    nearest_date_asof_join,
+)
+from garmin_performance_analysis_spark.operators.regression import (
+    linregress_by_group,
+    linregress_scipy_by_group,
+)
+from garmin_performance_analysis_spark.operators.windows import (
+    downsample,
+    gaps_and_islands,
+    sustained_islands,
+)
+
+
+def d(s: str) -> datetime.date:
+    return datetime.date.fromisoformat(s)
+
+
+def test_asof_tie_goes_to_past_side(spark):
+    left = spark.createDataFrame(
+        [(1, 10, d("2024-01-10"))], "id long, key long, ld date"
+    )
+    right = spark.createDataFrame(
+        [(10, d("2024-01-08"), 100.0), (10, d("2024-01-12"), 200.0)],
+        "key long, rd date, v double",
+    )
+    out = nearest_date_asof_join(
+        left, right, ["id"], ["key"], "ld", "rd", max_gap_days=14,
+        tie_break_past=True, right_tiebreak="v",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == 100.0  # -2 gap beats +2 gap on the tie
+    assert out[0]["gap_days"] == -2
+
+
+def test_asof_respects_max_gap(spark):
+    left = spark.createDataFrame([(1, 10, d("2024-01-10"))], "id long, key long, ld date")
+    right = spark.createDataFrame(
+        [(10, d("2023-12-01"), 1.0)], "key long, rd date, v double"
+    )
+    out = nearest_date_asof_join(
+        left, right, ["id"], ["key"], "ld", "rd", max_gap_days=14
+    )
+    assert out.count() == 0
+
+
+def test_asof_each_left_row_matched_even_on_same_date(spark):
+    # two left rows share (key, date): both must survive (regression
+    # test for per-left-row rank partitioning)
+    left = spark.createDataFrame(
+        [(1, 10, d("2024-01-10")), (2, 10, d("2024-01-10"))],
+        "id long, key long, ld date",
+    )
+    right = spark.createDataFrame(
+        [(10, d("2024-01-09"), 5.0)], "key long, rd date, v double"
+    )
+    out = nearest_date_asof_join(
+        left, right, ["id"], ["key"], "ld", "rd", max_gap_days=14
+    )
+    assert out.count() == 2
+
+
+def test_backward_asof_null_when_no_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 10, d("2024-01-05")), (2, 10, d("2024-01-20"))],
+        "id long, key long, t date",
+    )
+    right = spark.createDataFrame(
+        [(10, d("2024-01-10"), 7.0)], "key long, t date, rv double"
+    )
+    rows = {
+        r["id"]: r["asof_rv"]
+        for r in backward_asof_join(
+            left, right, ["key"], "t", "t", ["rv"]
+        ).collect()
+    }
+    assert rows[1] is None  # no right row at or before Jan 5
+    assert rows[2] == 7.0
+
+
+def test_backward_asof_inclusive_equal_timestamp(spark):
+    left = spark.createDataFrame([(1, 10, d("2024-01-10"))], "id long, key long, t date")
+    right = spark.createDataFrame([(10, d("2024-01-10"), 3.0)], "key long, t date, rv double")
+    out = backward_asof_join(left, right, ["key"], "t", "t", ["rv"]).collect()
+    assert out[0]["asof_rv"] == 3.0
+
+
+def test_gaps_and_islands_adjacency(spark):
+    df = spark.createDataFrame(
+        [(1, t) for t in [1, 2, 3, 6, 7, 20]], "k long, t long"
+    )
+    out = gaps_and_islands(df, ["k"], "t", max_gap=2).collect()
+    islands = {}
+    for r in out:
+        islands.setdefault(r["island_id"], []).append(r["t"])
+    # gap 3->6 is 3 (>2) splits; 7->20 splits
+    assert sorted(map(sorted, islands.values())) == [[1, 2, 3], [6, 7], [20]]
+
+
+def test_sustained_islands_span_semantics(spark):
+    # span = last - first + 1, matching the reference's inclusive count
+    df = spark.createDataFrame(
+        [(1, t) for t in [1, 3, 5, 100]], "k long, t long"
+    )
+    out = sustained_islands(df, ["k"], "t", max_gap=2, min_span=5).collect()
+    assert len(out) == 1
+    assert (out[0]["island_start"], out[0]["island_end"], out[0]["island_rows"]) == (1, 5, 3)
+
+
+def test_downsample_keeps_first_and_last(spark):
+    df = spark.createDataFrame([(1, i) for i in range(100)], "k long, t long")
+    kept = sorted(r["t"] for r in downsample(df, ["k"], "t", 10).collect())
+    assert kept[0] == 0 and kept[-1] == 99
+    assert len(kept) <= 12
+
+
+def test_closed_form_matches_scipy(spark):
+    import pytest
+
+    pytest.importorskip("scipy")
+    rows = [(1, float(i), 2.5 * i + 1.0 + (0.1 if i % 2 else -0.1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    closed = linregress_by_group(df, ["g"], "x", "y").collect()[0]
+    scipy_r = linregress_scipy_by_group(df, ["g"], "x", "y").collect()[0]
+    assert abs(closed["slope"] - scipy_r["slope"]) < 1e-9
+    assert abs(closed["intercept"] - scipy_r["intercept"]) < 1e-9
+    assert abs(closed["r2"] - scipy_r["r2"]) < 1e-9
+    assert scipy_r["p_value"] < 0.05

@@ -1,0 +1,115 @@
+"""Unit tests for the data-pipeline operators (dedup / text /
+similarity / multimodal) — the pieces whose catalog entries are
+rows-only or whose semantics deserve direct assertions."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from garmin_performance_analysis_spark.pipelines import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from garmin_performance_analysis_spark.sources.tables import load_table
+
+
+def test_exact_duplicates_filters_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1
+
+
+def test_word_shingles_short_doc_dropped(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert dedup.word_shingles(df, "doc_id", "text", n=3).count() == 0
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    """LSH-surfaced pairs should estimate within ~0.25 of exact Jaccard
+    (16 hashes → binomial std ~0.125)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", 16)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.lsh_candidate_pairs(sigs, 16, 4, threshold=0.5).collect()
+    }
+    overlap = set(exact) & set(est)
+    assert len(overlap) >= len(exact) * 0.8  # high-J pairs must be found
+    for pair in overlap:
+        assert abs(exact[pair] - est[pair]) < 0.3
+
+
+def test_simhash_near_pairs_find_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash64(docs, "doc_id", "text")
+    near = dedup.simhash_near_pairs(fps, max_hamming=6, prefix_bits=4)
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    near_pairs = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
+    # at least some of the strongest near-dups fall in the same prefix
+    # block and within hamming range
+    assert len(exact_pairs & near_pairs) >= 1
+
+
+def test_langid_marker_sanity(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"), (2, "el perro y la casa de que")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df, "doc_id", "text").collect()}
+    assert rows[1] == "en" and rows[2] == "es"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF recall must be exact at full probe and useful at partial
+    probe (the corpus has weak cluster structure, so partial-probe
+    recall is bounded away from 1 by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned = similarity.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
+    assigned.cache()
+    pool = assigned.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(pool, "vec_id", "embedding", query, 10).collect()]
+    cents = similarity.ivf_centroids(assigned, "embedding", "cluster_id")
+
+    def recall(n_probe: int) -> float:
+        approx = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                pool, cents, "vec_id", "embedding", "cluster_id", query, k=10, n_probe=n_probe
+            ).collect()
+        ]
+        return len(set(exact) & set(approx)) / 10.0
+
+    partial, full = recall(3), recall(8)
+    assert full == 1.0, f"full-probe IVF must equal brute force, got {full}"
+    assert partial >= 0.2, f"partial-probe recall too low: {partial}"
+    assert full >= partial
+
+
+def test_decode_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = multimodal.decode_features(
+        multimodal.attach_binary(df, "doc_id", "text")
+    ).collect()[0]
+    assert out["n_bytes"] == 3
+    assert out["sha256"] == hashlib.sha256(b"abc").hexdigest()
+    assert out["byte_mean"] == pytest.approx((97 + 98 + 99) / 3.0)
+
+
+def test_decode_image_stub_marks_integration_point():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"\x89PNG")
