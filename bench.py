@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect cost).  Session startup and a warmup query are
+excluded from timings, as in the reference's benchmark harness
+(mcp/benchmarks/benchmark_export_performance.py:42-199, which times
+query execution separately from setup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from garmin_performance_analysis_spark.harness.catalog import CATALOG  # noqa: E402
+from garmin_performance_analysis_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at scale (grouped agg, join+agg, windows, as-of, dedup, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_revenue_by_nation",
+    "a1_stats_block",
+    "a9_profile_table",
+    "a10_histogram",
+    "w1_zscore_outliers",
+    "w5_acwr_rolling_loads",
+    "j7_nearest_date_asof",
+    "j9_backward_asof",
+    "m1_linregress_by_group",
+    "m7_vdot",
+    "m8_best_segment",
+    "t3_sustained_islands",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "x1_text_quality",
+    "v1_cosine_topk",
+]
+
+
+def force(df) -> None:
+    """Materialize the full plan without collecting rows to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")  # headroom vs GC noise
+    spark = get_spark("bench")
+
+    # warmup: JVM/codegen/parquet-footer caches
+    force(CATALOG["p2_point_lookup"].fn(spark, sf_dir))
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            force(CATALOG[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

