@@ -10,3 +10,4 @@ from . import q_join  # noqa: E402,F401
 from . import q_ml  # noqa: E402,F401
 from . import q_ts  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
+from . import q_ml2  # noqa: E402,F401

@@ -1,0 +1,129 @@
+"""Best-effort analysis: Pareto frontier + critical-speed fit
+(SURVEY.md M9) and interval segmentation (T6).
+
+Reference: ``mcp/objective_fitness/critical_speed.py:50-157`` takes the
+(duration, distance) efforts in a window, removes dominated points
+(another effort with <= duration and >= distance), and least-squares
+fits ``d = CS·t + D'``.  The dominance filter is a self-join here (the
+effort sets per group are small after the band filter — the join is
+broadcast); the LS fit reuses the closed-form OLS moments.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .regression import linregress_by_group
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    d_col: str,
+) -> DataFrame:
+    """Non-dominated efforts per group: drop any row for which another
+    row has ``t <= t AND d >= d`` with at least one strict inequality
+    (``critical_speed.py:63-88``)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.lit(True)
+    for k in group_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    dominated = (
+        cond
+        & (F.col(f"b.{t_col}") <= F.col(f"a.{t_col}"))
+        & (F.col(f"b.{d_col}") >= F.col(f"a.{d_col}"))
+        & (
+            (F.col(f"b.{t_col}") < F.col(f"a.{t_col}"))
+            | (F.col(f"b.{d_col}") > F.col(f"a.{d_col}"))
+        )
+    )
+    return a.join(b, dominated, "left_anti")
+
+
+def critical_speed_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    t_col: str,
+    d_col: str,
+    t_min: float = 2.0,
+    t_max: float = 45.0,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-group critical speed: band-filter efforts to [t_min, t_max]
+    minutes, keep the Pareto frontier, fit ``d = CS·t + D'``.
+    CS = slope (m/min), D' = intercept (m)."""
+    banded = df.filter(F.col(t_col).between(t_min, t_max))
+    frontier = pareto_frontier(banded, group_cols, t_col, d_col)
+    fit = linregress_by_group(frontier, group_cols, t_col, d_col, min_points)
+    return fit.select(
+        *group_cols,
+        F.col("n").alias("n_frontier"),
+        F.col("slope").alias("critical_speed"),
+        F.col("intercept").alias("d_prime"),
+        "r2",
+    )
+
+
+def interval_segments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    work_flag,
+) -> DataFrame:
+    """T6 interval (work/recovery) segmentation: consecutive rows with
+    the same work/recovery state collapse into segments
+    (``mcp/rag/queries/interval_analysis.py:25-120``).
+
+    Change-detection islands: segment id = running count of state
+    changes; one window + one groupBy.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    state = work_flag.cast("int")
+    changed = F.when(
+        F.lag(state, 1).over(w).isNull() | (F.lag(state, 1).over(w) != state), 1
+    ).otherwise(0)
+    seg = F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("_state", state).withColumn("segment_id", seg)
+
+
+def interval_fatigue(
+    segments: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """T6 fatigue readout: per group, first-vs-last *work* segment
+    average delta (``interval_analysis.py:150-230``: last-rep vs
+    first-rep comparison)."""
+    from pyspark.sql import Window
+
+    keys = [*group_cols, "segment_id"]
+    per_seg = (
+        segments.groupBy(*keys)
+        .agg(
+            F.max("_state").alias("is_work"),
+            F.avg(value_col).alias("seg_avg"),
+            F.count(F.lit(1)).alias("seg_rows"),
+        )
+    )
+    work = per_seg.filter(F.col("is_work") == 1)
+    w_first = Window.partitionBy(*group_cols).orderBy(F.col("segment_id").asc())
+    w_last = Window.partitionBy(*group_cols).orderBy(F.col("segment_id").desc())
+    ranked = work.withColumn("_rf", F.row_number().over(w_first)).withColumn(
+        "_rl", F.row_number().over(w_last)
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_work_segments"),
+        F.max(F.when(F.col("_rf") == 1, F.col("seg_avg"))).alias("first_work_avg"),
+        F.max(F.when(F.col("_rl") == 1, F.col("seg_avg"))).alias("last_work_avg"),
+        (
+            F.max(F.when(F.col("_rl") == 1, F.col("seg_avg")))
+            - F.max(F.when(F.col("_rf") == 1, F.col("seg_avg")))
+        ).alias("fatigue_delta"),
+    )
