@@ -11,3 +11,4 @@ from . import q_ml  # noqa: E402,F401
 from . import q_ts  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
 from . import q_ml2  # noqa: E402,F401
+from . import q_anomaly  # noqa: E402,F401
