@@ -42,6 +42,7 @@ HEADLINE = [
     "m7_vdot",
     "m8_best_segment",
     "t3_sustained_islands",
+    "t2_t4_anomaly_pipeline",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
     "x1_text_quality",

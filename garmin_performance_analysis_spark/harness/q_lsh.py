@@ -1,0 +1,73 @@
+"""SRP-LSH similarity catalog entry (the LSH-bucketed ANN variant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines.similarity import srp_lsh_pairs
+from ..sources.tables import load_table
+from .registry import r6 as _r6
+from .registry import register
+
+_COS = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = "sqrt(" + _COS.format(a=a, b=a) + ")"
+    nb = "sqrt(" + _COS.format(a=b, b=b) + ")"
+    return f"({dot}) / ({na} * {nb})"
+
+
+@register(
+    "v4_srp_lsh_pairs",
+    oracle=f"""
+WITH planes AS (
+  SELECT t, b, i,
+         CASE WHEN strpos('0123456789abcdef',
+                          substr(md5(t || ':' || b || ':' || i), 1, 1)) <= 8
+              THEN 1 ELSE -1 END AS coef
+  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+       (SELECT unnest(generate_series(0, 3)) AS b),
+       (SELECT unnest(generate_series(0, 63)) AS i)
+),
+comps AS (
+  SELECT vec_id AS vid, i.i AS i, embedding[i.i + 1] AS v
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
+),
+proj AS (
+  SELECT c.vid, p.t, p.b,
+         CAST(SUM(CAST(p.coef * c.v AS DECIMAL(22,7))) AS DOUBLE) AS dot
+  FROM comps c JOIN planes p ON c.i = p.i
+  GROUP BY c.vid, p.t, p.b
+),
+buckets AS (
+  SELECT vid, t,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+  FROM proj GROUP BY vid, t
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vid < b.vid
+)
+SELECT c.id_a, c.id_b,
+       ROUND({_cos_expr('x.embedding', 'y.embedding')}, 6) AS cosine
+FROM cand c
+JOIN embeddings x ON c.id_a = x.vec_id
+JOIN embeddings y ON c.id_b = y.vec_id
+WHERE {_cos_expr('x.embedding', 'y.embedding')} >= 0.4
+""",
+    tags=("similarity", "dedup"),
+)
+def v4_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-neighbor pairs (4 tables × 4
+    bits, deterministic md5-derived hyperplanes) verified by exact
+    cosine ≥ 0.4 — the bucketed alternative to the IVF path: candidates
+    come from a bucket equi-join, never an all-pairs cross."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = srp_lsh_pairs(emb, "vec_id", "embedding", dim=64, tables=4, bits=4, threshold=0.4)
+    return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))

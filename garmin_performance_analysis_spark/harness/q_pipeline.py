@@ -73,7 +73,9 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-duplicate pairs (J >= 0.5): shingle
     self-join for |A∩B|, per-doc shingle counts for |A|,|B|."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, checkpoint=True
+    )
     return out.select(
         "doc_a",
         "doc_b",
@@ -119,7 +121,11 @@ def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.5.  The banded bucket join is the 100 TB path: candidates only
     form inside buckets, never O(N²)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, n=3)
+    # signatures feed four plan branches (2 band sides + 2 estimation
+    # joins): checkpoint once instead of recomputing 4M md5s per branch
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", _NUM_HASHES, n=3).localCheckpoint(
+        eager=True
+    )
     out = dedup.lsh_candidate_pairs(sigs, _NUM_HASHES, _BANDS, threshold=0.5)
     return out.select("doc_a", "doc_b", _r6(F.col("est_jaccard")).alias("est_jaccard"))
 

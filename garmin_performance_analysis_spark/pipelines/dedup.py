@@ -47,7 +47,13 @@ def word_shingles(
     parts = " , ".join(f"w[i + {j}]" for j in range(n))
     shingle_expr = F.expr(f"transform(idx, i -> concat_ws(' ', {parts}))")
     return (
-        df.filter(F.size(words) >= n)
+        # corpus files are often few/large-rowgroup: spread docs across
+        # tasks BEFORE the explode so shingling/hashing parallelizes.
+        # The partition count is EXPLICIT: AQE would coalesce this
+        # shuffle to 1 partition (it sizes the tiny doc rows, not the
+        # exploded output behind them)
+        df.repartition(32, F.col(id_col))
+        .filter(F.size(words) >= n)
         .select(F.col(id_col).alias("doc_id"), words.alias("w"), idx.alias("idx"))
         .select("doc_id", F.explode(F.array_distinct(shingle_expr)).alias("shingle"))
     )
@@ -60,14 +66,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     ``|A∩B|`` comes from a self-join on the shingle, ``|A|``/``|B|``
     from per-doc counts; ``J = c/(|A|+|B|-c)``.  ``max_shingle_freq``
     drops ubiquitous shingles (skew + candidate blow-up control at
-    scale)."""
+    scale).  ``checkpoint=True`` materializes the shingle frame once
+    (``localCheckpoint``) so the diamond plan (sizes + both join sides)
+    doesn't recompute the explode three times."""
     sh = word_shingles(df, id_col, text_col, n)
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop("_f")
@@ -183,9 +194,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the sign of the per-position vote sum is the fingerprint bit.
     Pure expressions: explode tokens × positions, one groupBy."""
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(words).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
+    toks = (
+        df.repartition(32, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
     pos = toks.select(
         "doc_id",
         "h",

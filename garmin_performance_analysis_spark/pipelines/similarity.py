@@ -136,6 +136,85 @@ def kmeans_assign(
     return assigned
 
 
+def srp_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tables: int = 4,
+    bits: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Signed-random-projection LSH near-neighbor pairs.
+
+    Hyperplanes are ±1 sign vectors derived deterministically from
+    ``md5(table:bit:dim)`` (no RNG — reproducible across engines and
+    runs).  A vector's bucket in each table is the concatenation of
+    ``bits`` projection signs; candidate pairs share a bucket in any
+    table and are then verified with exact cosine.
+
+    Per-table collision probability for angle θ is ``(1-θ/π)^bits`` —
+    multiple tables trade index size for recall, the standard SRP-LSH
+    design.  Projections sum through DECIMAL so the sign is
+    engine-deterministic even at ulp-level ties.
+    """
+    planes = (
+        df.sparkSession.range(tables)
+        .withColumnRenamed("id", "t")
+        .crossJoin(df.sparkSession.range(bits).withColumnRenamed("id", "b"))
+        .crossJoin(df.sparkSession.range(dim).withColumnRenamed("id", "i"))
+        .withColumn(
+            "coef",
+            F.when(
+                F.expr(
+                    "instr('0123456789abcdef', substr(md5(concat(t, ':', b, ':', i)), 1, 1)) <= 8"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+    comps = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("i", "v")
+    )
+    proj = (
+        comps.join(F.broadcast(planes), "i")
+        .groupBy("vid", "t", "b")
+        .agg(
+            F.sum((F.col("coef") * F.col("v")).cast("decimal(22,7)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    buckets = (
+        proj.withColumn("bit", F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("vid", "t")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(b, bit))), s -> s.bit)"),
+                "",
+            ).alias("bucket")
+        )
+    )
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    cand = (
+        a.join(b2, ["t", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, partition_col: str
 ) -> DataFrame:
