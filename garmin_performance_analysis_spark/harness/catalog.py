@@ -14,3 +14,4 @@ from . import q_ml2  # noqa: E402,F401
 from . import q_anomaly  # noqa: E402,F401
 from . import q_misc  # noqa: E402,F401
 from . import q_lsh  # noqa: E402,F401
+from . import q_range  # noqa: E402,F401

@@ -1,0 +1,307 @@
+"""The reference's query-tool surface as a Spark-native API facade.
+
+The reference registers ~57 tools once and serves them over MCP + CLI +
+web (``mcp/tools/registry.py:175-195``; ``docs/mcp-tools-reference.md``).
+Here each tool is a method on :class:`GarminTools`, a thin delegation
+to the operator library over the silver tables — one lazily-built
+DataFrame plan per call, exactly the mapping SURVEY.md §3.1 prescribes
+(tool registry → API module; the shim/worker process split dissolves
+into Spark's driver/executor split).
+
+``GarminTools`` takes the silver tables as DataFrames (from parquet, a
+catalog, or the bronze readers) so the same facade runs on a laptop
+fixture or a 1000-executor cluster unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import vdot as vdot_fns
+from .functions.datetime_funcs import day_number, month_bucket, week_start
+from .operators import stats as stats_ops
+from .operators import topk as topk_ops
+from .operators import windows as window_ops
+from .operators.anomaly import detect_anomalies
+from .operators.baselines import train_gct_power_baselines, train_linear_baselines
+from .operators.efforts import critical_speed_fit, interval_fatigue, interval_segments
+from .operators.export import guarded_export, sql_passthrough
+from .operators.fitness import objective_fitness_curve, race_prediction_blend
+from .operators.fragility import loo_slope_fragility
+from .operators.joins import (
+    backward_asof_join,
+    missing_children_having,
+    nearest_date_asof_join,
+)
+from .operators.regression import linregress_by_group, ols2_by_group
+
+
+class GarminTools:
+    """Read-tool facade over the silver tables.
+
+    Every method returns a lazy DataFrame; callers decide when to act.
+    Method names follow the reference's tool names
+    (``docs/mcp-tools-reference.md``) so a reference user can map their
+    workflow 1:1.
+    """
+
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame]):
+        self.spark = spark
+        self.t = tables
+
+    # -- metadata / point lookups (P1-P9) --------------------------------
+
+    def get_activity(self, activity_id: int) -> DataFrame:
+        return self.t["activities"].filter(F.col("activity_id") == activity_id)
+
+    def get_activities_by_date_range(self, start: str, end: str) -> DataFrame:
+        return self.t["activities"].filter(
+            F.col("activity_date").between(start, end)
+        )
+
+    def get_activities_bulk(self, activity_ids: Sequence[int]) -> DataFrame:
+        return self.t["activities"].filter(F.col("activity_id").isin(list(activity_ids)))
+
+    # -- splits statistics (A1 family) -----------------------------------
+
+    def get_splits_comprehensive(
+        self, activity_id: int, statistics_only: bool = False
+    ) -> DataFrame:
+        splits = self.t["splits"].filter(F.col("activity_id") == activity_id)
+        if not statistics_only:
+            return splits.orderBy("split_index")
+        return stats_ops.five_stat_block(
+            splits,
+            ["activity_id"],
+            ["pace_seconds_per_km", "heart_rate", "cadence", "power"],
+        )
+
+    def get_splits_pace_hr(self, activity_id: int) -> DataFrame:
+        return stats_ops.five_stat_block(
+            self.t["splits"].filter(F.col("activity_id") == activity_id),
+            ["activity_id"],
+            ["pace_seconds_per_km", "heart_rate"],
+        )
+
+    def get_splits_form_metrics(self, activity_id: int) -> DataFrame:
+        return stats_ops.five_stat_block(
+            self.t["splits"].filter(F.col("activity_id") == activity_id),
+            ["activity_id"],
+            ["ground_contact_time", "vertical_oscillation", "vertical_ratio"],
+        )
+
+    def get_splits_elevation(self, activity_id: int) -> DataFrame:
+        return stats_ops.five_stat_block(
+            self.t["splits"].filter(F.col("activity_id") == activity_id),
+            ["activity_id"],
+            ["elevation_gain", "elevation_loss"],
+        )
+
+    # -- time series (A2, T1, W4, W10) -----------------------------------
+
+    def get_time_series_stats(
+        self, activity_id: int, t0: int, t1: int, metrics: Sequence[str]
+    ) -> DataFrame:
+        ts = self.t["time_series_metrics"].filter(F.col("activity_id") == activity_id)
+        return stats_ops.time_range_stats(ts, "timestamp_s", t0, t1, metrics)
+
+    def detect_time_series_outliers(
+        self, activity_id: int, metric: str, z_threshold: float = 3.0
+    ) -> DataFrame:
+        ts = self.t["time_series_metrics"].filter(F.col("activity_id") == activity_id)
+        return window_ops.zscore_outliers(ts, ["activity_id"], metric, z_threshold)
+
+    def downsample_time_series(self, activity_id: int, max_points: int = 500) -> DataFrame:
+        ts = self.t["time_series_metrics"].filter(F.col("activity_id") == activity_id)
+        return window_ops.downsample(ts, ["activity_id"], "timestamp_s", max_points)
+
+    # -- training load / calendar (A4, A5, W5) ---------------------------
+
+    def get_daily_load(self) -> DataFrame:
+        return self.t["activities"].groupBy(
+            F.col("activity_date").alias("date")
+        ).agg(F.coalesce(F.sum("total_distance_km"), F.lit(0.0)).alias("total_distance_km"))
+
+    def get_acwr(self) -> DataFrame:
+        daily = self.get_daily_load().withColumn(
+            "dn", day_number(F.col("date"))
+        )
+        acute = window_ops.rolling_range_sum(daily, [], "dn", "total_distance_km", 6, "acute")
+        both = window_ops.rolling_range_sum(acute, [], "dn", "total_distance_km", 27, "c28")
+        return both.withColumn("chronic", F.col("c28") / 4.0).withColumn(
+            "acwr", F.when(F.col("c28") > 0, F.col("acute") / (F.col("c28") / 4.0))
+        )
+
+    def get_weekly_volume(self, start_day: int = 0) -> DataFrame:
+        return self.t["activities"].groupBy(
+            week_start(F.col("activity_date"), start_day).alias("week_start")
+        ).agg(
+            F.sum("total_distance_km").alias("total_distance_km"),
+            F.count(F.lit(1)).alias("n_activities"),
+        )
+
+    def get_monthly_volume(self) -> DataFrame:
+        return self.t["activities"].groupBy(
+            month_bucket(F.col("activity_date")).alias("month")
+        ).agg(
+            F.sum("total_distance_km").alias("total_distance_km"),
+            F.count(F.lit(1)).alias("n_activities"),
+        )
+
+    # -- durability / decoupling (A6/W9) ---------------------------------
+
+    def get_durability_decoupling(self, activity_id: int) -> DataFrame:
+        ts = self.t["time_series_metrics"].filter(
+            (F.col("activity_id") == activity_id)
+            & F.col("heart_rate").isNotNull()
+            & (F.col("speed") > 0)
+        )
+        return stats_ops.conditional_halves(
+            ts, ["activity_id"], "timestamp_s", ["heart_rate", "speed"]
+        )
+
+    # -- versioned reads / completeness (W2, J4) -------------------------
+
+    def get_latest_weekly_review(self) -> DataFrame:
+        return window_ops.latest_per_key(
+            self.t["weekly_reviews"],
+            ["week_start_date"],
+            [F.col("created_at").desc(), F.col("review_id").desc()],
+        )
+
+    def find_unanalyzed_activities(self, required_sections: int = 5) -> DataFrame:
+        return missing_children_having(
+            self.t["activities"],
+            self.t["section_analyses"],
+            "activity_id",
+            "section_type",
+            required_sections,
+        )
+
+    # -- as-of joins (J7-J9) ---------------------------------------------
+
+    def activities_with_nearest_weight(self, max_gap_days: int = 14) -> DataFrame:
+        return nearest_date_asof_join(
+            self.t["activities"],
+            self.t["body_composition"],
+            left_id_cols=["activity_id"],
+            join_keys=[],
+            left_date="activity_date",
+            right_date="date",
+            max_gap_days=max_gap_days,
+            right_tiebreak="measurement_id",
+        )
+
+    def vo2max_asof(self) -> DataFrame:
+        return backward_asof_join(
+            self.t["activities"].select("activity_id", "activity_date"),
+            self.t["vo2_max"].select(
+                F.col("date"), F.col("precise_value").alias("vo2max_value")
+            ),
+            keys=[],
+            left_on="activity_date",
+            right_on="date",
+            value_cols=["vo2max_value"],
+        )
+
+    # -- regressions / models (M1-M5) ------------------------------------
+
+    def metric_trend(self, df: DataFrame, group_cols: Sequence[str], x: str, y: str) -> DataFrame:
+        return linregress_by_group(df, group_cols, x, y)
+
+    def trend_fragility(self, df: DataFrame, group_cols: Sequence[str], x: str, y: str) -> DataFrame:
+        return loo_slope_fragility(df, group_cols, x, y)
+
+    def heat_model(self, df: DataFrame, group_cols: Sequence[str], pace: str, temp: str, hr: str) -> DataFrame:
+        hinged = df.withColumn("_excess_temp", F.greatest(F.col(temp) - 15.0, F.lit(0.0)))
+        return ols2_by_group(hinged, group_cols, pace, "_excess_temp", hr)
+
+    def train_form_baselines(self, window_col: str = "window") -> dict[str, DataFrame]:
+        splits = self.t["splits"]
+        return {
+            "gct": train_gct_power_baselines(splits, [window_col]),
+            "vo": train_linear_baselines(splits, [window_col], "vo", "vertical_oscillation"),
+            "vr": train_linear_baselines(splits, [window_col], "vr", "vertical_ratio"),
+            "cadence": train_linear_baselines(splits, [window_col], "cadence", "cadence"),
+        }
+
+    # -- fitness (M7-M11) ------------------------------------------------
+
+    def race_vdot(self, distance_m: float, t_min: float) -> float:
+        return vdot_fns.race_vdot_py(distance_m, t_min)
+
+    def predict_race_time(self, vdot: float, distance_m: float) -> float:
+        return vdot_fns.predict_race_time_s(vdot, distance_m)
+
+    def critical_speed(self, efforts: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+        return critical_speed_fit(efforts, group_cols, "t_min", "d_m")
+
+    def fitness_curve(self, daily_vdot: DataFrame) -> DataFrame:
+        return objective_fitness_curve(daily_vdot)
+
+    def blended_race_prediction(
+        self, predictions: DataFrame, curve_col: str, vdot_col: str
+    ) -> DataFrame:
+        blended, conf = race_prediction_blend(F.col(curve_col), F.col(vdot_col))
+        return predictions.withColumn("predicted_time_s", blended).withColumn(
+            "confidence", conf
+        )
+
+    # -- similarity / anomalies / intervals (M13, T2-T6) -----------------
+
+    def find_similar_activities(
+        self, target_pace: float, target_distance: float, k: int = 5
+    ) -> DataFrame:
+        scored = topk_ops.weighted_similarity(
+            self.t["activities"],
+            target={"avg_pace_seconds_per_km": target_pace, "total_distance_km": target_distance},
+            weights={"avg_pace_seconds_per_km": 0.45 / 0.8, "total_distance_km": 0.35 / 0.8},
+            scales={"avg_pace_seconds_per_km": target_pace, "total_distance_km": target_distance},
+        )
+        return scored.orderBy(
+            F.col("similarity_score").desc(), F.col("activity_id").asc()
+        ).limit(k)
+
+    def detect_form_anomalies(
+        self, activity_id: int, metric: str, magnitude_gate: float, z: float = 3.0
+    ) -> DataFrame:
+        ts = self.t["time_series_metrics"].filter(F.col("activity_id") == activity_id)
+        return detect_anomalies(
+            ts,
+            ["activity_id"],
+            "timestamp_s",
+            metric,
+            z_threshold=z,
+            magnitude_gate=magnitude_gate,
+            max_gap=2,
+            min_span=5,
+        )
+
+    def interval_analysis(self, activity_id: int) -> DataFrame:
+        splits = self.t["splits"].filter(F.col("activity_id") == activity_id)
+        segs = interval_segments(
+            splits,
+            ["activity_id"],
+            "split_index",
+            F.upper(F.col("intensity_type")).isin("ACTIVE", "INTERVAL"),
+        )
+        return interval_fatigue(segs, ["activity_id"], "pace_seconds_per_km")
+
+    # -- utility / export (A9, A10, S5, S7) ------------------------------
+
+    def profile_table(self, table: str, columns: Sequence[str]) -> DataFrame:
+        return stats_ops.profile_columns(self.t[table], columns)
+
+    def histogram(self, table: str, column: str, bins: int = 20) -> DataFrame:
+        return stats_ops.histogram(self.t[table], column, bins)
+
+    def export(self, df: DataFrame, path: str, fmt: str = "parquet", max_rows: int = 100_000) -> int:
+        return guarded_export(df, path, fmt, max_rows)
+
+    def sql(self, query: str) -> DataFrame:
+        for name, df in self.t.items():
+            df.createOrReplaceTempView(name)
+        return sql_passthrough(self.spark, query)
