@@ -376,3 +376,41 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(
         multimodal.attach_binary(docs, "doc_id", "text")
     )
+
+
+@register(
+    "d2b_jaccard_capped_shingles",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE f <= 25),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, x.n AS size_a, y.n AS size_b,
+       ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+""",
+    tags=("dedup", "skew"),
+)
+def d2b_jaccard_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the hot-shingle cap (frequency <= 25): the
+    skew-control variant that keeps the self-join near-linear at corpus
+    scale (ubiquitous stopword shingles carry no near-dup signal but
+    dominate join output quadratically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=25, checkpoint=True
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        _r6(F.col("jaccard")).alias("jaccard"),
+    )
