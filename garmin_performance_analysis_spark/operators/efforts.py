@@ -7,6 +7,12 @@ Reference: ``mcp/objective_fitness/critical_speed.py:50-157`` takes the
 fits ``d = CS·t + D'``.  The dominance filter is a self-join here (the
 effort sets per group are small after the band filter — the join is
 broadcast); the LS fit reuses the closed-form OLS moments.
+
+The dominance filter is a 2-D skyline query; dedicated Spark skyline
+operators exist (cf. "Integration of Skyline Queries into Spark SQL",
+EDBT 2023) with grid/angular partitioning for high dimensions — at this
+operator's scale (per-group efforts after the 2-45 min band filter) the
+anti-join formulation is simpler and stays in Catalyst.
 """
 
 from __future__ import annotations
