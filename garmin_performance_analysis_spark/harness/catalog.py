@@ -15,3 +15,4 @@ from . import q_anomaly  # noqa: E402,F401
 from . import q_misc  # noqa: E402,F401
 from . import q_lsh  # noqa: E402,F401
 from . import q_range  # noqa: E402,F401
+from . import q_enrichment  # noqa: E402,F401
