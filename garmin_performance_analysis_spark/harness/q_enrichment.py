@@ -130,3 +130,157 @@ def d8_form_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in out.columns
     ]
     return out.select(*rounded)
+
+
+_D9_ZONES_CTE = """
+zr AS (
+  SELECT l_orderkey AS activity_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey) AS zone_number,
+         CAST(l_quantity AS DOUBLE) AS time_in_zone_seconds
+  FROM lineitem
+),
+zones AS (SELECT * FROM zr WHERE zone_number <= 5),
+eligible AS (
+  SELECT activity_id FROM zones GROUP BY activity_id HAVING COUNT(*) = 5
+),
+meta AS (
+  SELECT o_orderkey AS activity_id,
+         CASE o_orderpriority
+           WHEN '1-URGENT' THEN 'vo2max' WHEN '2-HIGH' THEN 'tempo'
+           WHEN '3-MEDIUM' THEN 'aerobic_base' WHEN '5-LOW' THEN 'recovery'
+           ELSE NULL END AS training_type,
+         CAST(120 + o_orderkey % 60 AS INTEGER) AS avg_hr,
+         CAST(120 + o_orderkey % 60 + o_orderkey % 40 AS INTEGER) AS max_hr,
+         CAST(100 + o_orderkey % 60 AS INTEGER) AS min_hr
+  FROM orders
+)
+"""
+
+
+@register(
+    "d9_hr_efficiency",
+    oracle=f"""
+WITH {_D9_ZONES_CTE},
+tot AS (
+  SELECT z.activity_id, z.zone_number, z.time_in_zone_seconds,
+         SUM(z.time_in_zone_seconds) OVER (PARTITION BY z.activity_id) AS tt
+  FROM zones z JOIN eligible e ON z.activity_id = e.activity_id
+),
+pcts AS (
+  SELECT activity_id, zone_number,
+         floor(time_in_zone_seconds / tt * 100.0 * 100.0 + 0.5) / 100.0 AS pct,
+         time_in_zone_seconds
+  FROM tot
+),
+wide AS (
+  SELECT activity_id,
+         MAX(CASE WHEN zone_number = 1 THEN pct ELSE 0 END) AS z1,
+         MAX(CASE WHEN zone_number = 2 THEN pct ELSE 0 END) AS z2,
+         MAX(CASE WHEN zone_number = 3 THEN pct ELSE 0 END) AS z3,
+         MAX(CASE WHEN zone_number = 4 THEN pct ELSE 0 END) AS z4,
+         MAX(CASE WHEN zone_number = 5 THEN pct ELSE 0 END) AS z5
+  FROM pcts GROUP BY activity_id
+),
+prim AS (
+  SELECT activity_id, 'Zone ' || zone_number AS primary_zone
+  FROM (SELECT activity_id, zone_number,
+               ROW_NUMBER() OVER (PARTITION BY activity_id
+                                  ORDER BY time_in_zone_seconds DESC, zone_number ASC) AS r
+        FROM pcts)
+  WHERE r = 1
+),
+joined AS (
+  SELECT w.*, p.primary_zone, m.training_type, m.avg_hr, m.max_hr, m.min_hr,
+         CASE WHEN m.training_type IN ('aerobic_base','recovery','low_moderate','base','warmup','easy') THEN 'easy'
+              WHEN m.training_type IN ('tempo','tempo_run') THEN 'tempo'
+              WHEN m.training_type IN ('lactate_threshold','threshold_work','threshold') THEN 'threshold'
+              WHEN m.training_type IN ('vo2max','vo2_max','anaerobic_capacity','anaerobic','interval_sprint','speed') THEN 'vo2max'
+              ELSE 'unknown' END AS base_cat
+  FROM wide w JOIN prim p ON w.activity_id = p.activity_id
+              JOIN meta m ON w.activity_id = m.activity_id
+),
+cats AS (
+  SELECT *,
+         CASE WHEN base_cat IN ('easy','unknown') AND primary_zone = 'Zone 3'
+                   AND z3 >= 50.0 AND z4 + z5 < 15.0
+              THEN 'moderate' ELSE base_cat END AS cat
+  FROM joined
+),
+rated AS (
+  SELECT *,
+         CASE WHEN cat = 'easy' THEN
+                CASE WHEN z1+z2 >= 90 THEN 'Excellent' WHEN z1+z2 >= 75 THEN 'Good'
+                     WHEN z1+z2 >= 60 THEN 'Fair' ELSE 'Poor' END
+              WHEN cat = 'moderate' THEN
+                CASE WHEN z2+z3 >= 80 THEN 'Excellent' WHEN z2+z3 >= 60 THEN 'Good'
+                     WHEN z2+z3 >= 40 THEN 'Fair' ELSE 'Poor' END
+              WHEN cat IN ('tempo','threshold') THEN
+                CASE WHEN z3+z4 >= 60 THEN 'Excellent' WHEN z3+z4 >= 40 THEN 'Good'
+                     WHEN z3+z4 >= 20 THEN 'Fair' ELSE 'Poor' END
+              WHEN cat = 'vo2max' THEN
+                CASE WHEN z4+z5 >= 50 THEN 'Excellent' WHEN z4+z5 >= 30 THEN 'Good'
+                     WHEN z4+z5 >= 15 THEN 'Fair' ELSE 'Poor' END
+              ELSE CASE WHEN z1+z2+z3 >= 70 THEN 'Good' ELSE 'Fair' END END AS rating,
+         CASE WHEN cat = 'unknown' THEN TRUE
+              WHEN cat = 'easy' THEN primary_zone IN ('Zone 1','Zone 2')
+              WHEN cat = 'moderate' THEN primary_zone IN ('Zone 2','Zone 3')
+              WHEN cat IN ('tempo','threshold') THEN primary_zone IN ('Zone 3','Zone 4')
+              WHEN cat = 'vo2max' THEN primary_zone IN ('Zone 4','Zone 5')
+              ELSE FALSE END AS aligned
+  FROM cats
+)
+SELECT activity_id,
+       z1 AS zone1_percentage, z2 AS zone2_percentage, z3 AS zone3_percentage,
+       z4 AS zone4_percentage, z5 AS zone5_percentage,
+       primary_zone, training_type, cat AS intensity_category,
+       rating AS zone_distribution_rating,
+       CASE WHEN z2+z3 >= 80 THEN 'Excellent aerobic base'
+            WHEN z2+z3 >= 60 THEN 'Good aerobic development'
+            WHEN z2+z3 >= 40 THEN 'Moderate aerobic work'
+            ELSE 'Limited aerobic stimulus' END AS aerobic_efficiency,
+       CASE WHEN rating = 'Excellent' AND aligned THEN 'Excellent'
+            WHEN rating = 'Excellent' OR (rating = 'Good' AND aligned) THEN 'Good'
+            WHEN rating = 'Good' THEN 'Fair'
+            ELSE 'Poor' END AS training_quality,
+       z2 > 60 AS zone2_focus,
+       z4 + z5 > 20 AS zone4_threshold_work,
+       CASE WHEN avg_hr > 0 AND (max_hr - min_hr) * 1.0 / avg_hr < 0.3
+            THEN '優秀' ELSE '変動あり' END AS hr_stability
+FROM rated
+""",
+    tags=("enrichment", "composite"),
+)
+def d9_hr_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 HR-efficiency table over a lineitem-derived zone frame: zone
+    percentages, primary zone (tie → lower), canonical category with
+    the Zone3-dominant moderate refinement, per-category rating bands,
+    aerobic efficiency, combined training quality, focus flags, and the
+    Japanese HR-stability label — the full composite oracle-verified
+    (``inserters/hr_efficiency.py:40-330``)."""
+    from ..operators.enrichment import build_hr_efficiency
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    zones_all = li.select(
+        F.col("l_orderkey").alias("activity_id"),
+        F.row_number().over(w).alias("zone_number"),
+        F.col("l_quantity").cast("double").alias("time_in_zone_seconds"),
+    ).filter(F.col("zone_number") <= 5)
+    eligible = zones_all.groupBy("activity_id").count().filter(F.col("count") == 5)
+    zones = zones_all.join(eligible.select("activity_id"), "activity_id")
+    orders = load_table(spark, sf_dir, "orders")
+    meta = orders.select(
+        F.col("o_orderkey").alias("activity_id"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "vo2max")
+        .when(F.col("o_orderpriority") == "2-HIGH", "tempo")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "aerobic_base")
+        .when(F.col("o_orderpriority") == "5-LOW", "recovery")
+        .alias("training_type"),
+        (120 + F.col("o_orderkey") % 60).cast("int").alias("avg_hr"),
+        (120 + F.col("o_orderkey") % 60 + F.col("o_orderkey") % 40).cast("int").alias("max_hr"),
+        (100 + F.col("o_orderkey") % 60).cast("int").alias("min_hr"),
+    )
+    return build_hr_efficiency(zones, meta)

@@ -192,12 +192,12 @@ def build_hr_efficiency(zone_rows: DataFrame, activity_meta: DataFrame) -> DataF
     zone4-threshold flags, and the Japanese HR-stability label.
     """
     total = Window.partitionBy("activity_id")
+    # floor(x*100+0.5)/100: engine-stable 2-dp rounding (Spark's ROUND
+    # rounds the shortest decimal repr; see SCALING.md lesson 5)
+    raw_pct = F.col("time_in_zone_seconds") / F.col("_tot") * 100.0
     pct = (
         zone_rows.withColumn("_tot", F.sum("time_in_zone_seconds").over(total))
-        .withColumn(
-            "pct",
-            F.round(F.col("time_in_zone_seconds") / F.col("_tot") * 100.0, 2),
-        )
+        .withColumn("pct", F.floor(raw_pct * 100.0 + 0.5) / 100.0)
     )
     wide = (
         pct.groupBy("activity_id")
