@@ -37,19 +37,37 @@ numbered AS (
   SELECT *, COUNT(*) OVER (PARTITION BY activity_id) AS n
   FROM ranked
 ),
-agg AS (
+moments AS (
+  -- DECIMAL-exact moment sums: deterministic across engines AND runs
   SELECT activity_id,
          COUNT(*) AS n,
-         AVG(gct) AS gct_average, MIN(gct) AS gct_min, MAX(gct) AS gct_max,
-         COALESCE(STDDEV_SAMP(gct), 0.0) AS gct_std,
-         AVG(vo) AS vo_average, MIN(vo) AS vo_min, MAX(vo) AS vo_max,
-         COALESCE(STDDEV_SAMP(vo), 0.0) AS vo_std,
-         AVG(vr) AS vr_average, MIN(vr) AS vr_min, MAX(vr) AS vr_max,
-         COALESCE(STDDEV_SAMP(vr), 0.0) AS vr_std,
-         STDDEV_POP(vo) AS vo_stdp,
-         AVG(CASE WHEN split_index <= n // 2 THEN vo END) AS vo_first,
-         AVG(CASE WHEN split_index > n // 2 THEN vo END) AS vo_second
+         CAST(SUM(CAST(gct AS DECIMAL(30,12))) AS DOUBLE) AS gct_sx,
+         CAST(SUM(CAST(gct * gct AS DECIMAL(38,12))) AS DOUBLE) AS gct_sxx,
+         MIN(gct) AS gct_min, MAX(gct) AS gct_max,
+         CAST(SUM(CAST(vo AS DECIMAL(30,12))) AS DOUBLE) AS vo_sx,
+         CAST(SUM(CAST(vo * vo AS DECIMAL(38,12))) AS DOUBLE) AS vo_sxx,
+         MIN(vo) AS vo_min, MAX(vo) AS vo_max,
+         CAST(SUM(CAST(vr AS DECIMAL(30,12))) AS DOUBLE) AS vr_sx,
+         CAST(SUM(CAST(vr * vr AS DECIMAL(38,12))) AS DOUBLE) AS vr_sxx,
+         MIN(vr) AS vr_min, MAX(vr) AS vr_max,
+         COUNT(CASE WHEN split_index <= n // 2 THEN 1 END) AS n_first,
+         CAST(SUM(CASE WHEN split_index <= n // 2 THEN CAST(vo AS DECIMAL(30,12)) END) AS DOUBLE) AS vo_first_sx,
+         COUNT(CASE WHEN split_index > n // 2 THEN 1 END) AS n_second,
+         CAST(SUM(CASE WHEN split_index > n // 2 THEN CAST(vo AS DECIMAL(30,12)) END) AS DOUBLE) AS vo_second_sx
   FROM numbered GROUP BY activity_id
+),
+agg AS (
+  SELECT activity_id, n,
+         gct_sx / n AS gct_average, gct_min, gct_max,
+         CASE WHEN n > 1 THEN sqrt(GREATEST((gct_sxx - gct_sx * gct_sx / n) / (n - 1), 0.0)) ELSE 0.0 END AS gct_std,
+         vo_sx / n AS vo_average, vo_min, vo_max,
+         CASE WHEN n > 1 THEN sqrt(GREATEST((vo_sxx - vo_sx * vo_sx / n) / (n - 1), 0.0)) ELSE 0.0 END AS vo_std,
+         vr_sx / n AS vr_average, vr_min, vr_max,
+         CASE WHEN n > 1 THEN sqrt(GREATEST((vr_sxx - vr_sx * vr_sx / n) / (n - 1), 0.0)) ELSE 0.0 END AS vr_std,
+         sqrt(GREATEST((vo_sxx - vo_sx * vo_sx / n) / n, 0.0)) AS vo_stdp,
+         vo_first_sx / n_first AS vo_first,
+         vo_second_sx / n_second AS vo_second
+  FROM moments
 ),
 derived AS (
   SELECT *,

@@ -97,7 +97,23 @@ def build_form_efficiency(
 
     The half split is ``mid = n // 2`` over split order: first half =
     rows 1..mid, matching the Python slicing semantics.
+
+    All means/stds come from DECIMAL-exact moment sums, so results are
+    deterministic across runs and partitionings — floating sums in
+    shuffle-fetch order wobble in the last ulps, which both flickers
+    re-runs and breaks oracle hash parity at rounding boundaries.
     """
+
+    def _davg(c: Column) -> Column:
+        return F.sum(c.cast("decimal(30,12)")).cast("double") / F.count(c)
+
+    def _dstd(c: Column, sample: bool = True) -> Column:
+        n = F.count(c)
+        sx = F.sum(c.cast("decimal(30,12)")).cast("double")
+        sxx = F.sum((c * c).cast("decimal(38,12)")).cast("double")
+        den = (n - 1) if sample else n
+        return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
+
     w = Window.partitionBy(activity_col).orderBy(index_col)
     wp = Window.partitionBy(activity_col)
     with_rn = (
@@ -111,17 +127,17 @@ def build_form_efficiency(
             a
             for c, name in ((gct_col, "gct"), (vo_col, "vo"), (vr_col, "vr"))
             for a in (
-                F.avg(c).alias(f"{name}_average"),
+                _davg(F.col(c)).alias(f"{name}_average"),
                 F.min(c).alias(f"{name}_min"),
                 F.max(c).alias(f"{name}_max"),
-                F.coalesce(F.stddev_samp(c), F.lit(0.0)).alias(f"{name}_std"),
+                F.coalesce(_dstd(F.col(c)), F.lit(0.0)).alias(f"{name}_std"),
             )
         ],
         F.count(F.lit(1)).alias("_n"),
         # population std for the VO trend CV (reference uses /n there)
-        F.stddev_pop(vo_col).alias("_vo_stdp"),
-        F.avg(F.when(F.col("_rn") <= mid, F.col(vo_col))).alias("_vo_first"),
-        F.avg(F.when(F.col("_rn") > mid, F.col(vo_col))).alias("_vo_second"),
+        _dstd(F.col(vo_col), sample=False).alias("_vo_stdp"),
+        _davg(F.when(F.col("_rn") <= mid, F.col(vo_col))).alias("_vo_first"),
+        _davg(F.when(F.col("_rn") > mid, F.col(vo_col))).alias("_vo_second"),
     )
     cv = F.col("_vo_stdp") / F.col("vo_average") * 100.0
     change_pct = (F.col("_vo_second") - F.col("_vo_first")) / F.col("_vo_first") * 100.0
