@@ -18,14 +18,14 @@ from .registry import register
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(AVG(l_quantity), 6) AS l_quantity_avg,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity), 6) AS l_quantity_avg,
        ROUND(MEDIAN(l_quantity), 6) AS l_quantity_median,
-       ROUND(STDDEV_SAMP(l_quantity), 6) AS l_quantity_stddev,
+       ROUND(CASE WHEN COUNT(l_quantity) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity)) / (COUNT(l_quantity) - 1), 0.0)) END, 6) AS l_quantity_stddev,
        MIN(l_quantity) AS l_quantity_min,
        MAX(l_quantity) AS l_quantity_max,
-       ROUND(AVG(l_extendedprice), 6) AS l_extendedprice_avg,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS l_extendedprice_avg,
        ROUND(MEDIAN(l_extendedprice), 6) AS l_extendedprice_median,
-       ROUND(STDDEV_SAMP(l_extendedprice), 6) AS l_extendedprice_stddev,
+       ROUND(CASE WHEN COUNT(l_extendedprice) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice)) / (COUNT(l_extendedprice) - 1), 0.0)) END, 6) AS l_extendedprice_stddev,
        MIN(l_extendedprice) AS l_extendedprice_min,
        MAX(l_extendedprice) AS l_extendedprice_max
 FROM lineitem
@@ -52,8 +52,8 @@ def a1_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       ROUND(AVG(value), 6) AS value_avg,
-       ROUND(STDDEV_SAMP(value), 6) AS value_stddev,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value), 6) AS value_avg,
+       ROUND(CASE WHEN COUNT(value) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value)) / (COUNT(value) - 1), 0.0)) END, 6) AS value_stddev,
        MIN(value) AS value_min,
        MAX(value) AS value_max
 FROM events
@@ -151,10 +151,9 @@ def a5_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
 b AS (SELECT event_type, (MIN(us) + MAX(us)) / 2.0 AS mid FROM e GROUP BY event_type)
 SELECT e.event_type,
-       ROUND(AVG(CASE WHEN us < mid THEN value END), 6) AS value_first_half,
-       ROUND(AVG(CASE WHEN us >= mid THEN value END), 6) AS value_second_half,
-       ROUND(AVG(CASE WHEN us >= mid THEN value END)
-             / AVG(CASE WHEN us < mid THEN value END) - 1.0, 6) AS value_drift
+       ROUND((CAST(SUM(CASE WHEN us < mid THEN CAST(value AS DECIMAL(30,12)) END) AS DOUBLE) / COUNT(CASE WHEN us < mid THEN value END)), 6) AS value_first_half,
+       ROUND((CAST(SUM(CASE WHEN us >= mid THEN CAST(value AS DECIMAL(30,12)) END) AS DOUBLE) / COUNT(CASE WHEN us >= mid THEN value END)), 6) AS value_second_half,
+       ROUND((CAST(SUM(CASE WHEN us >= mid THEN CAST(value AS DECIMAL(30,12)) END) AS DOUBLE) / COUNT(CASE WHEN us >= mid THEN value END)) / (CAST(SUM(CASE WHEN us < mid THEN CAST(value AS DECIMAL(30,12)) END) AS DOUBLE) / COUNT(CASE WHEN us < mid THEN value END)) - 1.0, 6) AS value_drift
 FROM e JOIN b USING (event_type)
 GROUP BY e.event_type
 """,
@@ -208,9 +207,9 @@ SELECT '{c}' AS column_name,
        COUNT(*) AS n_rows,
        CAST(MIN({c}) AS DOUBLE) AS stat_min,
        CAST(MAX({c}) AS DOUBLE) AS stat_max,
-       ROUND(AVG({c}), 6) AS stat_avg,
+       ROUND(CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) / COUNT({c}), 6) AS stat_avg,
        ROUND(MEDIAN({c}), 6) AS stat_median,
-       ROUND(STDDEV_SAMP({c}), 6) AS stat_stddev,
+       ROUND(CASE WHEN COUNT({c}) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST({c} * {c} AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) / COUNT({c})) / (COUNT({c}) - 1), 0.0)) END, 6) AS stat_stddev,
        ROUND(AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS stat_null_rate,
        CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS stat_n_distinct
 FROM lineitem"""

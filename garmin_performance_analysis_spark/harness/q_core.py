@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import dec_sum as _dec_sum
+from .registry import dec_avg as _dec_avg
 from .registry import r6 as _r6
 from .registry import register
 
@@ -22,9 +23,9 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
-  ROUND(AVG(l_quantity), 6) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 6) AS avg_price,
-  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,9 +55,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 + F.col("l_tax")),
                 scale=6,
             ).alias("sum_charge"),
-            _r6(F.avg("l_quantity")).alias("avg_qty"),
-            _r6(F.avg("l_extendedprice")).alias("avg_price"),
-            _r6(F.avg("l_discount")).alias("avg_disc"),
+            _r6(_dec_avg(F.col("l_quantity"))).alias("avg_qty"),
+            _r6(_dec_avg(F.col("l_extendedprice"))).alias("avg_price"),
+            _r6(_dec_avg(F.col("l_discount"))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -263,7 +264,7 @@ def j4_having_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_preagg_join",
     oracle="""
 WITH cust_avg AS (
-  SELECT o_custkey, ROUND(AVG(o_totalprice), 6) AS avg_order_price
+  SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_order_price
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_mktsegment, ca.avg_order_price
@@ -279,7 +280,7 @@ def j6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     pre = orders.groupBy("o_custkey").agg(
-        _r6(F.avg("o_totalprice")).alias("avg_order_price")
+        _r6(_dec_avg(F.col("o_totalprice"))).alias("avg_order_price")
     )
     return (
         cust.join(pre, cust.c_custkey == pre.o_custkey)

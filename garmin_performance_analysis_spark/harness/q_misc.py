@@ -11,6 +11,7 @@ from ..functions.datetime_funcs import day_number
 from ..operators.regression import ols2_by_group
 from ..operators.windows import latest_per_key, zscore
 from ..sources.tables import load_table
+from .registry import dec_avg as _dec_avg
 from .registry import r6 as _r6
 from .registry import register
 
@@ -53,7 +54,7 @@ def j3_join_latest_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3_bulk_per_key_avg",
     oracle="""
-SELECT l_orderkey, ROUND(AVG(l_extendedprice), 6) AS avg_price
+SELECT l_orderkey, ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price
 FROM lineitem
 WHERE l_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
   AND l_extendedprice IS NOT NULL
@@ -71,7 +72,7 @@ def a3_bulk_per_key_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_extendedprice").isNotNull()
         )
         .groupBy("l_orderkey")
-        .agg(_r6(F.avg("l_extendedprice")).alias("avg_price"))
+        .agg(_r6(_dec_avg(F.col("l_extendedprice"))).alias("avg_price"))
     )
 
 

@@ -47,3 +47,41 @@ def r6(col):
 def dec_sum(col, scale: int = 2, precision: int = 22):
     """Exact, order-independent SUM of a fractional double column."""
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dec_avg(col, scale: int = 12, precision: int = 30):
+    """Deterministic AVG: DECIMAL-exact sum / count.
+
+    Plain ``avg`` over doubles varies run-to-run with shuffle fetch
+    order (hash-agg partial merge), which flickers rounded outputs at
+    cutoff boundaries — see SCALING.md lesson 5.
+    """
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double") / F.count(col)
+
+
+def dec_std(col, sample: bool = True, scale: int = 12):
+    """Deterministic STDDEV from DECIMAL-exact moment sums, guarded
+    against negative cancellation (DuckDB sqrt rejects negatives)."""
+    n = F.count(col)
+    sx = F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    sxx = F.sum((col * col).cast(f"decimal(38,{scale})")).cast("double")
+    den = (n - 1) if sample else n
+    return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
+
+
+# Oracle-side SQL fragments mirroring dec_avg / dec_std exactly.
+def sql_davg(expr: str, scale: int = 12, precision: int = 30) -> str:
+    return (
+        f"(CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}))"
+    )
+
+
+def sql_dstd(expr: str, sample: bool = True, scale: int = 12) -> str:
+    n = f"COUNT({expr})"
+    sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    den = f"({n} - 1)" if sample else n
+    return (
+        f"(CASE WHEN {den} > 0 THEN sqrt(GREATEST(({sxx} - {sx} * {sx} / {n}) / {den}, 0.0)) END)"
+    )

@@ -16,6 +16,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+
+
+def _dec_avg(c: Column) -> Column:
+    """Deterministic AVG via DECIMAL-exact sum (plain float avg varies
+    run-to-run with shuffle fetch order — SCALING.md lesson 5)."""
+    return F.sum(c.cast("decimal(30,12)")).cast("double") / F.count(c)
+
+
+def _dec_std(c: Column, sample: bool = True) -> Column:
+    """Deterministic STDDEV from DECIMAL-exact moment sums, guarded
+    against negative cancellation."""
+    n = F.count(c)
+    sx = F.sum(c.cast("decimal(30,12)")).cast("double")
+    sxx = F.sum((c * c).cast("decimal(38,12)")).cast("double")
+    den = (n - 1) if sample else n
+    return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
+
+
 def five_stat_block(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -32,9 +50,9 @@ def five_stat_block(
     for m in metrics:
         c = F.col(m)
         aggs += [
-            F.avg(c).alias(f"{m}_avg"),
+            _dec_avg(c).alias(f"{m}_avg"),
             F.expr(f"percentile({m}, 0.5)").alias(f"{m}_median"),
-            F.stddev_samp(c).alias(f"{m}_stddev"),
+            _dec_std(c).alias(f"{m}_stddev"),
             F.min(c).alias(f"{m}_min"),
             F.max(c).alias(f"{m}_max"),
         ]
@@ -59,8 +77,8 @@ def time_range_stats(
     for m in metrics:
         c = F.col(m)
         aggs += [
-            F.avg(c).alias(f"{m}_avg"),
-            F.stddev_samp(c).alias(f"{m}_stddev"),
+            _dec_avg(c).alias(f"{m}_avg"),
+            _dec_std(c).alias(f"{m}_stddev"),
             F.min(c).alias(f"{m}_min"),
             F.max(c).alias(f"{m}_max"),
         ]
@@ -89,8 +107,8 @@ def conditional_halves(
     joined = df.join(F.broadcast(bounds), list(group_cols))
     aggs: list[Column] = []
     for m in metrics:
-        first = F.avg(F.when(F.col(order_col) < F.col("_mid"), F.col(m)))
-        second = F.avg(F.when(F.col(order_col) >= F.col("_mid"), F.col(m)))
+        first = _dec_avg(F.when(F.col(order_col) < F.col("_mid"), F.col(m)))
+        second = _dec_avg(F.when(F.col(order_col) >= F.col("_mid"), F.col(m)))
         aggs += [
             first.alias(f"{m}_first_half"),
             second.alias(f"{m}_second_half"),
@@ -152,8 +170,8 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         basic += [
             F.min(c).cast("double").alias(f"{m}__min"),
             F.max(c).cast("double").alias(f"{m}__max"),
-            F.avg(c).alias(f"{m}__avg"),
-            F.stddev_samp(c).alias(f"{m}__stddev"),
+            _dec_avg(c).alias(f"{m}__avg"),
+            _dec_std(c).alias(f"{m}__stddev"),
             F.avg(c.isNull().cast("double")).alias(f"{m}__null_rate"),
         ]
         medians.append(F.expr(f"percentile({m}, 0.5)").alias(f"{m}__median"))
