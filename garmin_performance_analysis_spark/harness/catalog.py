@@ -16,3 +16,5 @@ from . import q_misc  # noqa: E402,F401
 from . import q_lsh  # noqa: E402,F401
 from . import q_range  # noqa: E402,F401
 from . import q_enrichment  # noqa: E402,F401
+from . import q_composites  # noqa: E402,F401
+from . import q_fitness_risk  # noqa: E402,F401
