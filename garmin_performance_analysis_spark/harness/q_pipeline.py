@@ -86,9 +86,21 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex_horner(col: str, start: int, length: int) -> str:
+    """Horner-form hex→BIGINT over ``substr(col, start, length)`` using
+    only strpos/substr arithmetic — portable to any ANSI-ish engine."""
+    expr = "0"
+    for k in range(length):
+        digit = f"(strpos('0123456789abcdef', substr({col}, {start + k}, 1)) - 1)"
+        expr = f"({expr} * 16 + {digit})"
+    return expr
+
+
 def _minhash_oracle() -> str:
+    h1 = _hex_horner("d", 1, 15)
+    h2 = _hex_horner("d", 17, 12)
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NUM_HASHES)
     )
     rows = _NUM_HASHES // _BANDS
     band_selects = []
@@ -103,7 +115,11 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2
+  FROM (SELECT doc_id, md5(shingle) AS d FROM sh)
+),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
