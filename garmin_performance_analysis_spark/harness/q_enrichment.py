@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.enrichment import build_form_efficiency
+from ..operators.enrichment import build_form_efficiency, build_performance_trends
 from ..sources.tables import load_table
 from .registry import register
 
@@ -302,3 +302,148 @@ def d9_hr_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (100 + F.col("o_orderkey") % 60).cast("int").alias("min_hr"),
     )
     return build_hr_efficiency(zones, meta)
+
+
+_D10_SPLITS_CTE = """
+splits AS (
+  SELECT l_orderkey AS activity_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey) AS split_index,
+         CASE l_returnflag WHEN 'A' THEN 'ACTIVE'
+                           WHEN 'R' THEN 'RECOVERY'
+                           ELSE 'WARMUP' END AS intensity_type,
+         240.0 + l_extendedprice / 3000.0 AS pace_seconds_per_km,
+         CAST(120 + l_partkey % 60 AS DOUBLE) AS heart_rate,
+         CAST(l_quantity AS DOUBLE) AS distance
+  FROM lineitem
+)
+"""
+
+_D10_DAVG = (
+    "(CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE) / COUNT({e}))"
+)
+_D10_DSTD = (
+    "(CASE WHEN COUNT({e}) > 1 THEN sqrt(GREATEST("
+    "(CAST(SUM(CAST(({e}) * ({e}) AS DECIMAL(38,12))) AS DOUBLE)"
+    " - CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE)"
+    " * CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE) / COUNT({e}))"
+    " / (COUNT({e}) - 1), 0.0)) END)"
+)
+
+
+def _d10_oracle() -> str:
+    rep = "CASE WHEN _rep THEN pace_seconds_per_km END"
+    run = "CASE WHEN _run THEN pace_seconds_per_km END"
+    return f"""
+WITH {_D10_SPLITS_CTE},
+flags AS (
+  SELECT *,
+         upper(intensity_type) IN ('ACTIVE','INTERVAL') AS _run,
+         upper(intensity_type) IN ('REST','RECOVERY') AS _rest,
+         MEDIAN(CASE WHEN upper(intensity_type) IN ('ACTIVE','INTERVAL')
+                     THEN distance END)
+           OVER (PARTITION BY activity_id) AS _med_dist
+  FROM splits
+),
+staged AS (
+  SELECT *,
+         _run AND pace_seconds_per_km IS NOT NULL AND distance IS NOT NULL
+              AND distance >= _med_dist * 0.5 AS _rep,
+         CASE WHEN _run THEN 'work' WHEN _rest THEN 'rest' END AS _state,
+         _run AND pace_seconds_per_km > 0 AND heart_rate > 0 AS _rep_valid
+  FROM flags
+),
+trans AS (
+  SELECT *,
+         LAST_VALUE(_state IGNORE NULLS)
+           OVER (PARTITION BY activity_id ORDER BY split_index
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS _prev,
+         SUM(CASE WHEN _rep_valid THEN 1 ELSE 0 END)
+           OVER (PARTITION BY activity_id ORDER BY split_index
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rep_rn
+  FROM staged
+),
+agg AS (
+  SELECT activity_id,
+         SUM(CASE WHEN _run THEN 1 ELSE 0 END) AS _work_n,
+         SUM(CASE WHEN _rest THEN 1 ELSE 0 END) AS _rest_n,
+         SUM(CASE WHEN _state IS NOT NULL AND _prev IS NOT NULL
+                   AND _state <> _prev THEN 1 ELSE 0 END) AS _transitions,
+         COUNT(CASE WHEN _rep THEN 1 END) AS _rep_n,
+         {_D10_DSTD.format(e=rep)} AS _rep_std,
+         {_D10_DAVG.format(e=rep)} AS _rep_mean,
+         {_D10_DSTD.format(e=run)} AS _all_std,
+         {_D10_DAVG.format(e=run)} AS _all_mean,
+         COUNT(CASE WHEN _run AND pace_seconds_per_km IS NOT NULL THEN 1 END) AS _all_n
+  FROM trans GROUP BY activity_id
+),
+halves AS (
+  SELECT activity_id,
+         COUNT(*) AS _nrep,
+         {_D10_DAVG.format(e="CASE WHEN _rep_rn <= FLOOR(nrep / 2) THEN pace_seconds_per_km END")} AS _p_early,
+         {_D10_DAVG.format(e="CASE WHEN _rep_rn <= FLOOR(nrep / 2) THEN heart_rate END")} AS _h_early,
+         {_D10_DAVG.format(e="CASE WHEN _rep_rn > FLOOR(nrep / 2) THEN pace_seconds_per_km END")} AS _p_late,
+         {_D10_DAVG.format(e="CASE WHEN _rep_rn > FLOOR(nrep / 2) THEN heart_rate END")} AS _h_late
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY activity_id) AS nrep
+        FROM trans WHERE _rep_valid)
+  GROUP BY activity_id
+),
+joined AS (
+  SELECT a.*, h._nrep, h._p_early, h._h_early, h._p_late, h._h_late,
+         (1.0 / h._p_early) / h._h_early AS _ratio_early,
+         (1.0 / h._p_late) / h._h_late AS _ratio_late
+  FROM agg a LEFT JOIN halves h USING (activity_id)
+)
+SELECT activity_id,
+       floor((CASE WHEN _rep_n >= 2 AND _rep_mean > 0 THEN _rep_std / _rep_mean
+                   WHEN _all_n = 1 THEN 0.0
+                   WHEN _all_n > 1 AND _all_mean > 0 THEN _all_std / _all_mean
+              END) * 1e6 + 0.5) / 1e6 AS pace_consistency,
+       CASE WHEN _work_n >= 2 AND _rest_n >= 2 AND _transitions >= 3
+            THEN 'interval' ELSE 'steady' END AS workout_structure,
+       floor((CASE WHEN _nrep >= 2 AND _ratio_early IS NOT NULL AND _ratio_early <> 0
+                   THEN (_ratio_early - _ratio_late) / _ratio_early * 100.0
+              END) * 1e6 + 0.5) / 1e6 AS rep_hr_drift_pct,
+       _work_n AS n_work_laps,
+       _rest_n AS n_rest_laps
+FROM joined
+"""
+
+
+@register("d10_performance_trends", oracle=_d10_oracle(), tags=("enrichment", "composite"))
+def d10_performance_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 performance-trends build over a lineitem-derived splits
+    frame: GPS-fragment-robust pace-consistency CV (representative-lap
+    median-distance gate with all-lap fallback), work/rest transition
+    structure classification, and early-vs-late rep HR-drift %
+    (``inserters/performance_trends.py:62-185``).  One window pass on
+    (activity, split_index) feeds the lag chain, the rep numbering and
+    the median gate; the two grouped passes share the same shuffle key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    splits = li.select(
+        F.col("l_orderkey").alias("activity_id"),
+        F.row_number().over(w).alias("split_index"),
+        F.when(F.col("l_returnflag") == "A", "ACTIVE")
+        .when(F.col("l_returnflag") == "R", "RECOVERY")
+        .otherwise("WARMUP")
+        .alias("intensity_type"),
+        (240.0 + F.col("l_extendedprice") / 3000.0).alias("pace_seconds_per_km"),
+        (120 + F.col("l_partkey") % 60).cast("double").alias("heart_rate"),
+        F.col("l_quantity").cast("double").alias("distance"),
+    )
+    out = build_performance_trends(splits)
+
+    def r6d(c):
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+
+    return out.select(
+        "activity_id",
+        r6d("pace_consistency").alias("pace_consistency"),
+        "workout_structure",
+        r6d("rep_hr_drift_pct").alias("rep_hr_drift_pct"),
+        "n_work_laps",
+        "n_rest_laps",
+    )

@@ -114,3 +114,106 @@ def j9_backward_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_signup_event_id"),
         F.col("asof_signup_value"),
     )
+
+
+@register(
+    "j5_using_join_trend",
+    oracle="""
+WITH fe AS (
+  SELECT l_orderkey AS activity_id,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE), 6) AS total_qty,
+         COUNT(*) AS n_laps
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT activity_id, CAST(o_orderdate AS VARCHAR) AS activity_date,
+       total_qty, n_laps
+FROM fe JOIN (SELECT o_orderkey AS activity_id, o_orderdate FROM orders) a
+  USING (activity_id)
+WHERE o_orderdate >= DATE '1995-01-01'
+""",
+    tags=("join",),
+)
+def j5_using_join_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 ``form_evaluations ⋈ activities USING(activity_id)`` for the
+    trend-chart endpoints (``web/queries/trends.py:205-224``): a
+    1-row-per-activity derived table joined back to the activity dim on
+    the shared key with a date filter.  The date predicate lands on the
+    orders scan (pushed down) BEFORE the join, and the aggregate side
+    shuffles pre-reduced — one row per activity, not per lap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fe = li.groupBy(F.col("l_orderkey").alias("activity_id")).agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(22,2)")).cast("double"), 6
+        ).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_laps"),
+    )
+    acts = orders.filter(F.col("o_orderdate") >= "1995-01-01").select(
+        F.col("o_orderkey").alias("activity_id"),
+        F.col("o_orderdate").cast("string").alias("activity_date"),
+    )
+    return fe.join(acts, "activity_id").select(
+        "activity_id", "activity_date", "total_qty", "n_laps"
+    )
+
+
+@register(
+    "j8_nearest_covariate",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS ld, value
+  FROM events WHERE event_type = 'purchase'
+),
+dim AS (
+  SELECT CAST(ts AS DATE) AS rd,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE)
+               / COUNT(value), 6) AS covariate
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+j AS (
+  SELECT l.event_id, l.user_id, l.value, dim.covariate,
+         datediff('day', l.ld, dim.rd) AS gap_days,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.event_id
+           ORDER BY ABS(datediff('day', l.ld, dim.rd)),
+                    datediff('day', l.ld, dim.rd)
+         ) AS rn
+  FROM l CROSS JOIN dim
+)
+SELECT event_id, user_id, value, covariate, gap_days
+FROM j WHERE rn = 1
+""",
+    tags=("join", "asof"),
+)
+def j8_nearest_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 unbounded nearest-covariate join: every purchase picks the
+    nearest-dated row of a tiny daily covariate dimension (the per-run
+    nearest-VO2max attachment, ``db_reader.py:466-478``) — no gap band,
+    tie → past side.  The dim is an aggregate (one row per day) and
+    always broadcasts; the rank-1 filter runs per left row."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("ld"), "value"
+    )
+    dim = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("rd"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(22,2)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("covariate")
+        )
+    )
+    out = nearest_date_asof_join(
+        left,
+        dim,
+        left_id_cols=["event_id"],
+        join_keys=[],
+        left_date="ld",
+        right_date="rd",
+        max_gap_days=None,
+        tie_break_past=True,
+    )
+    return out.select("l.event_id", "l.user_id", "l.value", "covariate", "gap_days")

@@ -375,16 +375,31 @@ def build_performance_trends(
         "_rep_rn", F.sum(valid_rep.cast("int")).over(rep_w)
     ).withColumn("_rep_valid", valid_rep)
 
+    def _davg(c: Column) -> Column:
+        # DECIMAL-exact sums: deterministic across shuffle orders and
+        # engines (SCALING.md lesson 5)
+        return F.sum(c.cast("decimal(30,12)")).cast("double") / F.count(c)
+
+    def _dstd(c: Column) -> Column:
+        n = F.count(c)
+        sx = F.sum(c.cast("decimal(30,12)")).cast("double")
+        sxx = F.sum((c * c).cast("decimal(38,12)")).cast("double")
+        return F.when(
+            n > 1, F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0)))
+        )
+
+    rep_pace = F.when(F.col("_rep"), F.col(pace_col))
+    run_pace = F.when(F.col("_run"), F.col(pace_col))
     agg = with_state.groupBy(activity_col).agg(
         F.sum(F.col("_run").cast("int")).alias("_work_n"),
         F.sum(F.col("_rest").cast("int")).alias("_rest_n"),
         F.sum("_trans").alias("_transitions"),
         # representative-run CV (sample std / mean) with fallback
         F.count(F.when(F.col("_rep"), 1)).alias("_rep_n"),
-        F.stddev_samp(F.when(F.col("_rep"), F.col(pace_col))).alias("_rep_std"),
-        F.avg(F.when(F.col("_rep"), F.col(pace_col))).alias("_rep_mean"),
-        F.stddev_samp(F.when(F.col("_run"), F.col(pace_col))).alias("_all_std"),
-        F.avg(F.when(F.col("_run"), F.col(pace_col))).alias("_all_mean"),
+        _dstd(rep_pace).alias("_rep_std"),
+        _davg(rep_pace).alias("_rep_mean"),
+        _dstd(run_pace).alias("_all_std"),
+        _davg(run_pace).alias("_all_mean"),
         F.count(F.when(F.col("_run") & F.col(pace_col).isNotNull(), 1)).alias("_all_n"),
     )
     # drift halves need the per-activity valid-rep count before the
@@ -393,11 +408,15 @@ def build_performance_trends(
         "_nrep", F.count(F.lit(1)).over(wp)
     )
     mid = F.floor(F.col("_nrep") / 2)
+
+    def _davg2(c: Column) -> Column:
+        return F.sum(c.cast("decimal(30,12)")).cast("double") / F.count(c)
+
     drift_agg = halves.groupBy(activity_col).agg(
-        F.avg(F.when(F.col("_rep_rn") <= mid, F.col(pace_col))).alias("_p_early"),
-        F.avg(F.when(F.col("_rep_rn") <= mid, F.col(hr_col))).alias("_h_early"),
-        F.avg(F.when(F.col("_rep_rn") > mid, F.col(pace_col))).alias("_p_late"),
-        F.avg(F.when(F.col("_rep_rn") > mid, F.col(hr_col))).alias("_h_late"),
+        _davg2(F.when(F.col("_rep_rn") <= mid, F.col(pace_col))).alias("_p_early"),
+        _davg2(F.when(F.col("_rep_rn") <= mid, F.col(hr_col))).alias("_h_early"),
+        _davg2(F.when(F.col("_rep_rn") > mid, F.col(pace_col))).alias("_p_late"),
+        _davg2(F.when(F.col("_rep_rn") > mid, F.col(hr_col))).alias("_h_late"),
         F.max("_nrep").alias("_nrep"),
     )
     ratio_early = (1.0 / F.col("_p_early")) / F.col("_h_early")

@@ -23,7 +23,7 @@ def nearest_date_asof_join(
     join_keys: Sequence[str],
     left_date: str,
     right_date: str,
-    max_gap_days: int = 14,
+    max_gap_days: Optional[int] = 14,
     tie_break_past: bool = True,
     right_tiebreak: Optional[str] = None,
     broadcast_right: bool = True,
@@ -33,7 +33,9 @@ def nearest_date_asof_join(
 
     Reference: runs joined to the nearest body-composition weight within
     14 days, tie → earlier measurement
-    (``mcp/analysis/running_economy.py:115-196``, tie-break :140-154``).
+    (``mcp/analysis/running_economy.py:115-196``, tie-break :140-154``);
+    with ``max_gap_days=None`` it is the unbounded nearest-covariate
+    lookup (J8, per-run nearest VO2max, ``db_reader.py:466-478``).
 
     Implementation: equi-join on ``join_keys`` + band predicate
     ``abs(datediff) <= max_gap``, then keep the rank-1 row *per left row*
@@ -44,12 +46,15 @@ def nearest_date_asof_join(
 
     The bounded gap is what keeps this scalable: it turns an O(N·M)
     cross product into a band join, and the small side broadcasts.
+    Unbounded mode is only safe when the right side is a genuinely
+    small dimension (it always broadcasts and every left row fans out
+    over every same-key right row).
     """
     r = right
-    if broadcast_right:
+    if broadcast_right or max_gap_days is None:
         r = F.broadcast(r)
     gap = F.datediff(F.col(f"r.{right_date}"), F.col(f"l.{left_date}"))
-    cond = F.abs(gap) <= max_gap_days
+    cond = F.lit(True) if max_gap_days is None else (F.abs(gap) <= max_gap_days)
     for k in join_keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     joined = left.alias("l").join(r.alias("r"), cond, "inner")
