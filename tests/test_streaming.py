@@ -74,3 +74,80 @@ def test_watermarked_window_agg(spark, tmp_path):
     }
     assert res[0] == (5, 10.0)  # minutes 0-4
     assert res[5] == (5, 35.0)  # minutes 5-9
+
+
+def test_watermarked_window_stats_library(spark, tmp_path):
+    from garmin_performance_analysis_spark.streaming.stateful import (
+        watermarked_window_stats,
+    )
+
+    src = str(tmp_path / "wstats_src")
+    os.makedirs(src)
+    rows = [(i, f"2024-01-01 00:{i:02d}:30", float(i)) for i in range(10)]
+    spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = watermarked_window_stats(stream, "ts", "v", window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wstats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win"]["start"].minute, r["n"], r["value_sum"])
+        for r in spark.sql("select * from wstats").collect()
+    }
+    assert got == {(0, 5, 10.0), (5, 5, 35.0)}
+
+
+def test_sustained_runs_stateful_across_microbatches(spark, tmp_path):
+    """An island spanning two micro-batches must close as ONE run —
+    the state store carries the open island between batches."""
+    from garmin_performance_analysis_spark.streaming.stateful import (
+        sustained_runs_stateful,
+    )
+
+    src = str(tmp_path / "runs_src")
+    sink = str(tmp_path / "runs_sink")
+    ckpt = str(tmp_path / "runs_ckpt")
+    os.makedirs(src)
+    schema = "key string, seq long"
+
+    def drain():
+        # parquet sink: memory sinks cannot recover a checkpoint, and
+        # the cross-drain state store is exactly what this test covers
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = sustained_runs_stateful(stream, "key", "seq", max_gap=2, min_span=3)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def rows():
+        return {
+            (r["key"], r["island_start"], r["island_end"], r["island_rows"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: island a:[1..4] open; isolated a:[10] after gap closes it
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 10)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    assert rows() == {("a", 1, 4, 4)}  # [1..4] closed by the gap to 10
+
+    # batch 2: 11,12 extend the open island [10..] -> [10..12]; 20 closes it
+    spark.createDataFrame([("a", 11), ("a", 12), ("a", 20)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert ("a", 10, 12, 3) in rows()  # spanned the micro-batch boundary
