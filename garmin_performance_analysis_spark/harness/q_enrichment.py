@@ -420,12 +420,12 @@ def d10_performance_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     (activity, split_index) feeds the lag chain, the rep numbering and
     the median gate; the two grouped passes share the same shuffle key."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
-    )
-    splits = li.select(
+    # rename FIRST, then window on the renamed key: windowing on
+    # l_orderkey and aliasing afterwards loses the output partitioning
+    # (the downstream activity_id windows re-shuffled — 4 exchanges
+    # instead of 3 in the measured plan)
+    base = li.select(
         F.col("l_orderkey").alias("activity_id"),
-        F.row_number().over(w).alias("split_index"),
         F.when(F.col("l_returnflag") == "A", "ACTIVE")
         .when(F.col("l_returnflag") == "R", "RECOVERY")
         .otherwise("WARMUP")
@@ -433,6 +433,16 @@ def d10_performance_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         (240.0 + F.col("l_extendedprice") / 3000.0).alias("pace_seconds_per_km"),
         (120 + F.col("l_partkey") % 60).cast("double").alias("heart_rate"),
         F.col("l_quantity").cast("double").alias("distance"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_partkey",
+        "l_suppkey",
+    )
+    w = Window.partitionBy("activity_id").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    splits = base.withColumn("split_index", F.row_number().over(w)).drop(
+        "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
     )
     out = build_performance_trends(splits)
 

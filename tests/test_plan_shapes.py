@@ -57,3 +57,26 @@ def test_preagg_join_aggregates_before_join(spark):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_j8_unbounded_asof_broadcasts_dim(spark):
+    # unbounded nearest-covariate: the dim MUST broadcast (the join is
+    # a per-left-row fan-out over the whole dim)
+    df = CATALOG["j8_nearest_covariate"].fn(spark, SF_SMOKE)
+    assert checks.uses_broadcast_join(df)
+
+
+def test_d10_shares_one_partition_shuffle(spark):
+    # the lag chain, rep numbering, median gate and both grouped passes
+    # all key on activity_id: one shuffle for the window pass plus one
+    # for each grouped pass at most — no accidental re-partitioning
+    df = CATALOG["d10_performance_trends"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) <= 3
+
+
+def test_profile_median_is_distributed(spark):
+    # the profiler must NOT use the single-group percentile aggregate
+    # (its final merge buffers a whole column in one task)
+    df = CATALOG["a9_profile_table"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert "percentile" not in plan.lower()
