@@ -1,0 +1,154 @@
+"""Property-based semantics tests (hypothesis): the operators whose
+edge cases are easiest to get wrong are checked against brute-force
+Python references on random inputs — the off-by-one traps SURVEY.md §7
+calls out (island spans, as-of tie-breaks, exact-median interpolation).
+
+One Spark round-trip per test (a single composite DataFrame built from
+all generated cases) keeps the suite fast; hypothesis drives the case
+generation, Spark executes once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from garmin_performance_analysis_spark.operators.stats import histogram_median
+from garmin_performance_analysis_spark.operators.windows import sustained_islands
+
+
+def brute_islands(seqs: list[int], max_gap: int, min_span: int):
+    """Reference implementation of T3 (form_anomaly_detector.py:289-328):
+    group flagged seconds with <= max_gap adjacency, keep runs whose
+    span (last - first + 1) >= min_span."""
+    out = []
+    seqs = sorted(set(seqs))
+    if not seqs:
+        return out
+    start = last = seqs[0]
+    rows = 1
+    for s in seqs[1:]:
+        if s - last <= max_gap:
+            last, rows = s, rows + 1
+        else:
+            if last - start + 1 >= min_span:
+                out.append((start, last, rows))
+            start = last = s
+            rows = 1
+    if last - start + 1 >= min_span:
+        out.append((start, last, rows))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=25),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=6),
+)
+def test_sustained_islands_matches_bruteforce(spark, keyed_seqs, max_gap, min_span):
+    rows = [
+        (k, s) for k, seqs in enumerate(keyed_seqs) for s in sorted(set(seqs))
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, seq long")
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["island_rows"])
+        for r in sustained_islands(df, ["k"], "seq", max_gap, min_span).collect()
+    }
+    want = {
+        (k, a, b, n)
+        for k, seqs in enumerate(keyed_seqs)
+        for (a, b, n) in brute_islands(seqs, max_gap, min_span)
+    }
+    assert got == want
+
+
+def brute_median(vals: list[float]) -> float:
+    """percentile(v, 0.5): linear interpolation at rank (n-1)/2."""
+    v = sorted(vals)
+    n = len(v)
+    r = (n - 1) / 2.0
+    lo, hi = v[math.floor(r)], v[math.ceil(r)]
+    return lo + (hi - lo) * (r - math.floor(r))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_histogram_median_matches_percentile(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = histogram_median(df, ["x"]).collect()[0]["stat_median"]
+    # cross-check against BOTH the brute force and Spark's percentile
+    want = brute_median(vals)
+    spark_p = df.agg(F.expr("percentile(x, 0.5)")).first()[0]
+    assert got == spark_p
+    assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+def brute_nearest(left_dates: list[int], right_dates: list[int], max_gap):
+    """J7/J8 tie semantics: nearest by |gap|, tie -> past side (the
+    smaller signed gap, i.e. the earlier right date)."""
+    out = {}
+    for ld in left_dates:
+        best = None
+        for rd in sorted(right_dates):
+            gap = rd - ld
+            if max_gap is not None and abs(gap) > max_gap:
+                continue
+            key = (abs(gap), gap)
+            if best is None or key < best[0]:
+                best = (key, rd)
+        if best is not None:
+            out[ld] = best[1]
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12, unique=True),
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=8, unique=True),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=10)),
+)
+def test_asof_tiebreak_matches_bruteforce(spark, lds, rds, max_gap):
+    from garmin_performance_analysis_spark.operators.joins import (
+        nearest_date_asof_join,
+    )
+
+    base = "2024-01-01"
+    left = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(lds)], "lid int, doff int"
+    ).select("lid", F.date_add(F.lit(base).cast("date"), F.col("doff")).alias("ld"))
+    right = spark.createDataFrame(
+        [(d,) for d in rds], "roff int"
+    ).select(F.date_add(F.lit(base).cast("date"), F.col("roff")).alias("rd"))
+    out = nearest_date_asof_join(
+        left,
+        right,
+        left_id_cols=["lid"],
+        join_keys=[],
+        left_date="ld",
+        right_date="rd",
+        max_gap_days=max_gap,
+        tie_break_past=True,
+    )
+    got = {
+        r["lid"]: (r["rd"] - r["ld"]).days for r in out.select("lid", "l.ld", "r.rd").collect()
+    }
+    want_dates = brute_nearest(lds, rds, max_gap)
+    want = {i: want_dates[d] - d for i, d in enumerate(lds) if d in want_dates}
+    assert got == want
