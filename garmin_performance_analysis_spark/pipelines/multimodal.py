@@ -76,3 +76,89 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             yield out
 
     return binary_df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, src_bytes int"
+)
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_offset bigint, frame_payload binary"
+)
+
+
+def resize_images(
+    binary_df: DataFrame, width: int, height: int, partitions: int | None = None
+) -> DataFrame:
+    """Resize plumbing: one output row per input image, fixed target
+    dims, payload replaced by the resized encoding.
+
+    STUB decode: the fake "resize" emits a deterministic
+    ``width*height``-byte payload derived from the source bytes
+    (tiling), so tests can assert exact output; swap the marked line
+    for a real ``PIL.Image.resize`` on a production cluster.  The
+    Spark shape is the real part: optional repartition by ``doc_id``
+    first (decode cost is per-image, not per-byte — balance images
+    across tasks, same reasoning as the dedup explode), Arrow batches
+    through ``mapInPandas``, binary in → binary out.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                # STUB: replace with PIL decode->resize->encode
+                fake = (b * (target // max(1, len(b)) + 1))[:target] if b else bytes(target)
+                out_payloads.append(fake)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                    "src_bytes": pdf["n_bytes"],
+                }
+            )
+
+    df = binary_df
+    if partitions is not None:
+        df = df.repartition(partitions, "doc_id")
+    return df.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int, every_kth: int = 1
+) -> DataFrame:
+    """Frame sampling plumbing: 1 → N row expansion per video payload.
+
+    Treats the payload as a sequence of fixed-size ``frame_bytes``
+    chunks (the stub stand-in for container demux) and keeps every
+    k-th chunk.  The Spark shape is the real part: ``mapInPandas``
+    yielding MORE rows than its input batch — the fan-out a real
+    demuxer produces — with ``frame_offset`` preserving provenance.
+    Swap the chunking loop for ffmpeg/pyav on a production cluster.
+    """
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, every_kth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_payload": frames,
+                }
+            )
+
+    return binary_df.mapInPandas(demux, schema=FRAME_SCHEMA)

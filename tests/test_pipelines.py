@@ -113,3 +113,32 @@ def test_decode_features_deterministic(spark):
 def test_decode_image_stub_marks_integration_point():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_stub(b"\x89PNG")
+
+
+def test_resize_images_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "Z"), (3, "")], "doc_id long, text string"
+    )
+    out = multimodal.resize_images(
+        multimodal.attach_binary(df, "doc_id", "text"), width=4, height=3
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 3
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 3)
+        assert len(r["payload"]) == 12
+    # deterministic fake: tiled source bytes
+    assert bytes(by_id[1]["payload"]) == b"abcdefabcdef"
+    assert bytes(by_id[2]["payload"]) == b"Z" * 12
+    assert bytes(by_id[3]["payload"]) == bytes(12)
+    assert by_id[1]["src_bytes"] == 6
+
+
+def test_sample_frames_fanout(spark):
+    # 10-byte payload, 2-byte frames -> 5 frames; every 2nd -> idx 0,2,4
+    df = spark.createDataFrame([(7, "0123456789")], "doc_id long, text string")
+    out = multimodal.sample_frames(
+        multimodal.attach_binary(df, "doc_id", "text"), frame_bytes=2, every_kth=2
+    ).collect()
+    got = sorted((r["frame_idx"], r["frame_offset"], bytes(r["frame_payload"])) for r in out)
+    assert got == [(0, 0, b"01"), (2, 4, b"45"), (4, 8, b"89")]
