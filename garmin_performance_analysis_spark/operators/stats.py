@@ -152,7 +152,10 @@ def histogram_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Exact whole-table median per column, fully distributed: unpivot
     to ``(column_name, value)``, count per distinct value, cumulative
     count ordered by value, then linear interpolation at rank
-    ``(n-1)/2`` — bit-identical to ``percentile(c, 0.5)``.
+    ``(n-1)/2`` — bit-identical to ``percentile(c, 0.5)``, which
+    interpolates with the two-sided weights
+    ``(ceil(r)-r)*lo + (r-floor(r))*hi`` (NOT ``lo + (hi-lo)*frac``;
+    the two differ in the last ulp and the driver compares hashes).
 
     Why not ``percentile``: its final merge pulls every value of a
     column into ONE task's memory (single-group aggregate), a hard OOM
@@ -183,13 +186,16 @@ def histogram_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
             "column_name",
             lo.alias("_lo"),
             hi.alias("_hi"),
-            (r - F.floor(r)).alias("_frac"),
+            (F.ceil(r) - r).alias("_wlo"),
+            (r - F.floor(r)).alias("_whi"),
         )
         .groupBy("column_name")
         .agg(
-            (
-                F.max("_lo") + (F.max("_hi") - F.max("_lo")) * F.max("_frac")
-            ).alias("stat_median"),
+            F.when(F.max("_whi") == 0.0, F.max("_lo"))
+            .otherwise(
+                F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi")
+            )
+            .alias("stat_median"),
             # distinct non-null values = rows of the per-value histogram;
             # riding this frame replaces a whole COUNT(DISTINCT) pass
             # (which costs an Expand duplication of the input per column)
