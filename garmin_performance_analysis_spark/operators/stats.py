@@ -34,6 +34,64 @@ def _dec_std(c: Column, sample: bool = True) -> Column:
     return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
 
 
+def grouped_median(
+    df: DataFrame, group_cols: Sequence[str], metrics: Sequence[str]
+) -> DataFrame:
+    """Exact per-group median for each metric, distributed: unpivot the
+    metrics, count per distinct value, cumulative count per
+    ``(group, metric)``, interpolate at rank ``(n-1)/2`` with
+    ``percentile``'s two-sided weights (see ``histogram_median``).
+
+    Unlike ``percentile(m, 0.5)``, whose reduce side buffers the whole
+    value multiset of a group in ONE task (an OOM for a hot group at
+    100 TB), the only shuffled state here is the distinct-value
+    histogram, and the heavy lifting is a map-side-combined count.
+    Groups where a metric is entirely null get a NULL median (matching
+    percentile-over-empty) via the caller's left join.
+    Output: one row per group with ``{metric}_median`` columns.
+    """
+    from pyspark.sql import Window
+
+    stack = ", ".join(f"'{m}', cast({m} as double)" for m in metrics)
+    long = df.selectExpr(
+        *group_cols, f"stack({len(metrics)}, {stack}) as (_metric, _v)"
+    ).filter(F.col("_v").isNotNull())
+    counts = long.groupBy(*group_cols, "_metric", "_v").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w = Window.partitionBy(*group_cols, "_metric").orderBy("_v")
+    tot = Window.partitionBy(*group_cols, "_metric")
+    r = (F.sum("_cnt").over(tot) - 1) / 2.0
+    upto = F.sum("_cnt").over(w)
+    below = upto - F.col("_cnt")
+    lo = F.when((below <= F.floor(r)) & (F.floor(r) < upto), F.col("_v"))
+    hi = F.when((below <= F.ceil(r)) & (F.ceil(r) < upto), F.col("_v"))
+    per_metric = (
+        counts.select(
+            *group_cols,
+            "_metric",
+            lo.alias("_lo"),
+            hi.alias("_hi"),
+            (F.ceil(r) - r).alias("_wlo"),
+            (r - F.floor(r)).alias("_whi"),
+        )
+        .groupBy(*group_cols, "_metric")
+        .agg(
+            F.when(F.max("_whi") == 0.0, F.max("_lo"))
+            .otherwise(F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi"))
+            .alias("_median")
+        )
+    )
+    return per_metric.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("_metric") == m, F.col("_median"))).alias(
+                f"{m}_median"
+            )
+            for m in metrics
+        ]
+    )
+
+
 def five_stat_block(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -45,18 +103,33 @@ def five_stat_block(
     Reference: the ``statistics_only`` splits tools build exactly this
     block per field group (``splits_query_builder.py:152-173``).
     Output columns: ``{metric}_{avg,median,stddev,min,max}`` + ``n``.
+
+    Two passes: a map-side-combined moments aggregation, plus the
+    distributed exact-median histogram (``grouped_median``) joined back
+    on the group key — both post-agg frames are group-cardinality-sized,
+    so the join is cheap at any input scale.  This replaced a per-group
+    ``percentile``: 10.2 s → moments-bound at sf0.1, and no single-task
+    value buffers.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias(count_col)]
     for m in metrics:
         c = F.col(m)
         aggs += [
             _dec_avg(c).alias(f"{m}_avg"),
-            F.expr(f"percentile({m}, 0.5)").alias(f"{m}_median"),
             _dec_std(c).alias(f"{m}_stddev"),
             F.min(c).alias(f"{m}_min"),
             F.max(c).alias(f"{m}_max"),
         ]
-    return df.groupBy(*group_cols).agg(*aggs)
+    moments = df.groupBy(*group_cols).agg(*aggs)
+    medians = grouped_median(df, group_cols, metrics)
+    if group_cols:
+        joined = moments.join(medians, list(group_cols), "left")
+    else:
+        joined = moments.crossJoin(medians)
+    order = [*group_cols, count_col]
+    for m in metrics:
+        order += [f"{m}_avg", f"{m}_median", f"{m}_stddev", f"{m}_min", f"{m}_max"]
+    return joined.select(*order)
 
 
 def time_range_stats(
