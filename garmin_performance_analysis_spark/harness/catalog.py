@@ -15,6 +15,7 @@ from . import q_anomaly  # noqa: E402,F401
 from . import q_misc  # noqa: E402,F401
 from . import q_lsh  # noqa: E402,F401
 from . import q_range  # noqa: E402,F401
+from . import q_bands  # noqa: E402,F401
 from . import q_enrichment  # noqa: E402,F401
 from . import q_composites  # noqa: E402,F401
 from . import q_fitness_risk  # noqa: E402,F401
