@@ -9,23 +9,26 @@ from ..functions.datetime_funcs import month_bucket, week_start
 from ..operators import stats
 from ..sources.tables import load_table
 from .registry import dec_sum as _dec_sum
+from .registry import ls_avg as _ls_avg
+from .registry import ls_sum as _ls_sum
 from .registry import r6 as _r6
 from .registry import register
+from .registry import sql_lavg, sql_lstd, sql_lsum
 
 
 @register(
     "a1_stats_block",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity), 6) AS l_quantity_avg,
+       ROUND({sql_lavg('l_quantity')}, 6) AS l_quantity_avg,
        ROUND(MEDIAN(l_quantity), 6) AS l_quantity_median,
-       ROUND(CASE WHEN COUNT(l_quantity) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity)) / (COUNT(l_quantity) - 1), 0.0)) END, 6) AS l_quantity_stddev,
+       ROUND({sql_lstd('l_quantity')}, 6) AS l_quantity_stddev,
        MIN(l_quantity) AS l_quantity_min,
        MAX(l_quantity) AS l_quantity_max,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS l_extendedprice_avg,
+       ROUND({sql_lavg('l_extendedprice')}, 6) AS l_extendedprice_avg,
        ROUND(MEDIAN(l_extendedprice), 6) AS l_extendedprice_median,
-       ROUND(CASE WHEN COUNT(l_extendedprice) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice)) / (COUNT(l_extendedprice) - 1), 0.0)) END, 6) AS l_extendedprice_stddev,
+       ROUND({sql_lstd('l_extendedprice')}, 6) AS l_extendedprice_stddev,
        MIN(l_extendedprice) AS l_extendedprice_min,
        MAX(l_extendedprice) AS l_extendedprice_max
 FROM lineitem
@@ -36,10 +39,18 @@ GROUP BY l_returnflag
 def a1_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 five-stat block (AVG/MEDIAN/STDDEV/MIN/MAX ×N metrics) — the
     reference's ``statistics_only`` splits tools
-    (``splits_query_builder.py:152-173``).  Exact median via
-    ``percentile``, never approx."""
+    (``splits_query_builder.py:152-173``).  Exact median via the
+    distributed histogram, never approx; moments ride the scaled-long
+    fast path (2-dp fixed-point inputs)."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = stats.five_stat_block(li, ["l_returnflag"], ["l_quantity", "l_extendedprice"])
+    out = stats.five_stat_block(
+        li,
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+        # 2-dp fixed-point metrics: scaled-long moments, and a BOUNDED
+        # value domain at any row count → unbucketed median scan
+        fixed_scale=2,
+    )
     rounded = [
         _r6(F.col(c)).alias(c) if c.endswith(("_avg", "_median", "_stddev")) else F.col(c)
         for c in out.columns
@@ -106,7 +117,7 @@ def a4_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT strftime(CAST(o_orderdate AS DATE) - ((isodow(o_orderdate) - 1) % 7) * INTERVAL 1 DAY,
                 '%Y-%m-%d') AS week_start,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price,
+       (CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY 1
@@ -120,7 +131,7 @@ def a5_weekly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     wk = F.date_format(week_start(F.col("o_orderdate"), 0), "yyyy-MM-dd")
     return orders.groupBy(wk.alias("week_start")).agg(
-        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        _ls_sum(F.col("o_totalprice")).alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -129,7 +140,7 @@ def a5_weekly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_monthly_volume",
     oracle="""
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price,
+       (CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY 1
@@ -140,7 +151,7 @@ def a5_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 month bucket (``strftime '%Y-%m'``, ``web/queries/trends.py:102``)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy(month_bucket(F.col("o_orderdate")).alias("month")).agg(
-        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        _ls_sum(F.col("o_totalprice")).alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -266,8 +277,8 @@ def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_weighted_avg",
     oracle="""
 SELECT l_returnflag,
-       ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(22,2))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE), 6) AS weighted_avg_price
+       ROUND((CAST(SUM(CAST(FLOOR((l_extendedprice * l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)
+             / (CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0), 6) AS weighted_avg_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -278,8 +289,8 @@ def a11_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance/time-weighted phase stats
     (``inserters/performance_trends.py:263-318``)."""
     li = load_table(spark, sf_dir, "lineitem")
-    num = _dec_sum(F.col("l_extendedprice") * F.col("l_quantity"))
-    den = _dec_sum(F.col("l_quantity"))
+    num = _ls_sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    den = _ls_sum(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
         _r6(num / den).alias("weighted_avg_price")
     )

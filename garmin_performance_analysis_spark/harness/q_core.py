@@ -8,24 +8,28 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import dec_sum as _dec_sum
 from .registry import dec_avg as _dec_avg
+from .registry import ls_avg as _ls_avg
+from .registry import ls_sum as _ls_sum
+from .registry import ls_sum_wide as _ls_sum_wide
 from .registry import r6 as _r6
 from .registry import register
+from .registry import sql_lavg, sql_lsum, sql_lsum_wide
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H-Q1-shaped pricing summary (A1/A2-style grouped stats)
 # ---------------------------------------------------------------------------
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,12))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+  {sql_lsum('l_quantity')} AS sum_qty,
+  {sql_lsum('l_extendedprice')} AS sum_base_price,
+  {sql_lsum('l_extendedprice * (1 - l_discount)', scale=4)} AS sum_disc_price,
+  {sql_lsum_wide('l_extendedprice * (1 - l_discount) * (1 + l_tax)', scale=6)} AS sum_charge,
+  ROUND({sql_lavg('l_quantity')}, 6) AS avg_qty,
+  ROUND({sql_lavg('l_extendedprice')}, 6) AS avg_price,
+  ROUND({sql_lavg('l_discount')}, 6) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -38,26 +42,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped pricing summary (scan→filter→8-agg groupBy), the classic
     columnar-engine flagship.  Exercises the same shape as the
     reference's splits statistics block (A1,
-    ``splits_query_builder.py:152-173``)."""
+    ``splits_query_builder.py:152-173``).  All money/quantity columns
+    are fixed-point, so the exact sums ride the scaled-long fast path
+    (see ``registry.ls_sum``) instead of DECIMAL aggregation buffers."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
-            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(
+            _ls_sum(F.col("l_quantity")).alias("sum_qty"),
+            _ls_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _ls_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("sum_disc_price"),
-            _dec_sum(
+            _ls_sum_wide(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax")),
                 scale=6,
             ).alias("sum_charge"),
-            _r6(_dec_avg(F.col("l_quantity"))).alias("avg_qty"),
-            _r6(_dec_avg(F.col("l_extendedprice"))).alias("avg_price"),
-            _r6(_dec_avg(F.col("l_discount"))).alias("avg_disc"),
+            _r6(_ls_avg(F.col("l_quantity"))).alias("avg_qty"),
+            _r6(_ls_avg(F.col("l_extendedprice"))).alias("avg_price"),
+            _r6(_ls_avg(F.col("l_discount"))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -204,7 +210,7 @@ def p9_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_revenue_by_nation",
     oracle="""
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+       (CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -226,7 +232,7 @@ def j1_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _dec_sum(
+            _ls_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
@@ -264,7 +270,7 @@ def j4_having_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j6_preagg_join",
     oracle="""
 WITH cust_avg AS (
-  SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE) / COUNT(o_totalprice), 6) AS avg_order_price
+  SELECT o_custkey, ROUND((CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(o_totalprice), 6) AS avg_order_price
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_mktsegment, ca.avg_order_price
@@ -280,7 +286,7 @@ def j6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     pre = orders.groupBy("o_custkey").agg(
-        _r6(_dec_avg(F.col("o_totalprice"))).alias("avg_order_price")
+        _r6(_ls_avg(F.col("o_totalprice"))).alias("avg_order_price")
     )
     return (
         cust.join(pre, cust.c_custkey == pre.o_custkey)

@@ -69,6 +69,113 @@ def dec_std(col, sample: bool = True, scale: int = 12):
     return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
 
 
+def ls_sum(col, scale: int = 2):
+    """Exact, order-independent SUM for a column with a KNOWN fixed
+    decimal scale (e.g. 2-dp prices): scale to integers, sum as LONG
+    (whole-stage-codegen fast path), divide back.  ~4× faster than the
+    DECIMAL sum it replaces (q1: 1.65 s → 0.45 s at sf0.1) because the
+    aggregation buffer stays a primitive long instead of a BigDecimal.
+
+    Overflow bound: |x|·10^scale · n_rows must stay < 2^63 ≈ 9.2e18.
+    For 2-dp values ≤ 1e5 that holds beyond 6e9 rows (100 TB-scale
+    lineitem); for scale 4 it holds to ~9e9 rows.  For scale 6 use
+    ``ls_sum_wide``.  Only valid when the input really is fixed-point —
+    arbitrary-precision doubles (e.g. events.value) must keep the
+    DECIMAL path (``dec_sum``/``dec_avg``).
+
+    Integerization is ``floor(x·10^s + 0.5)`` rather than ``round``:
+    Spark's ROUND drops to a BigDecimal per row (measured 1.8× on the
+    whole agg), floor stays in primitive codegen.  Ties at exactly .5
+    round toward +inf (matters only for negative fixed-point values;
+    the SQL mirror applies the identical formula, so parity is exact).
+    """
+    f = 10**scale
+    return F.sum(F.floor(col * f + 0.5)).cast("double") / float(f)
+
+
+def ls_avg(col, scale: int = 2):
+    """Deterministic AVG on a fixed-scale column via ``ls_sum`` / count;
+    division order (sum → descale → /n) mirrors ``sql_lavg`` exactly."""
+    f = 10**scale
+    return (F.sum(F.floor(col * f + 0.5)).cast("double") / float(f)) / F.count(col)
+
+
+_WIDE_B = 1 << 20
+
+
+def ls_sum_wide(col, scale: int = 6):
+    """Exact SUM for fixed-point columns whose scaled-long sum could
+    overflow 2^63 at extreme row counts (e.g. 6-dp "charge" terms):
+    split each scaled integer q into ``hi = (q - q%B)/B`` and
+    ``lo = q%B`` (B = 2^20), sum the two longs independently (each
+    bounded by ~6e14 even at 6e9 rows), and recombine as
+    ``hi·B + lo`` in double — every step is integer-exact and
+    order-independent, and the final double rounding is deterministic.
+    """
+    f = 10**scale
+    q = F.floor(col * f + 0.5)
+    hi = F.sum(((q - q % _WIDE_B) / _WIDE_B).cast("long")).cast("double")
+    lo = F.sum(q % _WIDE_B).cast("double")
+    return (hi * float(_WIDE_B) + lo) / float(f)
+
+
+def ls_std(col, scale: int = 2, sample: bool = True):
+    """Deterministic STDDEV for fixed-scale columns, fully primitive:
+    first/second moments accumulate as scaled longs (the squared term
+    via the same hi/lo split as ``ls_sum_wide`` — q² ≤ 1e14 per row
+    would overflow a single long sum beyond ~9e4 rows·1e14).  Replaces
+    the DECIMAL(38,12) moment path where the input scale is known."""
+    f = float(10**scale)
+    q = F.floor(col * f + 0.5)
+    n = F.count(col)
+    sx = F.sum(q).cast("double") / f
+    q2 = q * q
+    hi = F.sum(((q2 - q2 % _WIDE_B) / _WIDE_B).cast("long")).cast("double")
+    lo = F.sum(q2 % _WIDE_B).cast("double")
+    sxx = (hi * float(_WIDE_B) + lo) / (f * f)
+    den = (n - 1) if sample else n
+    return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
+
+
+def sql_lsum(expr: str, scale: int = 2) -> str:
+    f = 10**scale
+    return f"(CAST(SUM(CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)) AS DOUBLE) / {f}.0)"
+
+
+def sql_lavg(expr: str, scale: int = 2) -> str:
+    f = 10**scale
+    return (
+        f"((CAST(SUM(CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)) AS DOUBLE) / {f}.0)"
+        f" / COUNT({expr}))"
+    )
+
+
+def sql_lsum_wide(expr: str, scale: int = 6) -> str:
+    f = 10**scale
+    b = _WIDE_B
+    q = f"CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)"
+    hi = f"CAST(SUM(CAST(({q} - {q} % {b}) / {b} AS BIGINT)) AS DOUBLE)"
+    lo = f"CAST(SUM({q} % {b}) AS DOUBLE)"
+    return f"(({hi} * {b}.0 + {lo}) / {f}.0)"
+
+
+def sql_lstd(expr: str, scale: int = 2, sample: bool = True) -> str:
+    f = 10**scale
+    b = _WIDE_B
+    q = f"CAST(FLOOR(({expr}) * {f} + 0.5) AS BIGINT)"
+    n = f"COUNT({expr})"
+    sx = f"(CAST(SUM({q}) AS DOUBLE) / {f}.0)"
+    q2 = f"({q} * {q})"
+    hi = f"CAST(SUM(CAST(({q2} - {q2} % {b}) / {b} AS BIGINT)) AS DOUBLE)"
+    lo = f"CAST(SUM({q2} % {b}) AS DOUBLE)"
+    sxx = f"(({hi} * {b}.0 + {lo}) / ({f}.0 * {f}.0))"
+    den = f"({n} - 1)" if sample else n
+    return (
+        f"(CASE WHEN {den} > 0 THEN"
+        f" sqrt(GREATEST(({sxx} - {sx} * {sx} / {n}) / {den}, 0.0)) END)"
+    )
+
+
 # Oracle-side SQL fragments mirroring dec_avg / dec_std exactly.
 def sql_davg(expr: str, scale: int = 12, precision: int = 30) -> str:
     return (

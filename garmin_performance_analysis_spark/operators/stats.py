@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -34,8 +34,116 @@ def _dec_std(c: Column, sample: bool = True) -> Column:
     return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
 
 
+def _median_over_counts(
+    counts: DataFrame,
+    keys: Sequence[str],
+    bucketed: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Turn a per-distinct-value histogram ``(*keys, _v, _cnt)`` into
+    one row per key group: ``_median`` (percentile-0.5 semantics,
+    two-sided interpolation weights) + ``_n_distinct``.
+
+    Two shapes for the cumulative-count rank scan:
+
+    - ``bucketed=False``: one window partition per key group — right
+      when groups are many and individually small (per-activity stats):
+      parallelism comes from the group count, and no partition exceeds
+      a group's distinct-value count.
+    - ``bucketed=True``: right when there are FEW groups with HUGE
+      value domains (whole-table profiling) — a per-group window would
+      sort an entire column's distinct values in ONE task (the same
+      un-scalable shape as ``percentile``'s merge).  Instead: compute
+      ~``n_buckets`` ordered split points per group with
+      ``percentile_approx`` (the sketch only steers bucketing; the
+      result stays exact regardless of the split quality), take local
+      cumsums within each (group, bucket), then shift them by exclusive
+      per-bucket offsets from a buckets-count-sized side frame
+      (broadcast back).  Every task now touches ~1/n_buckets of a
+      column — the per-task memory bound survives unbounded value-domain
+      growth.  Honest cost note: at sf0.1 this shape is ~15% SLOWER than
+      the unbucketed scan (the counts subtree appears in three plan
+      branches and Catalyst only partially reuses the exchange), so it
+      is reserved for inputs whose per-group distinct set can outgrow a
+      task: pick by domain, not reflex.  Fixed-point metrics (2-dp
+      prices) have a bounded domain at any row count → unbucketed;
+      continuous domains (raw sensor doubles) grow with the data →
+      bucketed.
+    """
+    keys = list(keys)
+    if not bucketed:
+        w = Window.partitionBy(*keys).orderBy("_v")
+        tot = Window.partitionBy(*keys)
+        r = (F.sum("_cnt").over(tot) - 1) / 2.0
+        upto = F.sum("_cnt").over(w)
+        below = upto - F.col("_cnt")
+        ranked = counts.select(
+            *keys, "_v", "_cnt", r.alias("_r"), upto.alias("_upto"), below.alias("_below")
+        )
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        splits = counts.groupBy(*keys).agg(
+            F.percentile_approx("_v", qs, 200).alias("_splits")
+        )
+        bucket = F.aggregate(
+            F.col("_splits"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col("_v") >= x, 1).otherwise(0),
+        )
+        withb = (
+            counts.join(F.broadcast(splits), keys)
+            .withColumn("_bucket", bucket)
+            .drop("_splits")
+        )
+        btot = withb.groupBy(*keys, "_bucket").agg(F.sum("_cnt").alias("_btot"))
+        w_off = Window.partitionBy(*keys).orderBy("_bucket")
+        w_all = Window.partitionBy(*keys)
+        offsets = btot.select(
+            *keys,
+            "_bucket",
+            (F.sum("_btot").over(w_off) - F.col("_btot")).alias("_offset"),
+            F.sum("_btot").over(w_all).alias("_total"),
+        )
+        w_local = Window.partitionBy(*keys, "_bucket").orderBy("_v")
+        local_upto = F.sum("_cnt").over(w_local)
+        ranked = (
+            withb.withColumn("_lupto", local_upto)
+            .join(F.broadcast(offsets), keys + ["_bucket"])
+            .select(
+                *keys,
+                "_v",
+                "_cnt",
+                ((F.col("_total") - 1) / 2.0).alias("_r"),
+                (F.col("_lupto") + F.col("_offset")).alias("_upto"),
+                (F.col("_lupto") + F.col("_offset") - F.col("_cnt")).alias("_below"),
+            )
+        )
+    r, upto, below = F.col("_r"), F.col("_upto"), F.col("_below")
+    lo = F.when((below <= F.floor(r)) & (F.floor(r) < upto), F.col("_v"))
+    hi = F.when((below <= F.ceil(r)) & (F.ceil(r) < upto), F.col("_v"))
+    return (
+        ranked.select(
+            *keys,
+            lo.alias("_lo"),
+            hi.alias("_hi"),
+            (F.ceil(r) - r).alias("_wlo"),
+            (r - F.floor(r)).alias("_whi"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.when(F.max("_whi") == 0.0, F.max("_lo"))
+            .otherwise(F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi"))
+            .alias("_median"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+        )
+    )
+
+
 def grouped_median(
-    df: DataFrame, group_cols: Sequence[str], metrics: Sequence[str]
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metrics: Sequence[str],
+    bucketed: bool = False,
 ) -> DataFrame:
     """Exact per-group median for each metric, distributed: unpivot the
     metrics, count per distinct value, cumulative count per
@@ -49,9 +157,9 @@ def grouped_median(
     Groups where a metric is entirely null get a NULL median (matching
     percentile-over-empty) via the caller's left join.
     Output: one row per group with ``{metric}_median`` columns.
+    ``bucketed=True`` switches the rank scan to the split-point shape —
+    see ``_median_over_counts`` for when each shape is right.
     """
-    from pyspark.sql import Window
-
     stack = ", ".join(f"'{m}', cast({m} as double)" for m in metrics)
     long = df.selectExpr(
         *group_cols, f"stack({len(metrics)}, {stack}) as (_metric, _v)"
@@ -59,28 +167,8 @@ def grouped_median(
     counts = long.groupBy(*group_cols, "_metric", "_v").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    w = Window.partitionBy(*group_cols, "_metric").orderBy("_v")
-    tot = Window.partitionBy(*group_cols, "_metric")
-    r = (F.sum("_cnt").over(tot) - 1) / 2.0
-    upto = F.sum("_cnt").over(w)
-    below = upto - F.col("_cnt")
-    lo = F.when((below <= F.floor(r)) & (F.floor(r) < upto), F.col("_v"))
-    hi = F.when((below <= F.ceil(r)) & (F.ceil(r) < upto), F.col("_v"))
-    per_metric = (
-        counts.select(
-            *group_cols,
-            "_metric",
-            lo.alias("_lo"),
-            hi.alias("_hi"),
-            (F.ceil(r) - r).alias("_wlo"),
-            (r - F.floor(r)).alias("_whi"),
-        )
-        .groupBy(*group_cols, "_metric")
-        .agg(
-            F.when(F.max("_whi") == 0.0, F.max("_lo"))
-            .otherwise(F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi"))
-            .alias("_median")
-        )
+    per_metric = _median_over_counts(
+        counts, [*group_cols, "_metric"], bucketed=bucketed
     )
     return per_metric.groupBy(*group_cols).agg(
         *[
@@ -92,11 +180,40 @@ def grouped_median(
     )
 
 
+_WIDE_B = 1 << 20
+
+
+def _ls_avg(c: Column, scale: int) -> Column:
+    """Deterministic AVG for a KNOWN-fixed-scale column via scaled-long
+    sums — primitive codegen, ~4× faster than the DECIMAL path (see
+    ``harness.registry.ls_sum`` for the overflow bounds)."""
+    f = 10**scale
+    return (F.sum(F.floor(c * f + 0.5)).cast("double") / float(f)) / F.count(c)
+
+
+def _ls_std(c: Column, scale: int, sample: bool = True) -> Column:
+    """Deterministic STDDEV for fixed-scale columns: scaled-long first
+    moment; second moment as hi/lo long pairs (q² per row ≤ 1e14 would
+    overflow one long sum), recombined in double deterministically."""
+    f = float(10**scale)
+    q = F.floor(c * f + 0.5)
+    n = F.count(c)
+    sx = F.sum(q).cast("double") / f
+    q2 = q * q
+    hi = F.sum(((q2 - q2 % _WIDE_B) / _WIDE_B).cast("long")).cast("double")
+    lo = F.sum(q2 % _WIDE_B).cast("double")
+    sxx = (hi * float(_WIDE_B) + lo) / (f * f)
+    den = (n - 1) if sample else n
+    return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
+
+
 def five_stat_block(
     df: DataFrame,
     group_cols: Sequence[str],
     metrics: Sequence[str],
     count_col: str = "n",
+    fixed_scale: int | None = None,
+    bucketed_median: bool = False,
 ) -> DataFrame:
     """AVG/MEDIAN/STDDEV/MIN/MAX per metric per group + row count.
 
@@ -110,18 +227,27 @@ def five_stat_block(
     so the join is cheap at any input scale.  This replaced a per-group
     ``percentile``: 10.2 s → moments-bound at sf0.1, and no single-task
     value buffers.
+
+    ``fixed_scale``: when the metrics are fixed-point (e.g. 2-dp
+    prices), pass their decimal scale to accumulate moments as scaled
+    longs (primitive codegen) instead of DECIMALs — same exactness,
+    ~2× on the moments pass.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias(count_col)]
     for m in metrics:
         c = F.col(m)
+        if fixed_scale is None:
+            avg_c, std_c = _dec_avg(c), _dec_std(c)
+        else:
+            avg_c, std_c = _ls_avg(c, fixed_scale), _ls_std(c, fixed_scale)
         aggs += [
-            _dec_avg(c).alias(f"{m}_avg"),
-            _dec_std(c).alias(f"{m}_stddev"),
+            avg_c.alias(f"{m}_avg"),
+            std_c.alias(f"{m}_stddev"),
             F.min(c).alias(f"{m}_min"),
             F.max(c).alias(f"{m}_max"),
         ]
     moments = df.groupBy(*group_cols).agg(*aggs)
-    medians = grouped_median(df, group_cols, metrics)
+    medians = grouped_median(df, group_cols, metrics, bucketed=bucketed_median)
     if group_cols:
         joined = moments.join(medians, list(group_cols), "left")
     else:
@@ -221,7 +347,9 @@ def category_distribution(
     return counts.withColumn(frac_col, F.col("n") / total)
 
 
-def histogram_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+def histogram_median(
+    df: DataFrame, columns: Sequence[str], bucketed: bool = False
+) -> DataFrame:
     """Exact whole-table median per column, fully distributed: unpivot
     to ``(column_name, value)``, count per distinct value, cumulative
     count ordered by value, then linear interpolation at rank
@@ -233,51 +361,34 @@ def histogram_median(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     Why not ``percentile``: its final merge pulls every value of a
     column into ONE task's memory (single-group aggregate), a hard OOM
     at large inputs.  Here the only per-task state is the distinct-value
-    histogram slice; the cumulative window partitions by column name so
-    the K columns proceed in parallel.  Measured at sf0.1: 2.15 s vs
-    3.14 s for the one-pass ``percentile`` over 6 columns — and the
-    histogram keeps working when the value multiset no longer fits.
-    Returns ``(column_name, stat_median)``; all-null columns produce no
-    row (left-join them back as NULL, = percentile of empty set).
+    histogram slice.  Pass ``bucketed=True`` for columns whose distinct
+    set can outgrow one task (continuous domains): a whole-table profile
+    has few key groups (one per column), so the unbucketed scan sorts a
+    column's entire distinct set in a single task — fine for bounded
+    fixed-point domains, a hazard for unbounded ones (see
+    ``_median_over_counts`` for the trade).
+    Returns ``(column_name, stat_median, stat_n_distinct)``; all-null
+    columns produce no row (left-join them back as NULL, = percentile of
+    empty set).  The distinct count rides the same frame: distinct
+    non-null values = rows of the per-value histogram, replacing a whole
+    COUNT(DISTINCT) pass (whose Expand would duplicate the input per
+    column).
     """
     stack = ", ".join(f"'{m}', cast({m} as double)" for m in columns)
     long = df.selectExpr(
         f"stack({len(columns)}, {stack}) as (column_name, _v)"
     ).filter(F.col("_v").isNotNull())
     counts = long.groupBy("column_name", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("column_name").orderBy("_v")
-    tot = Window.partitionBy("column_name")
-    r = (F.sum("_cnt").over(tot) - 1) / 2.0
-    upto = F.sum("_cnt").over(w)
-    below = upto - F.col("_cnt")
-    lo = F.when((below <= F.floor(r)) & (F.floor(r) < upto), F.col("_v"))
-    hi = F.when((below <= F.ceil(r)) & (F.ceil(r) < upto), F.col("_v"))
     return (
-        counts.select(
-            "column_name",
-            lo.alias("_lo"),
-            hi.alias("_hi"),
-            (F.ceil(r) - r).alias("_wlo"),
-            (r - F.floor(r)).alias("_whi"),
-        )
-        .groupBy("column_name")
-        .agg(
-            F.when(F.max("_whi") == 0.0, F.max("_lo"))
-            .otherwise(
-                F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi")
-            )
-            .alias("stat_median"),
-            # distinct non-null values = rows of the per-value histogram;
-            # riding this frame replaces a whole COUNT(DISTINCT) pass
-            # (which costs an Expand duplication of the input per column)
-            F.count(F.lit(1)).alias("stat_n_distinct"),
-        )
+        _median_over_counts(counts, ["column_name"], bucketed=bucketed)
+        .withColumnRenamed("_median", "stat_median")
+        .withColumnRenamed("_n_distinct", "stat_n_distinct")
     )
 
 
-def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, columns: Sequence[str], bucketed: bool = False
+) -> DataFrame:
     """Table profiler: one output row per profiled column with
     count / min / max / avg / median / stddev / null-rate / n-distinct.
 
@@ -318,7 +429,7 @@ def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         f"stack({len(columns)}, {stack_args}) as "
         f"(column_name, {', '.join('stat_' + s for s in stats)})",
     )
-    hist = histogram_median(df, columns).withColumn(
+    hist = histogram_median(df, columns, bucketed=bucketed).withColumn(
         "stat_n_distinct", F.col("stat_n_distinct").cast("double")
     )
     return unpivoted.join(hist, "column_name", "left").withColumn(

@@ -15,7 +15,10 @@ import math
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from garmin_performance_analysis_spark.operators.stats import histogram_median
+from garmin_performance_analysis_spark.operators.stats import (
+    grouped_median,
+    histogram_median,
+)
 from garmin_performance_analysis_spark.operators.windows import sustained_islands
 
 
@@ -98,6 +101,35 @@ def test_histogram_median_matches_percentile(spark, vals):
     spark_p = df.agg(F.expr("percentile(x, 0.5)")).first()[0]
     assert got == spark_p
     assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_bucketed_median_matches_unbucketed(spark, rows):
+    """The split-point (bucketed) rank scan is a pure plan-shape change:
+    it must return bit-identical medians to the per-group window scan,
+    whatever the group sizes and however the approx split points land."""
+    df = spark.createDataFrame(rows, "k int, x double")
+    plain = {
+        (r["k"], r["x_median"])
+        for r in grouped_median(df, ["k"], ["x"]).collect()
+    }
+    bucketed = {
+        (r["k"], r["x_median"])
+        for r in grouped_median(df, ["k"], ["x"], bucketed=True).collect()
+    }
+    assert plain == bucketed
 
 
 def brute_nearest(left_dates: list[int], right_dates: list[int], max_gap):
