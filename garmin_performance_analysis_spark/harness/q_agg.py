@@ -47,9 +47,11 @@ def a1_stats_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag"],
         ["l_quantity", "l_extendedprice"],
-        # 2-dp fixed-point metrics: scaled-long moments, and a BOUNDED
-        # value domain at any row count → unbucketed median scan
+        # 2-dp fixed-point metrics: scaled-long moments; median via the
+        # two-level fixed-grid selection (bounded domain, no big sort)
         fixed_scale=2,
+        median_mode="grid",
+        median_grids={"l_quantity": 1.0, "l_extendedprice": 100.0},
     )
     rounded = [
         _r6(F.col(c)).alias(c) if c.endswith(("_avg", "_median", "_stddev")) else F.col(c)
@@ -234,7 +236,12 @@ def a9_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/stddev/null-rate/n-distinct (``readers/utility.py:103-113``).
     One aggregation pass over the table, unpivoted via ``stack``."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = stats.profile_columns(li, _PROFILE_COLS)
+    out = stats.profile_columns(
+        li,
+        _PROFILE_COLS,
+        # every profiled column is fixed-point with a bounded domain
+        grids={"l_quantity": 1.0, "l_extendedprice": 100.0, "l_discount": 0.01},
+    )
     return out.select(
         "column_name",
         "n_rows",

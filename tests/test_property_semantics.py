@@ -16,8 +16,10 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from garmin_performance_analysis_spark.operators.stats import (
+    grid_median,
     grouped_median,
     histogram_median,
+    selected_median,
 )
 from garmin_performance_analysis_spark.operators.windows import sustained_islands
 
@@ -116,10 +118,12 @@ def test_histogram_median_matches_percentile(spark, vals):
         max_size=60,
     )
 )
-def test_bucketed_median_matches_unbucketed(spark, rows):
-    """The split-point (bucketed) rank scan is a pure plan-shape change:
-    it must return bit-identical medians to the per-group window scan,
-    whatever the group sizes and however the approx split points land."""
+def test_median_shapes_agree(spark, rows):
+    """The bucketed rank scan and the approx-bracket selection are pure
+    plan-shape changes: both must return bit-identical medians to the
+    per-group window scan, whatever the group sizes and however the
+    approximate split points / brackets land (small_n=3 forces the
+    sketch-bracket path even on tiny hypothesis groups)."""
     df = spark.createDataFrame(rows, "k int, x double")
     plain = {
         (r["k"], r["x_median"])
@@ -129,7 +133,17 @@ def test_bucketed_median_matches_unbucketed(spark, rows):
         (r["k"], r["x_median"])
         for r in grouped_median(df, ["k"], ["x"], bucketed=True).collect()
     }
+    selected = {
+        (r["k"], r["x_median"])
+        for r in selected_median(df, ["k"], ["x"], small_n=3).collect()
+    }
+    gridded = {
+        (r["k"], r["x_median"])
+        for r in grid_median(df, ["k"], {"x": 917.3}).collect()
+    }
     assert plain == bucketed
+    assert plain == selected
+    assert plain == gridded
 
 
 def brute_nearest(left_dates: list[int], right_dates: list[int], max_gap):
