@@ -220,9 +220,9 @@ SELECT '{c}' AS column_name,
        COUNT(*) AS n_rows,
        CAST(MIN({c}) AS DOUBLE) AS stat_min,
        CAST(MAX({c}) AS DOUBLE) AS stat_max,
-       ROUND(CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) / COUNT({c}), 6) AS stat_avg,
+       ROUND({sql_lavg(c)}, 6) AS stat_avg,
        ROUND(MEDIAN({c}), 6) AS stat_median,
-       ROUND(CASE WHEN COUNT({c}) > 1 THEN sqrt(GREATEST((CAST(SUM(CAST({c} * {c} AS DECIMAL(38,12))) AS DOUBLE) - CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) * CAST(SUM(CAST({c} AS DECIMAL(30,12))) AS DOUBLE) / COUNT({c})) / (COUNT({c}) - 1), 0.0)) END, 6) AS stat_stddev,
+       ROUND({sql_lstd(c)}, 6) AS stat_stddev,
        ROUND(AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END), 6) AS stat_null_rate,
        CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS stat_n_distinct
 FROM lineitem"""
@@ -239,8 +239,10 @@ def a9_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stats.profile_columns(
         li,
         _PROFILE_COLS,
-        # every profiled column is fixed-point with a bounded domain
+        # every profiled column is 2-dp fixed-point with a bounded
+        # domain: scaled-long moments + grid-selection medians
         grids={"l_quantity": 1.0, "l_extendedprice": 100.0, "l_discount": 0.01},
+        fixed_scale=2,
     )
     return out.select(
         "column_name",

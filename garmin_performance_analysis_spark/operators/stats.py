@@ -624,6 +624,7 @@ def profile_columns(
     columns: Sequence[str],
     bucketed: bool = False,
     grids: "dict[str, float] | None" = None,
+    fixed_scale: int | None = None,
 ) -> DataFrame:
     """Table profiler: one output row per profiled column with
     count / min / max / avg / median / stddev / null-rate / n-distinct.
@@ -646,11 +647,15 @@ def profile_columns(
     basic: list[Column] = [F.count(F.lit(1)).alias("_rows")]
     for m in columns:
         c = F.col(m)
+        if fixed_scale is None:
+            avg_c, std_c = _dec_avg(c), _dec_std(c)
+        else:
+            avg_c, std_c = _ls_avg(c, fixed_scale), _ls_std(c, fixed_scale)
         basic += [
             F.min(c).cast("double").alias(f"{m}__min"),
             F.max(c).cast("double").alias(f"{m}__max"),
-            _dec_avg(c).alias(f"{m}__avg"),
-            _dec_std(c).alias(f"{m}__stddev"),
+            avg_c.alias(f"{m}__avg"),
+            std_c.alias(f"{m}__stddev"),
             F.avg(c.isNull().cast("double")).alias(f"{m}__null_rate"),
         ]
     stats = ["min", "max", "avg", "stddev", "null_rate"]
