@@ -293,3 +293,126 @@ def j6_preagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_order_price") > 300000)
         .select("c_custkey", "c_mktsegment", "avg_order_price")
     )
+
+
+@register(
+    "p4_null_guards",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL AND value > 0 AND user_id IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("filter",),
+)
+def p4_null_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 null/positivity guards in-predicate — e.g. ``heart_rate IS NOT
+    NULL AND speed > 0`` (``readers/durability.py:96-106``,
+    ``form_baseline/trainer.py:441-447``).  Both predicates reach the
+    parquet scan as PushedFilters."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("value").isNotNull()
+            & (F.col("value") > 0)
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "p8_pushed_postfilter",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_id % 97 = 0 AND value BETWEEN 5 AND 80
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+""",
+    tags=("filter",),
+)
+def p8_pushed_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: the reference bulk-fetches then range-filters in Python to
+    dodge N+1 queries (``rag/queries/trends.py:224-290``); in Spark the
+    same predicates belong in ``df.filter`` where Catalyst pushes them
+    into the scan — strictly better than any post-filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_id") % 97 == 0)
+        & F.col("value").between(5, 80)
+        & (F.col("ts") >= "2024-01-05")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+_S7_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("s7_sql_passthrough", oracle=_S7_SQL, tags=("scan", "sql"))
+def s7_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 ad-hoc SQL passthrough (the ``export`` tool accepts arbitrary
+    SQL text, ``docs/mcp-tools-reference.md:35-45``): register the
+    tables as temp views and hand the IDENTICAL string to ``spark.sql``
+    — the oracle runs the same text, so this checks the engines' shared
+    SQL dialect end-to-end."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_S7_SQL)
+
+
+@register(
+    "s2_descriptor_pivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_quantity * 1.0 AS qty,
+       l_extendedprice * 0.01 AS price_scaled,
+       l_discount * 100.0 AS disc_pct
+FROM lineitem
+WHERE l_orderkey % 131 = 0
+""",
+    tags=("scan", "source"),
+)
+def s2_descriptor_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 metricDescriptors-driven column mapping
+    (``inserters/time_series_metrics.py:56-118``): the raw source stores
+    a positional value array per row plus a descriptor list mapping
+    metric name → index (+ unit factor), and the descriptor ORDER varies
+    — here it rotates with the row key.  The pivot must therefore go
+    through the name map (``map_from_arrays`` + ``getItem``), not
+    positional access; the oracle recovers the same named columns from
+    the unrotated source, so any positional shortcut would mismatch.
+    Unit factors (qty ×1, price ×0.01, disc ×100 — the reference's
+    ``unit.factor`` caveat ``:174-185``) are applied through the same
+    map."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 131 == 0)
+    m = (F.col("l_orderkey") % 3).cast("int")
+    names = (
+        F.when(m == 0, F.array(F.lit("qty"), F.lit("price"), F.lit("disc")))
+        .when(m == 1, F.array(F.lit("price"), F.lit("disc"), F.lit("qty")))
+        .otherwise(F.array(F.lit("disc"), F.lit("qty"), F.lit("price")))
+    )
+    vals = (
+        F.when(
+            m == 0,
+            F.array(F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")),
+        )
+        .when(
+            m == 1,
+            F.array(F.col("l_extendedprice"), F.col("l_discount"), F.col("l_quantity")),
+        )
+        .otherwise(
+            F.array(F.col("l_discount"), F.col("l_quantity"), F.col("l_extendedprice"))
+        )
+    )
+    mp = F.map_from_arrays(names, vals)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (mp.getItem("qty") * 1.0).alias("qty"),
+        (mp.getItem("price") * 0.01).alias("price_scaled"),
+        (mp.getItem("disc") * 100.0).alias("disc_pct"),
+    )
