@@ -65,7 +65,9 @@ def main() -> None:
     # warmup: JVM/codegen/parquet-footer caches
     force(CATALOG["p2_point_lookup"].fn(spark, sf_dir))
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: the driver host runs other jobs; a single bad run
+    # otherwise poisons a query's recorded number (see SCALING.md §4)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
