@@ -16,7 +16,7 @@ from .registry import register
     "t3_sustained_islands",
     oracle="""
 WITH flagged AS (
-  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.05
+  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.05
 ),
 numbered AS (
   SELECT l_orderkey, l_linenumber,
@@ -44,10 +44,19 @@ def t3_sustained_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 sustained-run filter: flagged rows grouped with ≤2-step
     adjacency, keeping runs spanning ≥3 (span = last-first+1) — the
     form-anomaly sustained gate (``form_anomaly_detector.py:289-328``),
-    whose off-by-one span semantics the oracle reproduces exactly."""
+    whose off-by-one span semantics the oracle reproduces exactly.
+
+    Flagged rows are DISTINCT (the reference flags unique seconds) —
+    also load-bearing for determinism: with duplicate order keys, a
+    LAG-then-cumsum pair of windows may order ties differently between
+    (or even within) engines, silently moving an island boundary onto a
+    different duplicate.  Found by the sf0.1 sweep; sf0.01 lacks the
+    colliding keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    flagged = li.filter(F.col("l_discount") > 0.05).select(
-        "l_orderkey", "l_linenumber"
+    flagged = (
+        li.filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
     )
     return sustained_islands(
         flagged, ["l_orderkey"], "l_linenumber", max_gap=2, min_span=3

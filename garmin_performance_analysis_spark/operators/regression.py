@@ -47,7 +47,9 @@ def linregress_by_group(
     intercept = F.col("_my") - slope * F.col("_mx")
     r2 = (F.col("_cxy") * F.col("_cxy")) / (F.col("_vx") * F.col("_vy"))
     r = F.col("_cxy") / F.sqrt(F.col("_vx") * F.col("_vy"))
-    t_stat = r * F.sqrt((F.col("n") - 2) / (1 - r2))
+    # a perfect fit (r²=1, e.g. n=2) has an undefined t — NULL, not a
+    # division-by-zero (ANSI mode throws on the naked expression)
+    t_stat = F.when(r2 < 1.0, r * F.sqrt((F.col("n") - 2) / (1 - r2)))
     return (
         agg.filter((F.col("n") >= min_points) & (F.col("_vx") > 0) & (F.col("_vy") > 0))
         .withColumn("slope", slope)

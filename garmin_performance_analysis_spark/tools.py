@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import vdot as vdot_fns
@@ -305,3 +305,299 @@ class GarminTools:
         for name, df in self.t.items():
             df.createOrReplaceTempView(name)
         return sql_passthrough(self.spark, query)
+
+    # -- metadata date↔id resolution (docs/mcp-tools-reference.md §Metadata)
+
+    def get_activity_by_date(self, date: str) -> DataFrame:
+        """``get_activity_by_date``: all activities on a calendar day."""
+        return self.t["activities"].filter(F.col("activity_date") == date)
+
+    def get_date_by_activity_id(self, activity_id: int) -> DataFrame:
+        """``get_date_by_activity_id``: id → date point projection."""
+        return (
+            self.t["activities"]
+            .filter(F.col("activity_id") == activity_id)
+            .select("activity_id", "activity_date")
+        )
+
+    # -- physiology readers (§Physiology) --------------------------------
+
+    def get_form_efficiency_summary(self, activity_id: int) -> DataFrame:
+        return self.t["form_efficiency"].filter(F.col("activity_id") == activity_id)
+
+    def get_form_evaluations(self, activity_id: int) -> DataFrame:
+        return self.t["form_evaluations"].filter(F.col("activity_id") == activity_id)
+
+    def get_form_baseline_trend(self, metric: str) -> DataFrame:
+        """``get_form_baseline_trend``: coefficient history for one
+        metric, oldest→newest (``form_baseline_history`` store)."""
+        return (
+            self.t["form_baseline_history"]
+            .filter(F.col("metric") == metric)
+            .orderBy("window")
+        )
+
+    def get_hr_efficiency_analysis(self, activity_id: int) -> DataFrame:
+        return self.t["hr_efficiency"].filter(F.col("activity_id") == activity_id)
+
+    def get_heart_rate_zones_detail(self, activity_id: int) -> DataFrame:
+        return (
+            self.t["heart_rate_zones"]
+            .filter(F.col("activity_id") == activity_id)
+            .orderBy("zone_number")
+        )
+
+    def get_vo2_max_data(self, last_n: int = 10) -> DataFrame:
+        return self.t["vo2_max"].orderBy(F.desc("date")).limit(last_n)
+
+    def get_lactate_threshold_data(self, last_n: int = 10) -> DataFrame:
+        return self.t["lactate_threshold"].orderBy(F.desc("date")).limit(last_n)
+
+    def get_body_composition_trend(self, start: str, end: str) -> DataFrame:
+        return (
+            self.t["body_composition"]
+            .filter(F.col("date").between(start, end))
+            .orderBy("date")
+        )
+
+    def get_weight_economy_coupling(self, min_points: int = 10) -> DataFrame:
+        """``get_weight_economy_coupling`` (M4): EF ~ weight + days OLS
+        per athlete-quarter; EF = speed/HR, weight as-of joined (J7)."""
+        runs = self.activities_with_nearest_weight()
+        ef = runs.withColumn(
+            "ef",
+            (F.lit(1000.0) / F.col("avg_pace_seconds_per_km"))
+            / F.coalesce(F.col("avg_heart_rate"), F.lit(150.0)),
+        ).withColumn("days", day_number(F.col("activity_date")))
+        return ols2_by_group(ef, [], "weight_kg", "days", "ef", min_points=min_points)
+
+    # -- recovery / wellness (§Physiology recovery tools) ----------------
+
+    def get_recovery_trend(self, metric: str = "resting_heart_rate") -> DataFrame:
+        """``get_recovery_trend`` (A14): weekly exact medians of a
+        wellness metric + period-over-period delta."""
+        wk = F.date_sub(
+            F.to_date("date"), (F.dayofweek("date") + 5) % 7
+        ).alias("week_start")
+        weekly = (
+            self.t["daily_wellness"]
+            .groupBy(wk)
+            .agg(F.expr(f"percentile({metric}, 0.5)").alias("weekly_median"))
+        )
+        w = Window.orderBy("week_start")
+        return weekly.withColumn(
+            "delta", F.col("weekly_median") - F.lag("weekly_median", 1).over(w)
+        )
+
+    def get_wellness_baseline_deviation(
+        self, metric: str = "resting_heart_rate", days_back: int = 30
+    ) -> DataFrame:
+        """``get_wellness_baseline_deviation`` (W7): trailing mean±SD
+        band (today excluded) + today's z-score."""
+        dw = self.t["daily_wellness"].withColumn("dn", day_number(F.col("date")))
+        return window_ops.trailing_baseline_band(dw, [], "dn", metric, days_back)
+
+    def get_recovery_status(self, metric: str = "resting_heart_rate") -> DataFrame:
+        """``get_recovery_status``: the latest wellness day with its
+        baseline z-score and an adverse flag."""
+        banded = self.get_wellness_baseline_deviation(metric)
+        return (
+            banded.orderBy(F.desc("date"))
+            .limit(1)
+            .withColumn("adverse", F.col("baseline_z") > 1.0)
+        )
+
+    # -- performance / weather (§Performance) ----------------------------
+
+    def get_performance_trends(self, activity_id: int) -> DataFrame:
+        return self.t["performance_trends"].filter(F.col("activity_id") == activity_id)
+
+    def get_weather_data(self, activity_id: int) -> DataFrame:
+        return self.t["weather"].filter(F.col("activity_id") == activity_id)
+
+    def get_training_type_distribution(self) -> DataFrame:
+        """Training-type mix as normalized fractions (A13)."""
+        return stats_ops.category_distribution(self.t["activities"], "training_type")
+
+    # -- time-series detail (§Time Series) -------------------------------
+
+    def get_split_time_series_detail(
+        self, activity_id: int, split_number: int, metrics: Sequence[str]
+    ) -> DataFrame:
+        """``get_split_time_series_detail`` (T7): resolve the split to
+        its ``[start_time_s, end_time_s)`` range via cumulative split
+        durations, then compute A2 stats over that slice."""
+        splits = self.t["splits"].filter(F.col("activity_id") == activity_id)
+        w = Window.partitionBy("activity_id").orderBy("split_index")
+        spans = splits.select(
+            "activity_id",
+            "split_index",
+            (F.sum("pace_seconds_per_km").over(w) - F.col("pace_seconds_per_km")).alias(
+                "start_time_s"
+            ),
+            F.sum("pace_seconds_per_km").over(w).alias("end_time_s"),
+        ).filter(F.col("split_index") == split_number)
+        ts = self.t["time_series_metrics"].filter(F.col("activity_id") == activity_id)
+        sliced = ts.join(F.broadcast(spans), "activity_id").filter(
+            (F.col("timestamp_s") >= F.col("start_time_s"))
+            & (F.col("timestamp_s") < F.col("end_time_s"))
+        )
+        return stats_ops.time_range_stats(
+            sliced, "timestamp_s", F.lit(0), F.lit(10**9), metrics, ["split_index"]
+        )
+
+    def detect_form_anomalies_summary(
+        self, activity_id: int, metric: str, magnitude_gate: float = 0.5
+    ) -> DataFrame:
+        """``detect_form_anomalies_summary``: anomaly islands reduced to
+        per-severity counts (the reference's ~95% output reduction)."""
+        details = self.detect_form_anomalies(activity_id, metric, magnitude_gate)
+        return details.groupBy("severity").agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("max_abs_z").alias("worst_z"),
+        )
+
+    def get_form_anomaly_details(
+        self, activity_id: int, metric: str, magnitude_gate: float = 0.5
+    ) -> DataFrame:
+        """``get_form_anomaly_details``: the full island rows."""
+        return self.detect_form_anomalies(activity_id, metric, magnitude_gate)
+
+    # -- training load / risk (§Training Load, §Race) --------------------
+
+    def get_load_trend(self, weeks: int = 12, min_points: int = 3) -> DataFrame:
+        """``get_load_trend`` (M1 over A5): weekly volume slope with the
+        significance gate."""
+        wk = F.date_sub(
+            F.to_date("activity_date"), (F.dayofweek("activity_date") + 5) % 7
+        ).alias("week_start")
+        weekly = (
+            self.t["activities"]
+            .groupBy(wk)
+            .agg(F.sum("total_distance_km").alias("weekly_km"))
+            .withColumn("week_no", day_number(F.col("week_start")) / 7.0)
+        )
+        return linregress_by_group(
+            weekly, [], "week_no", "weekly_km", min_points=min_points
+        )
+
+    def get_injury_risk(self) -> DataFrame:
+        """``get_injury_risk`` (M12): ACWR ramp + renormalized composite
+        over whichever signals are available."""
+        from .operators.risk import acwr_risk, composite_injury_risk
+
+        latest = self.get_acwr().orderBy(F.desc("date")).limit(1)
+        signals = latest.select(
+            "date",
+            acwr_risk(F.col("acwr")).alias("acwr_risk"),
+            F.lit(None).cast("double").alias("durability_risk"),
+            F.lit(None).cast("double").alias("wellness_risk"),
+            F.lit(None).cast("double").alias("form_risk"),
+        )
+        return composite_injury_risk(signals)
+
+    def get_race_readiness(self) -> DataFrame:
+        """``get_race_readiness``: latest ACWR band × latest VO2max in
+        one readiness row (the reference's composite bundle)."""
+        acwr = self.get_acwr().orderBy(F.desc("date")).limit(1)
+        vo2 = self.t["vo2_max"].orderBy(F.desc("date")).limit(1)
+        return acwr.crossJoin(vo2.select(F.col("precise_value").alias("vo2max")))
+
+    def get_activity_durability(self, activity_id: int) -> DataFrame:
+        """``get_activity_durability`` (W9): same decoupling block as
+        ``get_durability_decoupling`` — reference alias."""
+        return self.get_durability_decoupling(activity_id)
+
+    def get_durability_trend(self, min_points: int = 3) -> DataFrame:
+        """``get_durability_trend`` (M1 over W9): per-activity HR drift
+        regressed over days-elapsed."""
+        halves = stats_ops.conditional_halves(
+            self.t["time_series_metrics"],
+            ["activity_id"],
+            "timestamp_s",
+            ["heart_rate"],
+        )
+        dated = halves.join(
+            self.t["activities"].select("activity_id", "activity_date"), "activity_id"
+        ).withColumn("days", day_number(F.col("activity_date")))
+        return linregress_by_group(
+            dated, [], "days", "heart_rate_drift", min_points=min_points
+        )
+
+    # -- athlete / reviews / strength (§Athlete, §strength) --------------
+
+    def get_athlete_profile(self) -> DataFrame:
+        """``get_athlete_profile``: latest-version-wins read (W2)."""
+        return window_ops.latest_per_key(
+            self.t["athlete_profile"],
+            [],
+            [F.col("created_at").desc(), F.col("profile_id").desc()],
+        )
+
+    def get_weekly_review(self, week_start: str) -> DataFrame:
+        """``get_weekly_review``: latest version for one week (W2)."""
+        return window_ops.latest_per_key(
+            self.t["weekly_reviews"].filter(F.col("week_start_date") == week_start),
+            ["week_start_date"],
+            [F.col("created_at").desc(), F.col("review_id").desc()],
+        )
+
+    def save_versioned(self, table: str, rows: DataFrame) -> DataFrame:
+        """Append-only versioned write (the reference's
+        ``save_athlete_profile``/``save_weekly_review`` pattern): returns
+        the unioned frame; readers pick the latest via W2.  Persisting is
+        the caller's choice of sink — idempotent re-runs come from the
+        deterministic version key, not from sequences."""
+        return self.t[table].unionByName(rows, allowMissingColumns=True)
+
+    def get_strength_sessions(self, start: str, end: str) -> DataFrame:
+        """``get_strength_sessions``: date-window read with the JSON
+        ``category_counts`` decoded to a typed map (richer than the
+        reference, which decodes in Python)."""
+        return (
+            self.t["strength_sessions"]
+            .filter(F.col("date").between(start, end))
+            .withColumn(
+                "category_counts",
+                F.from_json(F.col("category_counts"), "map<string,int>"),
+            )
+        )
+
+    def get_current_fitness_summary(self) -> DataFrame:
+        """``get_current_fitness_summary`` (M15): training gaps with
+        pre-gap median weekly volume."""
+        from .operators.fitness import detect_training_gaps
+
+        return detect_training_gaps(self.t["activities"])
+
+    # -- prefetch bundles (§Analysis, §Athlete prefetch tools) -----------
+
+    def prefetch_activity_context(self, activity_id: int) -> dict:
+        """``prefetch_activity_context``: the per-activity bundle as a
+        dict of lazy frames — one driver round-trip per member, no
+        N+1 reads (the reference assembles the same bundle server-side)."""
+        return {
+            "activity": self.get_activity(activity_id),
+            "splits": self.get_splits_comprehensive(activity_id),
+            "performance_trends": self.get_performance_trends(activity_id),
+            "hr_zones": self.get_heart_rate_zones_detail(activity_id),
+            "weather": self.get_weather_data(activity_id),
+        }
+
+    def prefetch_weekly_review_context(self, week_start: str) -> dict:
+        """``prefetch_weekly_review_context``: the weekly bundle."""
+        wk_end = F.date_add(F.lit(week_start).cast("date"), 6)
+        acts = self.t["activities"].filter(
+            (F.col("activity_date") >= week_start)
+            & (F.col("activity_date") <= wk_end)
+        )
+        return {
+            "activities": acts,
+            "review": self.get_weekly_review(week_start),
+            "load": self.get_acwr(),
+        }
+
+    def get_catch_up_window(self, table: str, date_col: str = "date") -> DataFrame:
+        """``catch_up_ingest`` window resolution (S4): per-domain
+        incremental start = MAX(stored date)."""
+        return self.t[table].agg(F.max(date_col).alias("window_start"))

@@ -37,7 +37,8 @@ def tools(spark):
         " elevation_loss double, window string",
     )
     ts = spark.createDataFrame(
-        [(1, s, s, 140.0 + (10.0 if 30 <= s < 40 else 0.0), 3.0) for s in range(120)],
+        [(1, s, s, 140.0 + (10.0 if 30 <= s < 40 else 0.0), 3.0) for s in range(120)]
+        + [(a, s, s, 130.0 + a + (s / 30.0), 3.0) for a in (2, 3) for s in range(60)],
         "activity_id long, seq_no int, timestamp_s int, heart_rate double, speed double",
     )
     weekly_reviews = spark.createDataFrame(
@@ -52,12 +53,60 @@ def tools(spark):
         "activity_id long, section_type string",
     )
     body_comp = spark.createDataFrame(
-        [(1, d("2024-01-02"), 62.0), (2, d("2024-02-01"), 63.0)],
+        [
+            (1, d("2024-01-02"), 62.0),
+            (2, d("2024-01-09"), 63.5),
+            (3, d("2024-02-01"), 63.0),
+        ],
         "measurement_id long, date date, weight_kg double",
     )
     vo2 = spark.createDataFrame(
         [(d("2024-01-02"), 52.0)], "date date, precise_value double"
     )
+    daily_wellness = spark.createDataFrame(
+        [(d(f"2024-01-{i:02d}"), 48.0 + (i % 5), 60.0 + i) for i in range(1, 21)],
+        "date date, resting_heart_rate double, hrv double",
+    )
+    form_efficiency = spark.createDataFrame(
+        [(1, 242.0, "良好")], "activity_id long, gct_avg double, gct_rating string"
+    )
+    form_evaluations = spark.createDataFrame(
+        [(1, "gct", 4.0)], "activity_id long, metric string, stars double"
+    )
+    form_baseline_history = spark.createDataFrame(
+        [("gct", "2024-01", -0.31), ("gct", "2024-02", -0.29)],
+        "metric string, window string, slope double",
+    )
+    hr_efficiency = spark.createDataFrame(
+        [(1, "Zone 2", "good")],
+        "activity_id long, primary_zone string, distribution_rating string",
+    )
+    hr_zones = spark.createDataFrame(
+        [(1, z, 100 + 20 * z, 119 + 20 * z, 60.0 * z) for z in range(1, 6)],
+        "activity_id long, zone_number int, lower_bpm int, upper_bpm int, seconds_in_zone double",
+    )
+    lactate = spark.createDataFrame(
+        [(d("2024-01-05"), 168.0)], "date date, threshold_hr double"
+    )
+    perf_trends = spark.createDataFrame(
+        [(1, "steady", 0.043)],
+        "activity_id long, structure string, decoupling double",
+    )
+    weather = spark.createDataFrame(
+        [(1, 12.0, 7.0, 230.0)],
+        "activity_id long, temp_c double, wind_kmh double, wind_dir_deg double",
+    )
+    athlete_profile = spark.createDataFrame(
+        [(1, d("2024-01-01"), "v1"), (2, d("2024-01-05"), "v2")],
+        "profile_id long, created_at date, payload string",
+    )
+    strength = spark.createDataFrame(
+        [(d("2024-01-04"), '{"push": 3, "pull": 2}')],
+        "date date, category_counts string",
+    )
+    activities = activities.withColumn(
+        "avg_heart_rate", F.lit(150.0)
+    ).withColumn("training_type", F.lit("easy"))
     return GarminTools(
         spark,
         {
@@ -68,6 +117,17 @@ def tools(spark):
             "section_analyses": section_analyses,
             "body_composition": body_comp,
             "vo2_max": vo2,
+            "daily_wellness": daily_wellness,
+            "form_efficiency": form_efficiency,
+            "form_evaluations": form_evaluations,
+            "form_baseline_history": form_baseline_history,
+            "hr_efficiency": hr_efficiency,
+            "heart_rate_zones": hr_zones,
+            "lactate_threshold": lactate,
+            "performance_trends": perf_trends,
+            "weather": weather,
+            "athlete_profile": athlete_profile,
+            "strength_sessions": strength,
         },
     )
 
@@ -139,3 +199,95 @@ def test_profiler_and_sql(tools, tmp_path):
     out = tools.sql("SELECT COUNT(*) AS n FROM activities").collect()[0]["n"]
     assert out == 3
     assert tools.export(tools.get_activity(1), str(tmp_path / "exp"), max_rows=10) == 1
+
+
+def test_physiology_point_readers(tools):
+    assert tools.get_form_efficiency_summary(1).count() == 1
+    assert tools.get_form_evaluations(1).count() == 1
+    assert tools.get_hr_efficiency_analysis(1).count() == 1
+    zones = tools.get_heart_rate_zones_detail(1).collect()
+    assert [z["zone_number"] for z in zones] == [1, 2, 3, 4, 5]
+    assert tools.get_vo2_max_data().count() == 1
+    assert tools.get_lactate_threshold_data().count() == 1
+    assert tools.get_performance_trends(1).count() == 1
+    assert tools.get_weather_data(1).count() == 1
+    trend = tools.get_form_baseline_trend("gct").collect()
+    assert [r["window"] for r in trend] == ["2024-01", "2024-02"]
+
+
+def test_metadata_date_resolution(tools):
+    assert tools.get_activity_by_date("2024-01-03").collect()[0]["activity_id"] == 2
+    assert str(
+        tools.get_date_by_activity_id(2).collect()[0]["activity_date"]
+    ) == "2024-01-03"
+
+
+def test_recovery_and_wellness(tools):
+    weekly = tools.get_recovery_trend().orderBy("week_start").collect()
+    assert len(weekly) >= 2
+    assert weekly[0]["delta"] is None and weekly[1]["delta"] is not None
+    banded = tools.get_wellness_baseline_deviation(days_back=7).collect()
+    assert any(r["baseline_z"] is not None for r in banded)
+    status = tools.get_recovery_status().collect()
+    assert len(status) == 1 and str(status[0]["date"]) == "2024-01-20"
+
+
+def test_load_trend_and_risk(tools):
+    assert tools.get_load_trend().count() == 0  # 2 weeks < min_points gate
+    lt = tools.get_load_trend(min_points=2).collect()
+    assert len(lt) == 1 and lt[0]["n"] == 2
+    risk = tools.get_injury_risk().collect()[0]
+    assert risk["injury_risk_band"] in ("low", "moderate", "high")
+    ready = tools.get_race_readiness().collect()[0]
+    assert ready["vo2max"] == 52.0
+
+
+def test_athlete_versioned_reads(tools):
+    prof = tools.get_athlete_profile().collect()
+    assert len(prof) == 1 and prof[0]["payload"] == "v2"
+    rev = tools.get_weekly_review("2024-01-01").collect()
+    assert len(rev) == 1 and rev[0]["review_data"] == "v2"
+    grown = tools.save_versioned(
+        "athlete_profile",
+        tools.spark.createDataFrame(
+            [(3, datetime.date(2024, 2, 1), "v3")],
+            "profile_id long, created_at date, payload string",
+        ),
+    )
+    assert grown.count() == 3
+
+
+def test_strength_and_distribution(tools):
+    s = tools.get_strength_sessions("2024-01-01", "2024-01-31").collect()[0]
+    assert s["category_counts"]["push"] == 3
+    dist = {
+        r["training_type"]: r["fraction"]
+        for r in tools.get_training_type_distribution().collect()
+    }
+    assert abs(dist["easy"] - 1.0) < 1e-9
+
+
+def test_split_ts_detail_and_anomaly_summary(tools):
+    det = tools.get_split_time_series_detail(1, 1, ["heart_rate"]).collect()
+    assert len(det) == 1 and det[0]["n"] > 0
+    summ = tools.detect_form_anomalies_summary(1, "heart_rate", magnitude_gate=1.0)
+    rows = summ.collect()
+    assert all(r["severity"] in ("low", "medium", "high") for r in rows)
+
+
+def test_prefetch_bundles_and_catchup(tools):
+    ctx = tools.prefetch_activity_context(1)
+    assert set(ctx) == {"activity", "splits", "performance_trends", "hr_zones", "weather"}
+    assert ctx["activity"].count() == 1
+    wctx = tools.prefetch_weekly_review_context("2024-01-01")
+    assert wctx["activities"].count() == 2
+    win = tools.get_catch_up_window("body_composition").collect()[0]
+    assert str(win["window_start"]) == "2024-02-01"
+
+
+def test_weight_economy_and_durability_trend(tools):
+    assert tools.get_weight_economy_coupling().count() == 0  # n=3 < 10 gate
+    we = tools.get_weight_economy_coupling(min_points=3).collect()
+    assert len(we) == 1
+    dt = tools.get_durability_trend().collect()
+    assert len(dt) == 1 and dt[0]["n"] == 3
