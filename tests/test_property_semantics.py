@@ -198,3 +198,57 @@ def test_asof_tiebreak_matches_bruteforce(spark, lds, rds, max_gap):
     want_dates = brute_nearest(lds, rds, max_gap)
     want = {i: want_dates[d] - d for i, d in enumerate(lds) if d in want_dates}
     assert got == want
+
+
+def _py_ls_moments(vals: list[float], scale: int = 2):
+    """Python mirror of registry.ls_avg / ls_std / ls_sum_wide — same
+    integerization, same op ORDER (each double step replicated), so the
+    expected values are bit-exact, not approximate."""
+    f = float(10**scale)
+    B = 1 << 20
+    qs = [math.floor(v * f + 0.5) for v in vals]
+    n = len(qs)
+    avg = (float(sum(qs)) / f) / n
+    sx = float(sum(qs)) / f
+    q2 = [q * q for q in qs]
+    hi = float(sum((q - q % B) // B for q in q2))
+    lo = float(sum(q % B for q in q2))
+    sxx = (hi * float(B) + lo) / (f * f)
+    std = None
+    if n > 1:
+        var = (sxx - sx * sx / n) / (n - 1)
+        std = math.sqrt(max(var, 0.0))
+    whi = float(sum((q - q % B) // B for q in qs))
+    wlo = float(sum(q % B for q in qs))
+    wide_sum = (whi * float(B) + wlo) / f
+    return avg, std, wide_sum
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**7), max_value=10**7).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scaled_long_moments_match_python_mirror(spark, vals):
+    """The scaled-long aggregation core (ls_avg/ls_std/ls_sum_wide) must
+    be bit-identical to the integer-exact Python mirror of the same
+    formula — this is the determinism the oracles rely on."""
+    from garmin_performance_analysis_spark.harness.registry import (
+        ls_avg,
+        ls_std,
+        ls_sum_wide,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(
+        ls_avg(F.col("x")).alias("a"),
+        ls_std(F.col("x")).alias("s"),
+        ls_sum_wide(F.col("x"), scale=2).alias("w"),
+    ).collect()[0]
+    exp_avg, exp_std, exp_wide = _py_ls_moments(vals)
+    assert row["a"] == exp_avg
+    assert row["s"] == exp_std
+    assert row["w"] == exp_wide
