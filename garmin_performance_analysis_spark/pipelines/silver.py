@@ -38,14 +38,15 @@ def with_month(df: DataFrame, date_col: str) -> DataFrame:
 
 
 def write_partitioned(df: DataFrame, path: str, date_col: str) -> None:
-    """Initial/full build: month-partitioned parquet.  ``overwrite``
-    with dynamic partition mode only replaces partitions present in
-    ``df`` — a no-op for months the frame doesn't carry."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    """Initial / FULL rebuild: month-partitioned parquet with STATIC
+    overwrite — the whole table root is replaced, so months absent from
+    ``df`` (e.g. after an upstream deletion) are dropped rather than
+    left stale.  Incremental writes go through ``delete_insert_by_key``
+    (dynamic mode) instead."""
     (
         with_month(df, date_col)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy(MONTH_COL)
         .parquet(path)
     )
@@ -58,10 +59,17 @@ def delete_insert_by_key(
     key_col: str,
     date_col: str,
 ) -> None:
-    """DELETE-then-INSERT keyed by ``key_col``, re-expressed as a
+    """DELETE-then-INSERT keyed by ``key_col`` (the reference deletes by
+    activity_id alone — ``inserters/splits.py:77``), re-expressed as a
     partition-scoped read-modify-write:
 
-    1. months touched by the incoming rows (tiny distinct list),
+    1. rewrite scope = months carried by the incoming rows PLUS months
+       where an incoming key already lives (a key-scoped DELETE: if a
+       re-ingested key's event date moved to a different month, the old
+       month is rewritten too, so no stale duplicate survives).  The
+       key→month probe is a column-pruned scan of (key, _month) with a
+       broadcast semi-join — cheap, and prunable further with partition
+       stats on real deployments;
     2. read ONLY those partitions (partition pruning on ``_month``),
     3. drop rows whose key arrives in the new batch (the DELETE) via a
        broadcast anti-join on the incoming key set,
@@ -70,22 +78,49 @@ def delete_insert_by_key(
        or written.
 
     Idempotent: re-running the same batch yields byte-identical
-    partitions.  This is the plain-parquet rendition of Delta
-    ``MERGE WHEN MATCHED DELETE``; swap in Delta and steps 2-5 become
-    one statement, with the same partition pruning doing the work.
+    partitions.  Concurrency contract: SINGLE WRITER per table (the
+    reference serializes via a write lock, ``connection.py:48-80``);
+    the parquet commit is per-partition, not atomic across partitions —
+    a crash mid-commit needs a re-run (which is safe, being idempotent).
+    For cross-partition atomicity swap in Delta ``MERGE`` — steps 2-5
+    become one statement with the same pruning.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     incoming = with_month(new_rows, date_col)
-    months = [r[0] for r in incoming.select(MONTH_COL).distinct().collect()]
-    existing = spark.read.parquet(path).filter(F.col(MONTH_COL).isin(months))
     keys = incoming.select(key_col).distinct()
+    incoming_months = incoming.select(MONTH_COL).distinct()
+    table = spark.read.parquet(path)
+    key_months = (
+        table.select(key_col, MONTH_COL)
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select(MONTH_COL)
+        .distinct()
+    )
+    months = [
+        r[0] for r in incoming_months.unionByName(key_months).distinct().collect()
+    ]
+    existing = table.filter(F.col(MONTH_COL).isin(months))
     kept = existing.join(F.broadcast(keys), key_col, "left_anti")
+    out = kept.unionByName(incoming)
+    # Months the output actually carries — resolved BEFORE the write
+    # (out's lineage reads `path`; evaluating it after the overwrite
+    # would re-read the mutated table).
+    out_months = {r[0] for r in out.select(MONTH_COL).distinct().collect()}
     (
-        kept.unionByName(incoming)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(MONTH_COL)
         .parquet(path)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the output.
+    # A month emptied by the DELETE (its only rows belonged to moved
+    # keys) writes nothing, so drop its directory explicitly.
+    stale = [m for m in months if m not in out_months]
+    if stale:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
+        for m in stale:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{MONTH_COL}={m}"), True)
 
 
 def read_silver(spark: SparkSession, path: str) -> DataFrame:

@@ -45,17 +45,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst — callers express plain ``select``/``filter`` on the result.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for; we read it as a long (``nanosAsLong``) and
-    truncate to microsecond timestamps with exact integer division.
+    no native type for.  Depending on session config it surfaces either
+    as a long (``nanosAsLong``) or as TIMESTAMP_NTZ; normalize BOTH to a
+    plain UTC TIMESTAMP here so every downstream query can rely on
+    ``unix_micros(ts)`` etc.  The session timezone is UTC
+    (``session.py``), so the NTZ→TZ cast preserves the wall-clock value.
     """
     key = (id(spark.sparkContext), sf_dir, name)
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf may be static in some sessions; NTZ branch covers it
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_MEMO[key] = df
     return df
 

@@ -75,6 +75,46 @@ def test_delete_insert_leaves_untouched_partitions_alone(spark, tmp_path):
     assert after == before  # March partition neither rewritten nor dropped
 
 
+def test_delete_insert_key_moved_to_other_month(spark, tmp_path):
+    """A re-ingested key whose event date moved months must not leave a
+    stale duplicate in the old month (ADVICE r1: key-scoped DELETE)."""
+    path = str(tmp_path / "activities")
+    write_partitioned(_base(spark), path, "activity_date")
+
+    # key 2 moves Jan→Apr (Jan keeps key 1), key 3 moves Feb→Apr
+    # (Feb empties entirely — its directory must be dropped too)
+    batch = spark.createDataFrame(
+        [(2, d("2024-04-02"), 55.0), (3, d("2024-04-03"), 56.0)],
+        "activity_id long, activity_date date, total_distance_km double",
+    )
+    delete_insert_by_key(spark, path, batch, "activity_id", "activity_date")
+
+    rows = read_silver(spark, path).collect()
+    out = {r["activity_id"]: (str(r["activity_date"]), r["total_distance_km"]) for r in rows}
+    assert out == {
+        1: ("2024-01-05", 10.0),
+        2: ("2024-04-02", 55.0),
+        3: ("2024-04-03", 56.0),
+        4: ("2024-03-09", 13.0),
+    }
+    assert len(rows) == 4  # no stale duplicates anywhere
+    assert not os.path.exists(os.path.join(path, f"{MONTH_COL}=2024-02"))
+
+
+def test_write_partitioned_full_rebuild_drops_absent_months(spark, tmp_path):
+    """Full rebuild is a static overwrite: months absent from the new
+    frame disappear from disk (ADVICE r1)."""
+    path = str(tmp_path / "activities")
+    write_partitioned(_base(spark), path, "activity_date")
+    rebuilt = spark.createDataFrame(
+        [(1, d("2024-01-05"), 10.0)],
+        "activity_id long, activity_date date, total_distance_km double",
+    )
+    write_partitioned(rebuilt, path, "activity_date")
+    assert not os.path.exists(os.path.join(path, f"{MONTH_COL}=2024-02"))
+    assert [r["activity_id"] for r in read_silver(spark, path).collect()] == [1]
+
+
 def test_month_filter_prunes_partitions(spark, tmp_path):
     path = str(tmp_path / "activities")
     write_partitioned(_base(spark), path, "activity_date")
