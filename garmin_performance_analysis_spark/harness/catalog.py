@@ -12,6 +12,7 @@ from . import q_ts  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
 from . import q_ml2  # noqa: E402,F401
 from . import q_anomaly  # noqa: E402,F401
+from . import q_anomaly_full  # noqa: E402,F401
 from . import q_misc  # noqa: E402,F401
 from . import q_lsh  # noqa: E402,F401
 from . import q_range  # noqa: E402,F401

@@ -16,7 +16,7 @@ key):
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -114,4 +114,272 @@ def detect_anomalies(
         "island_mean",
         severity.alias("severity"),
         cause.alias("cause"),
+    )
+
+
+def _metric_map(d: Optional[Mapping[str, float]]):
+    """String→double map literal, or a typed NULL when no map is given
+    (reference semantics: a metric without a configured gate/trigger
+    skips that check entirely)."""
+    if not d:
+        return F.lit(None).cast("double")
+    items = []
+    for k, v in d.items():
+        items += [F.lit(k), F.lit(float(v))]
+    return F.create_map(*items)[F.col("metric")]
+
+
+def classify_anomaly_causes(
+    form: DataFrame,
+    context: DataFrame,
+    *,
+    z_threshold: float = 3.0,
+    magnitude_gates: Optional[Mapping[str, float]] = None,
+    degradation_triggers: Optional[Mapping[str, float]] = None,
+    rolling_window: int = 30,
+    max_gap: int = 2,
+    min_span: int = 5,
+    elev_window: int = 5,
+    pace_window: int = 10,
+    hr_baseline_secs: int = 300,
+    hr_current_window: int = 60,
+    elev_change_gate: float = 5.0,
+    pace_change_gate: float = 0.25,
+    hr_drift_gate: float = 10.0,
+    context_window: int = 30,
+    severity_high: float = 4.5,
+    severity_medium: float = 3.5,
+) -> DataFrame:
+    """T4 full cause classification + T5 context extraction, the
+    reference's complete per-anomaly surface
+    (``mcp/rag/queries/form_anomaly_detector.py:181-215,330-520``):
+
+    1. centered rolling mean/std per form metric
+       (``:147-179``: window ``[i-w, i+w)``, >=2 values else skipped);
+    2. z + per-metric magnitude gate + worse-direction-only flags
+       (``:217-287``);
+    3. sustained runs only (adjacency <= ``max_gap``, span =
+       last-first+1 >= ``min_span``, ``:289-328``) — individual
+       anomalies are KEPT, not collapsed to islands;
+    4. cause classification with the reference's exact priority chain
+       (``:330-425``): elevation range in ``[t-5,t+5)`` > 5 m →
+       ``elevation_change``; pace range in ``[t-10,t+10)`` > 0.25
+       min/km → ``pace_change``; |HR drift| of the last 60 s vs the
+       first-300 s baseline > 10 % AND a sustained first-half→second-
+       half degradation >= the metric's trigger (``:181-215``) →
+       ``fatigue``; else ``isolated`` (no fabricated correlation);
+    5. ±30 s before/after context for the metric and elevation
+       (``:427-477``, empty window → 0.0) and severity bands
+       (``:690-710``).
+
+    ``form``: (user_id, metric, sec, value) — ``sec`` is the dense
+    per-metric ordinal (the reference's array index).  ``context``:
+    (user_id, series, sec, val) with series ∈ {'elevation','pace','hr'}
+    PLUS the form series again under ``series = metric`` so before/
+    after metric context comes from the same single pass.
+
+    Scale shape: the flagged-anomaly side is tiny after gating, so the
+    context lookup is ONE broadcast-hash join over the context frame
+    (equi on user_id, range + series predicates applied in-join) with
+    conditional aggregation per window — one pass over the big table,
+    no shuffle of it.  The HR baseline is a per-user pre-aggregate
+    (broadcast-sized) joined separately.
+    """
+    # -- 1+2: rolling stats and gated flags --------------------------
+    wroll = (
+        Window.partitionBy("user_id", "metric")
+        .orderBy("sec")
+        .rowsBetween(-rolling_window, rolling_window - 1)
+    )
+    base = form.select(
+        "user_id",
+        "metric",
+        "sec",
+        "value",
+        F.avg("value").over(wroll).alias("baseline"),
+        F.stddev_samp("value").over(wroll).alias("_s"),
+        F.count("value").over(wroll).alias("_wcnt"),
+    )
+    dev = F.col("value") - F.col("baseline")
+    gate = _metric_map(magnitude_gates)
+    flagged = base.filter(
+        (F.col("_wcnt") >= 2)
+        & (F.col("_s") > 0)
+        & (dev > 0)
+        & (dev / F.col("_s") > z_threshold)
+        & (gate.isNull() | (dev >= gate))
+    ).withColumn("z_score", dev / F.col("_s"))
+
+    # -- 3: sustained runs (members kept) ----------------------------
+    isl = gaps_and_islands(flagged, ["user_id", "metric"], "sec", max_gap=max_gap)
+    wisl = Window.partitionBy("user_id", "metric", "island_id")
+    an = (
+        isl.withColumn(
+            "_span", F.max("sec").over(wisl) - F.min("sec").over(wisl) + F.lit(1)
+        )
+        .filter(F.col("_span") >= min_span)
+        .select("user_id", "metric", "sec", "value", "baseline", "z_score")
+    )
+
+    # -- sustained first-half vs second-half degradation per metric --
+    wseq = Window.partitionBy("user_id", "metric").orderBy("sec")
+    wall = Window.partitionBy("user_id", "metric")
+    halves = form.withColumn("_rn", F.row_number().over(wseq)).withColumn(
+        "_n", F.count(F.lit(1)).over(wall)
+    )
+    deg = halves.groupBy("user_id", "metric").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(
+            F.when(F.col("_rn") <= F.floor(F.col("_n") / 2), F.col("value"))
+        ).alias("_first_mean"),
+        F.avg(
+            F.when(F.col("_rn") > F.floor(F.col("_n") / 2), F.col("value"))
+        ).alias("_second_mean"),
+    )
+    trig = _metric_map(degradation_triggers)
+    deg = deg.select(
+        "user_id",
+        "metric",
+        F.when(
+            trig.isNotNull() & (F.col("_n") >= 4),
+            (F.col("_second_mean") - F.col("_first_mean")) >= trig,
+        )
+        .otherwise(F.lit(False))
+        .alias("_sdeg"),
+    )
+
+    # -- 4+5: one broadcast context pass with conditional windows ----
+    akeys = ["user_id", "metric", "sec"]
+    lo = max(hr_current_window, context_window, pace_window, elev_window)
+    hi = max(context_window, pace_window, elev_window)
+    c = context.select(
+        F.col("user_id").alias("c_uid"),
+        F.col("series").alias("c_series"),
+        F.col("sec").alias("c_sec"),
+        F.col("val").alias("c_val"),
+    )
+    # INNER join (anomalies with no context rows at all re-acquire
+    # their reference default values via the left join + coalesce
+    # below) so the tiny probe side is broadcastable — a left join
+    # cannot broadcast its build/left side.
+    probe = F.broadcast(an.select(*akeys))
+    cj = probe.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_sec") >= F.col("sec") - lo)
+        & (F.col("c_sec") < F.col("sec") + hi)
+        & (
+            F.col("c_series").isin("elevation", "pace", "hr")
+            | (F.col("c_series") == F.col("metric"))
+        ),
+        "inner",
+    )
+
+    def _in(series, a, b, closed_end=False):
+        cond = (F.col("c_series") == series) if isinstance(series, str) else series
+        cond = cond & (F.col("c_sec") >= F.col("sec") + a)
+        cond = cond & (F.col("c_sec") < F.col("sec") + b)
+        return cond
+
+    ev = F.when(_in("elevation", -elev_window, elev_window), F.col("c_val"))
+    pv = F.when(_in("pace", -pace_window, pace_window), F.col("c_val"))
+    hv = F.when(_in("hr", -hr_current_window, 0), F.col("c_val"))
+    same_metric = F.col("c_series") == F.col("metric")
+    b_m = F.when(_in(same_metric, -context_window, 0), F.col("c_val"))
+    a_m = F.when(_in(same_metric, 0, context_window), F.col("c_val"))
+    b_e = F.when(_in("elevation", -context_window, 0), F.col("c_val"))
+    a_e = F.when(_in("elevation", 0, context_window), F.col("c_val"))
+    ctx = cj.groupBy(*akeys).agg(
+        F.when(F.count(ev) > 1, F.max(ev) - F.min(ev))
+        .otherwise(F.lit(0.0))
+        .alias("elevation_change_5s"),
+        F.when(F.count(pv) > 1, F.max(pv) - F.min(pv))
+        .otherwise(F.lit(0.0))
+        .alias("pace_change_10s"),
+        F.avg(hv).alias("_cur_hr"),
+        F.count(hv).alias("_cur_n"),
+        F.coalesce(F.avg(b_m), F.lit(0.0)).alias("before_metric_avg"),
+        F.coalesce(F.avg(a_m), F.lit(0.0)).alias("after_metric_avg"),
+        F.coalesce(F.avg(b_e), F.lit(0.0)).alias("before_elevation"),
+        F.coalesce(F.avg(a_e), F.lit(0.0)).alias("after_elevation"),
+    )
+    hr_base = (
+        context.filter(
+            (F.col("series") == "hr") & (F.col("sec") < hr_baseline_secs)
+        )
+        .groupBy("user_id")
+        .agg(F.avg("val").alias("_base_hr"), F.count("val").alias("_base_n"))
+    )
+
+    res = (
+        an.join(ctx, akeys, "left")
+        .join(F.broadcast(deg), ["user_id", "metric"], "left")
+        .join(F.broadcast(hr_base), ["user_id"], "left")
+    )
+    # anomalies with no context rows at all (dropped by the inner cj
+    # join) take the reference's empty-window defaults
+    for c_name in (
+        "elevation_change_5s",
+        "pace_change_10s",
+        "before_metric_avg",
+        "after_metric_avg",
+        "before_elevation",
+        "after_elevation",
+    ):
+        res = res.withColumn(c_name, F.coalesce(F.col(c_name), F.lit(0.0)))
+    drift = F.when(
+        (F.coalesce(F.col("_base_n"), F.lit(0)) > 0) & (F.col("_cur_n") > 0),
+        (F.col("_cur_hr") - F.col("_base_hr")) / F.col("_base_hr") * 100.0,
+    ).otherwise(F.lit(0.0))
+    res = res.withColumn("hr_drift_percent", drift)
+
+    elev_ok = F.col("elevation_change_5s") > elev_change_gate
+    pace_ok = F.col("pace_change_10s") > pace_change_gate
+    fat_ok = (F.abs(F.col("hr_drift_percent")) > hr_drift_gate) & F.coalesce(
+        F.col("_sdeg"), F.lit(False)
+    )
+    cause = (
+        F.when(elev_ok, F.lit("elevation_change"))
+        .when(pace_ok, F.lit("pace_change"))
+        .when(fat_ok, F.lit("fatigue"))
+        .otherwise(F.lit("isolated"))
+    )
+    correlation = (
+        F.when(
+            elev_ok,
+            F.least(F.lit(0.95), F.lit(0.5) + F.col("elevation_change_5s") / 20.0),
+        )
+        .when(
+            pace_ok,
+            F.least(F.lit(0.95), F.lit(0.5) + F.col("pace_change_10s") / 0.5),
+        )
+        .when(
+            fat_ok,
+            F.least(
+                F.lit(0.95), F.lit(0.5) + F.abs(F.col("hr_drift_percent")) / 30.0
+            ),
+        )
+    )
+    severity = (
+        F.when(F.col("z_score") > severity_high, F.lit("high"))
+        .when(F.col("z_score") > severity_medium, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return res.select(
+        "user_id",
+        "metric",
+        "sec",
+        "value",
+        "baseline",
+        "z_score",
+        cause.alias("probable_cause"),
+        "elevation_change_5s",
+        "pace_change_10s",
+        "hr_drift_percent",
+        correlation.alias("correlation"),
+        severity.alias("severity"),
+        "before_metric_avg",
+        "before_elevation",
+        "after_metric_avg",
+        "after_elevation",
     )

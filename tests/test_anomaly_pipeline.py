@@ -67,3 +67,109 @@ def test_material_event_rates_and_refresh(spark, tmp_path):
     n1 = refresh_material_events(ev, spark, sink, "day")
     assert n1 == 7
     assert refresh_material_events(ev, spark, sink, "day") == 0  # idempotent
+
+
+# ---------------------------------------------------------------------------
+# classify_anomaly_causes: the reference's full T4 cause chain
+# (form_anomaly_detector.py:330-425) on a hand-built fixture.
+
+from garmin_performance_analysis_spark.operators.anomaly import (  # noqa: E402
+    classify_anomaly_causes,
+)
+
+
+def _cause_fixture(spark):
+    """Five users, same form series (sustained 5-sec spike at secs 8-12),
+    context engineered so each user exercises one cause branch:
+    1 → elevation, 2 → pace, 3 → fatigue, 4 → isolated, 5 → isolated
+    with NO context rows at all (empty-window defaults)."""
+    form_rows = []
+    for uid in (1, 2, 3, 4, 5):
+        for s in range(20):
+            v = 100.0 if 8 <= s <= 12 else 10.0
+            form_rows.append((uid, "gct", s, v))
+    form = spark.createDataFrame(
+        form_rows, "user_id long, metric string, sec long, value double"
+    )
+    ctx = []
+    for s in range(20):
+        ctx.append((1, "elevation", s, 20.0 if s % 2 else 0.0))  # range 20 > 5
+        ctx.append((2, "elevation", s, 1.0))
+        ctx.append((3, "elevation", s, 1.0))
+        ctx.append((4, "elevation", s, 1.0))
+        ctx.append((2, "pace", s, 1.0 if s % 2 else 0.0))  # range 1 > 0.25
+        ctx.append((3, "pace", s, 1.0))
+        ctx.append((4, "pace", s, 1.0))
+        ctx.append((3, "hr", s, 200.0 if s >= 10 else 100.0))  # -33% drift
+        ctx.append((1, "hr", s, 100.0))
+        ctx.append((2, "hr", s, 100.0))
+        ctx.append((4, "hr", s, 100.0))
+    # the operator contract: the form series rides along in context
+    # under series == metric (all except user 5, who has NO context)
+    for uid, m, s, v in form_rows:
+        if uid != 5:
+            ctx.append((uid, m, s, v))
+    context = spark.createDataFrame(
+        ctx, "user_id long, series string, sec long, val double"
+    )
+    return form, context
+
+
+def test_cause_priority_chain(spark):
+    form, context = _cause_fixture(spark)
+    out = classify_anomaly_causes(
+        form,
+        context,
+        z_threshold=1.0,
+        magnitude_gates={"gct": 10.0},
+        degradation_triggers={"gct": 5.0},
+    )
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # every user flags exactly the 5-sec sustained spike
+    assert {u: sorted(r["sec"] for r in v) for u, v in by_user.items()} == {
+        u: [8, 9, 10, 11, 12] for u in (1, 2, 3, 4, 5)
+    }
+    causes = {u: {r["probable_cause"] for r in v} for u, v in by_user.items()}
+    assert causes[1] == {"elevation_change"}
+    assert causes[2] == {"pace_change"}
+    assert causes[3] == {"fatigue"}
+    assert causes[4] == {"isolated"}
+    assert causes[5] == {"isolated"}
+    # isolated anomalies carry no fabricated correlation (#666)
+    assert all(r["correlation"] is None for r in by_user[4])
+    # user 5 has no context rows: reference empty-window defaults = 0.0
+    for r in by_user[5]:
+        for c in (
+            "elevation_change_5s",
+            "pace_change_10s",
+            "hr_drift_percent",
+            "before_elevation",
+            "after_elevation",
+            "before_metric_avg",
+            "after_metric_avg",
+        ):
+            assert r[c] == 0.0, (c, r[c])
+    # ±30 context on the metric itself (reference _extract_context:
+    # before excludes t, after includes it)
+    r10 = next(r for r in by_user[1] if r["sec"] == 10)
+    assert r10["before_metric_avg"] == pytest.approx(28.0)  # secs 0-9
+    assert r10["after_metric_avg"] == pytest.approx(37.0)  # secs 10-19
+    # severity: z ≈ 1.74 < 3.5 → low everywhere at default bands
+    assert {r["severity"] for r in rows} == {"low"}
+
+
+def test_fatigue_requires_sustained_degradation(spark):
+    """HR drift alone must NOT produce fatigue (#666): without a
+    configured degradation trigger the metric can never be fatigue."""
+    form, context = _cause_fixture(spark)
+    out = classify_anomaly_causes(
+        form.filter(F.col("user_id") == 3),
+        context.filter(F.col("user_id") == 3),
+        z_threshold=1.0,
+        magnitude_gates={"gct": 10.0},
+        degradation_triggers=None,  # no trigger configured
+    )
+    assert {r["probable_cause"] for r in out.collect()} == {"isolated"}
