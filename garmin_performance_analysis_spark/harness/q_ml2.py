@@ -8,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.datetime_funcs import day_number, week_start
-from ..operators.efforts import critical_speed_fit, interval_fatigue, interval_segments
+from ..operators.efforts import (
+    critical_speed_fit,
+    interval_fatigue,
+    interval_segments,
+    work_recovery_comparison,
+)
 from ..operators.fragility import loo_slope_fragility
 from ..operators.windows import trailing_baseline_band
 from ..sources.tables import load_table
@@ -419,4 +424,77 @@ def w7_baseline_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline_n",
         _r6(F.col("baseline_z")).alias("baseline_z"),
         adverse.alias("adverse"),
+    )
+
+
+@register(
+    "t6_work_recovery",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t_s,
+         CASE WHEN value >= 10 THEN 1 ELSE 0 END AS state
+  FROM events
+),
+c AS (
+  SELECT *, CASE WHEN LAG(state) OVER w IS NULL OR LAG(state) OVER w <> state
+                 THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM c
+),
+seg AS (
+  SELECT user_id, segment_id, MAX(state) AS is_work,
+         AVG(value) AS seg_avg, MAX(t_s) - MIN(t_s) AS dur_s
+  FROM s GROUP BY 1, 2
+),
+wk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY segment_id) AS rn
+  FROM seg WHERE is_work = 1
+),
+rc AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY segment_id) AS rn
+  FROM seg WHERE is_work = 0
+),
+pairs AS (
+  SELECT w.user_id, (w.seg_avg - r.seg_avg) / (r.dur_s / 60.0) AS rate
+  FROM wk w JOIN rc r ON r.user_id = w.user_id AND r.rn = w.rn
+  WHERE r.dur_s > 0
+),
+wsum AS (SELECT user_id, COUNT(*) AS work_count, AVG(seg_avg) AS avg_work_value
+         FROM wk GROUP BY user_id),
+rsum AS (SELECT user_id, COUNT(*) AS recovery_count, AVG(seg_avg) AS avg_recovery_value
+         FROM rc GROUP BY user_id),
+psum AS (SELECT user_id, AVG(rate) AS avg_hr_recovery_rate FROM pairs GROUP BY user_id)
+SELECT w.user_id, w.work_count, r.recovery_count,
+       ROUND(w.avg_work_value, 6) AS avg_work_value,
+       ROUND(r.avg_recovery_value, 6) AS avg_recovery_value,
+       ROUND(p.avg_hr_recovery_rate, 6) AS avg_hr_recovery_rate
+FROM wsum w JOIN rsum r ON r.user_id = w.user_id
+LEFT JOIN psum p ON p.user_id = w.user_id
+""",
+    tags=("timeseries",),
+)
+def t6_work_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 work/recovery comparison + HR recovery rate (bpm/min): i-th
+    work rep paired with i-th recovery rep, rate = HR drop over the
+    recovery duration in minutes
+    (``mcp/rag/queries/interval_analysis.py:149-329``)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_s", F.unix_micros("ts").cast("double") / 1000000.0
+    )
+    segs = interval_segments(
+        ev, ["user_id"], ["ts", "event_id"], F.col("value") >= 10
+    )
+    out = work_recovery_comparison(segs, ["user_id"], "value", "t_s")
+    return out.select(
+        "user_id",
+        "work_count",
+        "recovery_count",
+        _r6(F.col("avg_work_value")).alias("avg_work_value"),
+        _r6(F.col("avg_recovery_value")).alias("avg_recovery_value"),
+        _r6(F.col("avg_hr_recovery_rate")).alias("avg_hr_recovery_rate"),
     )

@@ -430,3 +430,55 @@ def d2b_jaccard_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_b").cast("bigint").alias("size_b"),
         _r6(F.col("jaccard")).alias("jaccard"),
     )
+
+
+@register(
+    "d4b_simhash_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, bp,
+         (((strpos('0123456789abcdef', substr(h, CAST(bp // 4 AS INT) + 1, 1)) - 1)
+           // (CASE CAST(bp % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) * 2 - 1 AS wt
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS bp)
+),
+votes AS (SELECT doc_id, bp, SUM(wt) AS vote FROM bits GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bp) AS simhash64
+  FROM votes GROUP BY doc_id
+),
+blk AS (
+  SELECT doc_id, simhash64, b.block_idx,
+         substr(simhash64, b.start_pos + 1, b.len) AS block
+  FROM fp, (VALUES (0, 0, 16), (1, 16, 16), (2, 32, 16), (3, 48, 16))
+       AS b(block_idx, start_pos, len)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash64 AS sh_a, b.simhash64 AS sh_b
+  FROM blk a JOIN blk b
+    ON b.block_idx = a.block_idx AND b.block = a.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         len(list_filter(generate_series(0, 63),
+             i -> substr(sh_a, i + 1, 1) <> substr(sh_b, i + 1, 1))) AS hamming
+  FROM cand)
+WHERE hamming <= 3
+""",
+    tags=("dedup",),
+)
+def d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via the FULL rotate-and-block
+    scheme (max_hamming 3 → 4 exact-match 16-bit blocks): pigeonhole
+    guarantees recall 1.0 within the Hamming budget while staying a
+    bucketed equi-join — the scale path the single-prefix variant
+    traded away."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash_near_pairs(fps, max_hamming=3)

@@ -133,3 +133,82 @@ def interval_fatigue(
             - F.max(F.when(F.col("_rf") == 1, F.col("seg_avg")))
         ).alias("fatigue_delta"),
     )
+
+
+def work_recovery_comparison(
+    segments: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    time_col: str,
+) -> DataFrame:
+    """T6 work/recovery comparison + HR recovery rate
+    (``mcp/rag/queries/interval_analysis.py:149-329``).
+
+    Per group: counts and mean segment value for work vs recovery
+    segments, plus the mean HR-recovery rate.  The reference pairs the
+    i-th WORK interval with the i-th RECOVERY interval (ordinal within
+    each type, not adjacency — ``:305-315``); each pair's rate is
+    (work_avg − recovery_avg) / recovery_duration_min, pairs with a
+    non-positive recovery duration are skipped (``:149-183``), and
+    groups lacking either segment type emit no row (``:297-303``).
+
+    ``time_col`` must be numeric seconds; a segment's duration is its
+    last-minus-first time.  Shape: one groupBy to per-segment rows
+    (tiny), then rank-joins on the ordinal — no pass over the raw rows
+    after the first aggregation.
+    """
+    from pyspark.sql import Window
+
+    keys = [*group_cols, "segment_id"]
+    per_seg = segments.groupBy(*keys).agg(
+        F.max("_state").alias("is_work"),
+        F.avg(value_col).alias("seg_avg"),
+        ((F.max(time_col) - F.min(time_col))).alias("dur_s"),
+    )
+    wrank = Window.partitionBy(*group_cols).orderBy("segment_id")
+    work = per_seg.filter(F.col("is_work") == 1).withColumn(
+        "rn", F.row_number().over(wrank)
+    )
+    rec = per_seg.filter(F.col("is_work") == 0).withColumn(
+        "rn", F.row_number().over(wrank)
+    )
+    pairs = (
+        work.select(*group_cols, "rn", F.col("seg_avg").alias("w_avg"))
+        .join(
+            rec.select(
+                *group_cols,
+                "rn",
+                F.col("seg_avg").alias("r_avg"),
+                F.col("dur_s").alias("r_dur_s"),
+            ),
+            [*group_cols, "rn"],
+        )
+        .filter(F.col("r_dur_s") > 0)
+        .withColumn(
+            "rate",
+            (F.col("w_avg") - F.col("r_avg")) / (F.col("r_dur_s") / 60.0),
+        )
+    )
+    w_sum = work.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("work_count"),
+        F.avg("seg_avg").alias("avg_work_value"),
+    )
+    r_sum = rec.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("recovery_count"),
+        F.avg("seg_avg").alias("avg_recovery_value"),
+    )
+    rate_sum = pairs.groupBy(*group_cols).agg(
+        F.avg("rate").alias("avg_hr_recovery_rate")
+    )
+    return (
+        w_sum.join(r_sum, list(group_cols))  # inner: both types required
+        .join(rate_sum, list(group_cols), "left")
+        .select(
+            *group_cols,
+            "work_count",
+            "recovery_count",
+            "avg_work_value",
+            "avg_recovery_value",
+            "avg_hr_recovery_rate",
+        )
+    )

@@ -236,28 +236,71 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, prefix_bits: int = 16
-) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance, blocked on a
-    fingerprint prefix so the self-join is bucketed (the standard
-    rotate-and-block trick reduced to one block for brevity)."""
-    blocked = fingerprints.withColumn(
-        "block", F.substring("simhash64", 1, prefix_bits)
-    )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    pos = F.sequence(F.lit(0), F.lit(63))
-    ham = F.expr(
-        "size(filter(sequence(0, 63), i -> substr(a.simhash64, i + 1, 1) != substr(b.simhash64, i + 1, 1)))"
-    )
-    return (
-        a.join(b, "block")
+def simhash_blocks(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]:
+    """(start, length) of the ``max_hamming + 1`` contiguous bit blocks
+    used for exact-match blocking.  Pigeonhole: two fingerprints within
+    Hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    blocks, so they AGREE exactly on at least one of the
+    ``max_hamming + 1`` blocks — recall is 1.0 by construction."""
+    k = max_hamming + 1
+    base, extra = divmod(n_bits, k)
+    out, start = [], 0
+    for i in range(k):
+        length = base + (1 if i < extra else 0)
+        out.append((start, length))
+        start += length
+    return out
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance via the FULL
+    rotate-and-block scheme: the 64-bit fingerprint splits into
+    ``max_hamming + 1`` blocks; candidates equi-join on
+    (block_index, block_bits) — every true pair within ``max_hamming``
+    shares at least one exact block (see ``simhash_blocks``), so this
+    never misses, and the join stays a bucketed equi-join (no O(N²)
+    cross product).  Candidates found in several blocks are de-duped
+    before the exact Hamming verify.
+
+    At 100 TB each block-join is an ordinary shuffle on a short string
+    key; hot blocks (e.g. all-zeros fingerprints from empty docs) are
+    the skew risk — AQE skew-join handles moderate cases, and a
+    frequency cap on pathological blocks mirrors ``d2b``'s shingle cap
+    if needed."""
+    blocks = simhash_blocks(max_hamming)
+    exploded = fingerprints.select(
+        "doc_id",
+        "simhash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.substring("simhash64", start + 1, length).alias("block"),
+                    )
+                    for i, (start, length) in enumerate(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash64", "b.block_idx", "b.block")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(b, ["block_idx", "block"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.col("a.simhash64").alias("sh_a"),
+            F.col("b.simhash64").alias("sh_b"),
         )
+        .distinct()
+    )
+    ham = F.expr(
+        "size(filter(sequence(0, 63), i -> substr(sh_a, i + 1, 1) != substr(sh_b, i + 1, 1)))"
+    )
+    return (
+        cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -55,13 +55,43 @@ def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
 def test_simhash_near_pairs_find_planted_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash64(docs, "doc_id", "text")
-    near = dedup.simhash_near_pairs(fps, max_hamming=6, prefix_bits=4)
+    near = dedup.simhash_near_pairs(fps, max_hamming=6)
     exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
     exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
     near_pairs = {(r["doc_a"], r["doc_b"]) for r in near.collect()}
-    # at least some of the strongest near-dups fall in the same prefix
-    # block and within hamming range
     assert len(exact_pairs & near_pairs) >= 1
+
+
+def test_simhash_rotate_and_block_recall_is_total(spark):
+    """Pigeonhole guarantee: EVERY pair within max_hamming is found —
+    recall 1.0 vs the brute-force O(N²) Hamming join."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.choice("01") for _ in range(64)]
+
+    def flip(bits, k):
+        out = list(bits)
+        for i in rng.sample(range(64), k):
+            out[i] = "1" if out[i] == "0" else "0"
+        return out
+
+    rows = []
+    for doc_id in range(40):
+        k = rng.choice([0, 1, 2, 3, 4, 8, 20, 32])
+        rows.append((doc_id, "".join(flip(base, k))))
+    fps = spark.createDataFrame(rows, "doc_id long, simhash64 string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(fps, max_hamming=3).collect()
+    }
+    want = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = sum(a != b for a, b in zip(rows[i][1], rows[j][1]))
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want  # exact set AND exact distances
 
 
 def test_langid_marker_sanity(spark):
