@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.baselines import evaluate_against_baseline, train_linear_baselines
+from ..operators.baselines import (
+    evaluate_against_baseline,
+    huber_irls_baseline,
+    train_linear_baselines,
+)
 from ..sources.tables import load_table
 from .registry import register, r6, sql_davg
 
@@ -418,3 +422,110 @@ def m6_baseline_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.least(F.lit(5.0), 5.0 - davg_pen / 10.0))
         ).alias("stars"),
     )
+
+
+def _irls_dsum(e: str) -> str:
+    return f"CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE)"
+
+
+def _irls_fit_sql(src: str, wcol: str | None) -> str:
+    """One (weighted) OLS layer over ``src`` rows (g, x, y[, w])."""
+    w = wcol or "1.0"
+    return f"""
+  SELECT g,
+         {_irls_dsum(w)} AS sw,
+         {_irls_dsum(f"({w}) * x")} AS swx,
+         {_irls_dsum(f"({w}) * y")} AS swy,
+         {_irls_dsum(f"({w}) * x * y")} AS swxy,
+         {_irls_dsum(f"({w}) * x * x")} AS swxx
+  FROM {src} GROUP BY g
+"""
+
+
+_IRLS_COEF = """
+  SELECT g, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+         (swy - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx)) * swx) / sw AS a
+  FROM {m} WHERE sw * swxx - swx * swx > 0{minn}
+"""
+
+_IRLS_REWEIGHT = """
+r{i} AS (
+  SELECT p.g, p.x, p.y, ABS(p.y - (c.a + c.b * p.x)) AS ar
+  FROM pts p JOIN c{j} c ON c.g = p.g
+),
+s{i} AS (SELECT g, MEDIAN(ar) AS med FROM r{i} GROUP BY g),
+w{i} AS (
+  SELECT r.g, r.x, r.y,
+         CASE WHEN ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END) <= 1.35
+              THEN 1.0
+              ELSE 1.35 / (ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END))
+         END AS w
+  FROM r{i} r JOIN s{i} s ON s.g = r.g
+),
+m{i} AS ({fit}),
+c{i} AS ({coef})"""
+
+
+def _m5c_oracle() -> str:
+    parts = [
+        """
+WITH pts AS (
+  SELECT l_returnflag AS g, l_discount * 100.0 AS x, l_tax * 100.0 AS y
+  FROM lineitem
+),
+m0 AS ("""
+        + _irls_fit_sql("pts", None)
+        + """),
+c0 AS ("""
+        + _IRLS_COEF.format(m="m0", minn=" AND sw >= 50")
+        + ")"
+    ]
+    for i in (1, 2):
+        parts.append(
+            ","
+            + _IRLS_REWEIGHT.format(
+                i=i,
+                j=i - 1,
+                fit=_irls_fit_sql(f"w{i}", "w"),
+                coef=_IRLS_COEF.format(m=f"m{i}", minn=""),
+            )
+        )
+    parts.append(
+        f"""
+SELECT p.g AS l_returnflag,
+       ROUND(MAX(c.a), 6) AS coef_a,
+       ROUND(MAX(c.b), 6) AS coef_b,
+       ROUND(SQRT({_irls_dsum("(p.y - (c.a + c.b * p.x)) * (p.y - (c.a + c.b * p.x))")}
+             / COUNT(*)), 6) AS rmse,
+       COUNT(*) AS n_samples
+FROM pts p JOIN c2 c ON c.g = p.g
+GROUP BY p.g
+ORDER BY l_returnflag
+"""
+    )
+    return "".join(parts)
+
+
+@register("m5c_huber_irls", oracle=_m5c_oracle(), tags=("ml", "baseline"))
+def m5c_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 Huber baseline as a DISTRIBUTED frozen-schedule IRLS (init
+    OLS + 2 Huber reweights, MAD scale, delta 1.35) — the fully
+    JVM-side, oracle-checkable sibling of ``m5b_huber_baseline``
+    (sklearn parity path).  Same mapping as m5b: value vs speed stand-
+    ins from lineitem's fixed-point columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        (F.col("l_discount") * 100.0).alias("x"),
+        (F.col("l_tax") * 100.0).alias("y"),
+    )
+    out = huber_irls_baseline(
+        pts, ["l_returnflag"], "x", "y", n_reweights=2, min_samples=50
+    )
+    return out.select(
+        "l_returnflag",
+        r6(F.col("coef_a")).alias("coef_a"),
+        r6(F.col("coef_b")).alias("coef_b"),
+        r6(F.col("rmse")).alias("rmse"),
+        "n_samples",
+    ).orderBy("l_returnflag")

@@ -383,14 +383,43 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm2_decoded_features", oracle=None, tags=("multimodal", "rows-only"))
+@register(
+    "mm2_decoded_features",
+    oracle="""
+WITH b AS (SELECT doc_id, text, encode(text) AS blob FROM documents),
+bytes AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS byte
+  FROM b, LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+),
+stats AS (
+  SELECT doc_id, AVG(byte) AS byte_mean, STDDEV_SAMP(byte) AS byte_std
+  FROM bytes GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(octet_length(b.blob) AS BIGINT) AS n_bytes,
+       sha256(b.text) AS sha256,
+       ROUND(s.byte_mean, 6) AS byte_mean,
+       ROUND(COALESCE(s.byte_std, 0.0), 6) AS byte_std
+FROM b JOIN stats s ON s.doc_id = b.doc_id
+""",
+    tags=("multimodal",),
+)
 def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (deterministic fake decoder; the real decoder is the stub's
-    integration point).  Python in the loop → rows-only check."""
+    integration point).  The fake features are pure byte statistics, so
+    a SQL oracle CAN reproduce them exactly (the corpus is ASCII: one
+    byte per char, ``ord`` = byte value) — upgraded from rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.decode_features(
+    out = multimodal.decode_features(
         multimodal.attach_binary(docs, "doc_id", "text")
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "sha256",
+        _r6(F.col("byte_mean")).alias("byte_mean"),
+        _r6(F.col("byte_std")).alias("byte_std"),
     )
 
 

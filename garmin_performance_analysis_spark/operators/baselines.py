@@ -194,3 +194,108 @@ def evaluate_against_baseline(
         .withColumn("delta", delta)
         .withColumn("penalty", penalty)
     )
+
+
+def huber_irls_baseline(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    n_reweights: int = 2,
+    delta: float = 1.35,
+    min_samples: int = 50,
+) -> DataFrame:
+    """Distributed Huber-robust linear fit with a FROZEN IRLS schedule —
+    the fully JVM-side sibling of ``train_linear_baselines`` (which
+    runs sklearn inside ``applyInPandas`` for coefficient parity with
+    the reference, ``mcp/form_baseline/trainer.py:144-202``).
+
+    Freezing the iteration count (init OLS + ``n_reweights`` Huber
+    reweighted fits) makes the estimator a deterministic closed-form
+    pipeline: every round is one aggregation (moment sums), one exact
+    per-group MAD median, and one broadcast join back — no Python in
+    the loop, so an ANSI oracle can reproduce it bit-for-bit, and at
+    100 TB it scales like any groupBy (sklearn-in-a-group requires the
+    whole group on one executor; this does not).
+
+    All moment sums go through DECIMAL(30,12) so results are
+    shuffle-order independent; the Huber weight is 1 for scaled
+    |residual| <= delta else delta/r, with the reference's MAD scale
+    ``median(|resid|)/0.6745`` and its zero-scale → 1.0 guard.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(30,12)")).cast("double")
+
+    g = list(group_cols)
+    x, y = F.col("_x"), F.col("_y")
+    pts = df.select(
+        *g, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+
+    m0 = pts.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        dsum(x).alias("_sx"),
+        dsum(y).alias("_sy"),
+        dsum(x * y).alias("_sxy"),
+        dsum(x * x).alias("_sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["_n", "_sx", "_sy", "_sxy", "_sxx"])
+    det = n * sxx - sx * sx
+    b0 = (n * sxy - sx * sy) / det
+    coef = m0.filter((n >= min_samples) & (det > 0)).select(
+        *g, b0.alias("_b"), ((sy - b0 * sx) / n).alias("_a")
+    )
+
+    for _ in range(n_reweights):
+        r = pts.join(F.broadcast(coef), g).withColumn(
+            "_ar", F.abs(y - (F.col("_a") + F.col("_b") * x))
+        )
+        s = r.groupBy(*g).agg(F.expr("percentile(_ar, 0.5)").alias("_med"))
+        rw = (
+            r.join(F.broadcast(s), g)
+            .withColumn(
+                "_scale",
+                F.when(F.col("_med") == 0, F.lit(1.0)).otherwise(
+                    F.col("_med") / 0.6745
+                ),
+            )
+            .withColumn("_r", F.col("_ar") / F.col("_scale"))
+            .withColumn(
+                "_w",
+                F.when(F.col("_r") <= delta, F.lit(1.0)).otherwise(
+                    F.lit(delta) / F.col("_r")
+                ),
+            )
+        )
+        w = F.col("_w")
+        m = rw.groupBy(*g).agg(
+            dsum(w).alias("_sw"),
+            dsum(w * x).alias("_swx"),
+            dsum(w * y).alias("_swy"),
+            dsum(w * x * y).alias("_swxy"),
+            dsum(w * x * x).alias("_swxx"),
+        )
+        sw, swx, swy, swxy, swxx = (
+            F.col(c) for c in ["_sw", "_swx", "_swy", "_swxy", "_swxx"]
+        )
+        wdet = sw * swxx - swx * swx
+        bw = (sw * swxy - swx * swy) / wdet
+        coef = m.filter(wdet > 0).select(
+            *g, bw.alias("_b"), ((swy - bw * swx) / sw).alias("_a")
+        )
+
+    final = (
+        pts.join(F.broadcast(coef), g)
+        .withColumn("_d", y - (F.col("_a") + F.col("_b") * x))
+        .withColumn("_sq", F.col("_d") * F.col("_d"))
+        .groupBy(*g)
+        .agg(
+            F.first("_a").alias("coef_a"),
+            F.first("_b").alias("coef_b"),
+            F.sqrt(dsum(F.col("_sq")) / F.count(F.lit(1))).alias("rmse"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return final

@@ -172,3 +172,47 @@ def test_sample_frames_fanout(spark):
     ).collect()
     got = sorted((r["frame_idx"], r["frame_offset"], bytes(r["frame_payload"])) for r in out)
     assert got == [(0, 0, b"01"), (2, 4, b"45"), (4, 8, b"89")]
+
+
+def test_m5b_huber_matches_local_sklearn_gold(spark):
+    """m5b has no SQL oracle (iterative robust fit); pin it instead to
+    a locally recomputed gold: the same Huber estimator (sklearn when
+    present, IRLS fallback otherwise) on the same gated rows loaded
+    through an independent path (duckdb→pandas), per group, must agree
+    to 1e-9 — validating the Spark grouping/gating/rmse plumbing."""
+    import duckdb
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.operators.baselines import _huber_fit
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r
+        for r in CATALOG["m5b_huber_baseline"].fn(spark, sf_dir).collect()
+    }
+    pdf = duckdb.sql(
+        f"SELECT l_returnflag, l_tax * 100.0 AS vo_value,"
+        f" l_discount * 100.0 AS speed_mps"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    gold_groups = 0
+    for flag, grp in pdf.groupby("l_returnflag"):
+        clean = grp[
+            grp["vo_value"].between(2.0, 15.0)
+            & grp["speed_mps"].between(1.5, 7.0)
+        ].dropna()
+        if len(clean) < 50:
+            assert flag not in got
+            continue
+        gold_groups += 1
+        x = clean["speed_mps"].to_numpy(dtype=float)
+        y = clean["vo_value"].to_numpy(dtype=float)
+        a, b = _huber_fit(x, y)
+        rmse = float(np.sqrt(np.mean((y - (a + b * x)) ** 2)))
+        row = got[flag]
+        assert row["n_samples"] == len(clean)
+        assert row["coef_a"] == pytest.approx(round(a, 6), abs=1e-9)
+        assert row["coef_b"] == pytest.approx(round(b, 6), abs=1e-9)
+        assert row["rmse"] == pytest.approx(round(rmse, 6), abs=1e-9)
+    assert gold_groups >= 1 and len(got) == gold_groups
