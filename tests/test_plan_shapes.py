@@ -80,3 +80,52 @@ def test_profile_median_is_distributed(spark):
     df = CATALOG["a9_profile_table"].fn(spark, SF_SMOKE)
     plan = checks.formatted_plan(df)
     assert "percentile" not in plan.lower()
+
+
+def test_kmeans_seed_selection_is_topk_not_global_sort(spark):
+    """Centroid init (k smallest ids) must compile to
+    TakeOrderedAndProject — per-partition top-k + driver merge — not a
+    full Sort+Exchange of the corpus."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_m8_window_sum_stays_primitive(spark):
+    """The sliding best-segment sum must run as a scaled LONG, not a
+    BigDecimal buffer (the round-1 2.03 s -> 0.50 s fix)."""
+    plan = checks.formatted_plan(CATALOG["m8_best_segment"].fn(spark, SF_SMOKE))
+    assert "decimal(22,2)" not in plan.lower()
+
+
+def test_m8_shuffle_budget(spark):
+    # one exchange for the window partition key; ranking reuses it
+    df = CATALOG["m8_best_segment"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) <= 1
+
+
+def test_a1_stats_block_shuffle_budget(spark):
+    # moments pass + shared unpivoted grid-median passes + pivot/join:
+    # 6 today; the guard catches a per-metric re-shuffle regression
+    # (a naive per-metric median would add ~3 per metric)
+    df = CATALOG["a1_stats_block"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) <= 6
+
+
+def test_a9_profile_shuffle_budget(spark):
+    df = CATALOG["a9_profile_table"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) <= 8
+
+
+def test_t4_full_causes_context_is_single_broadcast_pass(spark):
+    """The T4 context lookup must broadcast the tiny anomaly probe and
+    stream the context union once - no sort-merge join of the big side."""
+    df = CATALOG["t4_full_causes"].fn(spark, SF_SMOKE)
+    assert checks.uses_broadcast_join(df)
