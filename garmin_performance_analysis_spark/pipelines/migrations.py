@@ -1,0 +1,135 @@
+"""Versioned schema-evolution registry for the silver layer — the
+parquet rendition of the reference's migration bookkeeping
+(``mcp/database/migrations/runner.py`` + ``registry.py``: numbered
+``(version, name, fn)`` migrations, a ``schema_version`` table as the
+source of truth, and ``run_pending`` applying everything above
+``MAX(version)`` in order).
+
+Spark mapping:
+
+- ``schema_version`` is a tiny parquet table under the silver root —
+  append one row per applied migration (version, name, applied_at);
+- a migration fn takes ``(spark, base_path)`` and may do anything; the
+  common ALTER-TABLE-ADD-COLUMN shape is provided as ``add_column``
+  (idempotent, like the reference's ``IF NOT EXISTS`` checks);
+- table rewrites go through ``rewrite_table`` — write to a temp dir,
+  then swap directories — because a plan that reads a path cannot
+  safely overwrite that same path (lineage re-reads mutated input),
+  and a crash mid-rewrite must not leave a half-written table.
+
+Single-writer discipline applies (same contract as
+``silver.delete_insert_by_key``); the reference serializes migrations
+behind its write-connection lock.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERSION_TABLE = "schema_version"
+
+
+@dataclass(frozen=True)
+class Migration:
+    version: int
+    name: str
+    fn: Callable[[SparkSession, str], None]
+
+
+def _version_path(base_path: str) -> str:
+    return f"{base_path}/{VERSION_TABLE}"
+
+
+def _fs(spark: SparkSession):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    return jvm, jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    jvm, fs = _fs(spark)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+
+def current_version(spark: SparkSession, base_path: str) -> int:
+    """MAX(version) from the bookkeeping table, 0 when absent
+    (``runner.py:get_current_version``)."""
+    vp = _version_path(base_path)
+    if not _exists(spark, vp):
+        return 0
+    row = spark.read.parquet(vp).agg(F.max("version")).first()
+    return int(row[0]) if row and row[0] is not None else 0
+
+
+def run_pending(
+    spark: SparkSession, base_path: str, migrations: list[Migration]
+) -> list[str]:
+    """Apply every migration with version > current, ascending; record
+    each in ``schema_version``.  Returns applied names.  Re-running is
+    a no-op (``runner.py:run_pending``)."""
+    current = current_version(spark, base_path)
+    applied: list[str] = []
+    for mig in sorted(migrations, key=lambda m: m.version):
+        if mig.version <= current:
+            continue
+        mig.fn(spark, base_path)
+        record = spark.createDataFrame(
+            [(mig.version, mig.name)], "version int, name string"
+        ).withColumn("applied_at", F.current_timestamp())
+        record.write.mode("append").parquet(_version_path(base_path))
+        applied.append(mig.name)
+    return applied
+
+
+def applied_migrations(spark: SparkSession, base_path: str) -> DataFrame:
+    return spark.read.parquet(_version_path(base_path)).orderBy("version")
+
+
+def rewrite_table(df: DataFrame, path: str) -> None:
+    """Full-table rewrite via temp-dir + directory swap.
+
+    A migration's output plan usually READS ``path``; writing straight
+    back would re-read mutated input mid-job, and a crash would leave
+    the table half-written.  Write ``path.__tmp__`` completely, then
+    swap — the destructive step is a single directory rename.
+    """
+    spark = df.sparkSession
+    tmp = f"{path}.__tmp__"
+    old = f"{path}.__old__"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm, fs = _fs(spark)
+    P = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    fs.rename(P(path), P(old))
+    fs.rename(P(tmp), P(path))
+    fs.delete(P(old), True)
+
+
+def add_column(
+    spark: SparkSession, table_path: str, col_name: str, col_expr
+) -> bool:
+    """ALTER TABLE ADD COLUMN IF NOT EXISTS, parquet-style: no-op when
+    the column already exists (idempotent, mirroring the reference's
+    ``PRAGMA table_info`` guard); else rewrite with the new column.
+    Returns True when the column was added."""
+    df = spark.read.parquet(table_path)
+    if col_name in df.columns:
+        return False
+    rewrite_table(df.withColumn(col_name, col_expr), table_path)
+    return True
+
+
+def drop_table(spark: SparkSession, table_path: str) -> bool:
+    """DROP TABLE IF EXISTS: delete the table directory. Returns True
+    when something was deleted."""
+    jvm, fs = _fs(spark)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(P(table_path)):
+        return False
+    fs.delete(P(table_path), True)
+    return True

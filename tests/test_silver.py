@@ -153,3 +153,89 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution registry (reference: migrations/runner.py + registry.py)
+
+from pyspark.sql import functions as SF
+
+from garmin_performance_analysis_spark.pipelines import migrations as mig
+
+
+def _mig_list():
+    def m1(spark, base):
+        mig.add_column(
+            spark, f"{base}/activities", "body_mass_kg", SF.lit(None).cast("double")
+        )
+
+    def m2(spark, base):
+        # backfill: latest body_composition weight at-or-before each
+        # activity date (the reference's phase0 UPDATE ... correlated
+        # subquery, as a backward as-of join + rewrite)
+        acts = spark.read.parquet(f"{base}/activities")
+        bc = spark.read.parquet(f"{base}/body_comp")
+        from pyspark.sql import Window
+
+        j = acts.drop("body_mass_kg").join(
+            bc.select(SF.col("date").alias("bc_date"), "weight_kg"),
+            SF.col("bc_date") <= SF.col("activity_date"),
+            "left",
+        )
+        w = Window.partitionBy("activity_id").orderBy(SF.col("bc_date").desc())
+        filled = (
+            j.withColumn("_rn", SF.row_number().over(w))
+            .filter(SF.col("_rn") == 1)
+            .drop("_rn", "bc_date")
+            .withColumnRenamed("weight_kg", "body_mass_kg")
+        )
+        mig.rewrite_table(filled, f"{base}/activities")
+
+    return [
+        mig.Migration(1, "add_body_mass_kg", m1),
+        mig.Migration(2, "backfill_body_mass_kg", m2),
+    ]
+
+
+def test_migration_runner_applies_in_order_and_is_idempotent(spark, tmp_path):
+    base = str(tmp_path)
+    _base(spark).write.parquet(f"{base}/activities")
+    spark.createDataFrame(
+        [(d("2024-01-01"), 70.0), (d("2024-02-01"), 68.0)],
+        "date date, weight_kg double",
+    ).write.parquet(f"{base}/body_comp")
+
+    assert mig.current_version(spark, base) == 0
+    applied = mig.run_pending(spark, base, _mig_list())
+    assert applied == ["add_body_mass_kg", "backfill_body_mass_kg"]
+    assert mig.current_version(spark, base) == 2
+
+    out = {
+        r["activity_id"]: r["body_mass_kg"]
+        for r in spark.read.parquet(f"{base}/activities").collect()
+    }
+    # Jan activities see the Jan-1 weight; Feb/Mar see the Feb-1 weight
+    assert out == {1: 70.0, 2: 70.0, 3: 68.0, 4: 68.0}
+
+    # re-run: nothing to do, bookkeeping unchanged
+    assert mig.run_pending(spark, base, _mig_list()) == []
+    names = [r["name"] for r in mig.applied_migrations(spark, base).collect()]
+    assert names == ["add_body_mass_kg", "backfill_body_mass_kg"]
+
+    # a later migration applies alone
+    def m3(spark_, base_):
+        mig.add_column(spark_, f"{base_}/activities", "flagged", SF.lit(False))
+
+    all_migs = _mig_list() + [mig.Migration(3, "add_flagged", m3)]
+    assert mig.run_pending(spark, base, all_migs) == ["add_flagged"]
+    assert mig.current_version(spark, base) == 3
+    assert "flagged" in spark.read.parquet(f"{base}/activities").columns
+
+
+def test_add_column_is_idempotent(spark, tmp_path):
+    base = str(tmp_path)
+    _base(spark).write.parquet(f"{base}/activities")
+    assert mig.add_column(spark, f"{base}/activities", "x", SF.lit(1.0)) is True
+    assert mig.add_column(spark, f"{base}/activities", "x", SF.lit(2.0)) is False
+    vals = {r["x"] for r in spark.read.parquet(f"{base}/activities").collect()}
+    assert vals == {1.0}
