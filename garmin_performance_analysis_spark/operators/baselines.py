@@ -225,14 +225,23 @@ def huber_irls_baseline(
     """
     from pyspark.sql import functions as F  # local alias for clarity
 
+    from .stats import grouped_median
+
     def dsum(col):
         return F.sum(col.cast("decimal(30,12)")).cast("double")
 
     g = list(group_cols)
     x, y = F.col("_x"), F.col("_y")
+    # iterative algorithm: materialize the projected working set ONCE
+    # (localCheckpoint) so the 3 fit passes + 2 median passes read
+    # in-memory rows instead of re-scanning the source per pass — the
+    # standard iterative-ML persist, and it truncates the deepening
+    # lineage.  Locally the wall time is stage-count-bound (~16
+    # sequential barriers); at cluster scale the per-stage overhead
+    # amortizes and the re-scan saving is what matters.
     pts = df.select(
         *g, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
-    )
+    ).localCheckpoint(eager=True)
 
     m0 = pts.groupBy(*g).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -252,7 +261,15 @@ def huber_irls_baseline(
         r = pts.join(F.broadcast(coef), g).withColumn(
             "_ar", F.abs(y - (F.col("_a") + F.col("_b") * x))
         )
-        s = r.groupBy(*g).agg(F.expr("percentile(_ar, 0.5)").alias("_med"))
+        # MAD scale: exact distributed median — percentile(_ar, 0.5)
+        # would buffer a whole group's residual multiset in one task
+        # (the a9 anti-pattern).  The counts-histogram shape is cheap
+        # here because |y - bx - a| inherits the inputs' small discrete
+        # domain (fixed-point x, y → few distinct residuals per group);
+        # for genuinely continuous inputs switch bucketed=True.
+        s = grouped_median(r, g, ["_ar"]).withColumnRenamed(
+            "_ar_median", "_med"
+        )
         rw = (
             r.join(F.broadcast(s), g)
             .withColumn(

@@ -93,8 +93,11 @@ def kmeans_assign(
     squared-L2) as an iterative DataFrame program.
 
     Init = the vectors of the ``k`` smallest ids (deterministic, no
-    RNG); each iteration is one broadcast crossJoin (N×k distance
-    evaluations, JVM-side fold) + one element-wise-mean aggregation.
+    RNG) — the ``orderBy(id).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` (per-partition top-k + driver merge, NOT
+    a global sort; pinned by ``test_plan_shapes``); each iteration is
+    one broadcast crossJoin (N×k distance evaluations, JVM-side fold)
+    + one element-wise-mean aggregation.
     This is the coarse quantizer an IVF index needs when no natural
     partition column exists."""
     dist = F.expr(
