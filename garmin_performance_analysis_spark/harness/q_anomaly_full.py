@@ -235,6 +235,13 @@ def t4_full_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _seq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # NOTE: this frame feeds ~7 branches (form + context union +
+    # degradation + hr baseline).  A localCheckpoint at the diamond
+    # point was MEASURED SLOWER at sf0.1 (3.1 s vs 2.2 s): eagerly
+    # materializing 1M rows costs more than the columnar re-scans +
+    # re-windows it saves — the d3 lesson (SCALING.md round-1 §3) cuts
+    # the other way when the diamond subplan is one cheap window over a
+    # parquet scan rather than a 4M-row md5 explode.
     return ev.withColumn("sec", (F.row_number().over(w) - 1).cast("long"))
 
 
