@@ -133,6 +133,7 @@ def classify_anomaly_causes(
     form: DataFrame,
     context: DataFrame,
     *,
+    key_col: str = "user_id",
     z_threshold: float = 3.0,
     magnitude_gates: Optional[Mapping[str, float]] = None,
     degradation_triggers: Optional[Mapping[str, float]] = None,
@@ -172,9 +173,9 @@ def classify_anomaly_causes(
        (``:427-477``, empty window → 0.0) and severity bands
        (``:690-710``).
 
-    ``form``: (user_id, metric, sec, value) — ``sec`` is the dense
+    ``form``: (key_col, metric, sec, value) — ``sec`` is the dense
     per-metric ordinal (the reference's array index).  ``context``:
-    (user_id, series, sec, val) with series ∈ {'elevation','pace','hr'}
+    (key_col, series, sec, val) with series ∈ {'elevation','pace','hr'}
     PLUS the form series again under ``series = metric`` so before/
     after metric context comes from the same single pass.
 
@@ -187,12 +188,12 @@ def classify_anomaly_causes(
     """
     # -- 1+2: rolling stats and gated flags --------------------------
     wroll = (
-        Window.partitionBy("user_id", "metric")
+        Window.partitionBy(key_col, "metric")
         .orderBy("sec")
         .rowsBetween(-rolling_window, rolling_window - 1)
     )
     base = form.select(
-        "user_id",
+        key_col,
         "metric",
         "sec",
         "value",
@@ -211,23 +212,23 @@ def classify_anomaly_causes(
     ).withColumn("z_score", dev / F.col("_s"))
 
     # -- 3: sustained runs (members kept) ----------------------------
-    isl = gaps_and_islands(flagged, ["user_id", "metric"], "sec", max_gap=max_gap)
-    wisl = Window.partitionBy("user_id", "metric", "island_id")
+    isl = gaps_and_islands(flagged, [key_col, "metric"], "sec", max_gap=max_gap)
+    wisl = Window.partitionBy(key_col, "metric", "island_id")
     an = (
         isl.withColumn(
             "_span", F.max("sec").over(wisl) - F.min("sec").over(wisl) + F.lit(1)
         )
         .filter(F.col("_span") >= min_span)
-        .select("user_id", "metric", "sec", "value", "baseline", "z_score")
+        .select(key_col, "metric", "sec", "value", "baseline", "z_score")
     )
 
     # -- sustained first-half vs second-half degradation per metric --
-    wseq = Window.partitionBy("user_id", "metric").orderBy("sec")
-    wall = Window.partitionBy("user_id", "metric")
+    wseq = Window.partitionBy(key_col, "metric").orderBy("sec")
+    wall = Window.partitionBy(key_col, "metric")
     halves = form.withColumn("_rn", F.row_number().over(wseq)).withColumn(
         "_n", F.count(F.lit(1)).over(wall)
     )
-    deg = halves.groupBy("user_id", "metric").agg(
+    deg = halves.groupBy(key_col, "metric").agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(
             F.when(F.col("_rn") <= F.floor(F.col("_n") / 2), F.col("value"))
@@ -238,7 +239,7 @@ def classify_anomaly_causes(
     )
     trig = _metric_map(degradation_triggers)
     deg = deg.select(
-        "user_id",
+        key_col,
         "metric",
         F.when(
             trig.isNotNull() & (F.col("_n") >= 4),
@@ -249,11 +250,11 @@ def classify_anomaly_causes(
     )
 
     # -- 4+5: one broadcast context pass with conditional windows ----
-    akeys = ["user_id", "metric", "sec"]
+    akeys = [key_col, "metric", "sec"]
     lo = max(hr_current_window, context_window, pace_window, elev_window)
     hi = max(context_window, pace_window, elev_window)
     c = context.select(
-        F.col("user_id").alias("c_uid"),
+        F.col(key_col).alias("c_uid"),
         F.col("series").alias("c_series"),
         F.col("sec").alias("c_sec"),
         F.col("val").alias("c_val"),
@@ -265,7 +266,7 @@ def classify_anomaly_causes(
     probe = F.broadcast(an.select(*akeys))
     cj = probe.join(
         c,
-        (F.col("user_id") == F.col("c_uid"))
+        (F.col(key_col) == F.col("c_uid"))
         & (F.col("c_sec") >= F.col("sec") - lo)
         & (F.col("c_sec") < F.col("sec") + hi)
         & (
@@ -307,14 +308,14 @@ def classify_anomaly_causes(
         context.filter(
             (F.col("series") == "hr") & (F.col("sec") < hr_baseline_secs)
         )
-        .groupBy("user_id")
+        .groupBy(key_col)
         .agg(F.avg("val").alias("_base_hr"), F.count("val").alias("_base_n"))
     )
 
     res = (
         an.join(ctx, akeys, "left")
-        .join(F.broadcast(deg), ["user_id", "metric"], "left")
-        .join(F.broadcast(hr_base), ["user_id"], "left")
+        .join(F.broadcast(deg), [key_col, "metric"], "left")
+        .join(F.broadcast(hr_base), [key_col], "left")
     )
     # anomalies with no context rows at all (dropped by the inner cj
     # join) take the reference's empty-window defaults
@@ -366,7 +367,7 @@ def classify_anomaly_causes(
         .otherwise(F.lit("low"))
     )
     return res.select(
-        "user_id",
+        key_col,
         "metric",
         "sec",
         "value",

@@ -140,6 +140,7 @@ def work_recovery_comparison(
     group_cols: Sequence[str],
     value_col: str,
     time_col: str,
+    duration_col: str | None = None,
 ) -> DataFrame:
     """T6 work/recovery comparison + HR recovery rate
     (``mcp/rag/queries/interval_analysis.py:149-329``).
@@ -153,17 +154,26 @@ def work_recovery_comparison(
     groups lacking either segment type emit no row (``:297-303``).
 
     ``time_col`` must be numeric seconds; a segment's duration is its
-    last-minus-first time.  Shape: one groupBy to per-segment rows
+    last-minus-first time — right for point-event series.  When rows
+    carry explicit durations (the reference's splits have start/end
+    per lap), pass ``duration_col``: the segment duration is then the
+    SUM of row durations, which stays correct for single-row segments
+    (span would be 0).  Shape: one groupBy to per-segment rows
     (tiny), then rank-joins on the ordinal — no pass over the raw rows
     after the first aggregation.
     """
     from pyspark.sql import Window
 
     keys = [*group_cols, "segment_id"]
+    dur = (
+        F.sum(duration_col)
+        if duration_col is not None
+        else (F.max(time_col) - F.min(time_col))
+    )
     per_seg = segments.groupBy(*keys).agg(
         F.max("_state").alias("is_work"),
         F.avg(value_col).alias("seg_avg"),
-        ((F.max(time_col) - F.min(time_col))).alias("dur_s"),
+        dur.alias("dur_s"),
     )
     wrank = Window.partitionBy(*group_cols).orderBy("segment_id")
     work = per_seg.filter(F.col("is_work") == 1).withColumn(

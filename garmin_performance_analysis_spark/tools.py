@@ -25,9 +25,14 @@ from .functions.datetime_funcs import day_number, month_bucket, week_start
 from .operators import stats as stats_ops
 from .operators import topk as topk_ops
 from .operators import windows as window_ops
-from .operators.anomaly import detect_anomalies
+from .operators.anomaly import classify_anomaly_causes, detect_anomalies
 from .operators.baselines import train_gct_power_baselines, train_linear_baselines
-from .operators.efforts import critical_speed_fit, interval_fatigue, interval_segments
+from .operators.efforts import (
+    critical_speed_fit,
+    interval_fatigue,
+    interval_segments,
+    work_recovery_comparison,
+)
 from .operators.export import guarded_export, sql_passthrough
 from .operators.fitness import objective_fitness_curve, race_prediction_blend
 from .operators.fragility import loo_slope_fragility
@@ -289,6 +294,97 @@ class GarminTools:
             F.upper(F.col("intensity_type")).isin("ACTIVE", "INTERVAL"),
         )
         return interval_fatigue(segs, ["activity_id"], "pace_seconds_per_km")
+
+    def interval_work_recovery(
+        self, activity_id: int, time_col: str = "start_time_s"
+    ) -> DataFrame:
+        """``get_interval_analysis``'s work_recovery_comparison block:
+        per-rep pairing, mean work/recovery HR, HR recovery rate
+        bpm/min (``interval_analysis.py:149-329``)."""
+        splits = self.t["splits"].filter(F.col("activity_id") == activity_id)
+        segs = interval_segments(
+            splits,
+            ["activity_id"],
+            "split_index",
+            F.upper(F.col("intensity_type")).isin("ACTIVE", "INTERVAL"),
+        )
+        segs = segs.withColumn(
+            "_dur_s", F.col("end_time_s") - F.col("start_time_s")
+        )
+        return work_recovery_comparison(
+            segs, ["activity_id"], "heart_rate", time_col, duration_col="_dur_s"
+        )
+
+    # reference magnitude gates / degradation triggers
+    # (form_anomaly_detector.py:31-45), keyed by silver column names
+    FORM_GATES = {
+        "vertical_oscillation": 0.5,
+        "ground_contact_time": 10.0,
+        "vertical_ratio": 0.3,
+    }
+
+    def get_form_anomaly_causes(
+        self,
+        activity_id: int,
+        metrics: Sequence[str] = (
+            "ground_contact_time",
+            "vertical_oscillation",
+            "vertical_ratio",
+        ),
+        elevation_col: str = "elevation",
+        pace_col: str = "pace_min_per_km",
+        hr_col: str = "heart_rate",
+        z: float = 3.0,
+    ) -> DataFrame:
+        """``get_form_anomaly_details`` with the FULL cause surface:
+        elevation/pace/fatigue priority chain, correlations, ±30 s
+        context and severity per anomaly (``form_anomaly_detector.py:
+        181-215,330-520``).  Uses whichever of the metric/context
+        columns exist on ``time_series_metrics``."""
+        ts = self.t["time_series_metrics"].filter(
+            F.col("activity_id") == activity_id
+        )
+        cols = set(ts.columns)
+        use = [m for m in metrics if m in cols]
+        stack = ", ".join(f"'{m}', cast({m} as double)" for m in use)
+        form = ts.selectExpr(
+            "activity_id",
+            "timestamp_s as sec",
+            f"stack({len(use)}, {stack}) as (metric, value)",
+        ).filter(F.col("value").isNotNull()).select(
+            "activity_id", "metric", F.col("sec").cast("long").alias("sec"), "value"
+        )
+        branches = [
+            form.select(
+                "activity_id", F.col("metric").alias("series"), "sec",
+                F.col("value").alias("val"),
+            )
+        ]
+        for series, col in (
+            ("elevation", elevation_col),
+            ("pace", pace_col),
+            ("hr", hr_col),
+        ):
+            if col in cols:
+                branches.append(
+                    ts.select(
+                        "activity_id",
+                        F.lit(series).alias("series"),
+                        F.col("timestamp_s").cast("long").alias("sec"),
+                        F.col(col).cast("double").alias("val"),
+                    ).filter(F.col("val").isNotNull())
+                )
+        context = branches[0]
+        for b in branches[1:]:
+            context = context.unionByName(b)
+        return classify_anomaly_causes(
+            form,
+            context,
+            key_col="activity_id",
+            z_threshold=z,
+            magnitude_gates=self.FORM_GATES,
+            degradation_triggers=self.FORM_GATES,
+        )
 
     # -- utility / export (A9, A10, S5, S7) ------------------------------
 

@@ -28,13 +28,13 @@ def tools(spark):
     splits = spark.createDataFrame(
         [
             (1, i, "ACTIVE" if i % 2 else "RECOVERY", 300.0 + i, 150.0 + i, 180.0, 250.0,
-             240.0, 8.0, 7.0, 5.0, 3.0, "2024-01")
+             240.0, 8.0, 7.0, 5.0, 3.0, "2024-01", 300.0 * (i - 1), 300.0 * i)
             for i in range(1, 9)
         ],
         "activity_id long, split_index int, intensity_type string, pace_seconds_per_km double,"
         " heart_rate double, cadence double, power double, ground_contact_time double,"
         " vertical_oscillation double, vertical_ratio double, elevation_gain double,"
-        " elevation_loss double, window string",
+        " elevation_loss double, window string, start_time_s double, end_time_s double",
     )
     ts = spark.createDataFrame(
         [(1, s, s, 140.0 + (10.0 if 30 <= s < 40 else 0.0), 3.0) for s in range(120)]
@@ -291,3 +291,31 @@ def test_weight_economy_and_durability_trend(tools):
     assert len(we) == 1
     dt = tools.get_durability_trend().collect()
     assert len(dt) == 1 and dt[0]["n"] == 3
+
+
+def test_interval_work_recovery_tool(tools):
+    out = tools.interval_work_recovery(1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 8 alternating single-split segments: 4 work (odd i), 4 recovery
+    assert (r["work_count"], r["recovery_count"]) == (4, 4)
+    # work HR avg over i=1,3,5,7 → 150+i → 154.0; recovery over 2,4,6,8 → 155.0
+    assert r["avg_work_value"] == pytest.approx(154.0)
+    assert r["avg_recovery_value"] == pytest.approx(155.0)
+    # each pair: (work_hr - rec_hr) / (300 s / 60) = (151-152)/5 etc = -0.2
+    assert r["avg_hr_recovery_rate"] == pytest.approx(-0.2)
+
+
+def test_form_anomaly_causes_tool(tools):
+    # heart_rate doubles as the form metric; no elevation/pace columns
+    # exist on the fixture → those context windows default to 0 and the
+    # cause falls through the chain (never elevation/pace)
+    out = tools.get_form_anomaly_causes(
+        1, metrics=("heart_rate",), hr_col="heart_rate", z=1.0
+    ).collect()
+    assert len(out) > 0
+    assert {r["metric"] for r in out} == {"heart_rate"}
+    # activity 1's fixture bump is at secs 30-39 (140 → 150)
+    assert {r["sec"] for r in out} <= set(range(30, 40))
+    assert all(r["probable_cause"] in ("fatigue", "isolated") for r in out)
+    assert all(r["elevation_change_5s"] == 0.0 for r in out)
