@@ -252,3 +252,64 @@ def test_scaled_long_moments_match_python_mirror(spark, vals):
     assert row["a"] == exp_avg
     assert row["s"] == exp_std
     assert row["w"] == exp_wide
+
+
+def test_huber_irls_matches_numpy_mirror(spark):
+    """Distributed frozen-IRLS Huber ≡ a local numpy mirror of the same
+    schedule (init OLS + 2 MAD-reweighted fits) on random continuous
+    groups — validates the decimal-sum/median machinery beyond the
+    fixed-point catalog mapping. Tolerance 1e-6 absorbs the
+    DECIMAL(30,12) quantization of the distributed sums."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.operators.baselines import (
+        huber_irls_baseline,
+    )
+
+    rng = np.random.default_rng(42)
+    rows = []
+    want = {}
+    for gid in range(4):
+        n = int(rng.integers(60, 400))
+        x = rng.normal(5.0, 2.0, n)
+        y = 2.0 + 0.7 * x + rng.normal(0, 0.5, n)
+        out_idx = rng.choice(n, size=max(1, n // 10), replace=False)
+        y[out_idx] += rng.normal(0, 8.0, len(out_idx))  # heavy outliers
+        rows += [(gid, float(xi), float(yi)) for xi, yi in zip(x, y)]
+
+        # numpy mirror of the frozen schedule
+        a = b = None
+        sw = np.ones(n)
+        for it in range(3):
+            W = sw
+            swx, swy = (W * x).sum(), (W * y).sum()
+            swxy, swxx, s_w = (W * x * y).sum(), (W * x * x).sum(), W.sum()
+            det = s_w * swxx - swx * swx
+            b = (s_w * swxy - swx * swy) / det
+            a = (swy - b * swx) / s_w
+            if it == 2:
+                break
+            ar = np.abs(y - (a + b * x))
+            med = float(np.median(ar))
+            scale = med / 0.6745 if med != 0 else 1.0
+            r = ar / scale
+            sw = np.where(r <= 1.35, 1.0, 1.35 / r)
+        rmse = float(np.sqrt(np.mean((y - (a + b * x)) ** 2)))
+        want[gid] = (float(a), float(b), rmse, n)
+
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    got = {
+        r["g"]: r
+        for r in huber_irls_baseline(
+            df, ["g"], "x", "y", n_reweights=2, min_samples=50
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for gid, (a, b, rmse, n) in want.items():
+        r = got[gid]
+        assert r["n_samples"] == n
+        assert abs(r["coef_a"] - a) < 1e-6, gid
+        assert abs(r["coef_b"] - b) < 1e-6, gid
+        assert abs(r["rmse"] - rmse) < 1e-6, gid
+        # robustness sanity: the Huber fit stays near the true line
+        assert abs(r["coef_b"] - 0.7) < 0.15 and abs(r["coef_a"] - 2.0) < 0.8
