@@ -697,3 +697,71 @@ class GarminTools:
         """``catch_up_ingest`` window resolution (S4): per-domain
         incremental start = MAX(stored date)."""
         return self.t[table].agg(F.max(date_col).alias("window_start"))
+
+
+# Explicit coverage map: every tool documented in the reference's
+# ``docs/mcp-tools-reference.md`` (57 names) → how this engine serves
+# it.  Values are either a ``GarminTools`` method name, or a
+# "module:callable" pointer for the tools whose job is the write path /
+# server infrastructure rather than a read query (in Spark those are
+# pipeline entry points, not facade methods).  Totality is enforced by
+# ``tests/test_tools_facade.py::test_every_reference_tool_is_mapped``.
+REFERENCE_TOOL_MAP = {
+    "export": "export",
+    "get_activity_by_date": "get_activity_by_date",
+    "get_date_by_activity_id": "get_date_by_activity_id",
+    "ingest_activity": "pipelines.silver:delete_insert_by_key",
+    "get_splits_pace_hr": "get_splits_pace_hr",
+    "get_splits_form_metrics": "get_splits_form_metrics",
+    "get_splits_elevation": "get_splits_elevation",
+    "get_splits_comprehensive": "get_splits_comprehensive",
+    "get_interval_analysis": "interval_analysis",  # + interval_work_recovery
+    "insert_section_analysis_dict": "pipelines.silver:delete_insert_by_key",
+    "validate_section_json": "save_versioned",  # schema enforced at write
+    "get_analysis_contract": "get_latest_weekly_review",  # versioned read
+    "find_unanalyzed_activities": "find_unanalyzed_activities",
+    "analyze_performance_trends": "metric_trend",
+    "get_heat_adjusted_trend": "heat_model",
+    "extract_insights": "get_latest_weekly_review",  # JSON-path predicate read
+    "compare_similar_workouts": "find_similar_activities",
+    "get_form_efficiency_summary": "get_form_efficiency_summary",
+    "get_form_evaluations": "get_form_evaluations",
+    "get_form_baseline_trend": "get_form_baseline_trend",
+    "get_hr_efficiency_analysis": "get_hr_efficiency_analysis",
+    "get_heart_rate_zones_detail": "get_heart_rate_zones_detail",
+    "get_vo2_max_data": "get_vo2_max_data",
+    "get_lactate_threshold_data": "get_lactate_threshold_data",
+    "get_body_composition_trend": "get_body_composition_trend",
+    "get_weight_economy_coupling": "get_weight_economy_coupling",
+    "get_recovery_trend": "get_recovery_trend",
+    "get_recovery_status": "get_recovery_status",
+    "get_wellness_baseline_deviation": "get_wellness_baseline_deviation",
+    "get_performance_trends": "get_performance_trends",
+    "get_weather_data": "get_weather_data",
+    "prefetch_activity_context": "prefetch_activity_context",
+    "get_objective_fitness_curve": "fitness_curve",
+    "get_split_time_series_detail": "get_split_time_series_detail",
+    "get_time_range_detail": "get_time_series_stats",
+    "detect_form_anomalies_summary": "detect_form_anomalies_summary",
+    "get_form_anomaly_details": "get_form_anomaly_details",  # + get_form_anomaly_causes
+    "get_current_fitness_summary": "get_current_fitness_summary",
+    "get_garmin_scheduled_workouts": "streaming.ingest:incremental_append",
+    "save_athlete_profile": "save_versioned",
+    "get_athlete_profile": "get_athlete_profile",
+    "save_weekly_review": "save_versioned",
+    "get_weekly_review": "get_weekly_review",
+    "prefetch_weekly_review_context": "prefetch_weekly_review_context",
+    "get_race_readiness": "get_race_readiness",
+    "get_acwr": "get_acwr",
+    "get_load_trend": "get_load_trend",
+    "get_injury_risk": "get_injury_risk",
+    "get_activity_durability": "get_activity_durability",
+    "get_durability_trend": "get_durability_trend",
+    "ingest_strength_sessions": "pipelines.silver:delete_insert_by_key",
+    "get_strength_sessions": "get_strength_sessions",
+    "catch_up_ingest": "get_catch_up_window",  # window read + streaming.ingest
+    "schedule_custom_workout": "pipelines.silver:delete_insert_by_key",
+    "cleanup_generated_workouts": "pipelines.silver:delete_insert_by_key",
+    "get_server_info": "profile_table",  # introspection reads
+    "reload_server": "pipelines.migrations:run_pending",  # lifecycle ≙ schema mgmt
+}

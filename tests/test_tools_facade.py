@@ -319,3 +319,26 @@ def test_form_anomaly_causes_tool(tools):
     assert {r["sec"] for r in out} <= set(range(30, 40))
     assert all(r["probable_cause"] in ("fatigue", "isolated") for r in out)
     assert all(r["elevation_change_5s"] == 0.0 for r in out)
+
+
+def test_every_reference_tool_is_mapped():
+    """All 57 documented reference tools resolve to a real handler:
+    a GarminTools method, or an existing module:callable for
+    write-path / infra tools."""
+    import importlib
+
+    from garmin_performance_analysis_spark.tools import (
+        REFERENCE_TOOL_MAP,
+        GarminTools,
+    )
+
+    assert len(REFERENCE_TOOL_MAP) == 57
+    for tool, target in REFERENCE_TOOL_MAP.items():
+        if ":" in target:
+            mod_name, fn = target.split(":")
+            mod = importlib.import_module(
+                f"garmin_performance_analysis_spark.{mod_name}"
+            )
+            assert callable(getattr(mod, fn)), (tool, target)
+        else:
+            assert callable(getattr(GarminTools, target)), (tool, target)
