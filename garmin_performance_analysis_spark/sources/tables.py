@@ -56,6 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_MEMO[key]
     if name == "events":
         try:
+            # engine contract: timestamps are UTC instants (session.py).
+            # Enforce at the loader so an embedding harness's session on
+            # a TZ-configured host gets the same NTZ→TZ wall-clock
+            # preservation the oracle compare assumes.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # conf may be static in some sessions; NTZ branch covers it
