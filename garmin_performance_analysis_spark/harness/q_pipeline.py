@@ -340,8 +340,11 @@ def v2_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: k-means coarse quantizer (deterministic
     Lloyd iterations), probe the 3 nearest centroids, exact search
-    inside them.  Approximate by construction → no SQL oracle; tests
-    assert recall monotonicity vs the brute-force baseline."""
+    inside them.  Approximate by construction → no SQL oracle; the
+    correctness contract is ``tests/test_pipelines.py::
+    test_ivf_recall_vs_brute_force``: recall vs v1 (brute force) must
+    be 1.0 at full probe and bounded below at partial probe, with
+    monotone recall in n_probe."""
     emb = load_table(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0)
     query = [float(v) for v in target.select("embedding").first()[0]]
