@@ -401,9 +401,9 @@ stats AS (
 SELECT b.doc_id,
        CAST(octet_length(b.blob) AS BIGINT) AS n_bytes,
        sha256(b.text) AS sha256,
-       ROUND(s.byte_mean, 6) AS byte_mean,
+       ROUND(COALESCE(s.byte_mean, 0.0), 6) AS byte_mean,
        ROUND(COALESCE(s.byte_std, 0.0), 6) AS byte_std
-FROM b JOIN stats s ON s.doc_id = b.doc_id
+FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
 """,
     tags=("multimodal",),
 )

@@ -134,6 +134,7 @@ def classify_anomaly_causes(
     context: DataFrame,
     *,
     key_col: str = "user_id",
+    frame: str = "rows",
     z_threshold: float = 3.0,
     magnitude_gates: Optional[Mapping[str, float]] = None,
     degradation_triggers: Optional[Mapping[str, float]] = None,
@@ -173,8 +174,16 @@ def classify_anomaly_causes(
        (``:427-477``, empty window → 0.0) and severity bands
        (``:690-710``).
 
-    ``form``: (key_col, metric, sec, value) — ``sec`` is the dense
-    per-metric ordinal (the reference's array index).  ``context``:
+    ``form``: (key_col, metric, sec, value) — with the default
+    ``frame="rows"``, ``sec`` must be the DENSE per-metric ordinal
+    (the reference's array index; duplicates not allowed).  For
+    per-second series with gaps (null-filtered sensor dropouts), pass
+    ``frame="range"``: the rolling baseline becomes a RANGE window on
+    the seconds axis, which matches the reference's behaviour of
+    indexing dense arrays by second while skipping None entries —
+    otherwise a ROWS frame would silently widen to "the 60 nearest
+    samples" across gaps while the cause/context windows stay
+    second-based.  ``context``:
     (key_col, series, sec, val) with series ∈ {'elevation','pace','hr'}
     PLUS the form series again under ``series = metric`` so before/
     after metric context comes from the same single pass.
@@ -187,11 +196,13 @@ def classify_anomaly_causes(
     (broadcast-sized) joined separately.
     """
     # -- 1+2: rolling stats and gated flags --------------------------
-    wroll = (
-        Window.partitionBy(key_col, "metric")
-        .orderBy("sec")
-        .rowsBetween(-rolling_window, rolling_window - 1)
-    )
+    wbase = Window.partitionBy(key_col, "metric").orderBy("sec")
+    if frame == "rows":
+        wroll = wbase.rowsBetween(-rolling_window, rolling_window - 1)
+    elif frame == "range":
+        wroll = wbase.rangeBetween(-rolling_window, rolling_window - 1)
+    else:
+        raise ValueError(f"frame must be 'rows' or 'range', got {frame!r}")
     base = form.select(
         key_col,
         "metric",
@@ -263,7 +274,9 @@ def classify_anomaly_causes(
     # their reference default values via the left join + coalesce
     # below) so the tiny probe side is broadcastable — a left join
     # cannot broadcast its build/left side.
-    probe = F.broadcast(an.select(*akeys))
+    # distinct: duplicate (key, metric, sec) rows (malformed input)
+    # must not double-count context windows or fan out the final join
+    probe = F.broadcast(an.select(*akeys).distinct())
     cj = probe.join(
         c,
         (F.col(key_col) == F.col("c_uid"))
@@ -276,7 +289,7 @@ def classify_anomaly_causes(
         "inner",
     )
 
-    def _in(series, a, b, closed_end=False):
+    def _in(series, a, b):
         cond = (F.col("c_series") == series) if isinstance(series, str) else series
         cond = cond & (F.col("c_sec") >= F.col("sec") + a)
         cond = cond & (F.col("c_sec") < F.col("sec") + b)

@@ -89,24 +89,52 @@ def applied_migrations(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(_version_path(base_path)).orderBy("version")
 
 
-def rewrite_table(df: DataFrame, path: str) -> None:
+def rewrite_table(df: DataFrame, path: str, partition_by=None) -> None:
     """Full-table rewrite via temp-dir + directory swap.
 
     A migration's output plan usually READS ``path``; writing straight
     back would re-read mutated input mid-job, and a crash would leave
     the table half-written.  Write ``path.__tmp__`` completely, then
     swap — the destructive step is a single directory rename.
-    """
+
+    ``partition_by``: partition columns for the rewritten table.  The
+    default preserves the silver month layout: if the frame carries the
+    ``_month`` partition column (``silver.MONTH_COL``), the rewrite
+    partitions by it — otherwise a migration of a month-partitioned
+    table would silently flatten it and the next
+    ``delete_insert_by_key`` (which overwrites per-partition) would
+    leave the stale root files in place.  Pass an explicit list (or
+    ``[]`` to force flat) to override.
+
+    Hadoop ``FileSystem.rename`` reports failure by RETURNING False,
+    not raising — each step is checked, and a failed final swap
+    restores the original directory before raising, so the table is
+    never left missing."""
+    from .silver import MONTH_COL
+
     spark = df.sparkSession
+    if partition_by is None:
+        partition_by = [MONTH_COL] if MONTH_COL in df.columns else []
     tmp = f"{path}.__tmp__"
     old = f"{path}.__old__"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     jvm, fs = _fs(spark)
     P = jvm.org.apache.hadoop.fs.Path
     if fs.exists(P(old)):
         fs.delete(P(old), True)
-    fs.rename(P(path), P(old))
-    fs.rename(P(tmp), P(path))
+    if not fs.rename(P(path), P(old)):
+        fs.delete(P(tmp), True)
+        raise IOError(f"rewrite_table: could not move {path} aside to {old}")
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))  # restore the original table
+        fs.delete(P(tmp), True)
+        raise IOError(
+            f"rewrite_table: could not move rewritten table into {path}; "
+            "original restored"
+        )
     fs.delete(P(old), True)
 
 

@@ -100,10 +100,12 @@ def delete_insert_by_key(
     ]
     existing = table.filter(F.col(MONTH_COL).isin(months))
     kept = existing.join(F.broadcast(keys), key_col, "left_anti")
-    out = kept.unionByName(incoming)
-    # Months the output actually carries — resolved BEFORE the write
-    # (out's lineage reads `path`; evaluating it after the overwrite
+    # Materialize the rewrite output once: the months probe below and
+    # the write would otherwise each evaluate the full read+anti-join
+    # lineage (and the months probe must run BEFORE the write anyway —
+    # out's lineage reads `path`, so evaluating it after the overwrite
     # would re-read the mutated table).
+    out = kept.unionByName(incoming).localCheckpoint(eager=True)
     out_months = {r[0] for r in out.select(MONTH_COL).distinct().collect()}
     (
         out.write.mode("overwrite")

@@ -55,15 +55,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
     if name == "events":
+        # engine contract: timestamps are UTC instants (session.py).
+        # Enforce at the loader so an embedding harness's session on a
+        # TZ-configured host gets the same NTZ→TZ wall-clock
+        # preservation the oracle compare assumes.  If the conf is
+        # rejected AND the session is not already UTC, fail loudly —
+        # a silent TZ shift would corrupt every events timestamp.
         try:
-            # engine contract: timestamps are UTC instants (session.py).
-            # Enforce at the loader so an embedding harness's session on
-            # a TZ-configured host gets the same NTZ→TZ wall-clock
-            # preservation the oracle compare assumes.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            tz = spark.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z"):
+                raise RuntimeError(
+                    "events loader requires a UTC session "
+                    f"(spark.sql.session.timeZone={tz!r} and not settable)"
+                )
+        try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
-            pass  # conf may be static in some sessions; NTZ branch covers it
+            pass  # static conf in some sessions; the NTZ branch covers it
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

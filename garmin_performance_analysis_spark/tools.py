@@ -346,6 +346,11 @@ class GarminTools:
         )
         cols = set(ts.columns)
         use = [m for m in metrics if m in cols]
+        if not use:
+            raise ValueError(
+                f"none of the requested form metrics {tuple(metrics)} exist "
+                f"on time_series_metrics (columns: {sorted(cols)})"
+            )
         stack = ", ".join(f"'{m}', cast({m} as double)" for m in use)
         form = ts.selectExpr(
             "activity_id",
@@ -377,10 +382,16 @@ class GarminTools:
         context = branches[0]
         for b in branches[1:]:
             context = context.unionByName(b)
+        # frame="range": timestamp_s is activity-relative seconds (the
+        # silver schema mirrors the reference's dense per-second rows,
+        # timestamp_s starting at 0) but null metrics were dropped, so
+        # second-based windows — not row counts — are the faithful
+        # semantics; this also keeps hr baseline sec < 300 meaningful.
         return classify_anomaly_causes(
             form,
             context,
             key_col="activity_id",
+            frame="range",
             z_threshold=z,
             magnitude_gates=self.FORM_GATES,
             degradation_triggers=self.FORM_GATES,

@@ -239,3 +239,24 @@ def test_add_column_is_idempotent(spark, tmp_path):
     assert mig.add_column(spark, f"{base}/activities", "x", SF.lit(2.0)) is False
     vals = {r["x"] for r in spark.read.parquet(f"{base}/activities").collect()}
     assert vals == {1.0}
+
+
+def test_migration_preserves_month_partitioning(spark, tmp_path):
+    """add_column on a month-partitioned silver table must keep the
+    partition layout — a flattened rewrite would leave stale root
+    files behind the next delete_insert_by_key (code-review r2)."""
+    path = str(tmp_path / "activities")
+    write_partitioned(_base(spark), path, "activity_date")
+    mig.add_column(spark, path, "flagged", SF.lit(False))
+    # layout preserved
+    assert os.path.isdir(os.path.join(path, f"{MONTH_COL}=2024-01"))
+    # and the partition-scoped DELETE+INSERT still has no stale rows
+    batch = spark.createDataFrame(
+        [(2, d("2024-01-20"), 99.0, True)],
+        "activity_id long, activity_date date, total_distance_km double, flagged boolean",
+    )
+    delete_insert_by_key(spark, path, batch, "activity_id", "activity_date")
+    rows = read_silver(spark, path).collect()
+    assert len(rows) == 4
+    out = {r["activity_id"]: r["total_distance_km"] for r in rows}
+    assert out == {1: 10.0, 2: 99.0, 3: 12.0, 4: 13.0}
