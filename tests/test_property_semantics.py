@@ -313,3 +313,77 @@ def test_huber_irls_matches_numpy_mirror(spark):
         assert abs(r["rmse"] - rmse) < 1e-6, gid
         # robustness sanity: the Huber fit stays near the true line
         assert abs(r["coef_b"] - 0.7) < 0.15 and abs(r["coef_a"] - 2.0) < 0.8
+
+
+def test_work_recovery_matches_python_mirror(spark):
+    """work_recovery_comparison ≡ the reference's pairing loop
+    (interval_analysis.py:149-329): i-th work rep with i-th recovery
+    rep, rate = (work_avg − recovery_avg) / (recovery_dur_min),
+    non-positive durations skipped, groups lacking either type absent."""
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    mirror = {}
+    for gid in range(10):
+        n_segs = rng.randint(1, 9)
+        t = 0.0
+        segs = []
+        state = rng.choice([0, 1])
+        for _ in range(n_segs):
+            length = rng.randint(1, 4)
+            vals = [round(rng.uniform(80, 180), 1) for _ in range(length)]
+            # occasionally a zero-duration segment (single instant)
+            dt = rng.choice([0.0, 30.0, 90.0])
+            times = [t + i * dt for i in range(length)]
+            segs.append((state, vals, times))
+            t = times[-1] + 60.0
+            state = 1 - state
+        seq = 0
+        for state, vals, times in segs:
+            for v, tt in zip(vals, times):
+                rows.append((gid, seq, tt, v, state))
+                seq += 1
+        work = [(sum(v) / len(v), max(ts) - min(ts)) for s, v, ts in segs if s == 1]
+        rec = [(sum(v) / len(v), max(ts) - min(ts)) for s, v, ts in segs if s == 0]
+        if not work or not rec:
+            continue
+        rates = []
+        for i in range(min(len(work), len(rec))):
+            dur = rec[i][1]
+            if dur > 0:
+                rates.append((work[i][0] - rec[i][0]) / (dur / 60.0))
+        mirror[gid] = {
+            "work_count": len(work),
+            "recovery_count": len(rec),
+            "avg_work_value": sum(w for w, _ in work) / len(work),
+            "avg_recovery_value": sum(r for r, _ in rec) / len(rec),
+            "avg_hr_recovery_rate": (sum(rates) / len(rates)) if rates else None,
+        }
+
+    from garmin_performance_analysis_spark.operators.efforts import (
+        interval_segments,
+        work_recovery_comparison,
+    )
+
+    df = spark.createDataFrame(
+        rows, "g long, seq long, t_s double, hr double, is_work int"
+    )
+    segs = interval_segments(df, ["g"], ["seq"], F.col("is_work") == 1)
+    got = {
+        r["g"]: r
+        for r in work_recovery_comparison(segs, ["g"], "hr", "t_s").collect()
+    }
+    assert set(got) == set(mirror)
+    for gid, want in mirror.items():
+        r = got[gid]
+        assert (r["work_count"], r["recovery_count"]) == (
+            want["work_count"],
+            want["recovery_count"],
+        ), gid
+        assert abs(r["avg_work_value"] - want["avg_work_value"]) < 1e-9
+        assert abs(r["avg_recovery_value"] - want["avg_recovery_value"]) < 1e-9
+        if want["avg_hr_recovery_rate"] is None:
+            assert r["avg_hr_recovery_rate"] is None
+        else:
+            assert abs(r["avg_hr_recovery_rate"] - want["avg_hr_recovery_rate"]) < 1e-9
