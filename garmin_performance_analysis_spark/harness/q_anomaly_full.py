@@ -96,7 +96,7 @@ deg AS (
                ROW_NUMBER() OVER (PARTITION BY user_id, metric
                                   ORDER BY sec) AS rn,
                COUNT(*) OVER (PARTITION BY user_id, metric) AS n_all
-        FROM form)
+        FROM form WHERE value IS NOT NULL)
   GROUP BY user_id, metric
 ),
 ectx AS (
@@ -250,38 +250,31 @@ def _classified(spark: SparkSession, sf_dir: str) -> DataFrame:
     form = seq.filter(F.col("event_type").isin(*FORM_TYPES)).select(
         "user_id", F.col("event_type").alias("metric"), "sec", "value"
     )
-    context = (
-        seq.filter(F.col("event_type") == "click")
-        .select(
-            "user_id",
-            F.lit("elevation").alias("series"),
-            "sec",
-            (F.col("value") / ELEV_DIV).alias("val"),
-        )
-        .unionByName(
-            seq.filter(F.col("event_type") == "purchase").select(
-                "user_id",
-                F.lit("pace").alias("series"),
-                "sec",
-                (F.col("value") / PACE_DIV).alias("val"),
-            )
-        )
-        .unionByName(
-            seq.filter(F.col("event_type") == "error").select(
-                "user_id",
-                F.lit("hr").alias("series"),
-                "sec",
-                F.col("value").alias("val"),
-            )
-        )
-        .unionByName(
-            form.select(
-                "user_id",
-                F.col("metric").alias("series"),
-                "sec",
-                F.col("value").alias("val"),
-            )
-        )
+    # One CASE projection instead of a 4-way union: each union branch
+    # was its own parquet scan + row_number sort of `seq`, and the
+    # context frame is consumed twice (context join + HR baseline), so
+    # the union shape cost 8 scans of events where one suffices.  The
+    # row_number window partitions by (user_id, event_type), so a
+    # single filtered window computes identical `sec` values to the
+    # per-branch windows.  `value / 1.0` for the hr/form branches keeps
+    # the division shape uniform; dividing a double by 1.0 is exact.
+    et = F.col("event_type")
+    context = seq.filter(
+        et.isin("click", "purchase", "error", *FORM_TYPES)
+    ).select(
+        "user_id",
+        F.when(et == "click", F.lit("elevation"))
+        .when(et == "purchase", F.lit("pace"))
+        .when(et == "error", F.lit("hr"))
+        .otherwise(et)
+        .alias("series"),
+        "sec",
+        (
+            F.col("value")
+            / F.when(et == "click", F.lit(ELEV_DIV))
+            .when(et == "purchase", F.lit(PACE_DIV))
+            .otherwise(F.lit(1.0))
+        ).alias("val"),
     )
     return classify_anomaly_causes(
         form,

@@ -232,12 +232,37 @@ def classify_anomaly_causes(
         .filter(F.col("_span") >= min_span)
         .select(key_col, "metric", "sec", "value", "baseline", "z_score")
     )
+    # `an` feeds the final plan TWICE (broadcast context probe + left
+    # side of the result join), and everything above it — parquet scan,
+    # row_number sort, rolling windows, island windows — would be
+    # recomputed per consumer.  After gating, `an` is tiny (flagged
+    # sustained anomalies only), so a LAZY localCheckpoint cuts the
+    # lineage for the price of materializing a few thousand rows:
+    # measured 2.32 s → 1.32 s warm on the t4 full surface at sf0.1
+    # (with the harness-side union→CASE context collapse).  This
+    # differs from the r2 finding that checkpointing `seq` was SLOWER —
+    # there the materialized frame was the full input; checkpointing
+    # the pre-gate `form` was re-measured slower too (1.8 s vs 1.3 s).
+    # Checkpoint below the gate, where the data is small.  (On a
+    # cluster localCheckpoint pins executor-local blocks; acceptable
+    # for a gated anomaly frame that is broadcast-sized by
+    # construction.)
+    an = an.localCheckpoint(eager=False)
 
     # -- sustained first-half vs second-half degradation per metric --
     wseq = Window.partitionBy(key_col, "metric").orderBy("sec")
     wall = Window.partitionBy(key_col, "metric")
-    halves = form.withColumn("_rn", F.row_number().over(wseq)).withColumn(
-        "_n", F.count(F.lit(1)).over(wall)
+    # Split position and length gate count NON-NULL values only: the
+    # reference (form_anomaly_detector.py:205-215) builds the halves
+    # from `[v for v in series if v is not None]`, so a null-bearing
+    # series must get the same midpoint and len>=4 gate as its
+    # null-stripped projection (ADVICE r2).  The rolling block above
+    # deliberately keeps null rows (they occupy window slots); only the
+    # degradation split strips them.
+    halves = (
+        form.filter(F.col("value").isNotNull())
+        .withColumn("_rn", F.row_number().over(wseq))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
     )
     deg = halves.groupBy(key_col, "metric").agg(
         F.count(F.lit(1)).alias("_n"),

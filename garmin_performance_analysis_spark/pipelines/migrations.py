@@ -20,6 +20,23 @@ Spark mapping:
 Single-writer discipline applies (same contract as
 ``silver.delete_insert_by_key``); the reference serializes migrations
 behind its write-connection lock.
+
+Two contract points the reference gets from SQLite transactions that a
+parquet layout cannot (ADVICE r2):
+
+- **Migration fns must be idempotent (re-run safe).**  ``run_pending``
+  applies ``mig.fn`` and appends the ``schema_version`` row as two
+  separate steps; a crash between them re-applies that migration on the
+  next run.  ``add_column``/``rewrite_table``/``drop_table`` are all
+  idempotent, and custom fns must be too (e.g. an incremental backfill
+  must detect already-backfilled rows) — there is no cross-file atomic
+  commit to hide behind.
+- **Readers must be quiesced during a migration.**  ``rewrite_table``'s
+  two-rename swap leaves a window where ``path`` does not exist;
+  a concurrent reader gets FileNotFound (and a memoized relation would
+  pin deleted part-files afterwards — the swap invalidates the table
+  memo for exactly this reason).  The single-writer contract extends to
+  readers for the duration of ``run_pending``.
 """
 
 from __future__ import annotations
@@ -109,7 +126,12 @@ def rewrite_table(df: DataFrame, path: str, partition_by=None) -> None:
     Hadoop ``FileSystem.rename`` reports failure by RETURNING False,
     not raising — each step is checked, and a failed final swap
     restores the original directory before raising, so the table is
-    never left missing."""
+    never left missing.
+
+    Readers must be quiesced for the swap window (module docstring);
+    on success the loader memo entries covering ``path`` are
+    invalidated so later queries re-list the new files."""
+    from ..sources.tables import invalidate_table_memo
     from .silver import MONTH_COL
 
     spark = df.sparkSession
@@ -136,6 +158,7 @@ def rewrite_table(df: DataFrame, path: str, partition_by=None) -> None:
             "original restored"
         )
     fs.delete(P(old), True)
+    invalidate_table_memo(path)
 
 
 def add_column(
@@ -160,4 +183,7 @@ def drop_table(spark: SparkSession, table_path: str) -> bool:
     if not fs.exists(P(table_path)):
         return False
     fs.delete(P(table_path), True)
+    from ..sources.tables import invalidate_table_memo
+
+    invalidate_table_memo(table_path)
     return True

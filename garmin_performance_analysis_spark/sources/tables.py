@@ -40,6 +40,29 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _TABLE_MEMO: dict = {}
 
 
+def invalidate_table_memo(path: str | None = None) -> int:
+    """Drop memoized relations whose backing files live under ``path``
+    (everything when ``path`` is None).  Table rewrites
+    (``pipelines.migrations.rewrite_table``) call this: a memoized
+    relation pins the OLD file listing, so a query run after a rewrite
+    would read deleted part-files and fail (or silently read stale
+    data on object stores).  Returns the number of entries dropped."""
+    if path is None:
+        n = len(_TABLE_MEMO)
+        _TABLE_MEMO.clear()
+        return n
+    norm = os.path.normpath(path)
+    stale = [
+        k
+        for k in _TABLE_MEMO
+        if os.path.normpath(os.path.join(k[1], f"{k[2]}.parquet")).startswith(norm)
+        or norm.startswith(os.path.normpath(k[1]))
+    ]
+    for k in stale:
+        del _TABLE_MEMO[k]
+    return len(stale)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown are left to
     Catalyst — callers express plain ``select``/``filter`` on the result.

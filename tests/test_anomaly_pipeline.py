@@ -161,6 +161,44 @@ def test_cause_priority_chain(spark):
     assert {r["severity"] for r in rows} == {"low"}
 
 
+def test_degradation_halves_split_skips_nulls(spark):
+    """The first/second-half degradation split positions its midpoint on
+    NON-NULL values only (reference form_anomaly_detector.py:205-215
+    strips None before halving; ADVICE r2).  Six leading null rows must
+    not shift the midpoint into the spike — the null-stripped series is
+    identical to the fatigue fixture, so the cause must stay fatigue."""
+    form_rows = []
+    for s in range(6):
+        form_rows.append((3, "gct", s, None))  # sensor dropout prefix
+    for s in range(20):
+        v = 100.0 if 8 <= s <= 12 else 10.0
+        form_rows.append((3, "gct", s + 6, v))
+    form = spark.createDataFrame(
+        form_rows, "user_id long, metric string, sec long, value double"
+    )
+    ctx = []
+    for s in range(6, 26):
+        ctx.append((3, "elevation", s, 1.0))
+        ctx.append((3, "pace", s, 1.0))
+        ctx.append((3, "hr", s, 200.0 if s - 6 >= 10 else 100.0))
+    for uid, m, s, v in form_rows:
+        ctx.append((uid, m, s, v))
+    context = spark.createDataFrame(
+        ctx, "user_id long, series string, sec long, val double"
+    )
+    out = classify_anomaly_causes(
+        form,
+        context,
+        z_threshold=1.0,
+        magnitude_gates={"gct": 10.0},
+        degradation_triggers={"gct": 5.0},
+    ).collect()
+    assert sorted(r["sec"] for r in out) == [14, 15, 16, 17, 18]
+    # null-counting midpoint would average spike rows into the first
+    # half (diff < trigger) and decay to 'isolated'
+    assert {r["probable_cause"] for r in out} == {"fatigue"}
+
+
 def test_fatigue_requires_sustained_degradation(spark):
     """HR drift alone must NOT produce fatigue (#666): without a
     configured degradation trigger the metric can never be fatigue."""

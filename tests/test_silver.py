@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -137,6 +138,14 @@ def test_bucketed_join_has_no_shuffle(spark):
         F.col("id").alias("activity_id"), (F.col("id") % 7).alias("zone")
     )
     threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # A killed earlier run can leave `spark-warehouse/b_left` on disk with no
+    # catalog entry in THIS session; DROP TABLE alone wouldn't clear it and
+    # saveAsTable would die with LOCATION_ALREADY_EXISTS.  Purge both the
+    # catalog entry and the stale directory before writing.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("b_left", "b_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     try:
         write_bucketed(left, "b_left", "activity_id")
         write_bucketed(right, "b_right", "activity_id")
@@ -239,6 +248,25 @@ def test_add_column_is_idempotent(spark, tmp_path):
     assert mig.add_column(spark, f"{base}/activities", "x", SF.lit(2.0)) is False
     vals = {r["x"] for r in spark.read.parquet(f"{base}/activities").collect()}
     assert vals == {1.0}
+
+
+def test_rewrite_invalidates_loader_memo(spark, tmp_path):
+    """A memoized relation pins the pre-rewrite file listing; after
+    rewrite_table the loader must re-resolve or queries would read
+    deleted part-files (ADVICE r2)."""
+    from garmin_performance_analysis_spark.sources import tables as tbl
+
+    base = str(tmp_path)
+    _base(spark).write.parquet(f"{base}/activities.parquet")
+    before = tbl.load_table(spark, base, "activities")
+    assert ("activities" in {k[2] for k in tbl._TABLE_MEMO})
+    mig.rewrite_table(
+        before.withColumn("flagged", SF.lit(False)), f"{base}/activities.parquet"
+    )
+    stale = {k[2] for k in tbl._TABLE_MEMO if k[1] == base}
+    assert "activities" not in stale
+    after = tbl.load_table(spark, base, "activities")
+    assert "flagged" in after.columns and after.count() == 4
 
 
 def test_migration_preserves_month_partitioning(spark, tmp_path):
