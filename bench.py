@@ -52,6 +52,14 @@ HEADLINE = [
     "d3_minhash_lsh_pairs",
     "x1_text_quality",
     "v1_cosine_topk",
+    # r3: the heaviest previously-untimed plans (VERDICT r2 item 3) —
+    # wall numbers for the enrichment/robust-fit/anomaly-rate families
+    # and the scale-path dedup/ANN candidate generators.
+    "d10_performance_trends",
+    "m5c_huber_irls",
+    "t8_material_event_rates",
+    "d4b_simhash_pairs",
+    "v4_srp_lsh_pairs",
 ]
 
 

@@ -40,8 +40,10 @@ comps AS (
   FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) i
 ),
 proj AS (
+  -- scaled-long accumulation (FLOOR(x*1e7 + 0.5)), mirroring the
+  -- engine's integerized projection sum exactly
   SELECT c.vid, p.t, p.b,
-         CAST(SUM(CAST(p.coef * c.v AS DECIMAL(22,7))) AS DOUBLE) AS dot
+         SUM(CAST(FLOOR(p.coef * c.v * 10000000.0 + 0.5) AS BIGINT)) AS dot
   FROM comps c JOIN planes p ON c.i = p.i
   GROUP BY c.vid, p.t, p.b
 ),

@@ -402,17 +402,25 @@ SELECT b.doc_id,
        CAST(octet_length(b.blob) AS BIGINT) AS n_bytes,
        sha256(b.text) AS sha256,
        ROUND(COALESCE(s.byte_mean, 0.0), 6) AS byte_mean,
-       ROUND(COALESCE(s.byte_std, 0.0), 6) AS byte_std
+       ROUND(COALESCE(s.byte_std, 0.0), 6) AS byte_std,
+       CAST(NULL AS VARCHAR) AS fmt,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS channels
 FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
 """,
     tags=("multimodal",),
 )
 def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (deterministic fake decoder; the real decoder is the stub's
-    integration point).  The fake features are pure byte statistics, so
-    a SQL oracle CAN reproduce them exactly (the corpus is ASCII: one
-    byte per char, ``ord`` = byte value) — upgraded from rows-only."""
+    """Arrow-batched mapInPandas feature extraction over binary payloads:
+    byte statistics plus a REAL header decode (BMP/PPM via
+    ``parse_image_header`` — pure struct arithmetic, no image library).
+    The corpus is ASCII text, so every row takes the honest opaque-media
+    fallback (NULL fmt/dims) — the parser's strict NUL-byte validation
+    guarantees text can never false-positive, which is what makes the
+    constant-NULL oracle columns exact.  The parse path itself is
+    oracle-checked end-to-end by ``mm3_image_decode`` on constructed
+    payloads."""
     docs = load_table(spark, sf_dir, "documents")
     out = multimodal.decode_features(
         multimodal.attach_binary(docs, "doc_id", "text")
@@ -423,6 +431,95 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sha256",
         _r6(F.col("byte_mean")).alias("byte_mean"),
         _r6(F.col("byte_std")).alias("byte_std"),
+        "fmt",
+        "width",
+        "height",
+        "channels",
+    )
+
+
+@register(
+    "mm3_image_decode",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+            WHEN doc_id % 3 = 1 THEN 'ppm' END AS fmt,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER)
+            WHEN doc_id % 3 = 1 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 32 + 1 AS INTEGER)
+            WHEN doc_id % 3 = 1 THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN 3 END AS channels,
+       CASE WHEN doc_id % 3 = 0 THEN 70
+            WHEN doc_id % 3 = 1 THEN octet_length(CAST(
+                 'P6' || chr(10) || CAST(doc_id % 16 + 1 AS VARCHAR) || ' '
+                 || CAST(doc_id % 8 + 1 AS VARCHAR) || chr(10) || '255'
+                 || chr(10) || text AS BLOB))
+            ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image-header decode through the multimodal
+    mapInPandas path: construct valid BMP (doc_id%3=0) and binary-PPM
+    (doc_id%3=1) payloads JVM-side (hex-assembled little-endian BMP
+    header / ASCII PPM header), leave the rest opaque text, then decode
+    with ``parse_image_header``.  The oracle predicts width/height/
+    channels ARITHMETICALLY from doc_id — it never sees the payload —
+    so a parser that misreads any header field hash-mismatches.  Scale
+    shape: pure narrow projection + one Arrow-batched pass, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_bmp = (F.col("doc_id") % 64 + 1).cast("int")
+    h_bmp = (F.col("doc_id") % 32 + 1).cast("int")
+    w_ppm = (F.col("doc_id") % 16 + 1).cast("int")
+    h_ppm = (F.col("doc_id") % 8 + 1).cast("int")
+
+    def _le32(col):
+        # little-endian u32 hex for values < 256: one real byte + 3 NULs
+        return F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("000000"))
+
+    bmp_hex = F.concat(
+        F.lit("424D"),        # 'BM'
+        _le32(F.lit(70)),     # file size: 54-byte header + 16 pixel bytes
+        F.lit("00000000"),    # reserved
+        _le32(F.lit(54)),     # pixel-data offset
+        _le32(F.lit(40)),     # BITMAPINFOHEADER size
+        _le32(w_bmp),
+        _le32(h_bmp),
+        F.lit("0100"),        # planes = 1
+        F.lit("1800"),        # 24 bpp → 3 channels
+        _le32(F.lit(0)),      # compression
+        _le32(F.lit(16)),     # image size
+        _le32(F.lit(2835)),   # x pixels/m
+        _le32(F.lit(2835)),   # y pixels/m
+        _le32(F.lit(0)),      # palette colors
+        _le32(F.lit(0)),      # important colors
+        F.lit("00" * 16),     # pixel bytes (content irrelevant to header)
+    )
+    ppm_str = F.concat(
+        F.lit("P6\n"),
+        w_ppm.cast("string"),
+        F.lit(" "),
+        h_ppm.cast("string"),
+        F.lit("\n255\n"),
+        F.col("text"),
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.unhex(bmp_hex))
+        .when(F.col("doc_id") % 3 == 1, ppm_str.cast("binary"))
+        .otherwise(F.col("text").cast("binary"))
+    )
+    binary_df = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+    out = multimodal.decode_features(binary_df)
+    return out.select(
+        "doc_id", "fmt", "width", "height", "channels",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
     )
 
 

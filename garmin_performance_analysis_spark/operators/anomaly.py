@@ -252,6 +252,13 @@ def classify_anomaly_causes(
     # -- sustained first-half vs second-half degradation per metric --
     wseq = Window.partitionBy(key_col, "metric").orderBy("sec")
     wall = Window.partitionBy(key_col, "metric")
+    # Degradation is only ever read through the left-join onto `an`
+    # (flagged groups), so prune form to those groups BEFORE the window
+    # sort: a broadcast semi-join on the checkpointed anomaly keys
+    # replaces a full-data sort with a sort of the tiny flagged slice —
+    # the same probe-pruned shape as the context pass, and the
+    # difference between O(data) and O(anomalies) work at 100 TB.
+    deg_keys = F.broadcast(an.select(key_col, "metric").distinct())
     # Split position and length gate count NON-NULL values only: the
     # reference (form_anomaly_detector.py:205-215) builds the halves
     # from `[v for v in series if v is not None]`, so a null-bearing
@@ -260,7 +267,8 @@ def classify_anomaly_causes(
     # deliberately keeps null rows (they occupy window slots); only the
     # degradation split strips them.
     halves = (
-        form.filter(F.col("value").isNotNull())
+        form.join(deg_keys, [key_col, "metric"], "left_semi")
+        .filter(F.col("value").isNotNull())
         .withColumn("_rn", F.row_number().over(wseq))
         .withColumn("_n", F.count(F.lit(1)).over(wall))
     )
@@ -342,10 +350,13 @@ def classify_anomaly_causes(
         F.coalesce(F.avg(b_e), F.lit(0.0)).alias("before_elevation"),
         F.coalesce(F.avg(a_e), F.lit(0.0)).alias("after_elevation"),
     )
+    # Same probe-pruning as `deg`: the HR baseline is read only for
+    # keys that flagged an anomaly.
     hr_base = (
         context.filter(
             (F.col("series") == "hr") & (F.col("sec") < hr_baseline_secs)
         )
+        .join(F.broadcast(an.select(key_col).distinct()), [key_col], "left_semi")
         .groupBy(key_col)
         .agg(F.avg("val").alias("_base_hr"), F.count("val").alias("_base_n"))
     )

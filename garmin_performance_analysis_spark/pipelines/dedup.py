@@ -200,39 +200,36 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Per token: md5 → 16 hex digits → 4 bits each; each bit votes ±1;
     the sign of the per-position vote sum is the fingerprint bit.
-    Pure expressions: explode tokens × positions, one groupBy."""
+
+    MAP-ONLY plan: md5 each distinct token once into an array, then a
+    ``transform(sequence(0,63), bp -> aggregate(...))`` computes all 64
+    vote sums inside one whole-stage-codegen projection.  The previous
+    shape exploded tokens × 64 bit positions through two groupBys —
+    |tokens|·64 shuffled rows (32M at sf0.1, measured 3.7 s for the
+    pair query); per-row expression work is identical but nothing is
+    materialized or shuffled, and at 100 TB the fingerprint stage
+    becomes embarrassingly parallel.  The repartition stays: documents
+    often arrive as few large files, and fingerprint cost is per-token,
+    so balancing docs across tasks still matters for a map-only stage.
+
+    Bit extraction is engine-portable integer math (div by 8/4/2/1, no
+    shifts), identical to the ANSI oracle's formula."""
     words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    toks = (
-        df.repartition(32, F.col(id_col))
-        .select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
-        .withColumn("h", F.md5(F.col("tok")))
+    votes_expr = (
+        "array_join(transform(sequence(0, 63), bp -> "
+        "CASE WHEN aggregate(hs, 0L, (acc, h) -> acc"
+        " + ((instr('0123456789abcdef', substr(h, CAST(bp div 4 AS INT) + 1, 1)) - 1)"
+        "    div (CASE CAST(bp % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
+        "   * 2 - 1"
+        ") > 0 THEN '1' ELSE '0' END), '')"
     )
-    pos = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit_pos"),
-    )
-    # hex digit at (bit_pos div 4); bit (3 - bit_pos % 4) within the digit,
-    # extracted with integer div by 8/4/2/1 (engine-portable, no shifts)
-    bit = F.expr(
-        "((instr('0123456789abcdef', substr(h, CAST(bit_pos div 4 AS INT) + 1, 1)) - 1)"
-        " div (CASE CAST(bit_pos % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"
-    )
-    votes = (
-        pos.withColumn("w", bit * 2 - 1)
-        .groupBy("doc_id", "bit_pos")
-        .agg(F.sum("w").alias("vote"))
-    )
-    fp_char = F.when(F.col("vote") > 0, F.lit("1")).otherwise(F.lit("0"))
     return (
-        votes.withColumn("c", fp_char)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(bit_pos, c))), s -> s.c)"),
-                "",
-            ).alias("simhash64")
+        df.repartition(32, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(words, F.md5).alias("hs"),
         )
+        .select("doc_id", F.expr(votes_expr).alias("simhash64"))
     )
 
 

@@ -1,10 +1,12 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side plumbing is real — schema, partition-friendly batch
-iteration, Arrow-batched ``mapInPandas`` — while the actual media
-decode is stubbed (image/audio libraries are not in this container):
-``decode_features`` computes a deterministic fake feature vector from
-the raw bytes, and ``decode_image_stub`` raises ``NotImplementedError``
+iteration, Arrow-batched ``mapInPandas`` — and so is the header-level
+decode: ``parse_image_header`` reads BMP/PPM/PGM dimensions with pure
+``struct``/byte arithmetic (no image library needed).  Codec-level
+decode (JPEG/PNG entropy data, audio, video) is stubbed:
+``decode_features`` computes deterministic byte statistics plus the
+header parse, and ``decode_image_stub`` raises ``NotImplementedError``
 to mark the integration point for a real decoder (PIL/ffmpeg on a
 production cluster, shipped to executors via ``spark.archives``).
 """
@@ -18,8 +20,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes int, sha256 string, byte_mean double, byte_std double"
+    "doc_id bigint, n_bytes int, sha256 string, byte_mean double, byte_std double, "
+    "fmt string, width int, height int, channels int"
 )
+
+
+def parse_image_header(payload: bytes):
+    """Real (no-dependency) image header decode: BMP and binary PPM/PGM.
+
+    Returns ``(fmt, width, height, channels)`` or ``None`` for payloads
+    that are not a recognized image — the honest fallback path for
+    opaque media.  Pure ``struct``/byte arithmetic on the first bytes;
+    formats needing a codec library (JPEG/PNG entropy data, audio,
+    video) still belong to the ``decode_image_stub`` integration point.
+
+    Validation is strict enough that text can never false-positive: a
+    BMP match requires DIB header size 40 at bytes 14-17 (LE ``0x28 00
+    00 00``) and planes==1 at 26-27 (``0x01 0x00``) — both contain NUL
+    bytes, which never occur in text corpora.
+    """
+    # --- BMP (BITMAPINFOHEADER) ------------------------------------
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        dib = int.from_bytes(payload[14:18], "little")
+        planes = int.from_bytes(payload[26:28], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height = int.from_bytes(payload[22:26], "little", signed=True)
+        if (
+            dib == 40
+            and planes == 1
+            and bpp in (1, 4, 8, 16, 24, 32)
+            and 0 < width <= 1_000_000
+            and 0 < abs(height) <= 1_000_000
+        ):
+            return ("bmp", width, abs(height), max(1, bpp // 8))
+    # --- binary PPM (P6) / PGM (P5) --------------------------------
+    if (
+        len(payload) >= 3
+        and payload[:2] in (b"P6", b"P5")
+        and payload[2:3] in (b" ", b"\t", b"\r", b"\n", b"#")
+    ):
+        channels = 3 if payload[:2] == b"P6" else 1
+        pos, fields = 2, []
+        try:
+            while len(fields) < 3:
+                while payload[pos] in b" \t\r\n":
+                    pos += 1
+                if payload[pos : pos + 1] == b"#":  # comment to EOL
+                    while payload[pos] not in b"\r\n":
+                        pos += 1
+                    continue
+                start = pos
+                while payload[pos] in b"0123456789":
+                    pos += 1
+                if pos == start:
+                    return None
+                fields.append(int(payload[start:pos]))
+        except IndexError:
+            return None
+        width, height, maxval = fields
+        if 0 < width <= 1_000_000 and 0 < height <= 1_000_000 and 0 < maxval < 65536:
+            return ("ppm" if channels == 3 else "pgm", width, height, channels)
+    return None
 
 
 def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -58,6 +120,8 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            headers = [parse_image_header(bytes(p)) if p is not None else None
+                       for p in payloads]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -71,6 +135,16 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
                         float(pd.Series(list(p)).std(ddof=1)) if len(p) > 1 else 0.0
                         for p in payloads
                     ],
+                    "fmt": [h[0] if h else None for h in headers],
+                    "width": pd.array(
+                        [h[1] if h else None for h in headers], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [h[2] if h else None for h in headers], dtype="Int32"
+                    ),
+                    "channels": pd.array(
+                        [h[3] if h else None for h in headers], dtype="Int32"
+                    ),
                 }
             )
             yield out

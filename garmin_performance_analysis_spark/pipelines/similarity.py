@@ -158,46 +158,47 @@ def srp_lsh_pairs(
 
     Per-table collision probability for angle θ is ``(1-θ/π)^bits`` —
     multiple tables trade index size for recall, the standard SRP-LSH
-    design.  Projections sum through DECIMAL so the sign is
-    engine-deterministic even at ulp-level ties.
+    design.
+
+    MAP-ONLY bucketing: the ±1 hyperplane coefficients are md5-derived
+    and tiny (tables·bits·dim ints), so they are computed ONCE on the
+    driver (``hashlib.md5`` — byte-identical to the SQL ``md5`` the
+    oracle uses) and inlined as array literals; each vector's whole
+    bucket signature is then one codegen projection.  The previous
+    shape posexploded components and broadcast-joined a plane table —
+    an N·dim·tables·bits row blow-up through a shuffle (5M rows and
+    4.7 s at sf0.1, now ~map-only).  Projections accumulate as
+    scaled longs (1e-7 quantization, ``FLOOR(x·1e7 + 0.5)``) so the
+    sign is engine-deterministic even at ulp-level ties — primitive
+    long adds instead of the BigDecimal tax (SCALING.md lesson 8);
+    the oracle applies the identical integerization.  Overflow bound:
+    |v|·1e7·dim < 2^63 holds for |v| up to ~1.4e10/dim — unit-norm
+    embeddings are orders of magnitude inside it.
     """
-    planes = (
-        df.sparkSession.range(tables)
-        .withColumnRenamed("id", "t")
-        .crossJoin(df.sparkSession.range(bits).withColumnRenamed("id", "b"))
-        .crossJoin(df.sparkSession.range(dim).withColumnRenamed("id", "i"))
-        .withColumn(
-            "coef",
-            F.when(
-                F.expr(
-                    "instr('0123456789abcdef', substr(md5(concat(t, ':', b, ':', i)), 1, 1)) <= 8"
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
+    import hashlib
+
+    def coef(t: int, b: int, i: int) -> int:
+        first = hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[0]
+        return 1 if first in "01234567" else -1
+
+    def bit_expr(t: int, b: int) -> str:
+        coefs = ",".join(str(coef(t, b, i)) for i in range(dim))
+        return (
+            f"CASE WHEN aggregate(sequence(0, {dim - 1}), 0L, (acc, i) -> acc"
+            f" + CAST(FLOOR(array({coefs})[i] * {vec_col}[i]"  # [] is 0-based in Spark SQL
+            f" * 10000000.0 + 0.5) AS BIGINT)) >= 0 THEN '1' ELSE '0' END"
         )
+
+    table_structs = ", ".join(
+        f"struct({t}L AS t, concat("
+        + ", ".join(bit_expr(t, b) for b in range(bits))
+        + ") AS bucket)"
+        for t in range(tables)
     )
-    comps = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(F.col(vec_col)).alias("i", "v")
-    )
-    proj = (
-        comps.join(F.broadcast(planes), "i")
-        .groupBy("vid", "t", "b")
-        .agg(
-            F.sum((F.col("coef") * F.col("v")).cast("decimal(22,7)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    buckets = (
-        proj.withColumn("bit", F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("vid", "t")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(b, bit))), s -> s.bit)"),
-                "",
-            ).alias("bucket")
-        )
-    )
+    buckets = df.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.expr(f"array({table_structs})")).alias("tb"),
+    ).select("vid", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     cand = (

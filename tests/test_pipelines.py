@@ -145,6 +145,42 @@ def test_decode_image_stub_marks_integration_point():
         multimodal.decode_image_stub(b"\x89PNG")
 
 
+def _bmp(width, height, bpp=24):
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 16, 0, 0, 0, 0)
+        + b"\x00" * 16
+    )
+
+
+def test_parse_image_header_bmp_ppm_pgm():
+    p = multimodal.parse_image_header
+    assert p(_bmp(640, 480)) == ("bmp", 640, 480, 3)
+    assert p(_bmp(7, 9, bpp=8)) == ("bmp", 7, 9, 1)
+    # top-down BMPs store negative height; dims reported positive
+    assert p(_bmp(5, -4)) == ("bmp", 5, 4, 3)
+    assert p(b"P6\n12 34\n255\n" + b"\x00" * 10) == ("ppm", 12, 34, 3)
+    assert p(b"P5 3 2 255 " + b"\x00" * 6) == ("pgm", 3, 2, 1)
+    # comments between header fields are legal PPM
+    assert p(b"P6\n# made by hand\n2 3\n255\n" + b"\x00") == ("ppm", 2, 3, 3)
+
+
+def test_parse_image_header_rejects_non_images():
+    p = multimodal.parse_image_header
+    # text starting with the BMP magic: DIB-size/planes validation
+    # requires NUL bytes that text never contains
+    assert p(b"BMW dealerships reported record sales this quarter......") is None
+    assert p(b"BM") is None  # truncated
+    assert p(_bmp(640, 480)[:40]) is None  # header cut short
+    assert p(b"P6\nnot numbers\n") is None
+    assert p(b"P699 9 255 ") is None  # magic must be followed by whitespace
+    assert p(b"plain text payload") is None
+    assert p(b"") is None
+
+
 def test_resize_images_shape_and_determinism(spark):
     df = spark.createDataFrame(
         [(1, "abcdef"), (2, "Z"), (3, "")], "doc_id long, text string"

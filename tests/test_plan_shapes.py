@@ -129,3 +129,28 @@ def test_t4_full_causes_context_is_single_broadcast_pass(spark):
     stream the context union once - no sort-merge join of the big side."""
     df = CATALOG["t4_full_causes"].fn(spark, SF_SMOKE)
     assert checks.uses_broadcast_join(df)
+
+
+def test_d4_fingerprints_are_map_only(spark):
+    """SimHash fingerprinting must be a pure projection: one explicit
+    balance repartition, then codegen expression work — the r3 rewrite
+    removed a |tokens|*64-row explode through two groupBy shuffles."""
+    from garmin_performance_analysis_spark.pipelines import dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = dedup.simhash64(docs, "doc_id", "text")
+    # the only exchange is the explicit doc-balance repartition
+    assert checks.count_shuffles(df) <= 1
+    plan = checks.formatted_plan(df)
+    assert "HashAggregate" not in plan  # no vote groupBys survive
+
+
+def test_v4_srp_buckets_computed_without_plane_join(spark):
+    """SRP-LSH bucket signatures must come from inlined hyperplane
+    literals (driver-side md5), not a component-explode joined against
+    a plane table: below the candidate self-join the plan holds no
+    aggregate, and the projection sum stays in primitive longs."""
+    df = CATALOG["v4_srp_lsh_pairs"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert "posexplode" not in plan.lower()
+    assert "decimal(22,7)" not in plan.lower()  # scaled-long, not BigDecimal
