@@ -293,8 +293,17 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
         )
         .distinct()
     )
-    ham = F.expr(
-        "size(filter(sequence(0, 63), i -> substr(sh_a, i + 1, 1) != substr(sh_b, i + 1, 1)))"
+    # Primitive Hamming: bit-string halves → BIGINT via conv(,2,10),
+    # XOR, bit_count — stays in whole-stage codegen.  The previous
+    # per-position lambda (filter over sequence(0,63)) ran INTERPRETED
+    # per candidate row, and the verify step dominates when blocking
+    # yields many candidates (dup-heavy corpora).  Halves because
+    # conv() of a full 64-bit string can overflow signed BIGINT.
+    def _half(col, start):
+        return F.expr(f"CAST(conv(substr({col}, {start}, 32), 2, 10) AS BIGINT)")
+
+    ham = F.bit_count(_half("sh_a", 1).bitwiseXOR(_half("sh_b", 1))) + F.bit_count(
+        _half("sh_a", 33).bitwiseXOR(_half("sh_b", 33))
     )
     return (
         cands.withColumn("hamming", ham)

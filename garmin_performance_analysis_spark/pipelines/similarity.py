@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -163,8 +165,9 @@ def srp_lsh_pairs(
     MAP-ONLY bucketing: the ±1 hyperplane coefficients are md5-derived
     and tiny (tables·bits·dim ints), so they are computed ONCE on the
     driver (``hashlib.md5`` — byte-identical to the SQL ``md5`` the
-    oracle uses) and inlined as array literals; each vector's whole
-    bucket signature is then one codegen projection.  The previous
+    oracle uses) and inlined as signs in an unrolled projection sum;
+    each vector's whole bucket signature is then one codegen
+    projection.  The previous
     shape posexploded components and broadcast-joined a plane table —
     an N·dim·tables·bits row blow-up through a shuffle (5M rows and
     4.7 s at sf0.1, now ~map-only).  Projections accumulate as
@@ -181,24 +184,46 @@ def srp_lsh_pairs(
         first = hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[0]
         return 1 if first in "01234567" else -1
 
-    def bit_expr(t: int, b: int) -> str:
-        coefs = ",".join(str(coef(t, b, i)) for i in range(dim))
-        return (
-            f"CASE WHEN aggregate(sequence(0, {dim - 1}), 0L, (acc, i) -> acc"
-            f" + CAST(FLOOR(array({coefs})[i] * {vec_col}[i]"  # [] is 0-based in Spark SQL
-            f" * 10000000.0 + 0.5) AS BIGINT)) >= 0 THEN '1' ELSE '0' END"
-        )
+    # Projection = matrix math → vectorized Arrow path.  Three shapes
+    # were measured at sf0.1 (2000×64 vectors): component-posexplode +
+    # broadcast plane join + DECIMAL groupBy 4.7 s; per-bit SQL
+    # expressions 3.9 s interpreted as higher-order lambdas, 5.1 s
+    # unrolled (the tables·bits·dim-term projection spends seconds in
+    # codegen/Janino compilation); pandas_udf with one numpy matmul
+    # per Arrow batch ~0.6 s and embarrassingly parallel at 100 TB.
+    #
+    # Exactness: the oracle's FLOOR(coef*v*1e7 + 0.5) is reproduced
+    # bit-for-bit — float32→float64 widening is exact, ±(v·1e7) is an
+    # exact IEEE negation, numpy floor == SQL FLOOR, and the matmul
+    # accumulates integer-valued float64s far below 2^53, so the sums
+    # are exact integers in any summation order.
+    from pyspark.sql.functions import pandas_udf
 
-    table_structs = ", ".join(
-        f"struct({t}L AS t, concat("
-        + ", ".join(bit_expr(t, b) for b in range(bits))
-        + ") AS bucket)"
-        for t in range(tables)
-    )
+    plane = np.array(
+        [
+            [coef(t, b, i) for t in range(tables) for b in range(bits)]
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )  # dim × (tables·bits)
+    pos_mask = (plane > 0).astype(np.float64)
+    neg_mask = 1.0 - pos_mask
+
+    @pandas_udf("array<string>")
+    def bucket_sigs(vecs: pd.Series) -> pd.Series:
+        e = np.stack(vecs.to_numpy()).astype(np.float64) * 1e7  # N × dim
+        votes = np.floor(e + 0.5) @ pos_mask + np.floor(-e + 0.5) @ neg_mask
+        bits_ = (votes >= 0).reshape(len(e), tables, bits)
+        out = [
+            ["".join("1" if x else "0" for x in row[t]) for t in range(tables)]
+            for row in bits_
+        ]
+        return pd.Series(out)
+
     buckets = df.select(
         F.col(id_col).alias("vid"),
-        F.explode(F.expr(f"array({table_structs})")).alias("tb"),
-    ).select("vid", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        F.posexplode(bucket_sigs(F.col(vec_col))).alias("t", "bucket"),
+    )
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     cand = (
@@ -209,11 +234,29 @@ def srp_lsh_pairs(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    # Exact-cosine verify, vectorized: accumulate SEQUENTIALLY ACROSS
+    # DIMS but N-wide across rows — each row's float64 additions happen
+    # in dim order, bit-identical to the SQL left-fold (`aggregate`)
+    # the oracle mirrors, while running as ~3·dim numpy ops per Arrow
+    # batch.  The interpreted per-row lambda fold dominated when the
+    # candidate set was large (44M candidates at the 10× smoke).
+    @pandas_udf("double")
+    def cos_exact(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        xa = np.stack(sa.to_numpy()).astype(np.float64)
+        xb = np.stack(sb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(xa))
+        na = np.zeros(len(xa))
+        nb = np.zeros(len(xa))
+        for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
+            dot += xa[:, i] * xb[:, i]
+            na += xa[:, i] * xa[:, i]
+            nb += xb[:, i] * xb[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cos)
+        .withColumn("cosine", cos_exact(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -9,12 +9,19 @@ measurement says nothing about the algorithm:
 
 - documents: each replica gets a per-(replica, doc_id) deterministic
   word shuffle — a permuted word sequence shares almost no word
-  n-grams with the original, so shingle/SimHash/MinHash candidates
-  stay within a replica and the true-pair count scales linearly.
-- embeddings: each replica cyclically rolls the vector by
-  ``3 * replica`` positions — norm-preserving, and the cosine between
-  a vector and its rolled copy is ~0 for these corpora, so SRP-LSH
-  buckets decorrelate across replicas.
+  n-grams with the original, so shingle/MinHash candidates stay
+  within a replica — PLUS a per-replica suffix tag on a deterministic
+  third of the words: SimHash fingerprints are bag-of-words-invariant
+  (a shuffle alone leaves them identical, which merged clusters
+  10-fold and grew d4b's pair output 101× in the first measurement),
+  so the token SET itself must differ across replicas for the
+  true-pair count to scale linearly.
+- embeddings: each replica multiplies dimensions by an md5-derived
+  ±1 sign vector — norm-preserving, and distinct replicas get
+  ~orthogonal sign patterns, so cross-replica cosines collapse toward
+  0 regardless of any structure in the corpus (a cyclic roll was
+  measured insufficient: rolled copies of this corpus stayed
+  near-duplicates and inflated v4's pair output 104×).
 
 IDs shift by ``replica * (max_id + 1)`` so joins never collide.
 
@@ -32,6 +39,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -45,8 +53,20 @@ QUERIES = [
     "d2b_jaccard_capped_shingles",
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",
+    "v4_srp_bits8",  # smoke-only: index width scaled for the 10x corpus
     "x1_text_quality",
 ]
+
+
+def _v4_bits8(spark, sf_dir):
+    """SRP-LSH with an 8-bit bucket (256 buckets/table vs the catalog
+    query's 16): bucket width must grow ~log2(N) or random collisions
+    make the candidate set quadratic — the 10x lesson under test."""
+    from garmin_performance_analysis_spark.pipelines.similarity import srp_lsh_pairs
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_pairs(emb, "vec_id", "embedding", dim=64, tables=4, bits=8, threshold=0.4)
 
 
 def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
@@ -65,6 +85,12 @@ def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
                 words = row["text"].split()
                 rng = np.random.RandomState((r * 1_000_003 + int(row["doc_id"])) % (2**31))
                 rng.shuffle(words)
+                # decorrelate order-invariant token-set signatures too
+                # (crc32: deterministic across processes, unlike hash())
+                words = [
+                    w if (zlib.crc32(w.encode()) + r) % 3 else f"{w}~{r}"
+                    for w in words
+                ]
                 return " ".join(words)
 
             part["text"] = part.apply(shuffle_words, axis=1)
@@ -80,8 +106,20 @@ def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
         part = emb.copy()
         part["vec_id"] = part["vec_id"] + r * vec_stride
         if r > 0:
+            import hashlib
+
+            dim = len(emb["embedding"].iloc[0])
+            signs = np.array(
+                [
+                    1.0
+                    if hashlib.md5(f"{r}:{i}".encode()).hexdigest()[0] in "01234567"
+                    else -1.0
+                    for i in range(dim)
+                ],
+                dtype=np.float32,
+            )
             part["embedding"] = part["embedding"].map(
-                lambda v: np.roll(np.asarray(v), 3 * r).tolist()
+                lambda v: (np.asarray(v, dtype=np.float32) * signs).tolist()
             )
         emb_parts.append(part)
     big_emb = pd.concat(emb_parts, ignore_index=True)
@@ -91,63 +129,28 @@ def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
     )
 
 
-def _walk(node):
-    yield node
-    ch = node.children()
-    for i in range(ch.size()):
-        yield from _walk(ch.apply(i))
-    # AQE wraps the real plan; descend into the materialized subtree
-    for attr in ("executedPlan", "finalPhysicalPlan"):
-        if hasattr(node, attr):
-            try:
-                yield from _walk(getattr(node, attr)())
-                break
-            except Exception:
-                pass
-
-
-def shuffle_bytes(df) -> int:
-    """Sum 'shuffle bytes written' SQL metrics over the executed plan
-    (best-effort: returns -1 if the py4j walk fails)."""
-    try:
-        total = 0
-        seen = set()
-        for node in _walk(df._jdf.queryExecution().executedPlan()):
-            if id(node) in seen:
-                continue
-            seen.add(id(node))
-            metrics = node.metrics()
-            it = metrics.iterator()
-            while it.hasNext():
-                kv = it.next()
-                if kv._1() == "shuffleBytesWritten":
-                    total += kv._2().value()
-        return int(total)
-    except Exception:
-        return -1
-
-
 def run(sf_dir: str, label: str, runs: int, spark) -> list[dict]:
     from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.plans import checks
 
     results = []
     for name in QUERIES:
-        best, rows, shuf = float("inf"), -1, -1
+        fn = _v4_bits8 if name == "v4_srp_bits8" else CATALOG[name].fn
+        best = float("inf")
         for _ in range(runs):
-            df = CATALOG[name].fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            wall = time.perf_counter() - t0
-            if wall < best:
-                best = wall
-                shuf = shuffle_bytes(df)
-        rows = CATALOG[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        df = fn(spark, sf_dir)
         rec = {
             "query": name,
             "scale": label,
             "wall_sec": round(best, 3),
-            "out_rows": rows,
-            "shuffle_bytes": shuf,
+            "out_rows": df.count(),
+            # static plan property: scale-INDEPENDENT shuffle count is
+            # the claim under test (same plan shape at both scales)
+            "n_exchanges": checks.count_shuffles(df),
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)
@@ -173,13 +176,13 @@ def main() -> None:
     big = run(args.out, f"{args.replicas}x", args.runs, spark)
 
     print(f"\n{'query':32s} {'1x wall':>8s} {'Nx wall':>8s} {'ratio':>6s} "
-          f"{'1x rows':>9s} {'Nx rows':>9s} {'1x shufMB':>9s} {'Nx shufMB':>9s}")
+          f"{'1x rows':>9s} {'Nx rows':>9s} {'1x exch':>7s} {'Nx exch':>7s}")
     for b, g in zip(base, big):
         ratio = g["wall_sec"] / b["wall_sec"] if b["wall_sec"] else float("nan")
         print(
             f"{b['query']:32s} {b['wall_sec']:8.2f} {g['wall_sec']:8.2f} "
             f"{ratio:6.1f} {b['out_rows']:9d} {g['out_rows']:9d} "
-            f"{b['shuffle_bytes'] / 1e6:9.1f} {g['shuffle_bytes'] / 1e6:9.1f}"
+            f"{b['n_exchanges']:7d} {g['n_exchanges']:7d}"
         )
 
 

@@ -146,11 +146,12 @@ def test_d4_fingerprints_are_map_only(spark):
 
 
 def test_v4_srp_buckets_computed_without_plane_join(spark):
-    """SRP-LSH bucket signatures must come from inlined hyperplane
-    literals (driver-side md5), not a component-explode joined against
-    a plane table: below the candidate self-join the plan holds no
-    aggregate, and the projection sum stays in primitive longs."""
+    """SRP-LSH bucket signatures must come from the vectorized Arrow
+    batch (one numpy matmul against driver-side md5 hyperplanes), not a
+    component-explode joined against a plane table through a DECIMAL
+    groupBy: the plan holds an ArrowEvalPython stage and no BigDecimal
+    aggregation."""
     df = CATALOG["v4_srp_lsh_pairs"].fn(spark, SF_SMOKE)
     plan = checks.formatted_plan(df)
-    assert "posexplode" not in plan.lower()
-    assert "decimal(22,7)" not in plan.lower()  # scaled-long, not BigDecimal
+    assert "arrowevalpython" in plan.lower()
+    assert "decimal(22,7)" not in plan.lower()
