@@ -130,6 +130,48 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert full >= partial
 
 
+def test_srp_lsh_precision_and_recall(spark):
+    """SRP-LSH output must be a SUBSET of the exact cos>=threshold pair
+    set (precision 1.0 — every candidate is verified with the exact
+    fold), with the reported cosines equal to the exact values, and
+    recall on a planted-near-dup corpus well above the random-pair
+    floor.  Corpus: 30 base directions, each with a slightly-perturbed
+    twin (cos(twin, base) ~ 0.98) — deterministic, no RNG."""
+    import math
+
+    dim, n = 16, 30
+    rows = []
+    for k in range(n):
+        base = [math.sin(0.7 * k * (i + 1)) + 0.1 for i in range(dim)]
+        twin = [v + 0.05 * math.cos(1.3 * k * (i + 2)) for i, v in enumerate(base)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.srp_lsh_pairs(
+            df, "vec_id", "embedding", dim=dim, tables=6, bits=3, threshold=0.9
+        ).collect()
+    }
+    # exact truth via the all-pairs baseline (same threshold)
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert set(got) <= set(want), "LSH reported a pair the exact set lacks"
+    for pair, c in got.items():
+        assert c == want[pair], f"cosine mismatch on {pair}"
+    # the 30 planted twins are near-duplicates; 6 tables x 3 bits keeps
+    # per-table collision prob high for cos~0.98 -> recall should be
+    # near-total (floor at 0.8 guards against silent bucketing breaks)
+    twins = [p for p in want if p[1] == p[0] + 1 and p[0] % 2 == 0]
+    found = sum(1 for p in twins if p in got)
+    assert len(twins) == n and found / len(twins) >= 0.8
+
+
 def test_decode_features_deterministic(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     out = multimodal.decode_features(
