@@ -416,11 +416,13 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte statistics plus a REAL header decode (BMP/PPM via
     ``parse_image_header`` — pure struct arithmetic, no image library).
     The corpus is ASCII text, so every row takes the honest opaque-media
-    fallback (NULL fmt/dims) — the parser's strict NUL-byte validation
-    guarantees text can never false-positive, which is what makes the
-    constant-NULL oracle columns exact.  The parse path itself is
-    oracle-checked end-to-end by ``mm3_image_decode`` on constructed
-    payloads."""
+    fallback (NULL fmt/dims): BMP detection needs NUL bytes text cannot
+    contain, and PPM detection needs a complete raster after the header
+    (a document passing that check would genuinely BE a PPM byte
+    stream — the constant-NULL oracle columns encode the assertion that
+    this corpus contains none, which holds for the generated ASCII
+    sentences).  The parse path itself is oracle-checked end-to-end by
+    ``mm3_image_decode`` on constructed payloads."""
     docs = load_table(spark, sf_dir, "documents")
     out = multimodal.decode_features(
         multimodal.attach_binary(docs, "doc_id", "text")
@@ -453,7 +455,8 @@ SELECT doc_id,
             WHEN doc_id % 3 = 1 THEN octet_length(CAST(
                  'P6' || chr(10) || CAST(doc_id % 16 + 1 AS VARCHAR) || ' '
                  || CAST(doc_id % 8 + 1 AS VARCHAR) || chr(10) || '255'
-                 || chr(10) || text AS BLOB))
+                 || chr(10) AS BLOB))
+                 + (doc_id % 16 + 1) * (doc_id % 8 + 1) * 3
             ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes
 FROM documents
 """,
@@ -475,35 +478,48 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ppm = (F.col("doc_id") % 16 + 1).cast("int")
     h_ppm = (F.col("doc_id") % 8 + 1).cast("int")
 
-    def _le32(col):
-        # little-endian u32 hex for values < 256: one real byte + 3 NULs
+    def _le32_lit(n: int) -> str:
+        # exact little-endian u32 hex for CONSTANT header fields —
+        # computed in Python so multi-byte values (e.g. 2835) can't be
+        # silently truncated by a one-byte column formula
+        return n.to_bytes(4, "little").hex().upper()
+
+    def _le32_col(col):
+        # little-endian u32 hex for computed fields; valid ONLY for
+        # values < 256 (w/h here are ≤ 64 by construction): one real
+        # byte + 3 NUL bytes
         return F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("000000"))
 
     bmp_hex = F.concat(
-        F.lit("424D"),        # 'BM'
-        _le32(F.lit(70)),     # file size: 54-byte header + 16 pixel bytes
-        F.lit("00000000"),    # reserved
-        _le32(F.lit(54)),     # pixel-data offset
-        _le32(F.lit(40)),     # BITMAPINFOHEADER size
-        _le32(w_bmp),
-        _le32(h_bmp),
-        F.lit("0100"),        # planes = 1
-        F.lit("1800"),        # 24 bpp → 3 channels
-        _le32(F.lit(0)),      # compression
-        _le32(F.lit(16)),     # image size
-        _le32(F.lit(2835)),   # x pixels/m
-        _le32(F.lit(2835)),   # y pixels/m
-        _le32(F.lit(0)),      # palette colors
-        _le32(F.lit(0)),      # important colors
-        F.lit("00" * 16),     # pixel bytes (content irrelevant to header)
+        F.lit("424D"),                  # 'BM'
+        F.lit(_le32_lit(70)),           # file size: 54-byte header + 16 px bytes
+        F.lit("00000000"),              # reserved
+        F.lit(_le32_lit(54)),           # pixel-data offset
+        F.lit(_le32_lit(40)),           # BITMAPINFOHEADER size
+        _le32_col(w_bmp),
+        _le32_col(h_bmp),
+        F.lit("0100"),                  # planes = 1
+        F.lit("1800"),                  # 24 bpp → 3 channels
+        F.lit(_le32_lit(0)),            # compression
+        F.lit(_le32_lit(16)),           # image size
+        F.lit(_le32_lit(2835)),         # x pixels/m
+        F.lit(_le32_lit(2835)),         # y pixels/m
+        F.lit(_le32_lit(0)),            # palette colors
+        F.lit(_le32_lit(0)),            # important colors
+        F.lit("00" * 16),               # pixel bytes (content irrelevant to header)
     )
+    # raster rpad'd/truncated to exactly w*h*3 bytes: the parser
+    # requires the full raster to be present (anti-false-positive
+    # check), and a fixed-size raster keeps n_bytes arithmetic
     ppm_str = F.concat(
         F.lit("P6\n"),
         w_ppm.cast("string"),
         F.lit(" "),
         h_ppm.cast("string"),
         F.lit("\n255\n"),
-        F.col("text"),
+        F.expr(
+            "rpad(text, CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 AS INT), '.')"
+        ),
     )
     payload = (
         F.when(F.col("doc_id") % 3 == 0, F.unhex(bmp_hex))

@@ -224,7 +224,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ") > 0 THEN '1' ELSE '0' END), '')"
     )
     return (
-        df.repartition(32, F.col(id_col))
+        # NULL-text docs drop entirely — the previous explode shape and
+        # the ANSI oracle (unnest of a NULL split) both produce no row,
+        # and an all-zeros fingerprint would spuriously pair NULL docs
+        # at Hamming 0
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(32, F.col(id_col))
         .select(
             F.col(id_col).alias("doc_id"),
             F.transform(words, F.md5).alias("hs"),

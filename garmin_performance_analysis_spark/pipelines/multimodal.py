@@ -34,10 +34,15 @@ def parse_image_header(payload: bytes):
     formats needing a codec library (JPEG/PNG entropy data, audio,
     video) still belong to the ``decode_image_stub`` integration point.
 
-    Validation is strict enough that text can never false-positive: a
-    BMP match requires DIB header size 40 at bytes 14-17 (LE ``0x28 00
-    00 00``) and planes==1 at 26-27 (``0x01 0x00``) — both contain NUL
-    bytes, which never occur in text corpora.
+    Validation: a BMP match requires DIB header size 40 at bytes 14-17
+    (LE ``0x28 00 00 00``) and planes==1 at 26-27 (``0x01 0x00``) —
+    both contain NUL bytes, which never occur in text, so BMP can never
+    false-positive on a text corpus.  A PPM/PGM match requires the
+    magic, three bounded integers, AND the full raster
+    (width·height·channels samples) to be present after the header —
+    so the only "text" that matches is a byte stream that genuinely IS
+    a complete binary PPM, at which point reporting its dimensions is
+    correct behavior, not a false positive.
     """
     # --- BMP (BITMAPINFOHEADER) ------------------------------------
     if len(payload) >= 54 and payload[:2] == b"BM":
@@ -79,7 +84,21 @@ def parse_image_header(payload: bytes):
         except IndexError:
             return None
         width, height, maxval = fields
-        if 0 < width <= 1_000_000 and 0 < height <= 1_000_000 and 0 < maxval < 65536:
+        # the header ends with exactly one whitespace byte, then the
+        # raster: width·height·channels samples (2 bytes each when
+        # maxval > 255).  Requiring the raster to actually be present
+        # rejects prose that merely starts "P6 10 20 30 ..." — a
+        # payload that passes THIS check is a complete, valid binary
+        # PPM byte stream.
+        sample_bytes = 2 if maxval > 255 else 1
+        raster_end = pos + 1 + width * height * channels * sample_bytes
+        if (
+            0 < width <= 1_000_000
+            and 0 < height <= 1_000_000
+            and 0 < maxval < 65536
+            and payload[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n")
+            and raster_end <= len(payload)
+        ):
             return ("ppm" if channels == 3 else "pgm", width, height, channels)
     return None
 
@@ -119,9 +138,9 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            headers = [parse_image_header(bytes(p)) if p is not None else None
-                       for p in payloads]
+            # normalize NULL payloads once; every stat below shares it
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            headers = [parse_image_header(p) for p in payloads]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

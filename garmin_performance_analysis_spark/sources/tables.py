@@ -51,12 +51,20 @@ def invalidate_table_memo(path: str | None = None) -> int:
         n = len(_TABLE_MEMO)
         _TABLE_MEMO.clear()
         return n
-    norm = os.path.normpath(path)
+
+    # abspath both sides (a relative sf_dir must match the same dir
+    # given absolutely) and compare on whole path segments — a bare
+    # string prefix would let /root/data match /root/data2
+    def _under(child: str, parent: str) -> bool:
+        child, parent = os.path.abspath(child), os.path.abspath(parent)
+        return child == parent or child.startswith(parent + os.sep)
+
+    norm = os.path.abspath(path)
     stale = [
         k
         for k in _TABLE_MEMO
-        if os.path.normpath(os.path.join(k[1], f"{k[2]}.parquet")).startswith(norm)
-        or norm.startswith(os.path.normpath(k[1]))
+        if _under(os.path.join(k[1], f"{k[2]}.parquet"), norm)
+        or _under(norm, k[1])
     ]
     for k in stale:
         del _TABLE_MEMO[k]

@@ -165,9 +165,21 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.out, "documents.parquet")):
+    manifest_path = os.path.join(args.out, "manifest.json")
+    manifest = {"sf_dir": os.path.abspath(args.sf_dir), "replicas": args.replicas}
+    cached = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            cached = json.load(fh)
+    if cached != manifest or not os.path.exists(
+        os.path.join(args.out, "documents.parquet")
+    ):
+        # manifest mismatch = stale corpus from a different sf_dir or
+        # replica count; silently reusing it would mislabel every row
         print(f"synthesizing {args.replicas}x corpus into {args.out}...", flush=True)
         synthesize(args.sf_dir, args.out, args.replicas)
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
 
     from garmin_performance_analysis_spark.session import get_spark
 

@@ -204,10 +204,13 @@ def test_parse_image_header_bmp_ppm_pgm():
     assert p(_bmp(7, 9, bpp=8)) == ("bmp", 7, 9, 1)
     # top-down BMPs store negative height; dims reported positive
     assert p(_bmp(5, -4)) == ("bmp", 5, 4, 3)
-    assert p(b"P6\n12 34\n255\n" + b"\x00" * 10) == ("ppm", 12, 34, 3)
+    assert p(b"P6\n2 3\n255\n" + b"\x00" * 18) == ("ppm", 2, 3, 3)
     assert p(b"P5 3 2 255 " + b"\x00" * 6) == ("pgm", 3, 2, 1)
     # comments between header fields are legal PPM
-    assert p(b"P6\n# made by hand\n2 3\n255\n" + b"\x00") == ("ppm", 2, 3, 3)
+    assert p(b"P6\n# made by hand\n2 3\n255\n" + b"\x00" * 18) == ("ppm", 2, 3, 3)
+    # 16-bit samples double the raster requirement
+    assert p(b"P5 2 2 65535 " + b"\x00" * 8) == ("pgm", 2, 2, 1)
+    assert p(b"P5 2 2 65535 " + b"\x00" * 7) is None
 
 
 def test_parse_image_header_rejects_non_images():
@@ -219,6 +222,13 @@ def test_parse_image_header_rejects_non_images():
     assert p(_bmp(640, 480)[:40]) is None  # header cut short
     assert p(b"P6\nnot numbers\n") is None
     assert p(b"P699 9 255 ") is None  # magic must be followed by whitespace
+    # prose that happens to start with a magic + integers must NOT
+    # parse: the full raster (w*h*channels bytes) is required
+    # (code-review r3 — these two passed before the raster check)
+    assert p(b"P6 10 20 30 this is ordinary ascii text") is None
+    assert p(b"P5 2019 2020 255 annual report, volume 7") is None
+    # truncated raster: one byte short of 2*3*3
+    assert p(b"P6 2 3 255 " + b"\x00" * 17) is None
     assert p(b"plain text payload") is None
     assert p(b"") is None
 
