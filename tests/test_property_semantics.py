@@ -387,3 +387,60 @@ def test_work_recovery_matches_python_mirror(spark):
             assert r["avg_hr_recovery_rate"] is None
         else:
             assert abs(r["avg_hr_recovery_rate"] - want["avg_hr_recovery_rate"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# parse_image_header roundtrip: any VALID constructed header parses to
+# exactly its fields; corrupting the validation-bearing bytes kills the
+# match.  Pure Python — no Spark round-trip needed.
+
+import struct
+
+from garmin_performance_analysis_spark.pipelines.multimodal import parse_image_header
+
+
+@given(
+    w=st.integers(min_value=1, max_value=1_000_000),
+    h=st.integers(min_value=1, max_value=1_000_000),
+    bpp=st.sampled_from([1, 4, 8, 16, 24, 32]),
+    topdown=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_header_roundtrip(w, h, bpp, topdown):
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, -h if topdown else h, 1, bpp, 0, 16, 0, 0, 0, 0
+        )
+        + b"\x00" * 16
+    )
+    assert parse_image_header(payload) == ("bmp", w, h, max(1, bpp // 8))
+    # flipping the planes field (the NUL-bearing validation byte) must
+    # reject — this is the guarantee that text cannot false-positive
+    corrupt = bytearray(payload)
+    corrupt[26] = 2
+    assert parse_image_header(bytes(corrupt)) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    maxval=st.sampled_from([1, 255, 256, 65535]),
+    mode=st.sampled_from([b"P5", b"P6"]),
+    ws=st.sampled_from([b"\n", b" ", b"\t", b"\r"]),
+    comment=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_header_roundtrip(w, h, maxval, mode, ws, comment):
+    channels = 3 if mode == b"P6" else 1
+    sample = 2 if maxval > 255 else 1
+    header = mode + ws
+    if comment:
+        header += b"# generated\n"
+    header += f"{w} {h}".encode() + ws + str(maxval).encode() + b"\n"
+    raster = b"\x7f" * (w * h * channels * sample)
+    fmt = "ppm" if channels == 3 else "pgm"
+    assert parse_image_header(header + raster) == (fmt, w, h, channels)
+    # one raster byte short -> reject (the anti-prose check)
+    assert parse_image_header(header + raster[:-1]) is None
