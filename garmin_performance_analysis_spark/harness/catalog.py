@@ -76,6 +76,7 @@ _DEFERRED_DARK = [
 # one dark for a third round.  New queries rotate in next round.
 _NEW_R3 = [
     "mm3_image_decode",
+    "d5_dedup_clusters",
 ]
 
 

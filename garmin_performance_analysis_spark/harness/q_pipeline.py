@@ -627,3 +627,52 @@ def d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash64(docs, "doc_id", "text")
     return dedup.simhash_near_pairs(fps, max_hamming=3)
+
+
+@register(
+    "d5_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       (COALESCE(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("dedup",),
+)
+def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS + canonical-document selection: connect
+    the d3 MinHash-LSH pair graph into components (cluster_id = min
+    reachable doc_id), keep the minimum id per cluster as canonical —
+    the keep/drop decision a training-data dedup pipeline actually
+    ships.  The Spark side runs pointer-jumping min-label propagation
+    (O(log diameter) joins, see ``dedup.connected_components``); the
+    oracle computes the same unique fixpoint with a recursive
+    transitive-closure CTE — identical output regardless of algorithm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    out = docs.select("doc_id").join(cc, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        out.select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_canonical"),
+        ).orderBy("doc_id")
+    )

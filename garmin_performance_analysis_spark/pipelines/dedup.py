@@ -315,3 +315,77 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the MINIMUM doc_id reachable
+    through the pair graph — the standard step between candidate-pair
+    generation (d1/d3/d4b/v4) and canonical-document selection in a
+    training-data dedup pipeline.  The fixpoint is unique, so any
+    correct algorithm (including a SQL transitive-closure oracle)
+    produces identical output.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    a node takes ``min(own label, labels of neighbors, label OF its
+    label)``.  The neighbor step alone converges in graph-diameter
+    rounds; the label-of-label join doubles the propagation distance
+    per round, giving O(log diameter) convergence (the same idea as
+    large-star/small-star).  Each round is two shuffles on node id;
+    per-round ``localCheckpoint`` keeps the lineage flat (an iterative
+    DataFrame loop otherwise grows the plan exponentially).
+    Convergence detection: labels only ever decrease, so SUM(label)
+    strictly decreases until the fixpoint — one cheap agg per round.
+    """
+    und = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(edges["dst"].alias("node2"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        hop = labels.select(
+            F.col("node").alias("lnode"), F.col("label").alias("_lmin")
+        )
+        jumped = (
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .join(hop, labels["label"] == hop["lnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_nmin"), F.col("label")),
+                    F.coalesce(F.col("_lmin"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

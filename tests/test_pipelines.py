@@ -304,3 +304,63 @@ def test_m5b_huber_matches_local_sklearn_gold(spark):
         assert row["coef_b"] == pytest.approx(round(b, 6), abs=1e-9)
         assert row["rmse"] == pytest.approx(round(rmse, 6), abs=1e-9)
     assert gold_groups >= 1 and len(got) == gold_groups
+
+
+# ---------------------------------------------------------------------------
+# connected components (d5): pointer-jumping propagation vs union-find
+
+
+def _brute_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_path_graph(spark):
+    """A 24-node path is the worst diameter per edge count; pointer
+    jumping must converge in O(log n) rounds (max_iter=8 << 24 proves
+    the doubling actually happens)."""
+    edges = [(i, i + 1) for i in range(23)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df, max_iter=8).collect()
+    }
+    assert got == {n: 0 for n in range(24)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Several disjoint random-ish graphs in ONE round-trip (node id
+    spaces offset per case) — the unique min-label fixpoint must equal
+    a union-find reference."""
+    cases = [
+        [(0, 1), (1, 2), (3, 4)],
+        [(0, 5), (5, 3), (2, 4), (4, 0)],
+        [(7, 7)],                        # self-loop
+        [(1, 0), (0, 1), (2, 1)],        # duplicates + reversed
+        [(0, 9), (8, 2), (3, 6), (6, 9), (5, 4)],
+    ]
+    all_edges = []
+    want = {}
+    for i, edges in enumerate(cases):
+        off = 1000 * i
+        shifted = [(a + off, b + off) for a, b in edges]
+        all_edges.extend(shifted)
+        want.update(_brute_components(shifted))
+    df = spark.createDataFrame(all_edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == want
