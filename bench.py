@@ -62,6 +62,18 @@ HEADLINE = [
     "v4_srp_lsh_pairs",
 ]
 
+# Batch/training-shaped members of HEADLINE: timed and reported, but
+# broken out so the read-path subtotal stays comparable to the
+# reference's 300 ms/read budget (its benchmark scopes to read tools;
+# robust fits and corpus-wide dedup are batch jobs there too).
+BATCH_JOBS = {
+    "m5c_huber_irls",
+    "d4b_simhash_pairs",
+    "v4_srp_lsh_pairs",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+}
+
 
 def force(df) -> None:
     """Materialize the full plan without collecting rows to the driver."""
@@ -91,6 +103,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    read_path = round(
+        sum(v for k, v in timings.items() if k not in BATCH_JOBS), 3
+    )
     print(
         json.dumps(
             {
@@ -99,6 +114,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "read_path_sec": read_path,
+                "batch_job_sec": round(total - read_path, 3),
             }
         )
     )

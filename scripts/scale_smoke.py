@@ -55,6 +55,7 @@ QUERIES = [
     "v4_srp_lsh_pairs",
     "v4_srp_bits8",  # smoke-only: index width scaled for the 10x corpus
     "x1_text_quality",
+    "d5_dedup_clusters",
 ]
 
 
