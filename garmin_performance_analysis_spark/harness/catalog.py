@@ -77,6 +77,7 @@ _DEFERRED_DARK = [
 _NEW_R3 = [
     "mm3_image_decode",
     "d5_dedup_clusters",
+    "v4b_srp_multiprobe",
 ]
 
 

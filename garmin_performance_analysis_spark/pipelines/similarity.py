@@ -141,6 +141,74 @@ def kmeans_assign(
     return assigned
 
 
+def _srp_plane(dim: int, tables: int, bits: int) -> np.ndarray:
+    """±1 hyperplane coefficients derived from ``md5(table:bit:dim)`` —
+    no RNG, byte-identical to the SQL ``md5`` the oracle uses.  Shape
+    dim × (tables·bits), computed once on the driver (tiny)."""
+    import hashlib
+
+    def coef(t: int, b: int, i: int) -> int:
+        first = hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[0]
+        return 1 if first in "01234567" else -1
+
+    return np.array(
+        [
+            [coef(t, b, i) for t in range(tables) for b in range(bits)]
+            for i in range(dim)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _bucket_sig_udf(plane: np.ndarray, tables: int, bits: int):
+    """Arrow-batched SRP signature projection (one numpy matmul per
+    batch).  Exactness contract vs the SQL oracle: float32→float64
+    widening is exact, ±(v·1e7) is an exact IEEE negation, numpy floor
+    == SQL FLOOR, and the matmul accumulates integer-valued float64s
+    far below 2^53, so the scaled-long sums are exact in any order."""
+    from pyspark.sql.functions import pandas_udf
+
+    pos_mask = (plane > 0).astype(np.float64)
+    neg_mask = 1.0 - pos_mask
+
+    @pandas_udf("array<string>")
+    def bucket_sigs(vecs: pd.Series) -> pd.Series:
+        e = np.stack(vecs.to_numpy()).astype(np.float64) * 1e7  # N × dim
+        votes = np.floor(e + 0.5) @ pos_mask + np.floor(-e + 0.5) @ neg_mask
+        bits_ = (votes >= 0).reshape(len(e), tables, bits)
+        out = [
+            ["".join("1" if x else "0" for x in row[t]) for t in range(tables)]
+            for row in bits_
+        ]
+        return pd.Series(out)
+
+    return bucket_sigs
+
+
+def _cos_exact_udf():
+    """Exact-cosine verify, vectorized: accumulate SEQUENTIALLY ACROSS
+    DIMS but N-wide across rows — each row's float64 additions happen
+    in dim order, bit-identical to the SQL left-fold (``aggregate``)
+    the oracle mirrors, while running as ~3·dim numpy ops per Arrow
+    batch (SCALING.md round-3 lesson 3)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_exact(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        xa = np.stack(sa.to_numpy()).astype(np.float64)
+        xb = np.stack(sb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(xa))
+        na = np.zeros(len(xa))
+        nb = np.zeros(len(xa))
+        for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
+            dot += xa[:, i] * xb[:, i]
+            na += xa[:, i] * xa[:, i]
+            nb += xb[:, i] * xb[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_exact
+
+
 def srp_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -178,12 +246,6 @@ def srp_lsh_pairs(
     |v|·1e7·dim < 2^63 holds for |v| up to ~1.4e10/dim — unit-norm
     embeddings are orders of magnitude inside it.
     """
-    import hashlib
-
-    def coef(t: int, b: int, i: int) -> int:
-        first = hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[0]
-        return 1 if first in "01234567" else -1
-
     # Projection = matrix math → vectorized Arrow path.  Three shapes
     # were measured at sf0.1 (2000×64 vectors): component-posexplode +
     # broadcast plane join + DECIMAL groupBy 4.7 s; per-bit SQL
@@ -191,34 +253,7 @@ def srp_lsh_pairs(
     # unrolled (the tables·bits·dim-term projection spends seconds in
     # codegen/Janino compilation); pandas_udf with one numpy matmul
     # per Arrow batch ~0.6 s and embarrassingly parallel at 100 TB.
-    #
-    # Exactness: the oracle's FLOOR(coef*v*1e7 + 0.5) is reproduced
-    # bit-for-bit — float32→float64 widening is exact, ±(v·1e7) is an
-    # exact IEEE negation, numpy floor == SQL FLOOR, and the matmul
-    # accumulates integer-valued float64s far below 2^53, so the sums
-    # are exact integers in any summation order.
-    from pyspark.sql.functions import pandas_udf
-
-    plane = np.array(
-        [
-            [coef(t, b, i) for t in range(tables) for b in range(bits)]
-            for i in range(dim)
-        ],
-        dtype=np.float64,
-    )  # dim × (tables·bits)
-    pos_mask = (plane > 0).astype(np.float64)
-    neg_mask = 1.0 - pos_mask
-
-    @pandas_udf("array<string>")
-    def bucket_sigs(vecs: pd.Series) -> pd.Series:
-        e = np.stack(vecs.to_numpy()).astype(np.float64) * 1e7  # N × dim
-        votes = np.floor(e + 0.5) @ pos_mask + np.floor(-e + 0.5) @ neg_mask
-        bits_ = (votes >= 0).reshape(len(e), tables, bits)
-        out = [
-            ["".join("1" if x else "0" for x in row[t]) for t in range(tables)]
-            for row in bits_
-        ]
-        return pd.Series(out)
+    bucket_sigs = _bucket_sig_udf(_srp_plane(dim, tables, bits), tables, bits)
 
     buckets = df.select(
         F.col(id_col).alias("vid"),
@@ -232,27 +267,23 @@ def srp_lsh_pairs(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .distinct()
     )
+    return _verify_pairs(df, cand, id_col, vec_col, threshold)
+
+
+def _verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their vectors and keep
+    those whose EXACT cosine clears the threshold.  The interpreted
+    per-row lambda fold dominated when the candidate set was large
+    (44M candidates at the 10× smoke) — hence the vectorized verify."""
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    # Exact-cosine verify, vectorized: accumulate SEQUENTIALLY ACROSS
-    # DIMS but N-wide across rows — each row's float64 additions happen
-    # in dim order, bit-identical to the SQL left-fold (`aggregate`)
-    # the oracle mirrors, while running as ~3·dim numpy ops per Arrow
-    # batch.  The interpreted per-row lambda fold dominated when the
-    # candidate set was large (44M candidates at the 10× smoke).
-    @pandas_udf("double")
-    def cos_exact(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        xa = np.stack(sa.to_numpy()).astype(np.float64)
-        xb = np.stack(sb.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(xa))
-        na = np.zeros(len(xa))
-        nb = np.zeros(len(xa))
-        for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
-            dot += xa[:, i] * xb[:, i]
-            na += xa[:, i] * xa[:, i]
-            nb += xb[:, i] * xb[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
-
+    cos_exact = _cos_exact_udf()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -260,6 +291,64 @@ def srp_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def srp_multiprobe_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Multi-probe SRP-LSH near-neighbor pairs: candidates are pairs
+    whose signatures differ by ≤1 bit in at least one table.
+
+    Motivation (measured, SCALING.md round-3 10× smoke): at fixed
+    4-bit tables the bucket count doesn't grow with the corpus, so
+    candidates go quadratic (56.6 s at 10×); widening to 8 bits cuts
+    the 10× wall to ~4.7 s but collision probability per table drops
+    from ``p^4`` to ``p^8`` and recall collapses (480→113 pairs at
+    cos≥0.4).  Multi-probe is the standard fix (Lv et al., VLDB'07
+    — probe perturbed buckets instead of adding tables): accepting
+    Hamming-≤1 collisions lifts per-table recall to
+    ``p^b + b·p^(b-1)·(1-p)`` while keeping the 2^bits-bucket
+    precision.  At p=0.63 (cos 0.4), 4×8-bit multi-probe ≈ 0.46 net
+    recall vs 0.50 for 4×4 exact — near-parity recall at ~16× the
+    bucket resolution.
+
+    Plan shape: the LEFT side of the candidate join emits only its
+    home bucket; the RIGHT side explodes home + ``bits`` Hamming-1
+    perturbations, so the asymmetric equi-join finds every Hamming-≤1
+    pair exactly once per direction (dedup'd by ``id_a < id_b`` +
+    DISTINCT) without squaring the emission.  Still a bucket equi-join
+    — never an all-pairs cross — with a (1+bits)× row factor on one
+    side only, map-side generated (no extra shuffle beyond the join)."""
+    bucket_sigs = _bucket_sig_udf(_srp_plane(dim, tables, bits), tables, bits)
+    buckets = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(bucket_sigs(F.col(vec_col))).alias("t", "bucket"),
+    )
+    # home + flip-one-bit variants, built JVM-side (codegen string ops)
+    flips = F.expr(
+        f"transform(sequence(1, {bits}), j -> concat("
+        "substring(bucket, 1, j - 1), "
+        "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
+        f"substring(bucket, j + 1, {bits})))"
+    )
+    probes = buckets.select(
+        "vid", "t", F.explode(F.concat(F.array(F.col("bucket")), flips)).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b2 = probes.alias("b")
+    cand = (
+        a.join(b2, ["t", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(df, cand, id_col, vec_col, threshold)
 
 
 def ivf_centroids(

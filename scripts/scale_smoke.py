@@ -54,6 +54,7 @@ QUERIES = [
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",
     "v4_srp_bits8",  # smoke-only: index width scaled for the 10x corpus
+    "v4b_srp_multiprobe",  # 8-bit buckets + Hamming-1 probe (recall recovery)
     "x1_text_quality",
     "d5_dedup_clusters",
 ]

@@ -172,6 +172,54 @@ def test_srp_lsh_precision_and_recall(spark):
     assert len(twins) == n and found / len(twins) >= 0.8
 
 
+def test_srp_multiprobe_supersets_exact_bucket_and_recovers_recall(spark):
+    """Multi-probe SRP-LSH at (tables, bits) must (a) return a SUPERSET
+    of the exact-bucket pairs at the same (tables, bits) — Hamming-0 is
+    one of the probed perturbations; (b) stay a subset of the exact
+    cos>=threshold truth with exact cosines (precision 1.0); and
+    (c) on a planted-twin corpus with WIDE tables (where exact-bucket
+    recall collapses — the measured v4 10× lesson), recover recall to
+    >= the 0.8 floor the narrow-table test holds itself to."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines import similarity
+
+    dim, n = 16, 30
+    rows = []
+    for k in range(n):
+        base = [math.sin(0.7 * k * (i + 1)) + 0.1 for i in range(dim)]
+        twin = [v + 0.05 * math.cos(1.3 * k * (i + 2)) for i, v in enumerate(base)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kw = dict(dim=dim, tables=4, bits=6, threshold=0.9)
+    got_mp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.srp_multiprobe_pairs(df, "vec_id", "embedding", **kw).collect()
+    }
+    got_exact_bucket = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.srp_lsh_pairs(df, "vec_id", "embedding", **kw).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_dup_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    assert set(got_exact_bucket) <= set(got_mp), "multi-probe lost a Hamming-0 pair"
+    assert set(got_mp) <= set(want), "multi-probe reported a pair the exact set lacks"
+    for pair, c in got_mp.items():
+        assert c == want[pair], f"cosine mismatch on {pair}"
+    twins = [p for p in want if p[1] == p[0] + 1 and p[0] % 2 == 0]
+    mp_found = sum(1 for p in twins if p in got_mp)
+    eb_found = sum(1 for p in twins if p in got_exact_bucket)
+    assert mp_found >= eb_found, "probing must not reduce recall"
+    assert mp_found / len(twins) >= 0.8, (
+        f"multi-probe recall {mp_found}/{len(twins)} below floor "
+        f"(exact-bucket found {eb_found})"
+    )
+
+
 def test_decode_features_deterministic(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     out = multimodal.decode_features(
