@@ -60,6 +60,7 @@ HEADLINE = [
     "t8_material_event_rates",
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",
+    "c1_training_prep",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -72,6 +73,7 @@ BATCH_JOBS = {
     "v4_srp_lsh_pairs",
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
+    "c1_training_prep",
 }
 
 

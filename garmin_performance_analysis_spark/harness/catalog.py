@@ -78,6 +78,7 @@ _NEW_R3 = [
     "mm3_image_decode",
     "d5_dedup_clusters",
     "v4b_srp_multiprobe",
+    "c1_training_prep",
 ]
 
 

@@ -241,7 +241,13 @@ def _seq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing 1M rows costs more than the columnar re-scans +
     # re-windows it saves — the d3 lesson (SCALING.md round-1 §3) cuts
     # the other way when the diamond subplan is one cheap window over a
-    # parquet scan rather than a 4M-row md5 explode.
+    # parquet scan rather than a 4M-row md5 explode.  Re-measured in
+    # r3 with a NARROW lazy checkpoint (only user_id/event_type/sec/
+    # value, props dropped): still 3-6× slower — AQE coalesces the
+    # 100k-row window shuffle to ONE partition, the checkpointed RDD
+    # pins that single-partition layout, and every downstream stage
+    # inherits serial execution.  Re-scan-per-branch keeps the scan
+    # columnar, pushed-down, and parallel; keep it.
     return ev.withColumn("sec", (F.row_number().over(w) - 1).cast("long"))
 
 

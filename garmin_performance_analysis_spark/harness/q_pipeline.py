@@ -676,3 +676,76 @@ def d5_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("doc_id")).alias("is_canonical"),
         ).orderBy("doc_id")
     )
+
+
+def _c1_oracle() -> str:
+    """Composite training-prep oracle: the x1/x2/x3/x4/d1 SQL fragments
+    chained exactly as ``pipelines/prep.training_prep`` chains the
+    DataFrame operators."""
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({marker_in}))) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_words,
+         (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+           / length(text) AS non_alpha_ratio,
+         len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           / len(string_split(lower(text), ' ')) AS distinct_word_ratio,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS regex_tokens,
+         md5(text) AS content_hash,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+         {", ".join(score_cols)}
+  FROM documents
+),
+langed AS (SELECT *, {pred} AS predicted_lang FROM feats),
+gated AS (
+  SELECT * FROM langed
+  WHERE n_words >= 20 AND non_alpha_ratio <= 0.35
+    AND distinct_word_ratio >= 0.3 AND predicted_lang = 'en'
+),
+d_exact AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1
+),
+d_near AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn2
+    FROM d_exact) WHERE rn2 = 1
+),
+cum AS (
+  SELECT doc_id, predicted_lang, n_words, regex_tokens,
+         SUM(regex_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM d_near
+)
+SELECT doc_id, predicted_lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(regex_tokens AS BIGINT) AS regex_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 10000
+"""
+
+
+@register("c1_training_prep", oracle=_c1_oracle(), tags=("text", "dedup"))
+def c1_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-shard preparation: quality gate → language
+    gate → exact dedup → fingerprint dedup → greedy token budget, as
+    ONE declarative plan (``pipelines/prep.training_prep``).  Single
+    feature scan; dedups shuffle on their own keys; the global running
+    token count is a distributed prefix sum (range repartition + tiny
+    offset join), NOT a single-task unpartitioned window."""
+    from ..pipelines.prep import training_prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_prep(docs, "doc_id", "text", token_budget=10_000)

@@ -358,6 +358,7 @@ def grouped_median(
     group_cols: Sequence[str],
     metrics: Sequence[str],
     bucketed: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact per-group median for each metric, distributed: unpivot the
     metrics, count per distinct value, cumulative count per
@@ -373,13 +374,21 @@ def grouped_median(
     Output: one row per group with ``{metric}_median`` columns.
     ``bucketed=True`` switches the rank scan to the split-point shape —
     see ``_median_over_counts`` for when each shape is right.
+
+    ``weight_col``: treat each row as ``weight`` identical observations
+    (integer multiplicity).  The median of the expanded multiset equals
+    the weighted-histogram median, so pre-compacted (value, count)
+    frames — sufficient statistics for discrete domains — get exact
+    row-level medians without re-expanding.
     """
     stack = ", ".join(f"'{m}', cast({m} as double)" for m in metrics)
     long = df.selectExpr(
-        *group_cols, f"stack({len(metrics)}, {stack}) as (_metric, _v)"
+        *group_cols,
+        *([weight_col] if weight_col else []),
+        f"stack({len(metrics)}, {stack}) as (_metric, _v)",
     ).filter(F.col("_v").isNotNull())
     counts = long.groupBy(*group_cols, "_metric", "_v").agg(
-        F.count(F.lit(1)).alias("_cnt")
+        (F.sum(weight_col) if weight_col else F.count(F.lit(1))).alias("_cnt")
     )
     per_metric = _median_over_counts(
         counts, [*group_cols, "_metric"], bucketed=bucketed

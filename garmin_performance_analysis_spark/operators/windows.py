@@ -243,3 +243,56 @@ def downsample(
     step = F.greatest(F.ceil(F.col("_n") / F.lit(max_points)), F.lit(1))
     keep = ((F.col("_rn") - 1) % step == 0) | (F.col("_rn") == F.col("_n"))
     return df2.filter(keep).drop("_rn", "_n")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum ordered by ``order_col`` WITHOUT a
+    single-task window.
+
+    ``SUM() OVER (ORDER BY x)`` with no PARTITION BY plans as one
+    unpartitioned window — a single task holding the whole dataset,
+    the canonical 100 TB scale-killer.  This is the classic two-phase
+    distributed prefix sum instead:
+
+    1. range-repartition on ``order_col`` (order-preserving across
+       partitions) and compute the within-partition running sum;
+    2. aggregate one row per partition (tiny: #partitions rows),
+       compute each partition's OFFSET (sum of all earlier partitions'
+       totals — a window over the tiny frame), and broadcast-join it
+       back.
+
+    The result is independent of where the range boundaries fall
+    (prefix sums are associative and range partitioning preserves
+    global order), so sampled/unstable boundary placement cannot
+    change values — only task sizing.  ``order_col`` must be unique
+    (ties across a partition boundary would otherwise split
+    nondeterministically).
+    """
+    part = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(order_col))
+    )
+    part = part.withColumn("_pid", F.spark_partition_id())
+    wlocal = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_cum", F.sum(F.col(value_col)).over(wlocal))
+    totals = local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(woff), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )

@@ -1,0 +1,76 @@
+"""End-to-end training-data preparation: the composition a pre-training
+corpus pipeline actually runs, as one declarative plan.
+
+quality gate → language gate → exact dedup → shuffle-invariant
+fingerprint dedup → greedy token budget.
+
+Every stage reuses an operator that has its own oracle-checked catalog
+entry (x1/x2/x4 features, d1-style hash dedup, x3 fingerprints), so the
+composite validates the COMPOSITION — filters staying pushed through
+the feature projection, dedup windows shuffling on their own keys, and
+the budget selection running as a distributed prefix sum rather than a
+single-task global window.
+
+Scale shape at 100 TB: one corpus scan computes every feature
+(``text.corpus_features``), the two dedup stages are ordinary hash
+shuffles on ``content_hash`` / ``fingerprint``, and the token budget
+uses ``global_prefix_sum`` (range repartition + tiny offset join) —
+no stage holds the corpus in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import global_prefix_sum
+from .text import corpus_features
+
+
+def training_prep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_non_alpha: float = 0.35,
+    min_distinct_ratio: float = 0.3,
+    lang: str = "en",
+    token_budget: int = 10_000,
+) -> DataFrame:
+    """Select a token-budgeted, deduplicated, quality- and
+    language-gated training shard.
+
+    Selection is deterministic end-to-end: gates are pure predicates,
+    both dedup stages keep the MINIMUM ``doc_id`` per group, and the
+    budget keeps the doc_id-ordered prefix whose running token count
+    stays within ``token_budget`` (greedy prefix — the usual shard-
+    packing rule, and expressible in ANSI SQL for the oracle)."""
+    feats = corpus_features(docs, id_col, text_col)
+    gated = feats.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("non_alpha_ratio") <= max_non_alpha)
+        & (F.col("distinct_word_ratio") >= min_distinct_ratio)
+        & (F.col("predicted_lang") == lang)
+    )
+    w_exact = Window.partitionBy("content_hash").orderBy("doc_id")
+    d_exact = (
+        gated.withColumn("_rn", F.row_number().over(w_exact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    d_near = (
+        d_exact.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    slim = d_near.select("doc_id", "predicted_lang", "n_words", "regex_tokens")
+    cum = global_prefix_sum(slim, "doc_id", "regex_tokens", "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= token_budget).select(
+        "doc_id",
+        "predicted_lang",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("regex_tokens").cast("bigint").alias("regex_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

@@ -94,7 +94,65 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     word set — a cheap canonical key for shuffled/reordered duplicates
     (cf. rolling-hash fingerprints in dedup literature)."""
-    fp = F.md5(
-        F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " ")
-    )
+    fp = fingerprint_expr(text_col)
     return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def fingerprint_expr(text_col: str) -> Column:
+    """The ``content_fingerprint`` column expression, exposed for
+    single-pass composition."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(_words(text_col))), " "))
+
+
+def predicted_lang_expr(text_col: str) -> Column:
+    """The ``language_id`` argmax expression (marker counts + tie
+    preference in ``LANG_MARKERS`` order), for single-pass composition."""
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        scores[lang] = F.expr(
+            f"size(filter(split(lower({text_col}), ' '), x -> x IN ({marker_in})))"
+        )
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier languages win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ALL per-document text features in ONE projection pass: quality
+    signals + predicted language + token counts + content fingerprint.
+
+    The per-family functions above each scan the corpus once; a
+    training-data prep pipeline needs several families at once, and at
+    100 TB the difference between one scan and four is the job.  Every
+    expression here is identical to its per-family sibling (the
+    composite's oracle reuses the per-family SQL fragments verbatim)."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(lower({text_col}), ' '), x -> x IN ({stop_in})))")
+    non_alpha = n_chars - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", "")
+    )
+    regex_tokens = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (non_alpha.cast("double") / n_chars).alias("non_alpha_ratio"),
+        (F.size(F.array_distinct(w)).cast("double") / n_words).alias(
+            "distinct_word_ratio"
+        ),
+        predicted_lang_expr(text_col).alias("predicted_lang"),
+        n_words.alias("ws_tokens"),
+        regex_tokens.alias("regex_tokens"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    )

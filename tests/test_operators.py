@@ -137,3 +137,30 @@ def test_closed_form_matches_scipy(spark):
     assert abs(closed["intercept"] - scipy_r["intercept"]) < 1e-9
     assert abs(closed["r2"] - scipy_r["r2"]) < 1e-9
     assert scipy_r["p_value"] < 0.05
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    """The distributed two-phase prefix sum must equal the naive
+    unpartitioned running sum for every row, regardless of where the
+    range boundaries land (forced multi-partition)."""
+    from pyspark.sql import Window
+
+    from garmin_performance_analysis_spark.operators.windows import global_prefix_sum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    got = {
+        r["k"]: r["cum_sum"]
+        for r in global_prefix_sum(df, "k", "v", num_partitions=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # no single-task exchange: the big-side plan must not contain an
+    # unpartitioned window (the naive shape); range partitioning keeps
+    # parallelism
+    plan = global_prefix_sum(df, "k", "v", num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
