@@ -79,6 +79,7 @@ _NEW_R3 = [
     "d5_dedup_clusters",
     "v4b_srp_multiprobe",
     "c1_training_prep",
+    "v5_batch_topk",
 ]
 
 

@@ -749,3 +749,39 @@ def c1_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return training_prep(docs, "doc_id", "text", token_budget=10_000)
+
+
+@register(
+    "v5_batch_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings ORDER BY vec_id LIMIT 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS corpus_id,
+         {_cos_expr('e.embedding', 'q.qv')} AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, ROUND(cosine, 6) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+    tags=("similarity",),
+)
+def v5_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 retrieval for a BATCH of query vectors (the 10
+    smallest vec_ids) — the realistic many-queries shape: broadcast
+    query side, cosine + per-batch top-k reduction fused in one
+    ``mapInPandas`` stage so scored pairs never shuffle at full width
+    (see ``similarity.batch_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy(F.col("vec_id").asc()).limit(10)
+    out = similarity.batch_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.select(
+        "query_id", "corpus_id", _r6(F.col("cosine")).alias("cosine"), "rank"
+    )

@@ -351,6 +351,79 @@ def srp_multiprobe_pairs(
     return _verify_pairs(df, cand, id_col, vec_col, threshold)
 
 
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors for EVERY query vector in a
+    batch — the realistic retrieval shape (a query set, not a single
+    literal vector like ``brute_force_topk``).
+
+    Scale shape: the query side is broadcast (a query batch is small
+    by definition), the N·K scored pairs NEVER hit a shuffle at full
+    width — a ``mapInPandas`` stage computes the dim-order-fold cosine
+    (bit-identical to the SQL oracle, see ``_cos_exact_udf``) AND
+    reduces to a per-batch top-k in the same pipelined task, so only
+    ≤ partitions·K·k candidate rows reach the final per-query
+    ``row_number`` window.  Partial top-k per batch is lossless: the
+    comparator (cosine DESC, id ASC) is a total order, so the global
+    top-k is contained in the union of batch top-ks.
+
+    ``id_col`` must be integral (output schema pins LONG ids).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = df.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("corpus_id") != F.col("query_id")
+    )
+
+    def score_and_prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xa = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
+            xb = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(xa))
+            na = np.zeros(len(xa))
+            nb = np.zeros(len(xa))
+            for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
+                dot += xa[:, i] * xb[:, i]
+                na += xa[:, i] * xa[:, i]
+                nb += xb[:, i] * xb[:, i]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "corpus_id": pdf["corpus_id"].to_numpy(),
+                    "cosine": dot / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+            yield (
+                out.sort_values(
+                    ["query_id", "cosine", "corpus_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    reduced = joined.mapInPandas(
+        score_and_prune, "query_id long, corpus_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, partition_col: str
 ) -> DataFrame:

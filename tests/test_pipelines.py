@@ -412,3 +412,36 @@ def test_connected_components_matches_union_find(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == want
+
+
+def test_batch_topk_matches_per_query_brute_force(spark):
+    """batch_topk's per-query result must equal running the single-
+    query exact baseline for each query id (same comparator: cosine
+    DESC, id ASC), proving the fused mapInPandas partial top-k loses
+    nothing."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines import similarity
+
+    dim, n, k = 8, 40, 5
+    rows = [
+        (i, [math.sin(0.31 * i * (j + 1)) + 0.2 for j in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 4)
+    got = similarity.batch_topk(df, queries, "vec_id", "embedding", k=k).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["corpus_id"], r["cosine"]))
+    assert set(by_query) == {0, 1, 2, 3}
+    for qid, rows_ in by_query.items():
+        qvec = rows[qid][1]
+        want = (
+            similarity.brute_force_topk(
+                df.filter(F.col("vec_id") != qid), "vec_id", "embedding", qvec, k=k
+            )
+            .collect()
+        )
+        got_sorted = [x[1] for x in sorted(rows_)]
+        assert got_sorted == [r["vec_id"] for r in want], f"query {qid} mismatch"
