@@ -301,6 +301,7 @@ def srp_multiprobe_pairs(
     tables: int = 4,
     bits: int = 8,
     threshold: float = 0.4,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Multi-probe SRP-LSH near-neighbor pairs: candidates are pairs
     whose signatures differ by ≤1 bit in at least one table.
@@ -319,26 +320,52 @@ def srp_multiprobe_pairs(
     bucket resolution.
 
     Plan shape: the LEFT side of the candidate join emits only its
-    home bucket; the RIGHT side explodes home + ``bits`` Hamming-1
-    perturbations, so the asymmetric equi-join finds every Hamming-≤1
-    pair exactly once per direction (dedup'd by ``id_a < id_b`` +
-    DISTINCT) without squaring the emission.  Still a bucket equi-join
-    — never an all-pairs cross — with a (1+bits)× row factor on one
-    side only, map-side generated (no extra shuffle beyond the join)."""
+    home bucket; the RIGHT side explodes home + every perturbation at
+    Hamming distance ≤ ``probe_hamming``, so the asymmetric equi-join
+    finds every Hamming-≤probe pair exactly once per direction
+    (dedup'd by ``id_a < id_b`` + DISTINCT) without squaring the
+    emission.  Still a bucket equi-join — never an all-pairs cross —
+    with a (1+bits[+C(bits,2)])× row factor on ONE side only,
+    map-side generated (no extra shuffle beyond the join).
+
+    ``probe_hamming``: 1 (default) or 2.  The measured width-scaling
+    law (SCALING.md): bucket WIDTH must track log(N) for the wall;
+    each added bit costs ~p per table in recall, and one probed bit
+    only buys back ~bits·(1-p)/p of it — deeper probes (or more
+    tables) are how recall is re-purchased at large widths."""
+    if probe_hamming not in (1, 2):
+        raise ValueError(f"probe_hamming must be 1 or 2, got {probe_hamming}")
     bucket_sigs = _bucket_sig_udf(_srp_plane(dim, tables, bits), tables, bits)
     buckets = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(bucket_sigs(F.col(vec_col))).alias("t", "bucket"),
     )
     # home + flip-one-bit variants, built JVM-side (codegen string ops)
-    flips = F.expr(
-        f"transform(sequence(1, {bits}), j -> concat("
-        "substring(bucket, 1, j - 1), "
-        "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
-        f"substring(bucket, j + 1, {bits})))"
-    )
+    def _flip1(src: str) -> str:
+        return (
+            f"transform(sequence(1, {bits}), j -> concat("
+            f"substring({src}, 1, j - 1), "
+            f"case when substring({src}, j, 1) = '1' then '0' else '1' end, "
+            f"substring({src}, j + 1, {bits})))"
+        )
+
+    variants = F.concat(F.array(F.col("bucket")), F.expr(_flip1("bucket")))
+    if probe_hamming == 2:
+        # flip bit l of each 1-flip variant for l > the already-flipped
+        # j: enumerating ordered pairs (j < l) once each.  Inner flips
+        # of positions <= j would duplicate pairs already emitted.
+        flip2 = F.expr(
+            f"flatten(transform(sequence(1, {bits} - 1), j -> "
+            f"transform(sequence(j + 1, {bits}), l -> concat("
+            "substring(bucket, 1, j - 1), "
+            "case when substring(bucket, j, 1) = '1' then '0' else '1' end, "
+            "substring(bucket, j + 1, l - j - 1), "
+            "case when substring(bucket, l, 1) = '1' then '0' else '1' end, "
+            f"substring(bucket, l + 1, {bits})))))"
+        )
+        variants = F.concat(variants, flip2)
     probes = buckets.select(
-        "vid", "t", F.explode(F.concat(F.array(F.col("bucket")), flips)).alias("bucket")
+        "vid", "t", F.explode(variants).alias("bucket")
     )
     a = buckets.alias("a")
     b2 = probes.alias("b")

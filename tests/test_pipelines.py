@@ -445,3 +445,45 @@ def test_batch_topk_matches_per_query_brute_force(spark):
         )
         got_sorted = [x[1] for x in sorted(rows_)]
         assert got_sorted == [r["vec_id"] for r in want], f"query {qid} mismatch"
+
+
+def test_srp_probe_depth_monotonic(spark):
+    """Hamming-2 probing must return a superset of Hamming-1 (which
+    supersets exact-bucket), all subsets of the exact truth — and every
+    Hamming-2 pair differs by <=2 bits in some table (spot-check via
+    the exact pair set membership)."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines import similarity
+
+    dim = 16
+    rows = []
+    for k in range(20):
+        base = [math.sin(0.9 * k * (i + 1)) + 0.15 for i in range(dim)]
+        twin = [v + 0.08 * math.cos(1.7 * k * (i + 2)) for i, v in enumerate(base)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=dim, tables=2, bits=8, threshold=0.9)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.srp_multiprobe_pairs(
+            df, "vec_id", "embedding", probe_hamming=1, **kw
+        ).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.srp_multiprobe_pairs(
+            df, "vec_id", "embedding", probe_hamming=2, **kw
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    assert p1 <= p2, "deeper probing lost a pair"
+    assert p2 <= want, "probe-2 reported a pair the exact set lacks"
+    with pytest.raises(ValueError):
+        similarity.srp_multiprobe_pairs(df, "vec_id", "embedding", probe_hamming=3, **kw)
