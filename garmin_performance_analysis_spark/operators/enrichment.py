@@ -364,16 +364,15 @@ def build_performance_trends(
     ).cast("int")
     with_state = with_state.withColumn("_trans", transition)
 
-    # ACTIVE rep ordering for the drift halves
-    rep_w = Window.partitionBy(activity_col).orderBy(index_col)
+    # valid ACTIVE reps for the drift halves; their order (for the
+    # early/late split) comes from sorting the collected array by
+    # split_index — no extra running-count window needed
     valid_rep = (
         F.col("_run")
         & (F.col(pace_col) > 0)
         & (F.col(hr_col) > 0)
     )
-    with_state = with_state.withColumn(
-        "_rep_rn", F.sum(valid_rep.cast("int")).over(rep_w)
-    ).withColumn("_rep_valid", valid_rep)
+    with_state = with_state.withColumn("_rep_valid", valid_rep)
 
     def _davg(c: Column) -> Column:
         # DECIMAL-exact sums: deterministic across shuffle orders and
@@ -401,23 +400,48 @@ def build_performance_trends(
         _dstd(run_pace).alias("_all_std"),
         _davg(run_pace).alias("_all_mean"),
         F.count(F.when(F.col("_run") & F.col(pace_col).isNotNull(), 1)).alias("_all_n"),
+        # drift halves, fused into THIS aggregation: collect the valid
+        # reps as (split_index, pace, hr) structs and sort by index —
+        # the early/late split then reads from the array instead of a
+        # second corpus pass (this branch previously re-scanned the
+        # source, re-windowed, re-aggregated and joined back).  Arrays
+        # are per-activity lap counts — bounded small by construction.
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rep_valid"),
+                    F.struct(
+                        F.col(index_col).alias("i"),
+                        F.col(pace_col).cast("double").alias("p"),
+                        F.col(hr_col).cast("double").alias("h"),
+                    ),
+                )
+            )
+        ).alias("_varr"),
     )
-    # drift halves need the per-activity valid-rep count before the
-    # conditional averages, so they aggregate in a second (cheap) pass
-    halves = with_state.filter(F.col("_rep_valid")).withColumn(
-        "_nrep", F.count(F.lit(1)).over(wp)
-    )
-    mid = F.floor(F.col("_nrep") / 2)
 
-    def _davg2(c: Column) -> Column:
-        return F.sum(c.cast("decimal(30,12)")).cast("double") / F.count(c)
+    # decimal-exact fold over an array slice == the oracle's grouped
+    # DECIMAL(30,12) SUM over the same rows: each addend is quantized
+    # to scale 12 before accumulation, decimal addition is exact, and
+    # the re-CAST per step cannot overflow for bounded telemetry sums.
+    def _fold_avg(field: str, start: str, length: str) -> Column:
+        total = F.expr(
+            f"aggregate(slice(_varr, {start}, {length}),"
+            " CAST(0 AS DECIMAL(30,12)),"
+            f" (acc, s) -> CAST(acc + CAST(s.{field} AS DECIMAL(30,12)) AS DECIMAL(30,12)))"
+        )
+        n = F.expr(length)
+        # guard the ANSI divide: empty slice -> NULL (matches the
+        # oracle's SUM-over-no-rows / COUNT=0 -> NULL)
+        return F.when(n > 0, total.cast("double") / n)
 
-    drift_agg = halves.groupBy(activity_col).agg(
-        _davg2(F.when(F.col("_rep_rn") <= mid, F.col(pace_col))).alias("_p_early"),
-        _davg2(F.when(F.col("_rep_rn") <= mid, F.col(hr_col))).alias("_h_early"),
-        _davg2(F.when(F.col("_rep_rn") > mid, F.col(pace_col))).alias("_p_late"),
-        _davg2(F.when(F.col("_rep_rn") > mid, F.col(hr_col))).alias("_h_late"),
-        F.max("_nrep").alias("_nrep"),
+    agg = (
+        agg.withColumn("_nrep", F.size("_varr"))
+        .withColumn("_mid", F.floor(F.col("_nrep") / 2).cast("int"))
+        .withColumn("_p_early", _fold_avg("p", "1", "_mid"))
+        .withColumn("_h_early", _fold_avg("h", "1", "_mid"))
+        .withColumn("_p_late", _fold_avg("p", "_mid + 1", "_nrep - _mid"))
+        .withColumn("_h_late", _fold_avg("h", "_mid + 1", "_nrep - _mid"))
     )
     ratio_early = (1.0 / F.col("_p_early")) / F.col("_h_early")
     ratio_late = (1.0 / F.col("_p_late")) / F.col("_h_late")
@@ -440,7 +464,7 @@ def build_performance_trends(
         (F.col("_work_n") >= 2) & (F.col("_rest_n") >= 2) & (F.col("_transitions") >= 3),
         F.lit("interval"),
     ).otherwise(F.lit("steady"))
-    out = agg.join(drift_agg, activity_col, "left")
+    out = agg
     return out.select(
         activity_col,
         cv.alias("pace_consistency"),
