@@ -74,6 +74,12 @@ _DEFERRED_DARK = [
 # Queries ADDED in round 3 also go past the window: evicting a
 # never-checked r2 query to check a brand-new one would leave the old
 # one dark for a third round.  New queries rotate in next round.
+#
+# ROUND-4 TODO: after the r3 driver snapshot lands, rotate again —
+# front _DEFERRED_DARK + _NEW_R3 (the only remaining never-checked
+# entries) and pad the rest of the 50-row window with the stalest
+# r2-checked names.  Union of r2+r3+r4 windows then covers every
+# query that has an oracle.
 _NEW_R3 = [
     "mm3_image_decode",
     "d5_dedup_clusters",
