@@ -86,6 +86,8 @@ _NEW_R3 = [
     "v4b_srp_multiprobe",
     "c1_training_prep",
     "v5_batch_topk",
+    "x5_redact_pii",
+    "t9_event_sessions",
 ]
 
 

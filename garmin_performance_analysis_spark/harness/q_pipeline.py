@@ -785,3 +785,27 @@ def v5_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "corpus_id", _r6(F.col("cosine")).alias("cosine"), "rank"
     )
+
+
+@register(
+    "x5_redact_pii",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), '{text.URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(lower(text), '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text.URL_RE}', '<URL>', 'g')) AS redacted_md5
+FROM documents
+""",
+    tags=("text",),
+)
+def x5_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/URL scrub pass: match counts + digest of the redacted
+    text.  The patterns are restricted to the Java-regex ∩ RE2 common
+    subset (char classes, +, bounded repetition — no lookarounds) so
+    Spark and DuckDB apply literally the same pattern string; the
+    digest proves byte-identical redaction output across engines
+    without materializing the text twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs, "doc_id", "text")

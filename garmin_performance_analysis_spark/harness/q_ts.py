@@ -125,3 +125,66 @@ def s4_watermark_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "t9_event_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) // 1000000
+           - LAG(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       epoch_us(MAX(ts)) // 1000000 - epoch_us(MIN(ts)) // 1000000 AS duration_sec,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6)
+         AS total_value
+FROM marked
+GROUP BY user_id, session_seq
+""",
+    tags=("window", "composite"),
+)
+def t9_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-gap sessionization — the canonical event-stream
+    operator a training/analytics pipeline runs before any per-session
+    feature: a new session starts after >30 min of inactivity.  One
+    LAG + running-sum window pair per user (ordering includes event_id
+    so duplicate timestamps cannot move a boundary between engines —
+    the t3 duplicate-key lesson) and one grouped aggregate; value sums
+    go through DECIMAL for shuffle-order determinism.  Scale shape:
+    single hash shuffle on user_id, no cross-partition state (the
+    streaming sibling is ``streaming/stateful.py``'s session logic)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
+        _r6(
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
+        ).alias("total_value"),
+    )

@@ -120,6 +120,36 @@ def predicted_lang_expr(text_col: str) -> Column:
     return pred
 
 
+# PII-ish patterns kept deliberately lookahead-free so the SAME pattern
+# string is valid and equivalent in Java regex (Spark) and RE2 (DuckDB):
+# character classes, +, and bounded repetition only.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Email/URL redaction — the standard pre-training scrub pass:
+    count the matches, replace them with typed placeholder tokens, and
+    fingerprint the redacted text.  Pure ``regexp_replace`` /
+    ``regexp_extract_all`` expressions (single pass, whole-stage
+    codegen); the digest lets a pipeline verify scrub idempotency
+    without shipping the text."""
+    lower = F.lower(F.col(text_col))
+    n_emails = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '{EMAIL_RE}', 0))"
+    )
+    n_urls = F.expr(f"size(regexp_extract_all(lower({text_col}), '{URL_RE}', 0))")
+    redacted = F.regexp_replace(
+        F.regexp_replace(lower, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_urls.cast("bigint").alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """ALL per-document text features in ONE projection pass: quality
     signals + predicted language + token counts + content fingerprint.
