@@ -61,6 +61,12 @@ HEADLINE = [
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",
     "c1_training_prep",
+    # r3 additions: batch retrieval + sessionization are read-shaped,
+    # the scrub pass is a batch job
+    "v5_batch_topk",
+    "t9_event_sessions",
+    "x5_redact_pii",
+    "v4b_srp_multiprobe",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -74,6 +80,8 @@ BATCH_JOBS = {
     "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
     "c1_training_prep",
+    "x5_redact_pii",
+    "v4b_srp_multiprobe",
 }
 
 
@@ -82,15 +90,37 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def clear_persisted(spark) -> None:
+    """Drop checkpoint/cache blocks left by the previous query.
+
+    Several catalog queries localCheckpoint small interior frames; a
+    30-query × 3-run session otherwise accumulates ~100 pinned block
+    sets and late-list queries pay the memory pressure (d4b measured
+    16 s in-suite vs ~2.5 s isolated before this sweep).  Safe between
+    queries: no DataFrame from a finished run is referenced again."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():  # py4j exposes the Java map dict-like
+        rdd.unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")  # headroom vs GC noise
+    # NOTE: a 48g heap was tried here ("headroom vs GC noise") and made
+    # allocation-heavy queries ERRATIC instead: d4b measured 7/15/2 s
+    # across three runs at 48g vs a stable ~3.4 s at the 16g default
+    # (oversized G1 young gen → long unpredictable pauses).  Keep the
+    # session default.
     spark = get_spark("bench")
 
-    # warmup: JVM/codegen/parquet-footer caches
+    # warmup: JVM/codegen/parquet-footer caches, plus one Arrow/pandas
+    # UDF pass so the 32 Python workers exist before any timed
+    # pandas-backed query (worker spawn was otherwise charged to the
+    # first such query in the list)
     force(CATALOG["p2_point_lookup"].fn(spark, sf_dir))
+    force(CATALOG["mm2_decoded_features"].fn(spark, sf_dir))
+    clear_persisted(spark)
 
     # best-of-3: the driver host runs other jobs; a single bad run
     # otherwise poisons a query's recorded number (see SCALING.md §4)
@@ -103,6 +133,7 @@ def main() -> None:
             force(CATALOG[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        clear_persisted(spark)
 
     total = round(sum(timings.values()), 3)
     read_path = round(

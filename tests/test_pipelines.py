@@ -487,3 +487,21 @@ def test_srp_probe_depth_monotonic(spark):
     assert p2 <= want, "probe-2 reported a pair the exact set lacks"
     with pytest.raises(ValueError):
         similarity.srp_multiprobe_pairs(df, "vec_id", "embedding", probe_hamming=3, **kw)
+
+
+def test_redact_pii_counts_and_digest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact Bob@Example.COM or see https://a.b/c?d=e now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
+    import hashlib
+
+    want = hashlib.md5(b"contact <EMAIL> or see <URL> now").hexdigest()
+    assert rows[1]["redacted_md5"] == want
+    assert rows[2]["redacted_md5"] == hashlib.md5(b"no pii here").hexdigest()
