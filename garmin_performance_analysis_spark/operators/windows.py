@@ -267,19 +267,30 @@ def global_prefix_sum(
        totals — a window over the tiny frame), and broadcast-join it
        back.
 
-    The result is independent of where the range boundaries fall
-    (prefix sums are associative and range partitioning preserves
-    global order), so sampled/unstable boundary placement cannot
-    change values — only task sizing.  ``order_col`` must be unique
-    (ties across a partition boundary would otherwise split
-    nondeterministically).
+    Within ONE consistent partitioning the result is independent of
+    where the range boundaries fall (prefix sums are associative and
+    range partitioning preserves global order).  But the pid-stamped
+    frame feeds TWO plan branches (local sums + per-partition totals),
+    and ``spark_partition_id()`` is nondeterministic across separately
+    sampled range exchanges — with exchange reuse disabled the
+    branches can disagree on boundaries and silently corrupt the sums
+    (review finding, reproduced: 280k/300k rows wrong under
+    ``spark.sql.exchange.reuse=false``).  The pid stamp is therefore
+    materialized ONCE (lazy localCheckpoint) so both branches read
+    the same assignment by construction, not by optimizer courtesy.
+    Cost: one linear cache of the slim input — the honest price of a
+    global prefix sum; at cluster scale swap for ``persist(DISK)``.
+    ``order_col`` must be unique (ties across a partition boundary
+    would otherwise split nondeterministically).
     """
     part = (
         df.repartitionByRange(num_partitions, F.col(order_col))
         if num_partitions
         else df.repartitionByRange(F.col(order_col))
     )
-    part = part.withColumn("_pid", F.spark_partition_id())
+    part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     wlocal = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

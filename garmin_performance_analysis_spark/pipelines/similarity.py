@@ -185,26 +185,34 @@ def _bucket_sig_udf(plane: np.ndarray, tables: int, bits: int):
     return bucket_sigs
 
 
+def _fold_cosine(xa: np.ndarray, xb: np.ndarray) -> np.ndarray:
+    """Row-wise cosine with the EXACTNESS-CRITICAL dim-order fold:
+    accumulate SEQUENTIALLY ACROSS DIMS but N-wide across rows — each
+    row's float64 additions happen in dim order, bit-identical to the
+    SQL left-fold (``aggregate``) the oracles mirror, while running as
+    ~3·dim numpy ops per batch (SCALING.md round-3 lesson 3).  Every
+    vectorized cosine in this module MUST go through this one kernel;
+    an einsum/matmul 'optimization' here silently breaks oracle
+    parity."""
+    dot = np.zeros(len(xa))
+    na = np.zeros(len(xa))
+    nb = np.zeros(len(xa))
+    for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
+        dot += xa[:, i] * xb[:, i]
+        na += xa[:, i] * xa[:, i]
+        nb += xb[:, i] * xb[:, i]
+    return dot / (np.sqrt(na) * np.sqrt(nb))
+
+
 def _cos_exact_udf():
-    """Exact-cosine verify, vectorized: accumulate SEQUENTIALLY ACROSS
-    DIMS but N-wide across rows — each row's float64 additions happen
-    in dim order, bit-identical to the SQL left-fold (``aggregate``)
-    the oracle mirrors, while running as ~3·dim numpy ops per Arrow
-    batch (SCALING.md round-3 lesson 3)."""
+    """Arrow-batched exact-cosine column (see ``_fold_cosine``)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def cos_exact(sa: pd.Series, sb: pd.Series) -> pd.Series:
         xa = np.stack(sa.to_numpy()).astype(np.float64)
         xb = np.stack(sb.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(xa))
-        na = np.zeros(len(xa))
-        nb = np.zeros(len(xa))
-        for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
-            dot += xa[:, i] * xb[:, i]
-            na += xa[:, i] * xa[:, i]
-            nb += xb[:, i] * xb[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        return pd.Series(_fold_cosine(xa, xb))
 
     return cos_exact
 
@@ -415,18 +423,11 @@ def batch_topk(
                 continue
             xa = np.stack(pdf["_qv"].to_numpy()).astype(np.float64)
             xb = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
-            dot = np.zeros(len(xa))
-            na = np.zeros(len(xa))
-            nb = np.zeros(len(xa))
-            for i in range(xa.shape[1]):  # dim-order fold, row-vectorized
-                dot += xa[:, i] * xb[:, i]
-                na += xa[:, i] * xa[:, i]
-                nb += xb[:, i] * xb[:, i]
             out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
                     "corpus_id": pdf["corpus_id"].to_numpy(),
-                    "cosine": dot / (np.sqrt(na) * np.sqrt(nb)),
+                    "cosine": _fold_cosine(xa, xb),
                 }
             )
             yield (

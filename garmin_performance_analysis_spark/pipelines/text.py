@@ -135,10 +135,13 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     codegen); the digest lets a pipeline verify scrub idempotency
     without shipping the text."""
     lower = F.lower(F.col(text_col))
-    n_emails = F.expr(
-        f"size(regexp_extract_all(lower({text_col}), '{EMAIL_RE}', 0))"
-    )
-    n_urls = F.expr(f"size(regexp_extract_all(lower({text_col}), '{URL_RE}', 0))")
+    # Python API, NOT F.expr: interpolating EMAIL_RE into a SQL string
+    # literal let the parser unescape `\.` to `.`, silently loosening
+    # the counted pattern vs both the oracle and the redaction below
+    # (caught in review; the synthetic corpus has no emails, so parity
+    # alone never saw it).
+    n_emails = F.size(F.regexp_extract_all(lower, F.lit(EMAIL_RE), 0))
+    n_urls = F.size(F.regexp_extract_all(lower, F.lit(URL_RE), 0))
     redacted = F.regexp_replace(
         F.regexp_replace(lower, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
     )

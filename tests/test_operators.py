@@ -159,8 +159,40 @@ def test_global_prefix_sum_matches_single_window(spark):
         for r in df.withColumn("c", F.sum("v").over(w)).collect()
     }
     assert got == want
-    # no single-task exchange: the big-side plan must not contain an
-    # unpartitioned window (the naive shape); range partitioning keeps
-    # parallelism
-    plan = global_prefix_sum(df, "k", "v", num_partitions=8)._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    # the BIG side is the (lazily checkpointed) range-partitioned
+    # frame or an explicit range exchange — not the naive global
+    # window.  (A SinglePartition exchange IS present, but only under
+    # the per-partition-totals offsets window — #partitions rows.)
+    plan = (
+        global_prefix_sum(df, "k", "v", num_partitions=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "rangepartitioning" in plan or "existingrdd" in plan
+
+
+def test_global_prefix_sum_survives_disabled_exchange_reuse(spark):
+    """The pid stamp feeds two plan branches; without the checkpoint
+    pin, separately-sampled range exchanges can disagree on boundaries
+    when exchange reuse is off and silently corrupt the sums (review
+    finding).  The fix must hold with reuse disabled."""
+    from pyspark.sql import Window
+
+    from garmin_performance_analysis_spark.operators.windows import global_prefix_sum
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = {
+            r["k"]: r["cum_sum"]
+            for r in global_prefix_sum(df, "k", "v", num_partitions=8).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    assert got == want

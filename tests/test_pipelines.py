@@ -494,14 +494,57 @@ def test_redact_pii_counts_and_digest(spark):
         [
             (1, "contact Bob@Example.COM or see https://a.b/c?d=e now"),
             (2, "no pii here"),
+            # the TLD dot must be a LITERAL dot: a@b,cc / mail a@b com
+            # matched when the pattern's `\.` was unescaped to `.` by
+            # SQL string-literal parsing (review finding)
+            (3, "mail me a@b com or x@y,zz thanks"),
         ],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
     assert rows[1]["n_emails"] == 1 and rows[1]["n_urls"] == 1
     assert rows[2]["n_emails"] == 0 and rows[2]["n_urls"] == 0
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_urls"] == 0
+    import hashlib as _h
+
+    assert rows[3]["redacted_md5"] == _h.md5(b"mail me a@b com or x@y,zz thanks").hexdigest()
     import hashlib
 
     want = hashlib.md5(b"contact <EMAIL> or see <URL> now").hexdigest()
     assert rows[1]["redacted_md5"] == want
     assert rows[2]["redacted_md5"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_training_prep_stages(spark):
+    """Each prep stage must bite: the quality gate drops the short doc,
+    the language gate drops the Spanish doc, exact dedup keeps the
+    smaller doc_id of a byte-identical pair, fingerprint dedup folds a
+    word-shuffled twin, and the token budget keeps the doc_id-ordered
+    prefix with a correct running count."""
+    from garmin_performance_analysis_spark.pipelines.prep import training_prep
+
+    en = (
+        "the quick cat and the small dog of the old house ran to the green "
+        "park and sat on the warm mat near the tall tree by the river bank"
+    )
+    en6 = (
+        "a big brown fox jumps over the lazy dog and then runs far away to "
+        "the old barn near a quiet town where the farmer keeps his hay"
+    )
+    rows = [
+        (1, en),
+        (2, "too short"),                      # quality: n_words < 20
+        (3, "el perro y la casa de que el dia y la noche de que pasa bien "
+            "por la calle y el sol de la tarde cae sobre la plaza vieja"),  # lang
+        (4, en),                               # exact dup of 1 -> dropped
+        (5, " ".join(reversed(en.split()))),   # shuffled twin of 1 -> fingerprint dup
+        (6, en6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in training_prep(df, "doc_id", "text", token_budget=10_000).collect()}
+    assert set(out) == {1, 6}
+    assert out[1]["cum_tokens"] == out[1]["regex_tokens"]
+    assert out[6]["cum_tokens"] == out[1]["regex_tokens"] + out[6]["regex_tokens"]
+    # tiny budget: only the first doc fits
+    tight = training_prep(df, "doc_id", "text", token_budget=int(out[1]["regex_tokens"]))
+    assert [r["doc_id"] for r in tight.collect()] == [1]
