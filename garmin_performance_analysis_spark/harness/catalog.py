@@ -88,6 +88,7 @@ _NEW_R3 = [
     "v5_batch_topk",
     "x5_redact_pii",
     "t9_event_sessions",
+    "a15_multi_rollup",
 ]
 
 

@@ -322,3 +322,49 @@ def a13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderpriority", "n", _r6(F.col("fraction")).alias("fraction")
     )
+
+
+@register(
+    "a15_multi_rollup",
+    oracle="""
+SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+       CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+       SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(CAST(date_part('year', o_orderdate) AS BIGINT),
+                CAST(date_part('month', o_orderdate) AS BIGINT))
+""",
+    tags=("agg",),
+)
+def a15_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly + yearly + grand-total order volume in ONE aggregation
+    via ROLLUP — the scale idiom for multi-granularity reporting: the
+    A4/A5 rollup family recomputes each granularity with its own
+    shuffle; ROLLUP expands grouping sets map-side, so every level
+    shares a single partial-agg + exchange over the fact table.  NULL
+    group keys mark the coarser levels exactly as in the SQL oracle;
+    DECIMAL sums keep the totals shuffle-order deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        "o_totalprice",
+    )
+    # scaled-long exact sum (prices carry 2dp): FLOOR(x·100+0.5) is the
+    # same integer in both engines, the BIGINT sum is exact (~5.7e11 ≪
+    # 2^53 at sf0.1; bound: SF·2.3e11·100), and /100.0 is one identical
+    # IEEE division.  Three rejected shapes, all MEASURED to diverge in
+    # the last printed digit on ~5.7e9 year totals: ROUND(double,6)
+    # post-cast (past double's significant digits), DECIMAL rescale to
+    # 2dp (Spark rounds dropped digits HALF_UP, DuckDB truncates), and
+    # a full-scale DECIMAL(38,12)→DOUBLE cast (DuckDB divides the
+    # int128 by 1e12 in floating point — double rounding).
+    return d.rollup("y", "m").agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+            / 100.0
+        ).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
