@@ -57,6 +57,11 @@ QUERIES = [
     "v4b_srp_multiprobe",  # 8-bit buckets + Hamming-1 probe (recall recovery)
     "x1_text_quality",
     "d5_dedup_clusters",
+    # r3 additions: the shard-prep composite (fixed token budget → the
+    # BUDGETED output stays ~constant; the wall measures the full
+    # gate/dedup pipeline over the grown corpus) and batch retrieval
+    "c1_training_prep",
+    "v5_batch_topk",
 ]
 
 
