@@ -266,3 +266,47 @@ def test_event_sessions_match_python_mirror(spark):
         k: (v[0], v[2] - v[1], round(v[3], 6)) for k, v in truth.items()
     }
     assert got == want
+
+
+def test_event_sessions_match_builtin_session_window(spark):
+    """Cross-validate the manual LAG+cumsum sessionization against
+    Spark's native ``session_window`` (which Structured Streaming
+    would use): both merge an event into the open session iff its gap
+    is <= the timeout — INCLUDING the exact-1800 boundary — so the
+    per-session (n_events, start, end) sets must be identical."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for user in range(25):
+        t = rng.randrange(0, 86400)
+        for _ in range(rng.randrange(1, 20)):
+            t += rng.choice([0, 5, 1799, 1800, 1801, 7200])
+            rows.append((eid, base + dt.timedelta(seconds=t), user))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    manual = (
+        df.withColumn(
+            "seq",
+            F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    builtin = df.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    m = {(r["user_id"], r["s"]): (r["n"], r["e"]) for r in manual.collect()}
+    b = {(r["user_id"], r["s"]): (r["n"], r["e"]) for r in builtin.collect()}
+    assert m == b
