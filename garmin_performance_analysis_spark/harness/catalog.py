@@ -89,6 +89,7 @@ _NEW_R3 = [
     "x5_redact_pii",
     "t9_event_sessions",
     "a15_multi_rollup",
+    "a9b_profile_approx",
 ]
 
 

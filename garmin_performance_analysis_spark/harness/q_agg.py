@@ -368,3 +368,34 @@ def a15_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register("a9b_profile_approx", oracle=None, tags=("agg", "profiler"))
+def a9b_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path sibling of the a9 profiler: HLL distinct counts
+    (``approx_count_distinct``, 1% rsd) and sketch medians
+    (``percentile_approx``, accuracy 10k) replace the three exact
+    COUNT(DISTINCT) passes and the grid-median selection — at 100 TB
+    the exact profiler's distinct counts are the dominant shuffle and
+    the sketches collapse it to mergeable fixed-size state.  Rows-only
+    correctness check (approximate by construction — no ANSI oracle
+    can hash-match a sketch); ``tests/test_operators.py`` pins the
+    approximation error against the exact a9 instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'l_quantity', l_quantity,"
+        " 'l_extendedprice', l_extendedprice,"
+        " 'l_discount', l_discount) as (column_name, v)"
+    )
+    return long.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("stat_min"),
+        F.max("v").alias("stat_max"),
+        F.avg("v").alias("stat_avg"),
+        F.percentile_approx("v", 0.5, 10000).alias("stat_median"),
+        F.stddev_samp("v").alias("stat_stddev"),
+        (F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)) / F.count(F.lit(1))).alias(
+            "stat_null_rate"
+        ),
+        F.approx_count_distinct("v", 0.01).alias("stat_n_distinct"),
+    )

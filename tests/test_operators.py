@@ -310,3 +310,26 @@ def test_event_sessions_match_builtin_session_window(spark):
     m = {(r["user_id"], r["s"]): (r["n"], r["e"]) for r in manual.collect()}
     b = {(r["user_id"], r["s"]): (r["n"], r["e"]) for r in builtin.collect()}
     assert m == b
+
+
+def test_approx_profiler_tracks_exact(spark):
+    """a9b's sketches must land within their documented error bands of
+    the exact a9 profiler at sf0.01: HLL distinct counts within 5%
+    (1% rsd config), sketch medians within one grid step, and the
+    exact stats (count/min/max/null-rate) identical."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["column_name"]: r for r in CATALOG["a9_profile_table"].fn(spark, sf).collect()}
+    approx = {r["column_name"]: r for r in CATALOG["a9b_profile_approx"].fn(spark, sf).collect()}
+    grid = {"l_quantity": 1.0, "l_extendedprice": 100.0, "l_discount": 0.01}
+    assert set(exact) == set(approx)
+    for col in exact:
+        e, a = exact[col], approx[col]
+        assert a["n_rows"] == e["n_rows"]
+        assert a["stat_min"] == e["stat_min"] and a["stat_max"] == e["stat_max"]
+        assert a["stat_null_rate"] == e["stat_null_rate"]
+        assert abs(a["stat_n_distinct"] - e["stat_n_distinct"]) <= max(
+            0.05 * e["stat_n_distinct"], 2
+        ), col
+        assert abs(a["stat_median"] - e["stat_median"]) <= grid[col], col
