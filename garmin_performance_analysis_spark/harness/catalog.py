@@ -20,6 +20,7 @@ from . import q_bands  # noqa: E402,F401
 from . import q_enrichment  # noqa: E402,F401
 from . import q_composites  # noqa: E402,F401
 from . import q_fitness_risk  # noqa: E402,F401
+from . import q_retrieval  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -75,11 +76,16 @@ _DEFERRED_DARK = [
 # never-checked r2 query to check a brand-new one would leave the old
 # one dark for a third round.  New queries rotate in next round.
 #
-# ROUND-4 TODO: after the r3 driver snapshot lands, rotate again —
-# front _DEFERRED_DARK + _NEW_R3 (the only remaining never-checked
-# entries) and pad the rest of the 50-row window with the stalest
-# r2-checked names.  Union of r2+r3+r4 windows then covers every
-# query that has an oracle.
+# ROUND-4 STATUS: the round-3 driver snapshot never landed (no
+# CORRECTNESS_r03.json was recorded), so the front-loaded 50 are STILL
+# unchecked — the rotation is kept unchanged for round 4 so the driver
+# finally covers them.  Round-4 additions (x6/x7/d6/c2 in q_retrieval)
+# register at the tail with the other past-window entries.
+#
+# ROUND-5 TODO: once a driver snapshot of this window exists, rotate
+# again — front _DEFERRED_DARK + _NEW_R3 + the q_retrieval block and
+# pad with the stalest r2-checked names; the union of windows then
+# covers every query that has an oracle.
 _NEW_R3 = [
     "mm3_image_decode",
     "d5_dedup_clusters",

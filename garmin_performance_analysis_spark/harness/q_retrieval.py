@@ -1,0 +1,176 @@
+"""Retrieval / curation queries over the documents corpus: TF-IDF
+keyword extraction, BM25 search, benchmark decontamination, and
+deterministic stratified sampling (SURVEY.md §2.14 round-4 block).
+
+All four are pure-DataFrame compositions with exact ANSI oracles; the
+only floats are ln()-based scores, rounded to 6 dp on both engines and
+ranked by the rounded value with a unique-key tiebreak (registry
+parity conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines import dedup, prep, retrieval
+from ..sources.tables import load_table
+from .q_pipeline import _hex_horner
+from .registry import register
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "x6_tfidf_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 5
+""",
+    tags=("retrieval", "text"),
+)
+def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF —
+    the word-count shuffle shape (explode → two keyed aggs → term join
+    → per-doc window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+def _bm25_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split(lower(text), ' '))) * 1.0 / COUNT(*) AS avgdl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM toks WHERE term IN ({terms_in}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS ts
+  FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+),
+agg AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CAST(ts AS DECIMAL(30,12))) AS DOUBLE), 6) AS score,
+         COUNT(*) AS n_query_terms
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg
+)
+SELECT doc_id, score, n_query_terms, rk FROM ranked WHERE rk <= 20
+"""
+
+
+@register("x7_bm25_search", oracle=_bm25_oracle(), tags=("retrieval", "text"))
+def x7_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 3-term bag-of-words query under Okapi
+    BM25.  The IN-list filter lands inside the row before the explode,
+    so the plan is sized by matching tokens, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=20
+    )
+
+
+@register(
+    "d6_decontamination",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 23 != 0),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corpus c JOIN probe p USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, d.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) * 1.0 / d.n_shingles, 6) AS hit_frac,
+       COALESCE(h.n_hits, 0) * 1.0 / d.n_shingles >= 0.1 AS contaminated
+FROM per_doc d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+    tags=("dedup", "decontamination"),
+)
+def d6_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: distinct 5-gram overlap of each
+    corpus document against the probe set (doc_id % 23 == 0 plays the
+    benchmark suite).  One row per corpus document, zero-hit rows
+    included — the audit proves absence."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 23 == 0)
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    return dedup.contamination_stats(corpus, probe, "doc_id", "text", n=5)
+
+
+_C2_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_C2_DEFAULT = 0.1
+
+
+def _c2_oracle() -> str:
+    horner = _hex_horner("d", 1, 15)
+    rate_case = " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in _C2_RATES.items()
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, lang, md5('c2|' || CAST(doc_id AS VARCHAR)) AS d FROM documents
+),
+bucketed AS (
+  SELECT doc_id, lang AS stratum, {horner} % 1000000 AS keep_bucket,
+         CASE {rate_case} ELSE {_C2_DEFAULT} END AS rate
+  FROM hashed
+)
+SELECT doc_id, stratum, keep_bucket
+FROM bucketed WHERE keep_bucket < CAST(rate * 1000000 AS BIGINT)
+"""
+
+
+@register("c2_stratified_sample", oracle=_c2_oracle(), tags=("prep", "sampling"))
+def c2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample: keep 50% of en,
+    25% of de/fr, 10% otherwise, keyed on md5(doc_id) so the sample is
+    identical under any partitioning/engine (no RNG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.stratified_sample(
+        docs, "doc_id", "lang", _C2_RATES, default_rate=_C2_DEFAULT, salt="c2"
+    )

@@ -389,3 +389,53 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word ``n``-grams also appear in the PROBE set (the eval /
+    benchmark corpus), as the standard n-gram-overlap contamination
+    audit run before training (cf. GPT-3/PaLM appendix methodology —
+    public descriptions, n≈8-13 for real text; the synthetic corpus
+    here uses a smaller n).
+
+    Plan shape for 100 TB: both sides reduce to DISTINCT shingles
+    first; the probe side (benchmark suites are small by nature)
+    builds the distinct set and the join can broadcast it, so the
+    corpus-side pass is scan → shingle → semi-join with no corpus
+    shuffle for the hit count beyond the per-doc aggregate.  Output is
+    one row per corpus document (zero-hit docs included — the audit
+    must prove absence, not just list hits).
+
+    Output: (doc_id, n_shingles, n_hits, hit_frac, contaminated).
+    """
+    c_sh = word_shingles(corpus, id_col, text_col, n=n)
+    p_sh = word_shingles(probe, id_col, text_col, n=n).select("shingle").distinct()
+    per_doc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_sh.join(F.broadcast(p_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("hit_frac"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")
+                >= flag_threshold
+            ).alias("contaminated"),
+        )
+    )

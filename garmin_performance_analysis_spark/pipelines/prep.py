@@ -74,3 +74,49 @@ def training_prep(
         F.col("regex_tokens").cast("bigint").alias("regex_tokens"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "c2",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling — the training-mix
+    step that weights data sources/languages differently (e.g. keep
+    50% of English, 20% of code, drop the rest).
+
+    Spark's ``sampleBy`` is seed-based but partition-order-dependent;
+    at 100 TB a re-run after a repartition must keep the SAME rows, so
+    the keep decision hashes the ROW KEY, not the partition RNG:
+    ``keep ⇔ md5(salt|id) mod 1e6 < rate·1e6``.  That makes the sample
+    stable under repartitioning, resumable, and reproducible in any
+    engine with md5 (the DuckDB oracle replays it exactly).  Pure
+    expressions, no shuffle at all — the sample is a scan-time filter
+    that stacks predicate-pushdown-style before expensive downstream
+    stages.
+
+    Output: the sampled (doc_id, stratum, keep_bucket) rows.
+    """
+    # 15 hex digits = 60 bits, exact in BIGINT; uniform mod 1e6
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = h % F.lit(1_000_000)
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            bucket.alias("keep_bucket"),
+            (bucket < (rate * 1_000_000).cast("bigint")).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )

@@ -1,0 +1,149 @@
+"""Unit tests for retrieval / curation operators (TF-IDF, BM25,
+decontamination, stratified sampling) against hand-computed mirrors."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from garmin_performance_analysis_spark.pipelines import dedup, prep, retrieval
+from garmin_performance_analysis_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_matches_hand_computation(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+        ],
+    )
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in retrieval.tfidf_topk(df, "doc_id", "text", k=5).collect()
+    }
+    n = 3
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert out[(1, "apple")]["tf"] == 2 and out[(1, "apple")]["df"] == 1
+    expected = round(2 * math.log((n + 1) / (1 + 1)), 6)
+    assert abs(out[(1, "apple")]["tfidf"] - expected) < 1e-9
+    assert out[(1, "apple")]["rk"] == 1  # highest score in doc 1
+    # doc 3: date (1·ln(4/2)=0.693) beats cherry (2·ln(4/3)=0.575)
+    assert out[(3, "date")]["rk"] == 1 and out[(3, "cherry")]["rk"] == 2
+    assert abs(out[(3, "date")]["tfidf"] - round(math.log(2.0), 6)) < 1e-9
+
+
+def test_tfidf_topk_caps_terms_per_doc(spark):
+    df = _docs(spark, [(1, "a b c d e f g h")])
+    out = retrieval.tfidf_topk(df, "doc_id", "text", k=3).collect()
+    assert len(out) == 3
+    assert sorted(r["rk"] for r in out) == [1, 2, 3]
+
+
+def _bm25_mirror(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.split(" ") for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t) for q in terms
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = t.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if s > 0:
+            scores[d] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_python_mirror(spark):
+    rows = [
+        (1, "spark shuffle join spark"),
+        (2, "hash join window"),
+        (3, "sort merge scan"),
+        (4, "spark window window hash"),
+    ]
+    terms = ["spark", "hash", "window"]
+    out = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            terms,
+        ).collect()
+    }
+    mirror = _bm25_mirror(rows, terms)
+    assert set(out) == set(mirror)
+    for d in mirror:
+        assert abs(out[d] - mirror[d]) < 2e-6
+    # doc 3 has no query terms — must be absent, not zero-scored
+    assert 3 not in out
+
+
+def test_bm25_rank_is_deterministic_on_ties(spark):
+    rows = [(1, "spark alpha"), (2, "spark beta")]  # identical tf/dl
+    out = retrieval.bm25_scores(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        ["spark"],
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["rk"])
+    assert [r["doc_id"] for r in by_rank] == [1, 2]  # doc_id tiebreak
+
+
+def test_contamination_counts_planted_overlap(spark):
+    probe = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the probe 5-gram "two three four five six"
+            (1, "zero two three four five six seven"),
+            (2, "totally different words here padded out"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_stats(
+            corpus, probe, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert out[1]["n_hits"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    assert out[2]["n_shingles"] == 2  # 6-word doc → 2 distinct 5-grams
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25}
+    a = prep.stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.1)
+    b = prep.stratified_sample(
+        docs.repartition(7), "doc_id", "lang", rates, default_rate=0.1
+    )
+    rows_a = sorted((r["doc_id"], r["stratum"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["stratum"]) for r in b.collect())
+    assert rows_a == rows_b  # partition-invariant: same rows every run
+    # every kept bucket respects its stratum threshold
+    for r in a.collect():
+        limit = rates.get(r["stratum"], 0.1) * 1_000_000
+        assert r["keep_bucket"] < limit
+
+
+def test_stratified_sample_rate_is_roughly_respected(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    kept = prep.stratified_sample(df, "doc_id", "lang", {"en": 0.5}).count()
+    assert 0.45 * 4000 < kept < 0.55 * 4000  # md5 uniformity
