@@ -151,3 +151,71 @@ def test_sustained_runs_stateful_across_microbatches(spark, tmp_path):
     ).parquet(src)
     drain()
     assert ("a", 10, 12, 3) in rows()  # spanned the micro-batch boundary
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_doc_batch(spark, src, rows):
+    spark.createDataFrame(rows, "doc_id long, ts string, text string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("append").parquet(src)
+
+
+def test_streaming_dedup_drops_redeliveries_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one copy of a re-delivered
+    document even when the duplicate arrives in a LATER micro-batch —
+    the state store carries the hash across drains."""
+    from garmin_performance_analysis_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_doc_batch(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", "alpha beta"),
+            (2, "2024-01-01 00:00:30", "gamma delta"),
+        ],
+    )
+
+    def drain():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        q = (
+            streaming_exact_dedup(stream, "text", "ts", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 2
+
+    # batch 2: one re-delivery of doc 1's text (inside the watermark
+    # horizon) + one genuinely new doc
+    _write_doc_batch(
+        spark,
+        src,
+        [
+            (3, "2024-01-01 00:01:00", "alpha beta"),
+            (4, "2024-01-01 00:01:30", "epsilon zeta"),
+        ],
+    )
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # re-delivery dropped, new doc kept
+    kept_texts = sorted(r["text"] for r in out.collect())
+    assert kept_texts == ["alpha beta", "epsilon zeta", "gamma delta"]
