@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipelines import dedup, prep, retrieval
+from ..pipelines import dedup, prep, retrieval, text
 from ..sources.tables import load_table
 from .q_pipeline import _hex_horner
 from .registry import register
@@ -174,3 +174,43 @@ def c2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.stratified_sample(
         docs, "doc_id", "lang", _C2_RATES, default_rate=_C2_DEFAULT, salt="c2"
     )
+
+
+@register(
+    "x8_repetition_signals",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words,
+         CASE WHEN len(w) >= 2 THEN ROUND(
+           (len(w) - 1 - len(list_distinct(list_transform(
+              generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1]))))
+           * 1.0 / (len(w) - 1), 6) END AS dup_2gram_frac,
+         CASE WHEN len(w) >= 3 THEN ROUND(
+           (len(w) - 2 - len(list_distinct(list_transform(
+              generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))))
+           * 1.0 / (len(w) - 2), 6) END AS dup_3gram_frac
+  FROM words
+),
+toks AS (SELECT doc_id, unnest(w) AS term FROM words),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, term AS top_term, tf AS top_tf
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk FROM tf)
+  WHERE rk = 1
+)
+SELECT b.doc_id, b.n_words, b.dup_2gram_frac, b.dup_3gram_frac,
+       t.top_term, t.top_tf,
+       ROUND(t.top_tf * 1.0 / b.n_words, 6) AS top_term_frac
+FROM base b JOIN top t ON b.doc_id = t.doc_id
+""",
+    tags=("text", "quality"),
+)
+def x8_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters: duplicate
+    2-/3-gram fractions (in-row expressions) + most-frequent-word
+    share (explode → keyed agg → per-doc window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id", "text")

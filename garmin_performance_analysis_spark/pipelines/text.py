@@ -7,7 +7,7 @@ the corpus per feature set.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny marker-word lists per language (public stopword heads). The
@@ -188,4 +188,70 @@ def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         regex_tokens.alias("regex_tokens"),
         F.md5(F.col(text_col)).alias("content_hash"),
         fingerprint_expr(text_col).alias("fingerprint"),
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-style filters
+    that catch boilerplate/keyword-stuffed documents (duplicate n-gram
+    fraction, most-frequent-word share).
+
+    Two sub-shapes, chosen by where the work is linear:
+    - duplicate-gram fractions are computed IN-ROW
+      (``1 − distinct/total`` over the gram array) — pure expressions,
+      whole-stage codegen, no shuffle;
+    - the top-word share needs a per-document mode, which in-row would
+      be O(words²) per document — unbounded for long documents — so it
+      runs as the canonical explode → groupBy(doc, term) → per-doc
+      window shape instead (linear, one keyed shuffle).
+
+    Output: (doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
+    top_term, top_tf, top_term_frac).
+    """
+    w = _words(text_col)
+
+    def _gram_dup_frac(n: int) -> Column:
+        parts = " , ".join(f"w[i + {j}]" for j in range(n))
+        grams = F.expr(f"transform(gidx, i -> concat_ws(' ', {parts}))")
+        total = F.size(grams)
+        # references the PROJECTED `w`/`gidx` columns, not the source text
+        return F.when(
+            F.size(F.col("w")) >= n,
+            F.round((total - F.size(F.array_distinct(grams))) / total, 6),
+        )
+
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("w"),
+            F.size(w).alias("n_words"),
+        )
+        .withColumn("gidx", F.sequence(F.lit(0), F.size(F.col("w")) - 2))
+        .withColumn("dup_2gram_frac", _gram_dup_frac(2))
+        .withColumn("gidx", F.sequence(F.lit(0), F.size(F.col("w")) - 3))
+        .withColumn("dup_3gram_frac", _gram_dup_frac(3))
+        .select("doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac")
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    top = (
+        tf.withColumn("_rk", F.row_number().over(wtop))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("tf").alias("top_tf"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_term",
+        "top_tf",
+        F.round(F.col("top_tf") / F.col("n_words"), 6).alias("top_term_frac"),
     )

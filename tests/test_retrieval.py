@@ -147,3 +147,28 @@ def test_stratified_sample_rate_is_roughly_respected(spark):
     )
     kept = prep.stratified_sample(df, "doc_id", "lang", {"en": 0.5}).count()
     assert 0.45 * 4000 < kept < 0.55 * 4000  # md5 uniformity
+
+
+def test_repetition_signals_hand_computed(spark):
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),  # 2-grams: ab ba ab ba → 2 dup of 4
+            (2, "x"),  # too short for any gram
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_mod.repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert abs(out[1]["dup_2gram_frac"] - 0.5) < 1e-9
+    # 3-grams: aba bab aba → 1 dup of 3
+    assert abs(out[1]["dup_3gram_frac"] - round(1 / 3, 6)) < 1e-9
+    assert out[1]["top_term"] == "a" and out[1]["top_tf"] == 3
+    assert abs(out[1]["top_term_frac"] - 0.6) < 1e-9
+    # single-word doc: gram fractions null, top term still defined
+    assert out[2]["dup_2gram_frac"] is None
+    assert out[2]["dup_3gram_frac"] is None
+    assert out[2]["top_term"] == "x" and out[2]["top_tf"] == 1
