@@ -172,3 +172,25 @@ def test_repetition_signals_hand_computed(spark):
     assert out[2]["dup_2gram_frac"] is None
     assert out[2]["dup_3gram_frac"] is None
     assert out[2]["top_term"] == "x" and out[2]["top_tf"] == 1
+
+
+def test_sq_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization + 50-deep shortlist must recover the exact
+    top-10 (quantization noise ~1/127 is far below the neighbor gaps
+    in the synthetic embeddings)."""
+    from garmin_performance_analysis_spark.pipelines import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query, k=10
+        ).collect()
+    }
+    sq = similarity.sq_topk(emb, "vec_id", "embedding", query_id=0, k=10).collect()
+    got = {r["vec_id"] for r in sq}
+    assert len(got & exact) >= 9
+    # quantized score must approximate the exact score
+    for r in sq:
+        assert abs(r["q_cosine"] - r["cosine"]) < 0.02
