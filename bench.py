@@ -67,6 +67,15 @@ HEADLINE = [
     "t9_event_sessions",
     "x5_redact_pii",
     "v4b_srp_multiprobe",
+    # r4 additions: lexical retrieval is read-shaped; decontamination,
+    # sampling, repetition signals are corpus batch jobs; v6 is the
+    # quantized ANN read path
+    "x6_tfidf_topk",
+    "x7_bm25_search",
+    "v6_sq_topk",
+    "d6_decontamination",
+    "c2_stratified_sample",
+    "x8_repetition_signals",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -82,6 +91,9 @@ BATCH_JOBS = {
     "c1_training_prep",
     "x5_redact_pii",
     "v4b_srp_multiprobe",
+    "d6_decontamination",
+    "c2_stratified_sample",
+    "x8_repetition_signals",
 }
 
 

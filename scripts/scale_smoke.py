@@ -62,6 +62,17 @@ QUERIES = [
     # gate/dedup pipeline over the grown corpus) and batch retrieval
     "c1_training_prep",
     "v5_batch_topk",
+    # r4 additions: lexical retrieval (word-count shuffle shapes),
+    # decontamination (broadcast semi-join vs a probe set that grows
+    # with the corpus here), deterministic sampling (pure scan filter),
+    # repetition signals (in-row grams + keyed top-word agg), and the
+    # int8-quantized ANN shortlist
+    "x6_tfidf_topk",
+    "x7_bm25_search",
+    "d6_decontamination",
+    "c2_stratified_sample",
+    "x8_repetition_signals",
+    "v6_sq_topk",
 ]
 
 
@@ -170,7 +181,15 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_smoke_10x")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated substring filters; run only matching queries",
+    )
     args = ap.parse_args()
+    if args.only:
+        pats = [s for s in args.only.split(",") if s]
+        QUERIES[:] = [q for q in QUERIES if any(p in q for p in pats)]
 
     manifest_path = os.path.join(args.out, "manifest.json")
     manifest = {"sf_dir": os.path.abspath(args.sf_dir), "replicas": args.replicas}
