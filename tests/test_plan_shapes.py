@@ -155,3 +155,42 @@ def test_v4_srp_buckets_computed_without_plane_join(spark):
     plan = checks.formatted_plan(df)
     assert "arrowevalpython" in plan.lower()
     assert "decimal(22,7)" not in plan.lower()
+
+
+def test_c2_sample_is_shuffle_free_scan_filter(spark):
+    """The deterministic sampler must be a pure scan-side filter —
+    zero exchanges — so it can stack in front of expensive stages
+    without moving data."""
+    df = CATALOG["c2_stratified_sample"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) == 0
+    assert checks.has_whole_stage_codegen(df)
+
+
+def test_v6_sq_topk_is_shuffle_free_shortlist(spark):
+    """SQ shortlist + exact re-rank: both ranking passes are global
+    top-k (TakeOrderedAndProject), never a full sort exchange."""
+    df = CATALOG["v6_sq_topk"].fn(spark, SF_SMOKE)
+    assert checks.count_shuffles(df) == 0
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x7_bm25_broadcasts_scalars_and_filters_before_explode(spark):
+    """BM25's corpus scalars (N, avgdl) and per-term df are broadcast;
+    the IN-list term filter must run inside the row (a lambda filter in
+    the projection) so only matching tokens are exploded into rows."""
+    df = CATALOG["x7_bm25_search"].fn(spark, SF_SMOKE)
+    assert checks.uses_broadcast_join(df)
+    plan = checks.formatted_plan(df)
+    # the explode's input is the filtered array, not the raw split
+    assert "filter(split(" in plan or "filter(lambdafunction" in plan.lower()
+
+
+def test_d6_decontamination_broadcasts_probe_set(spark):
+    """The probe (benchmark) shingle set must broadcast: the corpus
+    side streams through a broadcast hash join, never a sort-merge of
+    the full shingle stream against the probe."""
+    df = CATALOG["d6_decontamination"].fn(spark, SF_SMOKE)
+    assert checks.uses_broadcast_join(df)
+    plan = checks.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
