@@ -76,6 +76,8 @@ HEADLINE = [
     "d6_decontamination",
     "c2_stratified_sample",
     "x8_repetition_signals",
+    "x9_vocab_stats",
+    "c3_curation_record",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -94,6 +96,8 @@ BATCH_JOBS = {
     "d6_decontamination",
     "c2_stratified_sample",
     "x8_repetition_signals",
+    "x9_vocab_stats",
+    "c3_curation_record",
 }
 
 

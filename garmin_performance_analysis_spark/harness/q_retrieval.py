@@ -284,3 +284,164 @@ def v6_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("cosine")).alias("cosine"),
         "rk",
     )
+
+
+@register(
+    "x9_vocab_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+ctf AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term
+)
+SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS freq_bucket,
+       COUNT(*) AS n_terms,
+       SUM(tf) AS total_occurrences,
+       SUM(df) AS total_doc_hits,
+       MIN(term) AS example_term
+FROM ctf
+GROUP BY 1
+""",
+    tags=("text", "profiling"),
+)
+def x9_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: log2-bucketed term-frequency histogram
+    (the Zipf report every corpus build starts with).  Two keyed
+    shuffles — term agg, then bucket agg — both with map-side partial
+    aggregation; the example term is the deterministic MIN per bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    ctf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        # floor(log2(tf)) via integer bit length: ln(tf)/ln(2) is an
+        # ulp hazard at exact powers of two (libm log differs across
+        # engines by 1 ulp → floor flips); length(bin(tf))-1 is exact
+        ctf.withColumn(
+            "freq_bucket", (F.length(F.bin(F.col("tf"))) - 1).cast("bigint")
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("total_occurrences"),
+            F.sum("df").alias("total_doc_hits"),
+            F.min("term").alias("example_term"),
+        )
+    )
+
+
+def _c3_oracle() -> str:
+    """Curation-record oracle: the x1/x2/x3 feature fragments + dedup
+    MIN-windows + the d6 contamination CTE + the c2 hash sampler,
+    composed exactly as ``pipelines/prep.curation_record`` composes
+    the DataFrame operators (probe set: doc_id % 23 = 0)."""
+    from ..pipelines import text as text_mod
+
+    score_cols = []
+    for lang, markers in text_mod.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({marker_in}))) AS score_{lang}"
+        )
+    langs = list(text_mod.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    horner = _hex_horner("d", 1, 15)
+    rate_case = " ".join(
+        f"WHEN predicted_lang = '{s}' THEN {r}" for s, r in _C2_RATES.items()
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) * 1.0
+           / length(text) AS non_alpha_ratio,
+         len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           / len(string_split(lower(text), ' ')) AS distinct_word_ratio,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS regex_tokens,
+         md5(text) AS content_hash,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+         doc_id % 23 = 0 AS is_probe,
+         {", ".join(score_cols)}
+  FROM documents
+),
+langed AS (SELECT *, {pred} AS predicted_lang FROM feats),
+based AS (
+  SELECT *,
+         MIN(doc_id) OVER (PARTITION BY content_hash) AS exact_keep_id,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS near_keep_id,
+         n_words >= 20 AND non_alpha_ratio <= 0.35
+           AND distinct_word_ratio >= 0.3 AS quality_pass
+  FROM langed
+),
+words AS (SELECT doc_id, is_probe, string_split(lower(text), ' ') AS w FROM feats),
+sh AS (
+  SELECT doc_id, is_probe,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shingle
+  FROM words WHERE len(w) >= 5
+),
+probe_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_probe),
+corpus_sh AS (SELECT doc_id, shingle FROM sh WHERE NOT is_probe),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus_sh GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM corpus_sh c JOIN probe_sh p USING (shingle) GROUP BY 1
+),
+cont AS (
+  SELECT d.doc_id,
+         COALESCE(h.n_hits, 0) * 1.0 / d.n_shingles >= 0.1 AS cont_flag
+  FROM per_doc d LEFT JOIN hits h ON d.doc_id = h.doc_id
+),
+hashed AS (
+  SELECT b.*, md5('c2|' || CAST(b.doc_id AS VARCHAR)) AS d,
+         CASE WHEN b.is_probe THEN NULL
+              ELSE COALESCE(c.cont_flag, FALSE) END AS contaminated
+  FROM based b LEFT JOIN cont c ON b.doc_id = c.doc_id
+),
+sampled AS (
+  SELECT *, {horner} % 1000000 AS keep_bucket,
+         CASE {rate_case} ELSE {_C2_DEFAULT} END AS rate
+  FROM hashed
+)
+SELECT doc_id, predicted_lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(regex_tokens AS BIGINT) AS regex_tokens,
+       is_probe, quality_pass, exact_keep_id, near_keep_id,
+       doc_id <> exact_keep_id AS is_exact_dup,
+       doc_id <> near_keep_id AS is_near_dup,
+       contaminated, keep_bucket,
+       keep_bucket < CAST(rate * 1000000 AS BIGINT) AS sampled,
+       NOT is_probe AND quality_pass
+         AND doc_id = exact_keep_id AND doc_id = near_keep_id
+         AND NOT COALESCE(contaminated, FALSE)
+         AND keep_bucket < CAST(rate * 1000000 AS BIGINT) AS keep
+FROM sampled
+"""
+
+
+@register("c3_curation_record", oracle=_c3_oracle(), tags=("prep", "dedup", "text"))
+def c3_curation_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation record: quality gates, language,
+    dedup canonical ids, contamination vs the probe set (doc_id % 23),
+    deterministic sample decision, and the final keep verdict — one
+    auditable row per document from one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.curation_record(
+        docs,
+        "doc_id",
+        "text",
+        probe_col=F.col("doc_id") % 23 == 0,
+        rates=_C2_RATES,
+        default_rate=_C2_DEFAULT,
+        salt="c2",
+    )

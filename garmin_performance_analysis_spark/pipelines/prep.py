@@ -120,3 +120,118 @@ def stratified_sample(
         .filter(F.col("_keep"))
         .drop("_keep")
     )
+
+
+def curation_record(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_col,
+    *,
+    min_words: int = 20,
+    max_non_alpha: float = 0.35,
+    min_distinct_ratio: float = 0.3,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    salt: str = "c2",
+    contamination_n: int = 5,
+    contamination_threshold: float = 0.1,
+) -> DataFrame:
+    """The per-document CURATION RECORD — every gating signal a
+    training-data pipeline computes, materialized as one row per
+    document in one job: quality gates, language, dedup canonical ids,
+    contamination vs the probe set, and the deterministic sample
+    decision, plus the final ``keep`` verdict.
+
+    This is the table a real pipeline writes before sharding: decisions
+    stay auditable per document (why was doc X dropped?) instead of
+    documents silently vanishing through a filter chain.
+
+    ``probe_col`` is a boolean Column marking benchmark/eval documents
+    (evaluated against the feature frame, so it may reference
+    ``doc_id`` and ``text``); they are audited against, never kept,
+    and their ``contaminated`` field is null.
+
+    Plan shape: ONE feature scan (``corpus_features``); the two dedup
+    windows shuffle on their own keys (content_hash, fingerprint); the
+    contamination sub-plan reduces both sides to distinct shingles and
+    broadcasts the probe set; the sample decision is a pure expression.
+    Everything is deterministic, so the whole record has an exact
+    ANSI oracle.
+    """
+    from .dedup import contamination_stats
+
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25} if rates is None else rates
+    # the probe flag is an expression over the feature frame, not a
+    # join back to the source — keeps the record a single corpus scan
+    feats = corpus_features(docs, id_col, text_col).withColumn("_probe", probe_col)
+    flagged = feats.select("doc_id", F.col("text"), "_probe")
+    w_hash = Window.partitionBy("content_hash")
+    w_fp = Window.partitionBy("fingerprint")
+    base = (
+        feats.withColumn("exact_keep_id", F.min("doc_id").over(w_hash))
+        .withColumn("near_keep_id", F.min("doc_id").over(w_fp))
+        .withColumn(
+            "quality_pass",
+            (F.col("n_words") >= min_words)
+            & (F.col("non_alpha_ratio") <= max_non_alpha)
+            & (F.col("distinct_word_ratio") >= min_distinct_ratio),
+        )
+    )
+    cstats = contamination_stats(
+        flagged.filter(~F.col("_probe")),
+        flagged.filter(F.col("_probe")),
+        "doc_id",  # feats already normalized the id column name
+        text_col,
+        n=contamination_n,
+        flag_threshold=contamination_threshold,
+    ).select("doc_id", F.col("contaminated").alias("_cont"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = h % F.lit(1_000_000)
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col("predicted_lang") == stratum, F.lit(r)).otherwise(rate)
+    out = (
+        base.join(cstats, "doc_id", "left")
+        .withColumn(
+            "contaminated",
+            F.when(F.col("_probe"), F.lit(None).cast("boolean")).otherwise(
+                F.coalesce(F.col("_cont"), F.lit(False))
+            ),
+        )
+        .withColumn("keep_bucket", bucket)
+        .withColumn("sampled", bucket < (rate * 1_000_000).cast("bigint"))
+        .withColumn("is_exact_dup", F.col("doc_id") != F.col("exact_keep_id"))
+        .withColumn("is_near_dup", F.col("doc_id") != F.col("near_keep_id"))
+        .withColumn(
+            "keep",
+            ~F.col("_probe")
+            & F.col("quality_pass")
+            & ~F.col("is_exact_dup")
+            & ~F.col("is_near_dup")
+            & ~F.coalesce(F.col("contaminated"), F.lit(False))
+            & F.col("sampled"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "predicted_lang",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("regex_tokens").cast("bigint").alias("regex_tokens"),
+        F.col("_probe").alias("is_probe"),
+        "quality_pass",
+        "exact_keep_id",
+        "near_keep_id",
+        "is_exact_dup",
+        "is_near_dup",
+        "contaminated",
+        "keep_bucket",
+        "sampled",
+        "keep",
+    )

@@ -73,6 +73,8 @@ QUERIES = [
     "c2_stratified_sample",
     "x8_repetition_signals",
     "v6_sq_topk",
+    "x9_vocab_stats",
+    "c3_curation_record",
 ]
 
 

@@ -194,3 +194,44 @@ def test_sq_topk_recall_vs_exact(spark, sf_dir):
     # quantized score must approximate the exact score
     for r in sq:
         assert abs(r["q_cosine"] - r["cosine"]) < 0.02
+
+
+def test_curation_record_flags_are_consistent(spark):
+    """Planted scenarios: an exact dup, a reordered near-dup, a probe
+    doc, and a contaminated doc must each carry the right flags, and
+    `keep` must be the conjunction of the individual gates."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (0, base.strip()),                      # probe (0 % 23 == 0)
+        (1, base.strip()),                      # exact dup of probe text
+        (2, " ".join(reversed(base.split()))),  # near-dup (same word set)
+        (3, "totally different words " * 8),    # clean long doc
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in prep.curation_record(
+            _docs(spark, rows),
+            "doc_id",
+            "text",
+            probe_col=F.col("doc_id") % 23 == 0,
+            rates={"en": 1.0},
+            default_rate=1.0,  # sampling always keeps → isolates gates
+        ).collect()
+    }
+    assert out[0]["is_probe"] and out[0]["contaminated"] is None
+    assert not out[0]["keep"]  # probe docs are never kept
+    assert out[1]["is_exact_dup"] and out[1]["exact_keep_id"] == 0
+    assert not out[1]["keep"]
+    assert out[2]["is_near_dup"] and not out[2]["is_exact_dup"]
+    assert out[2]["near_keep_id"] == 0
+    # doc 1 shares every 5-gram with the probe text → contaminated
+    assert out[1]["contaminated"]
+    # doc 3 shares nothing and passes everything
+    r3 = out[3]
+    assert (
+        not r3["is_exact_dup"]
+        and not r3["is_near_dup"]
+        and not r3["contaminated"]
+        and r3["sampled"]
+    )
+    assert r3["keep"] == r3["quality_pass"]
