@@ -274,7 +274,8 @@ s AS (
   FROM c
 ),
 seg AS (
-  SELECT user_id, segment_id, MAX(state) AS is_work, AVG(value) AS seg_avg
+  SELECT user_id, segment_id, MAX(state) AS is_work,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value) AS seg_avg
   FROM s GROUP BY 1, 2
 ),
 work AS (
@@ -448,7 +449,8 @@ s AS (
 ),
 seg AS (
   SELECT user_id, segment_id, MAX(state) AS is_work,
-         AVG(value) AS seg_avg, MAX(t_s) - MIN(t_s) AS dur_s
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value) AS seg_avg,
+         MAX(t_s) - MIN(t_s) AS dur_s
   FROM s GROUP BY 1, 2
 ),
 wk AS (
@@ -464,11 +466,13 @@ pairs AS (
   FROM wk w JOIN rc r ON r.user_id = w.user_id AND r.rn = w.rn
   WHERE r.dur_s > 0
 ),
-wsum AS (SELECT user_id, COUNT(*) AS work_count, AVG(seg_avg) AS avg_work_value
+wsum AS (SELECT user_id, COUNT(*) AS work_count,
+         CAST(SUM(CAST(seg_avg AS DECIMAL(30,12))) AS DOUBLE) / COUNT(seg_avg) AS avg_work_value
          FROM wk GROUP BY user_id),
-rsum AS (SELECT user_id, COUNT(*) AS recovery_count, AVG(seg_avg) AS avg_recovery_value
+rsum AS (SELECT user_id, COUNT(*) AS recovery_count,
+         CAST(SUM(CAST(seg_avg AS DECIMAL(30,12))) AS DOUBLE) / COUNT(seg_avg) AS avg_recovery_value
          FROM rc GROUP BY user_id),
-psum AS (SELECT user_id, AVG(rate) AS avg_hr_recovery_rate FROM pairs GROUP BY user_id)
+psum AS (SELECT user_id, CAST(SUM(CAST(rate AS DECIMAL(30,12))) AS DOUBLE) / COUNT(rate) AS avg_hr_recovery_rate FROM pairs GROUP BY user_id)
 SELECT w.user_id, w.work_count, r.recovery_count,
        ROUND(w.avg_work_value, 6) AS avg_work_value,
        ROUND(r.avg_recovery_value, 6) AS avg_recovery_value,

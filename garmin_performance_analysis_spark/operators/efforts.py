@@ -22,6 +22,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..harness.registry import dec_avg
+
 from .regression import linregress_by_group
 
 
@@ -114,7 +116,10 @@ def interval_fatigue(
         segments.groupBy(*keys)
         .agg(
             F.max("_state").alias("is_work"),
-            F.avg(value_col).alias("seg_avg"),
+            # DECIMAL-exact avg: plain avg over doubles wobbles with
+            # shuffle fetch order and flips 6dp roundings (lesson 5;
+            # seen as a rare in-suite t6 parity flake)
+            dec_avg(F.col(value_col)).alias("seg_avg"),
             F.count(F.lit(1)).alias("seg_rows"),
         )
     )
@@ -172,7 +177,8 @@ def work_recovery_comparison(
     )
     per_seg = segments.groupBy(*keys).agg(
         F.max("_state").alias("is_work"),
-        F.avg(value_col).alias("seg_avg"),
+        # DECIMAL-exact at every averaging level (see interval_fatigue)
+        dec_avg(F.col(value_col)).alias("seg_avg"),
         dur.alias("dur_s"),
     )
     wrank = Window.partitionBy(*group_cols).orderBy("segment_id")
@@ -201,14 +207,14 @@ def work_recovery_comparison(
     )
     w_sum = work.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("work_count"),
-        F.avg("seg_avg").alias("avg_work_value"),
+        dec_avg(F.col("seg_avg")).alias("avg_work_value"),
     )
     r_sum = rec.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("recovery_count"),
-        F.avg("seg_avg").alias("avg_recovery_value"),
+        dec_avg(F.col("seg_avg")).alias("avg_recovery_value"),
     )
     rate_sum = pairs.groupBy(*group_cols).agg(
-        F.avg("rate").alias("avg_hr_recovery_rate")
+        dec_avg(F.col("rate")).alias("avg_hr_recovery_rate")
     )
     return (
         w_sum.join(r_sum, list(group_cols))  # inner: both types required
