@@ -1,0 +1,101 @@
+"""Incremental dedup registry: within-batch, cross-run, idempotency,
+partition-pruned registry reads, and fresh-session persistence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from garmin_performance_analysis_spark.pipelines import incremental
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_lifecycle(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+
+    # batch 1: one internal duplicate pair
+    b1 = _batch(
+        spark,
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+    )
+    f1 = incremental.incremental_dedup(
+        spark, b1, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    ids1 = sorted(r["doc_id"] for r in f1.collect())
+    assert ids1 == [1, 2]  # within-batch dup keeps min doc_id
+
+    # batch 2: one cross-run duplicate + one new doc
+    b2 = _batch(spark, [(10, "alpha beta"), (11, "epsilon zeta")])
+    f2 = incremental.incremental_dedup(
+        spark, b2, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert [r["doc_id"] for r in f2.collect()] == [11]
+
+    # idempotency: re-running batch 2 yields nothing and grows nothing
+    before = incremental.read_registry(spark, reg).count()
+    f3 = incremental.incremental_dedup(
+        spark, b2, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert f3.count() == 0
+    assert incremental.read_registry(spark, reg).count() == before == 3
+
+    # registry contents: canonical keep ids
+    kept = {
+        r["dedup_key"]: r["keep_id"]
+        for r in incremental.read_registry(spark, reg).collect()
+    }
+    assert len(kept) == 3 and set(kept.values()) == {1, 2, 11}
+
+
+def test_incremental_near_dedup_catches_reordered_text(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+    b1 = _batch(spark, [(1, "one two three")])
+    incremental.incremental_dedup(
+        spark, b1, reg, "doc_id", incremental.near_key_expr("text")
+    )
+    # same word set, different order → near-dup, dropped
+    b2 = _batch(spark, [(2, "three one two"), (3, "four five six")])
+    f2 = incremental.incremental_dedup(
+        spark, b2, reg, "doc_id", incremental.near_key_expr("text")
+    )
+    assert [r["doc_id"] for r in f2.collect()] == [3]
+
+
+def test_registry_read_prunes_partitions(spark, tmp_path):
+    """A small batch's anti-join must read only the hash-prefix
+    partitions the batch touches, not the whole registry."""
+    reg = str(tmp_path / "registry")
+    big = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document number "), F.col("id")).alias("text"),
+    )
+    incremental.incremental_dedup(
+        spark, big, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    one = _batch(spark, [(1000, "a single new doc")])
+    import glob
+    import os
+
+    n_parts_total = len(glob.glob(os.path.join(reg, "_kp=p*")))
+    assert n_parts_total > 50  # 300 md5s spread over many prefixes
+    f = incremental.incremental_dedup(
+        spark, one, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert f.count() == 1
+    stats = incremental.registry_stats(spark, reg).first()
+    assert stats["total_keys"] == 301
+
+
+def test_registry_survives_fresh_reader(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+    incremental.incremental_dedup(
+        spark,
+        _batch(spark, [(7, "persisted text")]),
+        reg,
+        "doc_id",
+        incremental.exact_key_expr("text"),
+    )
+    # a separate read path (as a new session would do) sees the key
+    assert incremental.read_registry(spark, reg).count() == 1
