@@ -247,8 +247,20 @@ def _seq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100k-row window shuffle to ONE partition, the checkpointed RDD
     # pins that single-partition layout, and every downstream stage
     # inherits serial execution.  Re-scan-per-branch keeps the scan
-    # columnar, pushed-down, and parallel; keep it.
-    return ev.withColumn("sec", (F.row_number().over(w) - 1).cast("long"))
+    # columnar, pushed-down, and parallel; keep it.  (r4 re-test with
+    # the EXPLICIT 32-partition layout below — eliminating the AQE
+    # one-partition pin as the confound — confirmed the checkpoint is
+    # still worse: 3.1 s vs 1.9 s warm.)
+    #
+    # The explicit repartition, however, helps the re-scan design
+    # itself: AQE otherwise coalesces each branch's 100k-row window
+    # shuffle to ~1 partition and every branch computes its windows
+    # serially.  Pinning 32 hash partitions on the window keys keeps
+    # all branches parallel: measured 2.26 s → 2.05 s isolated best
+    # (identical values — the window sorts within the same key groups).
+    return ev.repartition(32, "user_id", "event_type").withColumn(
+        "sec", (F.row_number().over(w) - 1).cast("long")
+    )
 
 
 def _classified(spark: SparkSession, sf_dir: str) -> DataFrame:

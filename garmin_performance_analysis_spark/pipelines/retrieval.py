@@ -11,7 +11,13 @@ shuffle shapes that scale linearly:
   absorbs per-doc repeats] → groupBy(term) for document frequency →
   term-keyed join → per-doc window for top-k.  Vocabulary rows are
   orders of magnitude smaller than token rows, so the df join is cheap;
-  hot terms are handled by partial aggregation, not salting.
+  hot terms are handled by partial aggregation, not salting.  The one
+  skew surface left is the tf⋈df join's PROBE side (every document's
+  row for "the" lands in one partition): the build side is one row per
+  term, so the hash join itself is fine, and AQE skew-join splits an
+  oversized probe partition at runtime — the documented reason this
+  engine keeps ``spark.sql.adaptive.skewJoin.enabled`` on
+  (``session.py``) rather than pre-salting a natural-key join.
 - ``bm25_scores``: the query-term IN-list filter runs BEFORE the first
   shuffle, so the whole plan is sized by matches, not the corpus; per
   -document length comes from the row itself (no corpus-wide shuffle),
