@@ -78,6 +78,7 @@ HEADLINE = [
     "x8_repetition_signals",
     "x9_vocab_stats",
     "c3_curation_record",
+    "v7_embedding_outliers",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -98,6 +99,7 @@ BATCH_JOBS = {
     "x8_repetition_signals",
     "x9_vocab_stats",
     "c3_curation_record",
+    "v7_embedding_outliers",
 }
 
 

@@ -445,3 +445,55 @@ def c3_curation_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=_C2_DEFAULT,
         salt="c2",
     )
+
+
+def _v7_oracle() -> str:
+    return """
+WITH dims AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS t(i)
+),
+means AS (
+  SELECT pos, CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(x) AS m
+  FROM dims GROUP BY pos
+),
+dist AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST((x - m) * (x - m) AS DECIMAL(38,12))) AS DOUBLE)) AS dist
+  FROM dims JOIN means USING (pos) GROUP BY vec_id
+),
+mom AS (
+  SELECT CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) / COUNT(dist) AS mu,
+         CASE WHEN COUNT(dist) > 1 THEN sqrt(GREATEST(
+           (CAST(SUM(CAST(dist * dist AS DECIMAL(38,12))) AS DOUBLE)
+            - CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE)
+              * CAST(SUM(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) / COUNT(dist))
+           / (COUNT(dist) - 1), 0.0)) END AS sd
+  FROM dist
+),
+scored AS (
+  SELECT vec_id, dist, (dist - mu) / sd AS z FROM dist, mom
+),
+ranked AS (
+  SELECT vec_id, ROUND(dist, 6) AS dist, ROUND(z, 6) AS z,
+         ROW_NUMBER() OVER (ORDER BY ROUND(abs(z), 6) DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT * FROM ranked WHERE rk <= 20
+"""
+
+
+@register("v7_embedding_outliers", oracle=_v7_oracle(), tags=("similarity", "quality"))
+def v7_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report: top-20 vectors by |z| of their
+    distance to the corpus mean — the cheap junk-document signal.
+    DECIMAL-exact reductions end-to-end, so even the z-scores carry a
+    full value oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_outliers(emb, "vec_id", "embedding", dim=64, k=20)
+    return out.select(
+        "vec_id",
+        _r6(F.col("dist")).alias("dist"),
+        _r6(F.col("z")).alias("z"),
+        "rk",
+    )

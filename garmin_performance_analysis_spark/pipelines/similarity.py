@@ -589,3 +589,58 @@ def sq_topk(
         .filter(F.col("rk") <= k)
         .select(id_col, "q_cosine", "cosine", "rk")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 20,
+) -> DataFrame:
+    """Embedding-space outliers: distance to the corpus MEAN vector,
+    z-scored — the standard cheap junk-document signal (garbage text
+    embeds far from everything).
+
+    Every reduction is DECIMAL-exact so the ranking is reproducible in
+    any engine: per-dimension means from exact sums, per-vector
+    distance² from exact sums of squared deviations, and the z-score
+    from exact moment sums.  Plan shape: one posexplode (N·dim rows,
+    linear) → per-dim agg (dim rows, broadcast back) → per-vector agg
+    → scalar moments broadcast → top-k (TakeOrderedAndProject).
+
+    Output: (vec_id, dist, z, rk) for the k most-outlying vectors.
+    """
+    from ..harness.registry import dec_avg, dec_std, dec_sum
+
+    dims = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    means = dims.groupBy("pos").agg(dec_avg(F.col("x")).alias("m"))
+    dist = (
+        dims.join(F.broadcast(means), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                dec_sum(
+                    (F.col("x") - F.col("m")) * (F.col("x") - F.col("m")),
+                    scale=12,
+                    precision=38,
+                )
+            ).alias("dist")
+        )
+    )
+    moments = dist.select(
+        dec_avg(F.col("dist")).alias("mu"),
+        dec_std(F.col("dist")).alias("sd"),
+    )
+    scored = dist.join(F.broadcast(moments)).withColumn(
+        "z", (F.col("dist") - F.col("mu")) / F.col("sd")
+    )
+    w = Window.orderBy(F.round(F.abs(F.col("z")), 6).desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "dist", "z", "rk")
+    )

@@ -75,6 +75,7 @@ QUERIES = [
     "v6_sq_topk",
     "x9_vocab_stats",
     "c3_curation_record",
+    "v7_embedding_outliers",
 ]
 
 

@@ -235,3 +235,18 @@ def test_curation_record_flags_are_consistent(spark):
         and r3["sampled"]
     )
     assert r3["keep"] == r3["quality_pass"]
+
+
+def test_embedding_outliers_finds_planted_junk(spark):
+    from garmin_performance_analysis_spark.pipelines import similarity
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), (rng.randn(8) * 0.1 + 1.0).tolist()) for i in range(50)]
+    rows.append((99, [50.0] * 8))  # planted far-away junk vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_outliers(df, "vec_id", "embedding", dim=8, k=3)
+    top = out.orderBy("rk").first()
+    assert top["vec_id"] == 99 and top["rk"] == 1
+    assert top["z"] > 3  # unambiguous outlier
