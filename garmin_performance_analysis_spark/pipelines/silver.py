@@ -145,3 +145,40 @@ def write_bucketed(
         .sortBy(bucket_col)
         .saveAsTable(table_name)
     )
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by=None,
+) -> int:
+    """Small-file compaction — the standing maintenance job of any
+    incremental lakehouse table.  Append-based writers (ingest batches,
+    the dedup registry, streaming sinks) accumulate one file per
+    append; thousands of KB-sized files turn an O(data) scan into an
+    O(files) metadata crawl (task-per-file scheduling, footer reads).
+
+    Reads the table, repartitions to ``ceil(bytes / target_file_mb)``
+    output files, and swaps atomically via ``migrations.rewrite_table``
+    (temp write → two renames, crash-safe, loader memo invalidated).
+    Returns the target partition count.
+
+    Sizing uses the CURRENT on-disk bytes, which over-counts when the
+    data is poorly encoded (recompaction improves encoding) — the
+    conservative direction: files come out at or under target size.
+    Readers must be quiesced for the swap window (same contract as any
+    migration).
+    """
+    import math
+
+    from .migrations import _fs, rewrite_table
+
+    jvm, fs = _fs(spark)
+    P = jvm.org.apache.hadoop.fs.Path
+    summary = fs.getContentSummary(P(path))
+    total_bytes = summary.getLength()
+    n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    rewrite_table(df.repartition(n), path, partition_by=partition_by)
+    return n

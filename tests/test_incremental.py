@@ -99,3 +99,23 @@ def test_registry_survives_fresh_reader(spark, tmp_path):
     )
     # a separate read path (as a new session would do) sees the key
     assert incremental.read_registry(spark, reg).count() == 1
+
+
+def test_compact_table_collapses_small_files(spark, tmp_path):
+    """Many per-append files compact to the byte-sized target count,
+    preserving rows and surviving the atomic swap."""
+    import glob
+
+    from garmin_performance_analysis_spark.pipelines.silver import compact_table
+
+    path = str(tmp_path / "tiny_files")
+    for i in range(12):  # 12 separate appends → ≥12 files
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    files_before = len(glob.glob(f"{path}/part-*"))
+    assert files_before >= 12
+    n = compact_table(spark, path, target_file_mb=128, partition_by=[])
+    assert n == 1  # 120 tiny rows fit one target file
+    files_after = len(glob.glob(f"{path}/part-*"))
+    assert files_after < files_before
+    assert spark.read.parquet(path).count() == 120
+    assert not glob.glob(f"{path}.__tmp__") and not glob.glob(f"{path}.__old__")
