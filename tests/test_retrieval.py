@@ -250,3 +250,77 @@ def test_embedding_outliers_finds_planted_junk(spark):
     top = out.orderBy("rk").first()
     assert top["vec_id"] == 99 and top["rk"] == 1
     assert top["z"] > 3  # unambiguous outlier
+
+
+# --- property tests: random corpora vs the Python mirrors -----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "spark", "hash", "window"]
+_doc_strategy = st.lists(
+    st.sampled_from(_WORDS), min_size=1, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_doc_strategy, min_size=1, max_size=8))
+def test_bm25_property_matches_mirror(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    terms = ["spark", "hash", "window"]
+    out = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            terms,
+            k=100,
+        ).collect()
+    }
+    mirror = _bm25_mirror(rows, terms)
+    assert set(out) == set(mirror)
+    for d, s in mirror.items():
+        assert abs(out[d] - s) < 2e-6
+
+
+def _tfidf_mirror(rows, k):
+    import math
+    from collections import Counter
+
+    n = len(rows)
+    tfs = {d: Counter(t.split(" ")) for d, t in rows}
+    df = Counter()
+    for c in tfs.values():
+        for term in c:
+            df[term] += 1
+    out = {}
+    for d, c in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * math.log((n + 1) / (df[t] + 1)), 6), t, tf)
+                for t, tf in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out[d] = [(t, s) for s, t, _ in scored]
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_doc_strategy, min_size=1, max_size=8))
+def test_tfidf_property_matches_mirror(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = {}
+    for r in retrieval.tfidf_topk(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        k=3,
+    ).collect():
+        got.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tfidf"]))
+    mirror = _tfidf_mirror(rows, k=3)
+    for d, expect in mirror.items():
+        mine = [(t, s) for _, t, s in sorted(got[d])]
+        assert [t for t, _ in mine] == [t for t, _ in expect]
+        for (_, a), (_, b) in zip(mine, expect):
+            assert abs(a - b) < 2e-6
