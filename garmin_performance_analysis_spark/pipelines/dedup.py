@@ -398,6 +398,7 @@ def contamination_stats(
     text_col: str,
     n: int = 5,
     flag_threshold: float = 0.1,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus document, how many of its
     distinct word ``n``-grams also appear in the PROBE set (the eval /
@@ -419,8 +420,13 @@ def contamination_stats(
     c_sh = word_shingles(corpus, id_col, text_col, n=n)
     p_sh = word_shingles(probe, id_col, text_col, n=n).select("shingle").distinct()
     per_doc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # real benchmark suites are broadcast-sized, so the hint is the
+    # default — but it's FORCED, which disables Spark's size fallback;
+    # pass broadcast_probe=False when the probe set scales with the
+    # corpus (AQE then picks the join strategy from runtime sizes)
+    p_side = F.broadcast(p_sh) if broadcast_probe else p_sh
     hits = (
-        c_sh.join(F.broadcast(p_sh), "shingle")
+        c_sh.join(p_side, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

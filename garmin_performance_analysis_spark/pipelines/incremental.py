@@ -41,12 +41,13 @@ inserters).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .migrations import _exists
 from .text import fingerprint_expr
+
+_REGISTRY_SCHEMA = "dedup_key string, keep_id long"
 
 _PREFIX_COL = "_kp"
 
@@ -73,10 +74,17 @@ def near_key_expr(text_col: str):
 
 def read_registry(spark: SparkSession, path: str) -> DataFrame:
     """The persisted (dedup_key, keep_id) registry; empty frame if the
-    registry has never been written."""
-    if not os.path.exists(path):
-        return spark.createDataFrame([], "dedup_key string, keep_id long")
-    return spark.read.parquet(path).select("dedup_key", "keep_id")
+    registry has never been written.  Existence goes through the Hadoop
+    FileSystem API (NOT os.path) so hdfs:///s3a:// registries work, and
+    the read carries an explicit schema so a directory holding only
+    _SUCCESS (a possible empty-append artifact) cannot fail inference."""
+    if not _exists(spark, path):
+        return spark.createDataFrame([], _REGISTRY_SCHEMA)
+    return (
+        spark.read.schema(_REGISTRY_SCHEMA + f", {_PREFIX_COL} string")
+        .parquet(path)
+        .select("dedup_key", "keep_id")
+    )
 
 
 def incremental_dedup(
@@ -101,7 +109,7 @@ def incremental_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if os.path.exists(registry_path):
+    if _exists(spark, registry_path):
         # prune the registry read to the prefixes this batch touches:
         # a small batch reads a few of the 256 partition dirs, not the
         # whole registry.  The prefix list is ≤256 values — a driver
@@ -112,11 +120,7 @@ def incremental_dedup(
             .distinct()
             .collect()
         ]
-        reg = (
-            spark.read.parquet(registry_path)
-            .filter(F.col(_PREFIX_COL).isin(prefixes))
-            .select("dedup_key")
-        )
+        reg = _pruned_registry(spark, registry_path, prefixes)
         fresh = batch_unique.join(reg, "dedup_key", "left_anti")
     else:
         fresh = batch_unique
@@ -124,17 +128,36 @@ def incremental_dedup(
     # and the caller; recomputing it after the append would re-read a
     # registry that now contains this batch's keys (→ empty result)
     fresh = fresh.localCheckpoint(eager=True)
-    (
-        fresh.select(
-            "dedup_key",
-            F.col(id_col).cast("long").alias("keep_id"),
-            _prefix_expr().alias(_PREFIX_COL),
+    # guard the append on non-empty fresh: an empty write would create
+    # a registry directory holding only _SUCCESS, and a schemaless
+    # parquet read of that directory fails inference forever after
+    # (read_registry now also reads with an explicit schema, but an
+    # empty append buys nothing and costs a commit)
+    if fresh.limit(1).count() > 0:
+        (
+            fresh.select(
+                "dedup_key",
+                F.col(id_col).cast("long").alias("keep_id"),
+                _prefix_expr().alias(_PREFIX_COL),
+            )
+            .write.mode("append")
+            .partitionBy(_PREFIX_COL)
+            .parquet(registry_path)
         )
-        .write.mode("append")
-        .partitionBy(_PREFIX_COL)
-        .parquet(registry_path)
-    )
     return fresh
+
+
+def _pruned_registry(
+    spark: SparkSession, registry_path: str, prefixes: list[str]
+) -> DataFrame:
+    """The registry scan restricted to the given prefix partitions —
+    exposed so tests can assert the PartitionFilters actually land."""
+    return (
+        spark.read.schema(_REGISTRY_SCHEMA + f", {_PREFIX_COL} string")
+        .parquet(registry_path)
+        .filter(F.col(_PREFIX_COL).isin(prefixes))
+        .select("dedup_key")
+    )
 
 
 def registry_stats(spark: SparkSession, path: str) -> DataFrame:

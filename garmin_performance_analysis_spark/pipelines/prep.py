@@ -76,6 +76,29 @@ def training_prep(
     )
 
 
+def sample_bucket_expr(id_col: str, salt: str):
+    """The deterministic sampling bucket: md5(salt|id) mod 1e6 as
+    BIGINT (15 hex digits = 60 bits, exact).  Shared by
+    ``stratified_sample`` and ``curation_record`` so the two can never
+    drift apart on the sampling rule."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(1_000_000)
+
+
+def sample_rate_expr(strata_col: str, rates: dict[str, float], default_rate: float):
+    """Per-stratum keep rate as a CASE chain (shared, see above)."""
+    rate = F.lit(default_rate)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return rate
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -100,16 +123,8 @@ def stratified_sample(
 
     Output: the sampled (doc_id, stratum, keep_bucket) rows.
     """
-    # 15 hex digits = 60 bits, exact in BIGINT; uniform mod 1e6
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    bucket = h % F.lit(1_000_000)
-    rate = F.lit(default_rate)
-    for stratum, r in rates.items():
-        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    bucket = sample_bucket_expr(id_col, salt)
+    rate = sample_rate_expr(strata_col, rates, default_rate)
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -165,7 +180,10 @@ def curation_record(
     # the probe flag is an expression over the feature frame, not a
     # join back to the source — keeps the record a single corpus scan
     feats = corpus_features(docs, id_col, text_col).withColumn("_probe", probe_col)
-    flagged = feats.select("doc_id", F.col("text"), "_probe")
+    # corpus_features preserves the SOURCE text column name — select it
+    # by parameter, not by the literal "text" (review-caught crash for
+    # any caller whose text column is named differently)
+    flagged = feats.select("doc_id", F.col(text_col), "_probe")
     w_hash = Window.partitionBy("content_hash")
     w_fp = Window.partitionBy("fingerprint")
     base = (
@@ -186,17 +204,8 @@ def curation_record(
         n=contamination_n,
         flag_threshold=contamination_threshold,
     ).select("doc_id", F.col("contaminated").alias("_cont"))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    bucket = h % F.lit(1_000_000)
-    rate = F.lit(default_rate)
-    for stratum, r in rates.items():
-        rate = F.when(F.col("predicted_lang") == stratum, F.lit(r)).otherwise(rate)
+    bucket = sample_bucket_expr("doc_id", salt)
+    rate = sample_rate_expr("predicted_lang", rates, default_rate)
     out = (
         base.join(cstats, "doc_id", "left")
         .withColumn(

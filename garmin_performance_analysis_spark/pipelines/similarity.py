@@ -613,10 +613,17 @@ def embedding_outliers(
     """
     from ..harness.registry import dec_avg, dec_std, dec_sum
 
-    dims = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).withColumn("x", F.col("x").cast("double"))
+    # wrong-length vectors (ingest defects) would silently skew the
+    # per-dimension means and desync from the fixed-width oracle —
+    # drop them up front (no-op on a valid corpus)
+    dims = (
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .withColumn("x", F.col("x").cast("double"))
+    )
     means = dims.groupBy("pos").agg(dec_avg(F.col("x")).alias("m"))
     dist = (
         dims.join(F.broadcast(means), "pos")

@@ -15,6 +15,16 @@ def _batch(spark, rows):
 def test_incremental_dedup_lifecycle(spark, tmp_path):
     reg = str(tmp_path / "registry")
 
+    # an EMPTY first batch must not poison the registry (review
+    # finding: an empty append once left a _SUCCESS-only directory
+    # that failed schema inference on every later read)
+    empty = _batch(spark, []).filter("doc_id IS NOT NULL")
+    f0 = incremental.incremental_dedup(
+        spark, empty, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert f0.count() == 0
+    assert incremental.read_registry(spark, reg).count() == 0
+
     # batch 1: one internal duplicate pair
     b1 = _batch(
         spark,
@@ -86,6 +96,16 @@ def test_registry_read_prunes_partitions(spark, tmp_path):
     assert f.count() == 1
     stats = incremental.registry_stats(spark, reg).first()
     assert stats["total_keys"] == 301
+    # the prune must be a real PartitionFilter on the scan, not a
+    # post-scan filter (review finding: the behavior checks above pass
+    # even with the prune deleted)
+    from garmin_performance_analysis_spark.plans import checks
+
+    plan = checks.formatted_plan(
+        incremental._pruned_registry(spark, reg, ["p00", "p01"])
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "_kp" in pf[0] and "PartitionFilters: []" not in pf[0]
 
 
 def test_registry_survives_fresh_reader(spark, tmp_path):
