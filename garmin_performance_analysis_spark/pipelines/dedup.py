@@ -134,6 +134,28 @@ def minhash_signatures(
     return base.groupBy("doc_id").agg(*aggs)
 
 
+def band_rows(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Narrow banded view of MinHash signatures: one ``(doc_id,
+    band_idx, band_hash)`` row per band — the join key for both the
+    batch self-join (``lsh_candidate_pairs``) and the incremental
+    registry (``incremental.incremental_lsh_candidates``)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.*")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -150,19 +172,7 @@ def lsh_candidate_pairs(
     ``(doc_id, band_idx, band_hash)`` only — and the full signatures
     join back in after the pair-dedup, so the explode and distinct never
     carry the K signature columns."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            )
-        )
-    banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.*")
+    banded = band_rows(signatures, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -171,3 +171,122 @@ def registry_stats(spark: SparkSession, path: str) -> DataFrame:
         F.max("n").alias("max_prefix_keys"),
         (F.max("n") / (F.sum("n") / F.count(F.lit(1)))).alias("skew_ratio"),
     )
+
+
+def incremental_lsh_candidates(
+    spark: SparkSession,
+    batch: DataFrame,
+    registry_path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate detection of an ingest batch against ALL history
+    — the incremental twin of the batch d3 pipeline.
+
+    Two persisted stores under ``registry_path``:
+
+    - ``bands/``: one ``(band_idx, band_hash, doc_id)`` row per band
+      per historical document, partitioned by band-hash prefix — the
+      LSH index.  A batch's candidate lookup is a bucket equi-join of
+      its own band rows against only the prefix partitions it touches,
+      so lookup cost scales with the BATCH, not the corpus.
+    - ``sigs/``: one ``(doc_id, mh0..mhK)`` row per historical
+      document — joined back for the Jaccard estimate exactly as the
+      batch path does.
+
+    Returns estimated pairs ``(old_doc, new_doc, est_jaccard)`` with
+    ``est_jaccard >= threshold`` (old = already-registered document).
+    Within-batch pairs are the batch path's job
+    (``dedup.lsh_candidate_pairs``) — this function answers "is the
+    NEW data a near-dup of anything EVER seen".
+
+    Idempotent: band/signature rows are anti-joined against the store
+    before appending, so re-running a batch grows nothing and returns
+    the same pairs.
+    """
+    from .dedup import band_rows, minhash_signatures
+
+    bands_path = f"{registry_path}/bands"
+    sigs_path = f"{registry_path}/sigs"
+    sig_schema = "doc_id long, " + ", ".join(
+        f"mh{i} long" for i in range(num_hashes)
+    )
+    band_schema = f"doc_id long, band_idx int, band_hash string, {_PREFIX_COL} string"
+
+    sigs = minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint(
+        eager=True
+    )
+    my_bands = band_rows(sigs, num_hashes, bands)
+
+    pairs = None
+    if _exists(spark, bands_path):
+        prefixes = [
+            r[0]
+            for r in my_bands.select(
+                F.concat(F.lit("p"), F.substring("band_hash", 1, 2)).alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        reg_bands = (
+            spark.read.schema(band_schema)
+            .parquet(bands_path)
+            .filter(F.col(_PREFIX_COL).isin(prefixes))
+        )
+        cand = (
+            my_bands.alias("new")
+            .join(reg_bands.alias("old"), ["band_idx", "band_hash"])
+            .filter(F.col("old.doc_id") != F.col("new.doc_id"))
+            .select(
+                F.col("old.doc_id").alias("old_doc"),
+                F.col("new.doc_id").alias("new_doc"),
+            )
+            .distinct()
+        )
+        old_sigs = spark.read.schema(sig_schema).parquet(sigs_path)
+        x = old_sigs.select(
+            F.col("doc_id").alias("old_doc"),
+            *[F.col(f"mh{i}").alias(f"omh{i}") for i in range(num_hashes)],
+        )
+        y = sigs.select(
+            F.col("doc_id").alias("new_doc"),
+            *[F.col(f"mh{i}").alias(f"nmh{i}") for i in range(num_hashes)],
+        )
+        matches = sum(
+            F.when(F.col(f"omh{i}") == F.col(f"nmh{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
+        pairs = (
+            cand.join(x, "old_doc")
+            .join(y, "new_doc")
+            .withColumn("est_jaccard", matches / F.lit(float(num_hashes)))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("old_doc", "new_doc", "est_jaccard")
+            .localCheckpoint(eager=True)  # materialize BEFORE the append below
+        )
+
+    # append this batch's sigs + bands, anti-joined for idempotency
+    fresh_sigs = sigs
+    if _exists(spark, sigs_path):
+        seen = spark.read.schema(sig_schema).parquet(sigs_path).select("doc_id")
+        fresh_sigs = sigs.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
+    if fresh_sigs.limit(1).count() > 0:
+        fresh_sigs.write.mode("append").parquet(sigs_path)
+        (
+            band_rows(fresh_sigs, num_hashes, bands)
+            .withColumn(
+                _PREFIX_COL, F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
+            )
+            .write.mode("append")
+            .partitionBy(_PREFIX_COL)
+            .parquet(bands_path)
+        )
+    if pairs is None:
+        return spark.createDataFrame(
+            [], "old_doc long, new_doc long, est_jaccard double"
+        )
+    return pairs

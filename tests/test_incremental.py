@@ -139,3 +139,39 @@ def test_compact_table_collapses_small_files(spark, tmp_path):
     assert files_after < files_before
     assert spark.read.parquet(path).count() == 120
     assert not glob.glob(f"{path}.__tmp__") and not glob.glob(f"{path}.__old__")
+
+
+def test_incremental_lsh_finds_historical_near_dup(spark, tmp_path):
+    """A new document that near-duplicates a doc ingested in an EARLIER
+    batch must surface as an (old, new) pair with high est_jaccard;
+    re-running the batch is idempotent."""
+    reg = str(tmp_path / "lsh_registry")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    b1 = _batch(spark, [(1, base), (2, "completely unrelated words " * 5)])
+    p1 = incremental.incremental_lsh_candidates(
+        spark, b1, reg, "doc_id", "text"
+    )
+    assert p1.count() == 0  # empty history → no cross-run pairs
+
+    near = base.replace("kappa", "kappa2")  # one-token edit → high J
+    b2 = _batch(spark, [(10, near), (11, "fresh other content " * 5)])
+    p2 = incremental.incremental_lsh_candidates(
+        spark, b2, reg, "doc_id", "text"
+    ).collect()
+    found = {(r["old_doc"], r["new_doc"]) for r in p2}
+    assert (1, 10) in found
+    est = {(r["old_doc"], r["new_doc"]): r["est_jaccard"] for r in p2}
+    assert est[(1, 10)] >= 0.5
+
+    # idempotent re-run: same pairs, no registry growth
+    import glob
+
+    n_sig_files = len(glob.glob(f"{reg}/sigs/part-*"))
+    p3 = incremental.incremental_lsh_candidates(
+        spark, b2, reg, "doc_id", "text"
+    ).collect()
+    assert {(r["old_doc"], r["new_doc"]) for r in p3} == found
+    assert len(glob.glob(f"{reg}/sigs/part-*")) == n_sig_files
