@@ -311,8 +311,10 @@ def x9_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Zipf report every corpus build starts with).  Two keyed
     shuffles — term agg, then bucket agg — both with map-side partial
     aggregation; the example term is the deterministic MIN per bucket."""
+    from ..plans.layout import spread_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread_for_compute(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
     )
     ctf = toks.groupBy("term").agg(

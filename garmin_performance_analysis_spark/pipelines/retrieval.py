@@ -35,13 +35,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..harness.registry import dec_sum
+from ..plans.layout import spread_for_compute
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, term) token stream — one row per token occurrence,
     the same lowercased single-space tokenization the text/dedup
     families use."""
-    return df.select(
+    return spread_for_compute(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
     )
@@ -132,7 +133,8 @@ def bm25_scores(
     # only matching tokens ever become rows; dl rides along, avoiding a
     # corpus-wide doc-length join
     tf = (
-        df.select(
+        spread_for_compute(df, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.size(words).alias("dl"),
             F.explode(matches).alias("term"),

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.layout import spread_for_compute
+
 # Tiny marker-word lists per language (public stopword heads). The
 # heuristic is deterministic: score = #tokens in the marker set.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -32,6 +34,9 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     length, stopword ratio, non-alpha ratio, distinct-word ratio.
     The standard pre-training quality filters (C4/Gopher-style rules)
     reduced to one select."""
+    # NOT spread: this pass is scan-bound, not compute-bound — the A/B
+    # at the 10× corpus measured the text shuffle as a net loss here
+    # (2.1 s → 2.5 s), unlike the gram-transform paths below
     w = _words(text_col)
     n_words = F.size(w)
     n_chars = F.length(F.col(text_col))
@@ -162,6 +167,7 @@ def corpus_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     100 TB the difference between one scan and four is the job.  Every
     expression here is identical to its per-family sibling (the
     composite's oracle reuses the per-family SQL fragments verbatim)."""
+    df = spread_for_compute(df, id_col)
     w = _words(text_col)
     n_words = F.size(w)
     n_chars = F.length(F.col(text_col))
@@ -208,6 +214,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Output: (doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
     top_term, top_tf, top_term_frac).
     """
+    # gram transforms are the heaviest in-row work in the module:
+    # measured 8.5 s → 1.7 s at the 10× corpus once spread
+    df = spread_for_compute(df, id_col)
     w = _words(text_col)
 
     def _gram_dup_frac(n: int) -> Column:
