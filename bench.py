@@ -79,6 +79,7 @@ HEADLINE = [
     "x9_vocab_stats",
     "c3_curation_record",
     "v7_embedding_outliers",
+    "c5_quality_audit",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -100,6 +101,7 @@ BATCH_JOBS = {
     "x9_vocab_stats",
     "c3_curation_record",
     "v7_embedding_outliers",
+    "c5_quality_audit",
 }
 
 

@@ -499,3 +499,52 @@ def v7_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z")).alias("z"),
         "rk",
     )
+
+
+@register(
+    "c5_quality_audit",
+    oracle="""
+WITH agg AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v0,
+         COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v1,
+         SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr','zh')
+             THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE)
+             THEN 1 ELSE 0 END) AS v3,
+         SUM(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 100000
+             THEN 1 ELSE 0 END) AS v4
+  FROM documents
+),
+rows AS (
+  SELECT 'doc_id_not_null' AS check_name, v0 AS violations, total FROM agg
+  UNION ALL SELECT 'doc_id_unique', v1, total FROM agg
+  UNION ALL SELECT 'lang_in_set', v2, total FROM agg
+  UNION ALL SELECT 'n_chars_consistent', v3, total FROM agg
+  UNION ALL SELECT 'n_chars_in_range', v4, total FROM agg
+)
+SELECT check_name, violations, total, violations = 0 AS passed FROM rows
+""",
+    tags=("audit", "quality"),
+)
+def c5_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit of the documents table: five
+    constraints (nullability, uniqueness, set membership, row
+    consistency, range) evaluated in ONE aggregation and unpivoted to
+    a report row each — the pre-consumption gate a 100 TB silver
+    table runs per ingest."""
+    from ..pipelines import audit as audit_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audit_mod.audit(
+        docs,
+        [
+            audit_mod.not_null("doc_id"),
+            audit_mod.unique("doc_id"),
+            audit_mod.in_set("lang", ["en", "de", "es", "fr", "zh"]),
+            audit_mod.satisfies(
+                "n_chars_consistent", F.col("n_chars") == F.length("text")
+            ),
+            audit_mod.in_range("n_chars", 1, 100_000),
+        ],
+    )
