@@ -180,3 +180,31 @@ def sustained_runs_stateful(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def sessionized_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str | None = None,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T9's gap-sessionization as a STREAMING query: Spark's native
+    ``session_window`` merges events separated by less than ``gap``
+    into one growing window per key; a session finalizes (and emits,
+    in append mode) once the event-time watermark passes its close.
+
+    This is the streaming twin of the batch t9 entry (LAG + running
+    sum) — the batch and streaming paths agree because both define a
+    session break as ``gap_to_previous > gap`` (cross-validated for
+    the batch operator against session_window in
+    ``tests/test_property_semantics.py``).  State is one open window
+    per active key, bounded by the watermark — the shape that survives
+    an unbounded feed.
+    """
+    keys = [F.session_window(F.col(ts_col), gap).alias("session"), F.col(key_col)]
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)

@@ -219,3 +219,58 @@ def test_streaming_dedup_drops_redeliveries_across_batches(spark, tmp_path):
     assert out.count() == 3  # re-delivery dropped, new doc kept
     kept_texts = sorted(r["text"] for r in out.collect())
     assert kept_texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_streaming_sessionization_merges_and_closes(spark, tmp_path):
+    """Events within the gap — even across micro-batches — merge into
+    one session; a later event starts a new session and its advanced
+    watermark finalizes the first."""
+    from garmin_performance_analysis_spark.streaming.stateful import (
+        sessionized_stats,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts string, v double").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionized_stats(stream, "ts", "user_id", "v", gap="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two events 5 min apart (same session, one key)
+    write([(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)])
+    drain()
+    # batch 2: event 3 min after the last (STILL same session), then a
+    # far-future event that pushes the watermark past the session end
+    write([(1, "2024-01-01 10:08:00", 4.0)])
+    drain()
+    write([(1, "2024-01-01 12:00:00", 8.0)])
+    drain()
+    out = spark.read.parquet(sink).collect()
+    # the first session (3 events spanning two micro-batches) finalized
+    sessions = {r["n_events"]: r for r in out}
+    assert 3 in sessions
+    assert sessions[3]["value_sum"] == 7.0
