@@ -80,6 +80,7 @@ HEADLINE = [
     "c3_curation_record",
     "v7_embedding_outliers",
     "c5_quality_audit",
+    "c6_mixture_report",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -102,6 +103,7 @@ BATCH_JOBS = {
     "c3_curation_record",
     "v7_embedding_outliers",
     "c5_quality_audit",
+    "c6_mixture_report",
 }
 
 

@@ -548,3 +548,41 @@ def c5_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit_mod.in_range("n_chars", 1, 100_000),
         ],
     )
+
+
+@register(
+    "c6_mixture_report",
+    oracle="""
+WITH per AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(tokens) AS total_tokens FROM per)
+SELECT lang, source, n_docs, tokens,
+       ROUND(tokens * 1.0 / total_tokens, 6) AS token_share
+FROM per, tot
+""",
+    tags=("prep", "profiling"),
+)
+def c6_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting: documents and (regex-proxy) tokens per
+    (lang, source) stratum with each stratum's share of the total
+    token budget — the report that drives c2's sampling rates.  One
+    keyed agg; the grand total is a broadcast 1-row aggregate, not a
+    window over all rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks.cast("long")).alias("tokens"),
+    )
+    tot = per.select(F.sum("tokens").alias("total_tokens"))
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("token_share"),
+    )
