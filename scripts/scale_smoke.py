@@ -76,6 +76,8 @@ QUERIES = [
     "x9_vocab_stats",
     "c3_curation_record",
     "v7_embedding_outliers",
+    "c5_quality_audit",
+    "c6_mixture_report",
 ]
 
 
