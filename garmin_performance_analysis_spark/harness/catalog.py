@@ -79,8 +79,9 @@ _DEFERRED_DARK = [
 # ROUND-4 STATUS: the round-3 driver snapshot never landed (no
 # CORRECTNESS_r03.json was recorded), so the front-loaded 50 are STILL
 # unchecked — the rotation is kept unchanged for round 4 so the driver
-# finally covers them.  Round-4 additions (x6/x7/d6/c2 in q_retrieval)
-# register at the tail with the other past-window entries.
+# finally covers them.  Round-4 additions (q_retrieval: x6 x7 x8 x9
+# d6 c2 c3 c5 c6 v6 v7) register at the tail with the other
+# past-window entries.
 #
 # ROUND-5 TODO: once a driver snapshot of this window exists, rotate
 # again — front _DEFERRED_DARK + _NEW_R3 + the q_retrieval block and
