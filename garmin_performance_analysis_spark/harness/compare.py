@@ -13,6 +13,7 @@ import os
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from ..sources.tables import TABLE_NAMES
@@ -46,11 +47,35 @@ def _normalize_cell(v) -> str:
     return str(v)
 
 
-def normalize_frame(df: pd.DataFrame) -> list[tuple]:
+def _normalize_cell_strict(v) -> str:
+    """Driver-faithful cell rendering: dtype-sensitive and full-precision.
+
+    The driver's value hash distinguishes int64 271 from float64 271.0
+    (the round-4 e7/d10/t8 failure class), so strict mode tags the
+    numeric kind and never rounds: an oracle that returns a float where
+    Spark returns an int fails here, exactly as it fails under the
+    driver."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_normalize_cell_strict(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize_frame(df: pd.DataFrame, strict: bool = False) -> list[tuple]:
     """Sort columns by name, normalize every cell, sort rows."""
     cols = sorted(df.columns)
+    cell = _normalize_cell_strict if strict else _normalize_cell
     rows = [
-        tuple(_normalize_cell(v) for v in row)
+        tuple(cell(v) for v in row)
         for row in df[cols].itertuples(index=False, name=None)
     ]
     return sorted(rows)
@@ -65,7 +90,12 @@ class CompareResult:
     detail: str = ""
 
 
-def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+def compare_frames(
+    name: str,
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    strict: bool = False,
+) -> CompareResult:
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return CompareResult(
             name,
@@ -78,8 +108,8 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return CompareResult(
             name, False, len(spark_pdf), len(oracle_pdf), "row count mismatch"
         )
-    s_rows = normalize_frame(spark_pdf)
-    o_rows = normalize_frame(oracle_pdf)
+    s_rows = normalize_frame(spark_pdf, strict=strict)
+    o_rows = normalize_frame(oracle_pdf, strict=strict)
     if s_rows != o_rows:
         diff = []
         for i, (a, b) in enumerate(zip(s_rows, o_rows)):

@@ -242,8 +242,8 @@ def e6_role_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, l_linenumber, dur AS pace_seconds_per_km,
        CAST(dur // 60 AS VARCHAR) || ':' || lpad(CAST(dur % 60 AS VARCHAR), 2, '0') AS pace_str,
-       SUM(dur) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - dur AS start_time_s,
-       SUM(dur) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS end_time_s
+       CAST(SUM(dur) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - dur AS BIGINT) AS start_time_s,
+       CAST(SUM(dur) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS end_time_s
 FROM (SELECT l_orderkey, l_linenumber,
              240 + (l_orderkey + 31 * l_linenumber) % 240 AS dur
       FROM lineitem WHERE l_orderkey % 97 = 0)

@@ -404,8 +404,8 @@ SELECT activity_id,
        floor((CASE WHEN _nrep >= 2 AND _ratio_early IS NOT NULL AND _ratio_early <> 0
                    THEN (_ratio_early - _ratio_late) / _ratio_early * 100.0
               END) * 1e6 + 0.5) / 1e6 AS rep_hr_drift_pct,
-       _work_n AS n_work_laps,
-       _rest_n AS n_rest_laps
+       CAST(_work_n AS BIGINT) AS n_work_laps,
+       CAST(_rest_n AS BIGINT) AS n_rest_laps
 FROM joined
 """
 

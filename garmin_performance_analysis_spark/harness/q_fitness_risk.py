@@ -476,10 +476,10 @@ daily AS (
 ),
 r AS (
   SELECT user_id, dn, n_material,
-         SUM(n_material) OVER (PARTITION BY user_id ORDER BY dn
-                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS acute_n,
-         SUM(n_material) OVER (PARTITION BY user_id ORDER BY dn
-                               RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS chronic_n
+         CAST(SUM(n_material) OVER (PARTITION BY user_id ORDER BY dn
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS acute_n,
+         CAST(SUM(n_material) OVER (PARTITION BY user_id ORDER BY dn
+                               RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS BIGINT) AS chronic_n
   FROM daily
 )
 SELECT user_id, dn, n_material, acute_n, chronic_n,

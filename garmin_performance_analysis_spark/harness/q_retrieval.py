@@ -162,7 +162,7 @@ bucketed AS (
   FROM hashed
 )
 SELECT doc_id, stratum, keep_bucket
-FROM bucketed WHERE keep_bucket < CAST(rate * 1000000 AS BIGINT)
+FROM bucketed WHERE keep_bucket < CAST(round(rate * 1000000) AS BIGINT)
 """
 
 
@@ -298,8 +298,8 @@ ctf AS (
 )
 SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS freq_bucket,
        COUNT(*) AS n_terms,
-       SUM(tf) AS total_occurrences,
-       SUM(df) AS total_doc_hits,
+       CAST(SUM(tf) AS BIGINT) AS total_occurrences,
+       CAST(SUM(df) AS BIGINT) AS total_doc_hits,
        MIN(term) AS example_term
 FROM ctf
 GROUP BY 1
@@ -422,11 +422,11 @@ SELECT doc_id, predicted_lang,
        doc_id <> exact_keep_id AS is_exact_dup,
        doc_id <> near_keep_id AS is_near_dup,
        contaminated, keep_bucket,
-       keep_bucket < CAST(rate * 1000000 AS BIGINT) AS sampled,
+       keep_bucket < CAST(round(rate * 1000000) AS BIGINT) AS sampled,
        NOT is_probe AND quality_pass
          AND doc_id = exact_keep_id AND doc_id = near_keep_id
          AND NOT COALESCE(contaminated, FALSE)
-         AND keep_bucket < CAST(rate * 1000000 AS BIGINT) AS keep
+         AND keep_bucket < CAST(round(rate * 1000000) AS BIGINT) AS keep
 FROM sampled
 """
 
@@ -523,7 +523,8 @@ rows AS (
   UNION ALL SELECT 'n_chars_consistent', v3, total FROM agg
   UNION ALL SELECT 'n_chars_in_range', v4, total FROM agg
 )
-SELECT check_name, violations, total, violations = 0 AS passed FROM rows
+SELECT check_name, CAST(violations AS BIGINT) AS violations, total,
+       violations = 0 AS passed FROM rows
 """,
     tags=("audit", "quality"),
 )
@@ -556,7 +557,7 @@ def c5_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per AS (
   SELECT lang, source,
          COUNT(*) AS n_docs,
-         SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS tokens
+         CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS tokens
   FROM documents GROUP BY lang, source
 ),
 tot AS (SELECT SUM(tokens) AS total_tokens FROM per)

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Run every catalog query against its DuckDB oracle and report parity.
 
-Usage: python scripts/check_parity.py [sf_dir] [name_filter]
+Usage: python scripts/check_parity.py [--strict] [sf_dir] [name_filter]
+
+--strict uses the driver-faithful comparator: dtype-sensitive cells
+(int64 271 != float64 271.0) and full-precision floats — the mode that
+would have caught the round-4 e7/d10/t8 oracle-typing failures.
 """
 
 from __future__ import annotations
@@ -21,8 +25,10 @@ from garmin_performance_analysis_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    name_filter = argv[1] if len(argv) > 1 else ""
     spark = get_spark("parity-check")
     con = duckdb_connection(sf_dir)
     failures = 0
@@ -45,7 +51,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
-        res = compare_frames(name, spark_pdf, oracle_pdf)
+        res = compare_frames(name, spark_pdf, oracle_pdf, strict=strict)
         status = "ok  " if res.ok else "FAIL"
         print(
             f"{status}  {name}: spark={res.spark_rows} oracle={res.oracle_rows}"

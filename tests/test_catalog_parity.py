@@ -27,8 +27,31 @@ def test_query_matches_oracle(name, spark, oracle_con):
         assert len(spark_pdf) >= 0  # rows-only check (driver does the same)
         return
     oracle_pdf = oracle_con.sql(spec.oracle).df()
-    res = compare_frames(name, spark_pdf, oracle_pdf)
+    # strict = the driver-faithful mode: dtype-sensitive, full-precision
+    # (the tolerant default hid the round-4 e7/d10/t8 HUGEINT failures)
+    res = compare_frames(name, spark_pdf, oracle_pdf, strict=True)
     assert res.ok, res.detail
+
+
+def test_strict_mode_distinguishes_int_from_float():
+    """The round-4 driver failure class: DuckDB HUGEINT sums land in
+    pandas as float64 (271.0) while Spark returns int64 (271).  The
+    tolerant comparator folds them together; strict mode must not."""
+    import pandas as pd
+
+    a = pd.DataFrame({"x": pd.array([271], dtype="int64")})
+    b = pd.DataFrame({"x": pd.array([271.0], dtype="float64")})
+    assert compare_frames("tolerant", a, b, strict=False).ok
+    assert not compare_frames("strict", a, b, strict=True).ok
+
+
+def test_strict_mode_full_precision():
+    import pandas as pd
+
+    a = pd.DataFrame({"x": [0.1234567001]})
+    b = pd.DataFrame({"x": [0.1234567002]})
+    assert compare_frames("tolerant", a, b, strict=False).ok  # 6dp rounding
+    assert not compare_frames("strict", a, b, strict=True).ok
 
 
 def test_every_query_returns_rows_at_sf001(spark):
