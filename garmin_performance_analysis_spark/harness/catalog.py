@@ -77,16 +77,17 @@ _DEFERRED_DARK = [
 # one dark for a third round.  New queries rotate in next round.
 #
 # ROUND-4 STATUS: the round-3 driver snapshot never landed (no
-# CORRECTNESS_r03.json was recorded), so the front-loaded 50 are STILL
-# unchecked — the rotation is kept unchanged for round 4 so the driver
-# finally covers them.  Round-4 additions (q_retrieval: x6 x7 x8 x9
-# d6 c2 c3 c5 c6 v6 v7) register at the tail with the other
-# past-window entries.
+# CORRECTNESS_r03.json was recorded), so the front-loaded 50 were kept
+# for round 4 and CORRECTNESS_r04.json finally covered them.
 #
-# ROUND-5 TODO: once a driver snapshot of this window exists, rotate
-# again — front _DEFERRED_DARK + _NEW_R3 + the q_retrieval block and
-# pad with the stalest r2-checked names; the union of windows then
-# covers every query that has an oracle.
+# ROUND-5 ROTATION (executed below): CORRECTNESS_r02 + CORRECTNESS_r04
+# together cover 100 of 126 entries.  The 26 never-checked queries —
+# _DEFERRED_DARK (6) + _NEW_R3 (9) + the round-4 retrieval/curation
+# block (11) — are fronted, then the window is padded to 50 with the
+# stalest (r2-checked) names, preferring those whose implementing code
+# was touched in rounds 3-4 (islands/anomaly path, dedup family,
+# streaming ingest).  The union of the r2+r4+r5 windows then covers all
+# 126 catalog entries.
 _NEW_R3 = [
     "mm3_image_decode",
     "d5_dedup_clusters",
@@ -99,22 +100,52 @@ _NEW_R3 = [
     "a9b_profile_approx",
 ]
 
+# Round-4 retrieval/curation additions — registered past the window in
+# round 4, fronted now.
+_NEW_R4 = [
+    "x6_tfidf_topk",
+    "x7_bm25_search",
+    "x8_repetition_signals",
+    "x9_vocab_stats",
+    "d6_decontamination",
+    "c2_stratified_sample",
+    "c3_curation_record",
+    "c5_quality_audit",
+    "c6_mixture_report",
+    "v6_sq_topk",
+    "v7_embedding_outliers",
+]
 
-def _rotate_for_round3() -> None:
-    past_window = set(_DEFERRED_DARK) | set(_NEW_R3)
-    window_dark = [
-        n for n in CATALOG if n not in _R2_CHECKED and n not in past_window
-    ]
-    ordered = (
-        window_dark
-        + _DEFERRED_DARK
+# The 24 r2-checked names that pad the round-5 window to 50 (stalest
+# signal, and code paths touched since r2 first): t3/t5 share the
+# islands/anomaly operators reworked in r4, d1-d3 share the dedup
+# family that grew registries, s4 shares the streaming ingest path.
+_R5_PAD = [
+    "t3_sustained_islands", "t5_cluster_buckets", "s4_watermark_cursor",
+    "d1_exact_hash_groups", "d2_ngram_jaccard_pairs", "d3_minhash_lsh_pairs",
+    "w5_acwr_rolling_loads", "w8_streaks", "a1_stats_block",
+    "q1_pricing_summary", "j7_nearest_date_asof", "j8_nearest_covariate",
+    "j9_backward_asof", "m1_linregress_by_group", "m3_multivariate_ols",
+    "m7_vdot", "m8_best_segment", "m13_weighted_similarity",
+    "a9_profile_table", "a10_histogram", "w1_zscore_outliers",
+    "w2_latest_per_key", "s2_descriptor_pivot", "p7_json_predicate",
+]
+
+
+def _rotate_for_round5() -> None:
+    front = (
+        _DEFERRED_DARK
         + [n for n in _NEW_R3 if n in CATALOG]
-        + [n for n in CATALOG if n in _R2_CHECKED]
+        + [n for n in _NEW_R4 if n in CATALOG]
+        + _R5_PAD
     )
+    assert len(front) == 50, f"round-5 window must be exactly 50, got {len(front)}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
     assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
     rotated = {n: CATALOG[n] for n in ordered}
     CATALOG.clear()
     CATALOG.update(rotated)
 
 
-_rotate_for_round3()
+_rotate_for_round5()
