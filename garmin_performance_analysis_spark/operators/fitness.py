@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .windows import rolling_range_max
+from .windows import bounded_partition_key, rolling_range_max
 
 
 def objective_fitness_curve(
@@ -85,7 +85,13 @@ def detect_training_gaps(
     from a week rollup joined back by range.
     """
     part = list(partition_cols)
-    w = Window.partitionBy(*part).orderBy(date_col) if part else Window.orderBy(date_col)
+    # the no-partition-cols path is the single-athlete facade scope —
+    # a constant key makes the bounded single-partition window explicit
+    w = (
+        Window.partitionBy(*part).orderBy(date_col)
+        if part
+        else Window.partitionBy(bounded_partition_key(date_col)).orderBy(date_col)
+    )
     dated = activities.withColumn("_prev", F.lag(date_col, 1).over(w)).withColumn(
         "_gap_days", F.datediff(F.col(date_col), F.col("_prev"))
     )

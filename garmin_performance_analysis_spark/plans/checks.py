@@ -53,6 +53,64 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "WholeStageCodegen" in plan
 
 
+def _top_level_split(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def global_window_specs(df: DataFrame) -> list[str]:
+    """Window specs whose partition clause is EMPTY — the 'move every
+    row to one partition' anti-pattern (Spark logs ``No Partition
+    Defined for Window operation`` for these).  A windowspecdefinition
+    renders its partition columns as plain expressions and its sort
+    keys with ASC/DESC, so a spec where every pre-frame argument
+    carries a sort direction has no partition clause at all.
+
+    Bounded single-partition windows (rank-the-top-k frames) must use
+    the non-foldable constant key from
+    ``operators.windows.bounded_partition_key`` — same execution, but
+    explicit — so this check stays a zero-tolerance gate."""
+    plan = formatted_plan(df)
+    bad: list[str] = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i == -1:
+            break
+        j, depth = i + len(marker), 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        spec = plan[i + len(marker) : j - 1]
+        args = [
+            a
+            for a in _top_level_split(spec)
+            if not a.startswith("specifiedwindowframe(")
+        ]
+        # vacuously-true on an empty arg list: a window with neither
+        # partition nor order keys is ALSO a single-partition window
+        if all(" ASC" in a or " DESC" in a for a in args):
+            bad.append(spec)
+        i = j
+    return bad
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle exchanges in the plan (lower = better, given
     equal semantics).  Counts the detail-section operator headers so the

@@ -491,7 +491,8 @@ class GarminTools:
             .groupBy(wk)
             .agg(F.expr(f"percentile({metric}, 0.5)").alias("weekly_median"))
         )
-        w = Window.orderBy("week_start")
+        # bounded: one row per week for a single athlete
+        w = Window.partitionBy(window_ops.bounded_partition_key("week_start")).orderBy("week_start")
         return weekly.withColumn(
             "delta", F.col("weekly_median") - F.lag("weekly_median", 1).over(w)
         )

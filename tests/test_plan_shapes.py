@@ -194,3 +194,20 @@ def test_d6_decontamination_broadcasts_probe_set(spark):
     assert checks.uses_broadcast_join(df)
     plan = checks.formatted_plan(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_no_global_windows_anywhere_in_catalog(spark):
+    """Zero-tolerance gate for the 'move every row to one partition'
+    window anti-pattern (the round-4 x7/v7 defect).  Every window in
+    every catalog query's final plan must carry a partition clause —
+    bounded rank-the-top-k frames use an explicit constant key
+    (``Window.partitionBy(F.lit(0))``) so intent is visible in the
+    plan, and Spark's "No Partition Defined for Window operation"
+    warning stays out of the bench tail."""
+    offenders = {}
+    for name, spec in CATALOG.items():
+        df = spec.fn(spark, SF_SMOKE)
+        bad = checks.global_window_specs(df)
+        if bad:
+            offenders[name] = bad[0][:120]
+    assert not offenders, f"global windows in: {offenders}"
