@@ -275,7 +275,15 @@ def incremental_lsh_candidates(
         seen = spark.read.schema(sig_schema).parquet(sigs_path).select("doc_id")
         fresh_sigs = sigs.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
     if fresh_sigs.limit(1).count() > 0:
-        fresh_sigs.write.mode("append").parquet(sigs_path)
+        # bands BEFORE sigs: idempotency is keyed on sigs/ doc_ids, so a
+        # crash between the two appends must leave the retry able to
+        # repair.  sigs-first + crash = doc_ids present in sigs/ with no
+        # band rows → retry computes empty fresh_sigs and skips both
+        # writes, permanently dropping the batch from the LSH index.
+        # bands-first + crash = orphan band rows only: the retry still
+        # sees the batch as fresh (sigs/ unwritten) and re-appends
+        # both; the duplicated band rows are absorbed by the
+        # .distinct() on candidate pairs.
         (
             band_rows(fresh_sigs, num_hashes, bands)
             .withColumn(
@@ -285,6 +293,7 @@ def incremental_lsh_candidates(
             .partitionBy(_PREFIX_COL)
             .parquet(bands_path)
         )
+        fresh_sigs.write.mode("append").parquet(sigs_path)
     if pairs is None:
         return spark.createDataFrame(
             [], "old_doc long, new_doc long, est_jaccard double"

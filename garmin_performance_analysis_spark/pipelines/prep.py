@@ -99,6 +99,16 @@ def sample_rate_expr(strata_col: str, rates: dict[str, float], default_rate: flo
     return rate
 
 
+def _threshold(rate):
+    """Keep-bucket threshold: round BEFORE casting.  A bare cast
+    truncates in Spark while DuckDB's CAST rounds to nearest, so a rate
+    whose double product lands just under the integer (0.3 →
+    299999.99999999994) desyncs the two engines by one bucket; both
+    sides now use round-half-away (``round(rate*1e6)`` here,
+    ``CAST(round(rate*1000000) AS BIGINT)`` in the oracles)."""
+    return F.round(rate * 1_000_000).cast("bigint")
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -130,7 +140,7 @@ def stratified_sample(
             F.col(id_col).alias("doc_id"),
             F.col(strata_col).alias("stratum"),
             bucket.alias("keep_bucket"),
-            (bucket < (rate * 1_000_000).cast("bigint")).alias("_keep"),
+            (bucket < _threshold(rate)).alias("_keep"),
         )
         .filter(F.col("_keep"))
         .drop("_keep")
@@ -215,7 +225,7 @@ def curation_record(
             ),
         )
         .withColumn("keep_bucket", bucket)
-        .withColumn("sampled", bucket < (rate * 1_000_000).cast("bigint"))
+        .withColumn("sampled", bucket < _threshold(rate))
         .withColumn("is_exact_dup", F.col("doc_id") != F.col("exact_keep_id"))
         .withColumn("is_near_dup", F.col("doc_id") != F.col("near_keep_id"))
         .withColumn(

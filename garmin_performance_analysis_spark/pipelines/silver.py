@@ -169,6 +169,13 @@ def compact_table(
     conservative direction: files come out at or under target size.
     Readers must be quiesced for the swap window (same contract as any
     migration).
+
+    ``partition_by=None`` (default) PRESERVES the table's existing
+    Hive partition layout, detected from the ``col=value`` directory
+    structure — compacting the prefix-partitioned dedup registry must
+    not flatten it (a later partitioned append next to flat root files
+    is a mixed layout Spark's partition discovery rejects).  Pass an
+    explicit list (possibly empty) to re-layout deliberately.
     """
     import math
 
@@ -179,6 +186,37 @@ def compact_table(
     summary = fs.getContentSummary(P(path))
     total_bytes = summary.getLength()
     n = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if partition_by is None:
+        partition_by = detect_partition_cols(spark, path)
     df = spark.read.parquet(path)
-    rewrite_table(df.repartition(n), path, partition_by=partition_by)
+    if partition_by:
+        # hash-distribute on the partition columns so each Hive
+        # directory is written by (at most) one task → one compacted
+        # file per directory, instead of n tasks × p dirs fragments
+        out = df.repartition(n, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n)
+    rewrite_table(out, path, partition_by=list(partition_by) or None)
     return n
+
+
+def detect_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    """Hive partition columns of an on-disk table, read from its
+    ``col=value`` directory chain (outermost first); [] for a flat
+    table.  Filesystem-API-based so hdfs:// and s3a:// paths work."""
+    from .migrations import _fs
+
+    jvm, fs = _fs(spark)
+    P = jvm.org.apache.hadoop.fs.Path
+    cols: list[str] = []
+    cur = P(path)
+    while True:
+        subdirs = [
+            s.getPath()
+            for s in fs.listStatus(cur)
+            if s.isDirectory() and "=" in s.getPath().getName()
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].getName().split("=", 1)[0])
+        cur = subdirs[0]

@@ -175,3 +175,93 @@ def test_incremental_lsh_finds_historical_near_dup(spark, tmp_path):
     ).collect()
     assert {(r["old_doc"], r["new_doc"]) for r in p3} == found
     assert len(glob.glob(f"{reg}/sigs/part-*")) == n_sig_files
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compacting a Hive-partitioned table with the DEFAULT
+    partition_by must keep the col=value layout (ADVICE finding: the
+    old None→flat default flattened the prefix-partitioned dedup
+    registry, and the next partitioned append produced a mixed layout
+    partition discovery rejects)."""
+    import glob
+
+    from garmin_performance_analysis_spark.pipelines.silver import (
+        compact_table,
+        detect_partition_cols,
+    )
+
+    reg = str(tmp_path / "registry")
+    big = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document number "), F.col("id")).alias("text"),
+    )
+    incremental.incremental_dedup(
+        spark, big, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert detect_partition_cols(spark, reg) == ["_kp"]
+    compact_table(spark, reg, target_file_mb=128)
+    # layout preserved: partition dirs still exist, no flat root files
+    assert glob.glob(f"{reg}/_kp=p*")
+    assert not glob.glob(f"{reg}/part-*.parquet")
+    # and the registry still works end-to-end: append + cross-run dedup
+    b2 = _batch(spark, [(900, "document number 5"), (901, "brand new doc")])
+    f2 = incremental.incremental_dedup(
+        spark, b2, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    assert [r["doc_id"] for r in f2.collect()] == [901]
+    assert incremental.read_registry(spark, reg).count() == 201
+
+
+def test_lsh_crash_between_appends_repairs_on_retry(spark, tmp_path):
+    """Crash-safety ordering (ADVICE finding): bands/ is written BEFORE
+    sigs/, so a crash between the two appends leaves orphan band rows
+    that the retry absorbs — not sigs-only doc_ids that would make the
+    retry skip the band append forever and silently drop the batch
+    from the LSH index."""
+    from pyspark.sql import functions as SF
+
+    from garmin_performance_analysis_spark.pipelines.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+
+    reg = str(tmp_path / "lsh_registry")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    b1 = _batch(spark, [(1, base)])
+    incremental.incremental_lsh_candidates(spark, b1, reg, "doc_id", "text")
+
+    # simulate the crash for batch 2: bands appended, sigs NOT
+    b2 = _batch(spark, [(20, base.replace("kappa", "kappa2"))])
+    sigs2 = minhash_signatures(b2, "doc_id", "text", 16, 3)
+    (
+        band_rows(sigs2, 16, 4)
+        .withColumn("_kp", SF.concat(SF.lit("p"), SF.substring("band_hash", 1, 2)))
+        .write.mode("append")
+        .partitionBy("_kp")
+        .parquet(f"{reg}/bands")
+    )
+
+    # retry of batch 2: must still treat it as fresh and complete both
+    # stores; the duplicated band rows must not duplicate pairs
+    p2 = incremental.incremental_lsh_candidates(
+        spark, b2, reg, "doc_id", "text"
+    ).collect()
+    assert [(r["old_doc"], r["new_doc"]) for r in p2] == [(1, 20)]
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{reg}/sigs").select("doc_id").collect()
+    }
+    assert sig_ids == {1, 20}
+
+    # batch 3 duplicates batch 2's doc → found via the repaired index
+    # (identical text → identical signatures → guaranteed band match;
+    # a one-token edit can legitimately miss all 4 bands)
+    b3 = _batch(spark, [(30, base.replace("kappa", "kappa2"))])
+    p3 = incremental.incremental_lsh_candidates(
+        spark, b3, reg, "doc_id", "text"
+    ).collect()
+    found = {(r["old_doc"], r["new_doc"]) for r in p3}
+    assert (20, 30) in found
