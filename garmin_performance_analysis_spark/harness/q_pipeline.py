@@ -406,7 +406,9 @@ SELECT b.doc_id,
        CAST(NULL AS VARCHAR) AS fmt,
        CAST(NULL AS INTEGER) AS width,
        CAST(NULL AS INTEGER) AS height,
-       CAST(NULL AS INTEGER) AS channels
+       CAST(NULL AS INTEGER) AS channels,
+       CAST(NULL AS DOUBLE) AS pixel_mean,
+       CAST(NULL AS DOUBLE[]) AS channel_means
 FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
 """,
     tags=("multimodal",),
@@ -437,46 +439,73 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "channels",
+        "pixel_mean",
+        "channel_means",
     )
 
 
 @register(
     "mm3_image_decode",
     oracle="""
+WITH dims AS (
+  SELECT doc_id, text,
+         doc_id % 64 + 1 AS bw, doc_id % 32 + 1 AS bh,
+         ((doc_id % 64 + 1) * 3 + 3) // 4 * 4 AS stride,
+         doc_id % 16 + 1 AS pw, doc_id % 8 + 1 AS ph,
+         doc_id % 256 AS bmp_v, 97 + doc_id % 26 AS ppm_v
+  FROM documents
+)
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'bmp'
             WHEN doc_id % 3 = 1 THEN 'ppm' END AS fmt,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INTEGER)
-            WHEN doc_id % 3 = 1 THEN CAST(doc_id % 16 + 1 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 32 + 1 AS INTEGER)
-            WHEN doc_id % 3 = 1 THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bw AS INTEGER)
+            WHEN doc_id % 3 = 1 THEN CAST(pw AS INTEGER) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bh AS INTEGER)
+            WHEN doc_id % 3 = 1 THEN CAST(ph AS INTEGER) END AS height,
        CASE WHEN doc_id % 3 IN (0, 1) THEN 3 END AS channels,
-       CASE WHEN doc_id % 3 = 0 THEN 70
+       CASE WHEN doc_id % 3 = 0 THEN 54 + stride * bh
             WHEN doc_id % 3 = 1 THEN octet_length(CAST(
-                 'P6' || chr(10) || CAST(doc_id % 16 + 1 AS VARCHAR) || ' '
-                 || CAST(doc_id % 8 + 1 AS VARCHAR) || chr(10) || '255'
+                 'P6' || chr(10) || CAST(pw AS VARCHAR) || ' '
+                 || CAST(ph AS VARCHAR) || chr(10) || '255'
                  || chr(10) AS BLOB))
-                 + (doc_id % 16 + 1) * (doc_id % 8 + 1) * 3
-            ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes
-FROM documents
+                 + pw * ph * 3
+            ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS pixel_mean,
+       CASE WHEN doc_id % 3 = 0
+              THEN [CAST(bmp_v AS DOUBLE), CAST(bmp_v AS DOUBLE), CAST(bmp_v AS DOUBLE)]
+            WHEN doc_id % 3 = 1
+              THEN [CAST(ppm_v AS DOUBLE), CAST(ppm_v AS DOUBLE), CAST(ppm_v AS DOUBLE)]
+       END AS channel_means
+FROM dims
 """,
     tags=("multimodal",),
 )
 def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image-header decode through the multimodal
-    mapInPandas path: construct valid BMP (doc_id%3=0) and binary-PPM
-    (doc_id%3=1) payloads JVM-side (hex-assembled little-endian BMP
-    header / ASCII PPM header), leave the rest opaque text, then decode
-    with ``parse_image_header``.  The oracle predicts width/height/
-    channels ARITHMETICALLY from doc_id — it never sees the payload —
-    so a parser that misreads any header field hash-mismatches.  Scale
-    shape: pure narrow projection + one Arrow-batched pass, no shuffle.
-    """
+    """End-to-end REAL image decode through the multimodal mapInPandas
+    path: construct valid BMP (doc_id%3=0) and binary-PPM (doc_id%3=1)
+    payloads JVM-side — hex-assembled little-endian BMP header + FULL
+    constant-byte raster / ASCII PPM header + constant-letter raster —
+    leave the rest opaque text, then decode headers with
+    ``parse_image_header`` AND pixels with ``decode_pixels`` (stride-
+    aware uncompressed-BMP row walk, netpbm sample read).  The oracle
+    predicts width/height/channels/n_bytes and the per-channel pixel
+    means ARITHMETICALLY from doc_id — it never sees the payload — so
+    a parser that misreads any header field, miscomputes the row
+    stride, or includes padding bytes in the means hash-mismatches.
+    Scale shape: pure narrow projection + one Arrow-batched pass, no
+    shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     w_bmp = (F.col("doc_id") % 64 + 1).cast("int")
     h_bmp = (F.col("doc_id") % 32 + 1).cast("int")
     w_ppm = (F.col("doc_id") % 16 + 1).cast("int")
     h_ppm = (F.col("doc_id") % 8 + 1).cast("int")
+    # 4-byte-aligned BMP row stride and full raster size; every raster
+    # byte is the constant doc_id % 256 so the pixel means are exact
+    # arithmetic the oracle predicts without seeing the payload
+    stride = (F.floor((w_bmp * 3 + F.lit(3)) / 4) * 4).cast("int")
+    raster_bytes = (stride * h_bmp).cast("int")
+    bmp_byte_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
 
     def _le32_lit(n: int) -> str:
         # exact little-endian u32 hex for CONSTANT header fields —
@@ -484,15 +513,21 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # silently truncated by a one-byte column formula
         return n.to_bytes(4, "little").hex().upper()
 
-    def _le32_col(col):
-        # little-endian u32 hex for computed fields; valid ONLY for
-        # values < 256 (w/h here are ≤ 64 by construction): one real
-        # byte + 3 NUL bytes
-        return F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("000000"))
+    def _le32_col(col, max_value: int = 255):
+        # little-endian u32 hex for computed fields.  Default: one real
+        # byte + 3 NULs (w/h ≤ 64).  For values up to 65535 (file and
+        # raster sizes ≤ 54 + 6272) emit the two low bytes.
+        if max_value <= 255:
+            return F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("000000"))
+        return F.concat(
+            F.lpad(F.hex(F.pmod(col, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(F.floor(col / 256).cast("int")), 2, "0"),
+            F.lit("0000"),
+        )
 
     bmp_hex = F.concat(
         F.lit("424D"),                  # 'BM'
-        F.lit(_le32_lit(70)),           # file size: 54-byte header + 16 px bytes
+        _le32_col(raster_bytes + F.lit(54), 65535),  # file size
         F.lit("00000000"),              # reserved
         F.lit(_le32_lit(54)),           # pixel-data offset
         F.lit(_le32_lit(40)),           # BITMAPINFOHEADER size
@@ -500,25 +535,26 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _le32_col(h_bmp),
         F.lit("0100"),                  # planes = 1
         F.lit("1800"),                  # 24 bpp → 3 channels
-        F.lit(_le32_lit(0)),            # compression
-        F.lit(_le32_lit(16)),           # image size
+        F.lit(_le32_lit(0)),            # compression = BI_RGB
+        _le32_col(raster_bytes, 65535), # image size
         F.lit(_le32_lit(2835)),         # x pixels/m
         F.lit(_le32_lit(2835)),         # y pixels/m
         F.lit(_le32_lit(0)),            # palette colors
         F.lit(_le32_lit(0)),            # important colors
-        F.lit("00" * 16),               # pixel bytes (content irrelevant to header)
+        F.repeat(bmp_byte_hex, raster_bytes),  # FULL raster, constant byte
     )
-    # raster rpad'd/truncated to exactly w*h*3 bytes: the parser
-    # requires the full raster to be present (anti-false-positive
-    # check), and a fixed-size raster keeps n_bytes arithmetic
+    # full raster of a single repeated letter: the parser requires the
+    # raster present (anti-false-positive check), and a constant sample
+    # value makes the channel means exact oracle arithmetic
     ppm_str = F.concat(
         F.lit("P6\n"),
         w_ppm.cast("string"),
         F.lit(" "),
         h_ppm.cast("string"),
         F.lit("\n255\n"),
-        F.expr(
-            "rpad(text, CAST((doc_id % 16 + 1) * (doc_id % 8 + 1) * 3 AS INT), '.')"
+        F.repeat(
+            F.char(F.lit(97) + F.col("doc_id") % 26),
+            (w_ppm * h_ppm * 3).cast("int"),
         ),
     )
     payload = (
@@ -535,7 +571,9 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multimodal.decode_features(binary_df)
     return out.select(
         "doc_id", "fmt", "width", "height", "channels",
-        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "pixel_mean",
+        "channel_means",
     )
 
 

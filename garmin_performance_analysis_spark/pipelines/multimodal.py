@@ -1,14 +1,15 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side plumbing is real — schema, partition-friendly batch
-iteration, Arrow-batched ``mapInPandas`` — and so is the header-level
-decode: ``parse_image_header`` reads BMP/PPM/PGM dimensions with pure
-``struct``/byte arithmetic (no image library needed).  Codec-level
-decode (JPEG/PNG entropy data, audio, video) is stubbed:
-``decode_features`` computes deterministic byte statistics plus the
-header parse, and ``decode_image_stub`` raises ``NotImplementedError``
-to mark the integration point for a real decoder (PIL/ffmpeg on a
-production cluster, shipped to executors via ``spark.archives``).
+iteration, Arrow-batched ``mapInPandas`` — and so is the decode for
+every format that needs no codec library: ``parse_image_header`` reads
+BMP/PPM/PGM dimensions and ``decode_pixels`` reads the actual raster
+(stride-aware uncompressed BMP at 8/24/32 bpp, 1- and 2-byte netpbm
+samples) with pure ``struct``/numpy arithmetic.  Only entropy-coded
+formats (JPEG/PNG compressed data, audio, video) remain stubbed:
+``decode_image_stub`` raises ``NotImplementedError`` to mark the
+integration point for a real codec (PIL/ffmpeg on a production
+cluster, shipped to executors via ``spark.archives``).
 """
 
 from __future__ import annotations
@@ -21,7 +22,8 @@ from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes int, sha256 string, byte_mean double, byte_std double, "
-    "fmt string, width int, height int, channels int"
+    "fmt string, width int, height int, channels int, "
+    "pixel_mean double, channel_means array<double>"
 )
 
 
@@ -60,47 +62,127 @@ def parse_image_header(payload: bytes):
         ):
             return ("bmp", width, abs(height), max(1, bpp // 8))
     # --- binary PPM (P6) / PGM (P5) --------------------------------
-    if (
+    ppm = _ppm_header(payload)
+    if ppm is not None:
+        fmt, width, height, channels, _maxval, _raster_off = ppm
+        return (fmt, width, height, channels)
+    return None
+
+
+def _ppm_header(payload: bytes):
+    """Binary PPM/PGM header scan shared by the header and pixel
+    decoders.  Returns ``(fmt, width, height, channels, maxval,
+    raster_offset)`` or None; the full-raster-present requirement is
+    part of the match (see ``parse_image_header`` docstring)."""
+    if not (
         len(payload) >= 3
         and payload[:2] in (b"P6", b"P5")
         and payload[2:3] in (b" ", b"\t", b"\r", b"\n", b"#")
     ):
-        channels = 3 if payload[:2] == b"P6" else 1
-        pos, fields = 2, []
-        try:
-            while len(fields) < 3:
-                while payload[pos] in b" \t\r\n":
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    try:
+        while len(fields) < 3:
+            while payload[pos] in b" \t\r\n":
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to EOL
+                while payload[pos] not in b"\r\n":
                     pos += 1
-                if payload[pos : pos + 1] == b"#":  # comment to EOL
-                    while payload[pos] not in b"\r\n":
-                        pos += 1
-                    continue
-                start = pos
-                while payload[pos] in b"0123456789":
-                    pos += 1
-                if pos == start:
-                    return None
-                fields.append(int(payload[start:pos]))
-        except IndexError:
-            return None
-        width, height, maxval = fields
-        # the header ends with exactly one whitespace byte, then the
-        # raster: width·height·channels samples (2 bytes each when
-        # maxval > 255).  Requiring the raster to actually be present
-        # rejects prose that merely starts "P6 10 20 30 ..." — a
-        # payload that passes THIS check is a complete, valid binary
-        # PPM byte stream.
-        sample_bytes = 2 if maxval > 255 else 1
-        raster_end = pos + 1 + width * height * channels * sample_bytes
-        if (
-            0 < width <= 1_000_000
-            and 0 < height <= 1_000_000
-            and 0 < maxval < 65536
-            and payload[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n")
-            and raster_end <= len(payload)
-        ):
-            return ("ppm" if channels == 3 else "pgm", width, height, channels)
+                continue
+            start = pos
+            while payload[pos] in b"0123456789":
+                pos += 1
+            if pos == start:
+                return None
+            fields.append(int(payload[start:pos]))
+    except IndexError:
+        return None
+    width, height, maxval = fields
+    # the header ends with exactly one whitespace byte, then the
+    # raster: width·height·channels samples (2 bytes each when
+    # maxval > 255).  Requiring the raster to actually be present
+    # rejects prose that merely starts "P6 10 20 30 ..." — a
+    # payload that passes THIS check is a complete, valid binary
+    # PPM byte stream.
+    sample_bytes = 2 if maxval > 255 else 1
+    raster_end = pos + 1 + width * height * channels * sample_bytes
+    if (
+        0 < width <= 1_000_000
+        and 0 < height <= 1_000_000
+        and 0 < maxval < 65536
+        and payload[pos : pos + 1] in (b" ", b"\t", b"\r", b"\n")
+        and raster_end <= len(payload)
+    ):
+        return (
+            "ppm" if channels == 3 else "pgm",
+            width,
+            height,
+            channels,
+            maxval,
+            pos + 1,
+        )
     return None
+
+
+def decode_pixels(payload: bytes):
+    """REAL pixel-level decode for uncompressed rasters — pure struct
+    math + numpy, no image library:
+
+    - BMP: BI_RGB (compression=0) at 8/24/32 bpp.  Rows are read at the
+      pixel-data offset (bytes 10-13) with 4-byte-aligned stride;
+      padding bytes are excluded, row order (bottom-up) is irrelevant
+      to means.  Channel means are in STORAGE order (BGR / BGRA; the
+      raw palette index for 8 bpp).  1/4 bpp (packed pixels) and
+      compressed BMPs return None — that is ``decode_image_stub``
+      territory, as are JPEG/PNG entropy codecs.
+    - binary PPM/PGM: 1-byte samples for maxval ≤ 255, big-endian
+      2-byte samples above (netpbm spec); channel order RGB.
+
+    Returns ``(pixel_mean, [channel_means...])`` — exact integer sums
+    divided once in double, so the result is deterministic and
+    engine-reproducible — or None when the payload is not a
+    decodable-without-codec image.
+    """
+    import numpy as np
+
+    ppm = _ppm_header(payload)
+    if ppm is not None:
+        _fmt, w, h, channels, maxval, off = ppm
+        n_px = w * h
+        if maxval > 255:
+            raw = np.frombuffer(
+                payload, dtype=">u2", count=n_px * channels, offset=off
+            ).astype(np.int64)
+        else:
+            raw = np.frombuffer(
+                payload, dtype=np.uint8, count=n_px * channels, offset=off
+            ).astype(np.int64)
+        samples = raw.reshape(n_px, channels)
+        ch_sums = samples.sum(axis=0)  # exact: int64 sums of ≤65535 values
+        means = [float(s) / n_px for s in ch_sums]
+        return (float(ch_sums.sum()) / (n_px * channels), means)
+    hdr = parse_image_header(payload)
+    if hdr is None or hdr[0] != "bmp":
+        return None
+    w, h = hdr[1], hdr[2]
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    offset = int.from_bytes(payload[10:14], "little")
+    if compression != 0 or bpp not in (8, 24, 32):
+        return None
+    bpx = bpp // 8
+    stride = ((w * bpx + 3) // 4) * 4
+    if offset + stride * h > len(payload) or offset < 54:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    samples = rows[:, : w * bpx].reshape(h * w, bpx).astype(np.int64)
+    ch_sums = samples.sum(axis=0)
+    n_px = w * h
+    means = [float(s) / n_px for s in ch_sums]
+    return (float(ch_sums.sum()) / (n_px * bpx), means)
 
 
 def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -141,6 +223,7 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             # normalize NULL payloads once; every stat below shares it
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
             headers = [parse_image_header(p) for p in payloads]
+            pixels = [decode_pixels(p) for p in payloads]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -164,6 +247,8 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
                     "channels": pd.array(
                         [h[3] if h else None for h in headers], dtype="Int32"
                     ),
+                    "pixel_mean": [px[0] if px else None for px in pixels],
+                    "channel_means": [px[1] if px else None for px in pixels],
                 }
             )
             yield out

@@ -548,3 +548,64 @@ def test_training_prep_stages(spark):
     # tiny budget: only the first doc fits
     tight = training_prep(df, "doc_id", "text", token_budget=int(out[1]["regex_tokens"]))
     assert [r["doc_id"] for r in tight.collect()] == [1]
+
+
+def _bmp_with_raster(width, height, rows, bpp=24):
+    """Full BMP: header + given raster rows (each already stride-padded)."""
+    import struct
+
+    raster = b"".join(rows)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(raster), 0, 0, 0, 0
+        )
+        + raster
+    )
+
+
+def test_decode_pixels_bmp_stride_and_channel_order():
+    """24bpp BMP: 4-byte row stride padding must be EXCLUDED from the
+    means; channel means come back in storage order (B, G, R)."""
+    rows = [
+        bytes([1, 2, 3, 4, 5, 6]) + b"\xff\xff",      # 2 px + 2 pad bytes
+        bytes([7, 8, 9, 10, 11, 12]) + b"\xff\xff",
+    ]
+    mean, chans = multimodal.decode_pixels(_bmp_with_raster(2, 2, rows))
+    assert chans == [22 / 4, 26 / 4, 30 / 4]  # B, G, R sums / n_px
+    assert mean == 78 / 12
+
+    # compressed BMP (BI_RLE8) → pixel decode declines, header still OK
+    import struct
+
+    rle = bytearray(_bmp_with_raster(2, 2, rows, bpp=8))
+    rle[30:34] = struct.pack("<I", 1)
+    assert multimodal.parse_image_header(bytes(rle)) is not None
+    assert multimodal.decode_pixels(bytes(rle)) is None
+
+
+def test_decode_pixels_ppm_pgm():
+    p6 = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    mean, chans = multimodal.decode_pixels(p6)
+    assert chans == [25.0, 35.0, 45.0] and mean == 35.0
+    # 16-bit PGM samples are big-endian per netpbm spec
+    p5 = b"P5 1 2 65535 " + (256).to_bytes(2, "big") + (512).to_bytes(2, "big")
+    mean, chans = multimodal.decode_pixels(p5)
+    assert chans == [384.0] and mean == 384.0
+    assert multimodal.decode_pixels(b"plain text") is None
+
+
+def test_decode_features_exposes_pixel_means(spark):
+    p6 = b"P6\n1 1\n255\n" + bytes([9, 9, 9])
+    df = spark.createDataFrame([(1, bytearray(p6)), (2, bytearray(b"txt"))],
+                               "doc_id long, payload binary")
+    src = df.select(
+        "doc_id", "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+    rows = {r["doc_id"]: r for r in multimodal.decode_features(src).collect()}
+    assert rows[1]["pixel_mean"] == 9.0
+    assert list(rows[1]["channel_means"]) == [9.0, 9.0, 9.0]
+    assert rows[2]["pixel_mean"] is None and rows[2]["channel_means"] is None
