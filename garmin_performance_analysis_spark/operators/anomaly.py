@@ -192,8 +192,12 @@ def classify_anomaly_causes(
     context lookup is ONE broadcast-hash join over the context frame
     (equi on user_id, range + series predicates applied in-join) with
     conditional aggregation per window — one pass over the big table,
-    no shuffle of it.  The HR baseline is a per-user pre-aggregate
-    (broadcast-sized) joined separately.
+    no shuffle of it.  The per-user HR baseline rides in the same join
+    through an OR-arm (every baseline row of the anomaly's user) and
+    aggregates per anomaly, and the degradation halves are window
+    aggregates fused into the rolling-baseline pass — the whole surface
+    is two passes over the raw table (form rolling + context lookup),
+    each scanning once.
     """
     # -- 1+2: rolling stats and gated flags --------------------------
     wbase = Window.partitionBy(key_col, "metric").orderBy("sec")
@@ -203,6 +207,24 @@ def classify_anomaly_causes(
         wroll = wbase.rangeBetween(-rolling_window, rolling_window - 1)
     else:
         raise ValueError(f"frame must be 'rows' or 'range', got {frame!r}")
+    # Degradation halves are FUSED into this same pass as whole-
+    # partition window aggregates: they share the (key, metric) ⊕ sec
+    # exchange and sort with the rolling window, replacing what was a
+    # second parquet scan + sort + groupBy + broadcast join (the
+    # `halves`/`deg` branch) with two WindowExec layers over already-
+    # sorted data.  Split position and length gate count NON-NULL
+    # values only: the reference (form_anomaly_detector.py:205-215)
+    # builds the halves from `[v for v in series if v is not None]`,
+    # so a null-bearing series must get the same midpoint and len>=4
+    # gate as its null-stripped projection (ADVICE r2).  The rolling
+    # block deliberately keeps null rows (they occupy window slots);
+    # only the degradation split skips them — F.count("value") ranks
+    # non-null rows, and the conditional averages ignore null values
+    # by construction.
+    wseq = Window.partitionBy(key_col, "metric").orderBy("sec")
+    wall = Window.partitionBy(key_col, "metric")
+    nn_rn = F.count("value").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+    trig = _metric_map(degradation_triggers)
     base = form.select(
         key_col,
         "metric",
@@ -211,7 +233,25 @@ def classify_anomaly_causes(
         F.avg("value").over(wroll).alias("baseline"),
         F.stddev_samp("value").over(wroll).alias("_s"),
         F.count("value").over(wroll).alias("_wcnt"),
+        nn_rn.alias("_nn_rn"),
+        F.count("value").over(wall).alias("_nn_n"),
     )
+    half = F.floor(F.col("_nn_n") / 2)
+    first_mean = F.avg(
+        F.when(F.col("_nn_rn") <= half, F.col("value"))
+    ).over(wall)
+    second_mean = F.avg(
+        F.when(F.col("_nn_rn") > half, F.col("value"))
+    ).over(wall)
+    sdeg = (
+        F.when(
+            trig.isNotNull() & (F.col("_nn_n") >= 4),
+            (second_mean - first_mean) >= trig,
+        )
+        .otherwise(F.lit(False))
+        .alias("_sdeg")
+    )
+    base = base.withColumn("_sdeg", sdeg)
     dev = F.col("value") - F.col("baseline")
     gate = _metric_map(magnitude_gates)
     flagged = base.filter(
@@ -230,7 +270,7 @@ def classify_anomaly_causes(
             "_span", F.max("sec").over(wisl) - F.min("sec").over(wisl) + F.lit(1)
         )
         .filter(F.col("_span") >= min_span)
-        .select(key_col, "metric", "sec", "value", "baseline", "z_score")
+        .select(key_col, "metric", "sec", "value", "baseline", "z_score", "_sdeg")
     )
     # `an` feeds the final plan TWICE (broadcast context probe + left
     # side of the result join), and everything above it — parquet scan,
@@ -249,50 +289,6 @@ def classify_anomaly_causes(
     # construction.)
     an = an.localCheckpoint(eager=False)
 
-    # -- sustained first-half vs second-half degradation per metric --
-    wseq = Window.partitionBy(key_col, "metric").orderBy("sec")
-    wall = Window.partitionBy(key_col, "metric")
-    # Degradation is only ever read through the left-join onto `an`
-    # (flagged groups), so prune form to those groups BEFORE the window
-    # sort: a broadcast semi-join on the checkpointed anomaly keys
-    # replaces a full-data sort with a sort of the tiny flagged slice —
-    # the same probe-pruned shape as the context pass, and the
-    # difference between O(data) and O(anomalies) work at 100 TB.
-    deg_keys = F.broadcast(an.select(key_col, "metric").distinct())
-    # Split position and length gate count NON-NULL values only: the
-    # reference (form_anomaly_detector.py:205-215) builds the halves
-    # from `[v for v in series if v is not None]`, so a null-bearing
-    # series must get the same midpoint and len>=4 gate as its
-    # null-stripped projection (ADVICE r2).  The rolling block above
-    # deliberately keeps null rows (they occupy window slots); only the
-    # degradation split strips them.
-    halves = (
-        form.join(deg_keys, [key_col, "metric"], "left_semi")
-        .filter(F.col("value").isNotNull())
-        .withColumn("_rn", F.row_number().over(wseq))
-        .withColumn("_n", F.count(F.lit(1)).over(wall))
-    )
-    deg = halves.groupBy(key_col, "metric").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(
-            F.when(F.col("_rn") <= F.floor(F.col("_n") / 2), F.col("value"))
-        ).alias("_first_mean"),
-        F.avg(
-            F.when(F.col("_rn") > F.floor(F.col("_n") / 2), F.col("value"))
-        ).alias("_second_mean"),
-    )
-    trig = _metric_map(degradation_triggers)
-    deg = deg.select(
-        key_col,
-        "metric",
-        F.when(
-            trig.isNotNull() & (F.col("_n") >= 4),
-            (F.col("_second_mean") - F.col("_first_mean")) >= trig,
-        )
-        .otherwise(F.lit(False))
-        .alias("_sdeg"),
-    )
-
     # -- 4+5: one broadcast context pass with conditional windows ----
     akeys = [key_col, "metric", "sec"]
     lo = max(hr_current_window, context_window, pace_window, elev_window)
@@ -310,15 +306,27 @@ def classify_anomaly_causes(
     # distinct: duplicate (key, metric, sec) rows (malformed input)
     # must not double-count context windows or fan out the final join
     probe = F.broadcast(an.select(*akeys).distinct())
-    cj = probe.join(
-        c,
-        (F.col(key_col) == F.col("c_uid"))
-        & (F.col("c_sec") >= F.col("sec") - lo)
+    # The HR BASELINE (per-user mean of the first hr_baseline_secs of
+    # the hr series) rides in this same join: the OR-arm admits every
+    # baseline row for the anomaly's user regardless of proximity, and
+    # the aggregate below reduces them per anomaly.  Fan-out is
+    # baseline rows × anomalies-per-user — anomaly-bounded, tiny —
+    # and it replaces what was a THIRD full scan + row_number sort of
+    # the events table feeding a separate per-user aggregate.
+    in_band = (
+        (F.col("c_sec") >= F.col("sec") - lo)
         & (F.col("c_sec") < F.col("sec") + hi)
         & (
             F.col("c_series").isin("elevation", "pace", "hr")
             | (F.col("c_series") == F.col("metric"))
-        ),
+        )
+    )
+    is_baseline = (F.col("c_series") == "hr") & (
+        F.col("c_sec") < hr_baseline_secs
+    )
+    cj = probe.join(
+        c,
+        (F.col(key_col) == F.col("c_uid")) & (in_band | is_baseline),
         "inner",
     )
 
@@ -336,6 +344,7 @@ def classify_anomaly_causes(
     a_m = F.when(_in(same_metric, 0, context_window), F.col("c_val"))
     b_e = F.when(_in("elevation", -context_window, 0), F.col("c_val"))
     a_e = F.when(_in("elevation", 0, context_window), F.col("c_val"))
+    bv = F.when(is_baseline, F.col("c_val"))
     ctx = cj.groupBy(*akeys).agg(
         F.when(F.count(ev) > 1, F.max(ev) - F.min(ev))
         .otherwise(F.lit(0.0))
@@ -349,23 +358,14 @@ def classify_anomaly_causes(
         F.coalesce(F.avg(a_m), F.lit(0.0)).alias("after_metric_avg"),
         F.coalesce(F.avg(b_e), F.lit(0.0)).alias("before_elevation"),
         F.coalesce(F.avg(a_e), F.lit(0.0)).alias("after_elevation"),
-    )
-    # Same probe-pruning as `deg`: the HR baseline is read only for
-    # keys that flagged an anomaly.
-    hr_base = (
-        context.filter(
-            (F.col("series") == "hr") & (F.col("sec") < hr_baseline_secs)
-        )
-        .join(F.broadcast(an.select(key_col).distinct()), [key_col], "left_semi")
-        .groupBy(key_col)
-        .agg(F.avg("val").alias("_base_hr"), F.count("val").alias("_base_n"))
+        F.avg(bv).alias("_base_hr"),
+        F.count(bv).alias("_base_n"),
     )
 
-    res = (
-        an.join(ctx, akeys, "left")
-        .join(F.broadcast(deg), [key_col, "metric"], "left")
-        .join(F.broadcast(hr_base), [key_col], "left")
-    )
+    # ctx is per-anomaly (tiny) but its size is opaque to the static
+    # optimizer (agg over a join) — without the hint this planned as a
+    # SortMergeJoin of two broadcast-sized frames
+    res = an.join(F.broadcast(ctx), akeys, "left")
     # anomalies with no context rows at all (dropped by the inner cj
     # join) take the reference's empty-window defaults
     for c_name in (
