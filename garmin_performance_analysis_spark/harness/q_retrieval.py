@@ -587,3 +587,59 @@ def c6_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("token_share"),
     )
+
+
+@register(
+    "x10_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM vocab)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(tf * ln(cnt * 1.0 / total) AS DECIMAL(30,12)))
+                  AS DOUBLE) / SUM(tf), 6) AS avg_logprob
+FROM tf JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def x10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: per-document mean token
+    log-probability under the corpus's own unigram distribution (the
+    cheap LM junk filter every corpus build runs before an expensive
+    model-based one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob_scores(docs, "doc_id", "text")
+
+
+@register(
+    "x11_boilerplate_segments",
+    oracle=r"""
+WITH segs AS (
+  SELECT doc_id, seg FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\. ')) AS seg
+    FROM documents)
+  WHERE length(trim(seg)) > 0
+),
+counts AS (SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS n_dup_segments,
+       ROUND(COUNT(CASE WHEN n_occ > 1 THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS dup_fraction
+FROM segs JOIN counts USING (seg)
+GROUP BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def x11_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup signal (CCNet-style): fraction of each
+    document's segments that occur more than once corpus-wide —
+    the header/footer/license boilerplate detector.  Sentence-ish
+    '. ' segmentation stands in for newlines on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_segments(docs, "doc_id", "text", sep=r"\. ")

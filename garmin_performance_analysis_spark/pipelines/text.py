@@ -264,3 +264,106 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "top_tf",
         F.round(F.col("top_tf") / F.col("n_words"), 6).alias("top_term_frac"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-unigram language-model quality score: each document's
+    mean token log-probability under the corpus's OWN unigram
+    distribution — the cheap perplexity-style junk filter (documents
+    full of corpus-rare tokens score far below prose; no trained model
+    or external vocabulary needed).
+
+    Plan shape for 100 TB: one explode + term agg builds the vocabulary
+    (orders of magnitude fewer rows than the token stream; map-side
+    partial aggregation absorbs hot terms), the corpus token total is a
+    broadcast 1-row aggregate, and scoring is a term-keyed join of the
+    per-(doc, term) frequencies against the vocabulary followed by a
+    per-doc reduction — the same two-shuffle word-count skeleton as
+    TF-IDF (``retrieval.tfidf_topk``), with AQE skew-join covering the
+    hot-term probe side.
+
+    Determinism: each (doc, term) contribution ``tf·ln(cnt/total)`` is
+    one double expression; the per-doc sum goes through DECIMAL(30,12)
+    (registry convention) so shuffle order cannot flicker the rounded
+    output.
+
+    Output: (doc_id, n_tokens, avg_logprob) — avg_logprob rounded 6dp,
+    more negative = more surprising under the corpus distribution.
+    """
+    from ..harness.registry import dec_sum
+
+    tf = (
+        spread_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("total"))
+    scored = (
+        tf.join(vocab, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "_contrib",
+            F.col("tf") * F.log(F.col("cnt") / F.col("total")),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            dec_sum(F.col("_contrib"), scale=12, precision=30)
+            / F.sum("tf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame, id_col: str, text_col: str, sep: str = r"\. "
+) -> DataFrame:
+    """Cross-document duplicated-segment detection — the line-level
+    dedup signal (CCNet-style): segments repeated across the corpus are
+    boilerplate (headers, footers, navigation, license blurbs) and the
+    per-document duplicated fraction is the drop/trim signal.
+
+    Segments are the ``sep``-split pieces of the lowercased text (use
+    ``"\\n"`` for real line-structured corpora; the default splits
+    sentence-ish on ". ").  A segment counts as duplicated when its
+    corpus-wide occurrence count exceeds 1 — including within-document
+    repeats, which are boilerplate all the same.
+
+    Plan shape for 100 TB: explode (linear) → segment-keyed count with
+    map-side partial aggregation (hot boilerplate segments collapse
+    before the shuffle) → segment-keyed join back (AQE skew-join covers
+    the hot probe side, same note as TF-IDF) → per-doc reduction.
+
+    Output: (doc_id, n_segments, n_dup_segments, dup_fraction).
+    """
+    segs = (
+        spread_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), sep)).alias("seg"),
+        )
+        .filter(F.length(F.trim(F.col("seg"))) > 0)
+    )
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(F.col("n_occ") > 1, F.lit(1))).alias(
+                "n_dup_segments"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 6),
+        )
+    )

@@ -324,3 +324,43 @@ def test_tfidf_property_matches_mirror(spark, texts):
         assert [t for t, _ in mine] == [t for t, _ in expect]
         for (_, a), (_, b) in zip(mine, expect):
             assert abs(a - b) < 2e-6
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc corpus with a hand-computable unigram distribution."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    # corpus counts: a=3, b=2, c=1, total=6
+    rows = {r["doc_id"]: r for r in
+            text_mod.unigram_logprob_scores(df, "doc_id", "text").collect()}
+    lp = lambda n: math.log(n / 6.0)
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["avg_logprob"] == round((2 * lp(3) + lp(2)) / 3, 6)
+    assert rows[2]["avg_logprob"] == round((lp(3) + lp(2)) / 2, 6)
+    assert rows[3]["avg_logprob"] == round(lp(1), 6)
+    # rare-token doc scores strictly below the common-token doc
+    assert rows[3]["avg_logprob"] < rows[1]["avg_logprob"]
+
+
+def test_boilerplate_segments_flags_cross_doc_dups(spark):
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved. unique one"),
+            (2, "all rights reserved. unique two"),
+            (3, "totally original. nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            text_mod.boilerplate_segments(df, "doc_id", "text").collect()}
+    assert rows[1]["n_segments"] == 2 and rows[1]["n_dup_segments"] == 1
+    assert rows[1]["dup_fraction"] == 0.5
+    assert rows[2]["dup_fraction"] == 0.5
+    assert rows[3]["n_dup_segments"] == 0 and rows[3]["dup_fraction"] == 0.0
