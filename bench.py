@@ -81,6 +81,11 @@ HEADLINE = [
     "v7_embedding_outliers",
     "c5_quality_audit",
     "c6_mixture_report",
+    # r5 additions: the unigram-LM junk filter and line-level
+    # boilerplate fraction are corpus batch passes
+    "x10_unigram_logprob",
+    "x11_boilerplate_segments",
+    "v8_pq_topk",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -104,6 +109,9 @@ BATCH_JOBS = {
     "v7_embedding_outliers",
     "c5_quality_audit",
     "c6_mixture_report",
+    "x10_unigram_logprob",
+    "x11_boilerplate_segments",
+    "v8_pq_topk",
 }
 
 

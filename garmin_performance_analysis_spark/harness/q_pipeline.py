@@ -336,6 +336,24 @@ def v2_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
+@register("v8_pq_topk", oracle=None, tags=("similarity", "rows-only"))
+def v8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC + exact re-rank): 4-subspace
+    deterministic codebooks, every vector stored as 4 small codes, the
+    query's centroid-distance table broadcast, shortlist by summed ADC
+    distance, exact cosine over the shortlist only.  Approximate by
+    construction -> no SQL oracle; the correctness contract is
+    ``tests/test_pipelines.py::test_pq_recall_and_determinism``:
+    deterministic across runs, recall vs brute force bounded below,
+    and exact agreement with brute force when the shortlist covers the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, "vec_id", "embedding", query_id=0, dim=64,
+        m=4, k_clusters=16, iters=2, k=10, shortlist=50,
+    )
+
+
 @register("v3_ivf_topk", oracle=None, tags=("similarity", "rows-only"))
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: k-means coarse quantizer (deterministic

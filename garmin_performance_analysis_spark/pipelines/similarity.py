@@ -666,3 +666,201 @@ def embedding_outliers(
         topk.withColumn("rk", F.row_number().over(w))
         .select("vec_id", "dist", "z", "rk")
     )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
+    """(_id, subspace, sv) — each vector split into ``m`` contiguous
+    ``dim/m``-wide double subvectors (posexplode: linear, no shuffle)."""
+    sub = dim // m
+    slices = F.array(
+        *[
+            F.expr(
+                f"transform(slice({vec_col}, {j * sub + 1}, {sub}),"
+                " x -> CAST(x AS DOUBLE))"
+            )
+            for j in range(m)
+        ]
+    )
+    return df.filter(F.size(F.col(vec_col)) == dim).select(
+        F.col(id_col).alias("_id"), F.posexplode(slices).alias("subspace", "sv")
+    )
+
+
+_SUBDIST = (
+    "aggregate(zip_with(sv, centroid, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Product-quantization codebooks: deterministic Lloyd k-means run
+    independently in each of ``m`` subspaces (the standard PQ training,
+    Jégou et al. 2011 — public technique), entirely as DataFrame ops.
+
+    Init = the subvectors of the ``k`` smallest ids (TakeOrdered — no
+    RNG, same convention as ``kmeans_assign``); every iteration is one
+    broadcast join (the codebook is m·k rows — tiny at any corpus
+    size), a deterministic argmin via ``min(struct(dist, cluster))``,
+    and an element-wise-mean aggregation.  A cluster that loses all
+    members drops out of the codebook (documented PQ behaviour; the
+    encoder simply never emits its code).
+
+    Returns (subspace, cluster_id, centroid array<double>).
+    """
+    subs = _subvectors(df, id_col, vec_col, dim, m)
+    seeds = F.broadcast(
+        df.filter(F.size(F.col(vec_col)) == dim)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_id"),
+            # bounded: numbers the k-row LIMIT result only
+            F.row_number()
+            .over(
+                Window.partitionBy(bounded_partition_key(id_col)).orderBy(
+                    F.col(id_col).asc()
+                )
+            )
+            .alias("cluster_id"),
+        )
+    )
+    codebooks = subs.join(seeds, "_id").select(
+        "subspace", "cluster_id", F.col("sv").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(codebooks), "subspace")
+            .withColumn("_d", F.expr(_SUBDIST))
+            .groupBy("_id", "subspace")
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("cluster_id"))).alias("_m"),
+                F.first("sv").alias("sv"),  # constant per group
+            )
+            .select("_id", "subspace", F.col("_m.cluster_id").alias("cluster_id"), "sv")
+        )
+        codebooks = (
+            assigned.select(
+                "subspace", "cluster_id", F.posexplode("sv").alias("p", "x")
+            )
+            .groupBy("subspace", "cluster_id", "p")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("subspace", "cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, mx))), s -> s.mx)"
+                ).alias("centroid")
+            )
+        )
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """PQ codes: (_id, subspace, cluster_id) — each document stored as
+    ``m`` small integers instead of ``dim`` floats (the 100 TB memory
+    play: a 64-dim float32 vector becomes m=4 bytes-ish of codes).
+    One broadcast join + deterministic argmin; codes never shuffle at
+    vector width."""
+    subs = _subvectors(df, id_col, vec_col, dim, m)
+    return (
+        subs.join(F.broadcast(codebooks), "subspace")
+        .withColumn("_d", F.expr(_SUBDIST))
+        .groupBy("_id", "subspace")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cluster_id"))).alias("_m"))
+        .select("_id", "subspace", F.col("_m.cluster_id").alias("cluster_id"))
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    dim: int,
+    m: int = 4,
+    k_clusters: int = 16,
+    iters: int = 3,
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric-distance (ADC) with exact
+    re-rank — the standard memory-compressed ANN read path:
+
+    1. train ``m``-subspace codebooks on the corpus (``pq_train``);
+    2. encode every vector as ``m`` codes (``pq_encode``);
+    3. the query's distance to EVERY centroid is an m·k-row lookup
+       table (broadcast — this is the A in ADC: only the query side
+       stays float);
+    4. approximate distance per doc = ``Σ_j table[j][code_j]`` — a
+       broadcast join on (subspace, cluster_id) + per-doc sum; the
+       sum runs through DECIMAL so shuffle order cannot reorder the
+       m partials;
+    5. ``shortlist`` best ADC candidates (TakeOrderedAndProject, no
+       global sort) are re-ranked with the exact float cosine.
+
+    Scale shape: after encoding, the per-query work touches only the
+    codes table (N·m ints) and ``shortlist`` float vectors — the same
+    contract as ``sq_topk`` with an 8-16× deeper compression.
+
+    Output: (vec_id, adc_dist, cosine, rk) for the exact-cosine top-k
+    of the shortlist.
+    """
+    from ..harness.registry import dec_sum
+
+    valid = df.filter(F.size(F.col(vec_col)) == dim)
+    codebooks = pq_train(valid, id_col, vec_col, dim, m, k_clusters, iters)
+    corpus = valid.filter(F.col(id_col) != query_id)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
+    qsubs = _subvectors(
+        valid.filter(F.col(id_col) == query_id), id_col, vec_col, dim, m
+    )
+    adc = F.broadcast(
+        qsubs.join(F.broadcast(codebooks), "subspace")
+        .withColumn("qdist", F.expr(_SUBDIST))
+        .select("subspace", "cluster_id", "qdist")
+    )
+    scored = (
+        codes.join(adc, ["subspace", "cluster_id"])
+        .groupBy("_id")
+        .agg(
+            F.round(dec_sum(F.col("qdist"), scale=12, precision=30), 9).alias(
+                "adc_dist"
+            )
+        )
+    )
+    short = scored.orderBy(F.col("adc_dist").asc(), F.col("_id").asc()).limit(
+        shortlist
+    )
+    qvec = valid.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    rer = (
+        short.join(corpus.select(F.col(id_col).alias("_id"), vec_col), "_id")
+        .crossJoin(F.broadcast(qvec))
+        .withColumn(
+            "cosine", _dot(vec_col, "_qv") / (_norm(vec_col) * _norm("_qv"))
+        )
+    )
+    # bounded: ranks the shortlist-row LIMIT result only
+    w = Window.partitionBy(bounded_partition_key("_id")).orderBy(
+        F.col("cosine").desc(), F.col("_id").asc()
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("_id").alias("vec_id"), "adc_dist", "cosine", "rk")
+    )

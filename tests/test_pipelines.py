@@ -609,3 +609,37 @@ def test_decode_features_exposes_pixel_means(spark):
     assert rows[1]["pixel_mean"] == 9.0
     assert list(rows[1]["channel_means"]) == [9.0, 9.0, 9.0]
     assert rows[2]["pixel_mean"] is None and rows[2]["channel_means"] is None
+
+
+def test_pq_recall_and_determinism(spark, sf_dir):
+    """v8 PQ-ADC contract (no SQL oracle possible — iterative training):
+    fully deterministic across runs, recall vs brute force bounded
+    below at partial shortlist, and EXACTLY the brute-force result
+    (same rows, same ranks) when the shortlist covers the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    brute = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", q, k=10
+        ).collect()
+    ]
+
+    def run(shortlist):
+        return similarity.pq_topk(
+            emb, "vec_id", "embedding", 0, 64,
+            m=4, k_clusters=16, iters=2, k=10, shortlist=shortlist,
+        ).collect()
+
+    part = run(50)
+    assert [r["rk"] for r in part] == list(range(1, 11))
+    recall = len({r["vec_id"] for r in part} & set(brute)) / 10
+    assert recall >= 0.5
+    # deterministic: identical rows on a re-run (no RNG anywhere)
+    assert run(50) == part
+    # full shortlist -> the exact brute-force ranking
+    full = run(500)
+    assert [r["vec_id"] for r in full] == brute
