@@ -31,8 +31,24 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _is_null_scalar(v) -> bool:
+    """None, pandas NA/NaT, and float NaN of any width — every scalar
+    shape a null can take after toPandas()/df() conversion (pandas
+    extension dtypes yield pd.NA, float32 columns yield np.float32
+    NaN; both must normalize like a plain None or strict parity
+    false-fails on correct results)."""
+    return (
+        v is None
+        or v is pd.NA
+        or v is pd.NaT
+        or (isinstance(v, (float, np.floating)) and math.isnan(v))
+    )
+
+
 def _normalize_cell(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
+    if _is_null_scalar(v):
         return "<null>"
     if isinstance(v, bool):
         return str(int(v))
@@ -42,8 +58,6 @@ def _normalize_cell(v) -> str:
         return f"{round(v, FLOAT_DECIMALS):.{FLOAT_DECIMALS}f}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -55,7 +69,9 @@ def _normalize_cell_strict(v) -> str:
     numeric kind and never rounds: an oracle that returns a float where
     Spark returns an int fails here, exactly as it fails under the
     driver."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_normalize_cell_strict(x) for x in v) + "]"
+    if _is_null_scalar(v):
         return "<null>"
     if isinstance(v, (bool, np.bool_)):
         return f"b:{int(v)}"
@@ -65,8 +81,6 @@ def _normalize_cell_strict(v) -> str:
         return f"i:{int(v)}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_normalize_cell_strict(x) for x in v) + "]"
     return str(v)
 
 

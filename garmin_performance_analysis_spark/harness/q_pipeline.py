@@ -518,12 +518,20 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_bmp = (F.col("doc_id") % 32 + 1).cast("int")
     w_ppm = (F.col("doc_id") % 16 + 1).cast("int")
     h_ppm = (F.col("doc_id") % 8 + 1).cast("int")
-    # 4-byte-aligned BMP row stride and full raster size; every raster
+    # 4-byte-aligned BMP row stride and full raster size; every PIXEL
     # byte is the constant doc_id % 256 so the pixel means are exact
-    # arithmetic the oracle predicts without seeing the payload
+    # arithmetic the oracle predicts without seeing the payload, while
+    # every PADDING byte is 0x00 — a decoder that reads the whole
+    # stride (padding included) therefore computes a DIFFERENT mean
+    # whenever doc_id % 256 != 0 and hash-mismatches (review r5: with
+    # padding == pixel byte the oracle was blind to stride bugs)
     stride = (F.floor((w_bmp * 3 + F.lit(3)) / 4) * 4).cast("int")
     raster_bytes = (stride * h_bmp).cast("int")
     bmp_byte_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
+    row_hex = F.concat(
+        F.repeat(bmp_byte_hex, (w_bmp * 3).cast("int")),
+        F.repeat(F.lit("00"), (stride - w_bmp * 3).cast("int")),
+    )
 
     def _le32_lit(n: int) -> str:
         # exact little-endian u32 hex for CONSTANT header fields —
@@ -559,7 +567,7 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_le32_lit(2835)),         # y pixels/m
         F.lit(_le32_lit(0)),            # palette colors
         F.lit(_le32_lit(0)),            # important colors
-        F.repeat(bmp_byte_hex, raster_bytes),  # FULL raster, constant byte
+        F.repeat(row_hex, h_bmp),  # FULL raster: constant pixels, NUL padding
     )
     # full raster of a single repeated letter: the parser requires the
     # raster present (anti-false-positive check), and a constant sample

@@ -125,7 +125,10 @@ def _ppm_header(payload: bytes):
     return None
 
 
-def decode_pixels(payload: bytes):
+_UNSET = object()
+
+
+def decode_pixels(payload: bytes, header=_UNSET):
     """REAL pixel-level decode for uncompressed rasters — pure struct
     math + numpy, no image library:
 
@@ -143,11 +146,20 @@ def decode_pixels(payload: bytes):
     divided once in double, so the result is deterministic and
     engine-reproducible — or None when the payload is not a
     decodable-without-codec image.
+
+    ``header``: pass ``parse_image_header``'s already-computed result
+    (including None) to skip re-parsing in batch paths like
+    ``decode_features``.
     """
     import numpy as np
 
-    ppm = _ppm_header(payload)
-    if ppm is not None:
+    hdr = parse_image_header(payload) if header is _UNSET else header
+    if hdr is None:
+        return None
+    if hdr[0] in ("ppm", "pgm"):
+        ppm = _ppm_header(payload)  # re-scan for maxval + raster offset
+        if ppm is None:
+            return None
         _fmt, w, h, channels, maxval, off = ppm
         n_px = w * h
         if maxval > 255:

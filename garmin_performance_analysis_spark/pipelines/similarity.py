@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..harness.registry import dec_avg
 from ..operators.windows import bounded_partition_key
 
 
@@ -133,7 +134,7 @@ def kmeans_assign(
                 "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
             )
             .groupBy("cluster_id", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(dec_avg(F.col("v").cast("double")).alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.expr(
@@ -468,7 +469,7 @@ def ivf_centroids(
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
     )
     means = exploded.groupBy("centroid_id", "dim").agg(
-        F.avg(F.col("v").cast("double")).alias("m")
+        dec_avg(F.col("v").cast("double")).alias("m")
     )
     return means.groupBy("centroid_id").agg(
         F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias(
@@ -671,6 +672,12 @@ def embedding_outliers(
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
     """(_id, subspace, sv) — each vector split into ``m`` contiguous
     ``dim/m``-wide double subvectors (posexplode: linear, no shuffle)."""
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m} subspaces: the trailing "
+            f"{dim % m} dimensions would be silently dropped from training/"
+            "encoding while the exact re-rank uses them"
+        )
     sub = dim // m
     slices = F.array(
         *[
@@ -751,7 +758,7 @@ def pq_train(
                 "subspace", "cluster_id", F.posexplode("sv").alias("p", "x")
             )
             .groupBy("subspace", "cluster_id", "p")
-            .agg(F.avg("x").alias("mx"))
+            .agg(dec_avg(F.col("x")).alias("mx"))
             .groupBy("subspace", "cluster_id")
             .agg(
                 F.expr(

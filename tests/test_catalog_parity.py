@@ -62,3 +62,24 @@ def test_every_query_returns_rows_at_sf001(spark):
         n = spec.fn(spark, SF_SMOKE).count()
         if n == 0 and name not in empty_ok:
             pytest.fail(f"{name} returned 0 rows at sf0.001")
+
+
+def test_null_shapes_normalize_identically():
+    """pandas extension NA, NaT, and float32 NaN must all read as the
+    same null as None/float64-NaN — in BOTH modes — or correct results
+    false-fail when one frame carries extension dtypes (review r5)."""
+    import numpy as np
+    import pandas as pd
+
+    a = pd.DataFrame({"x": pd.array([1, None], dtype="Int64")})
+    b = pd.DataFrame({"x": [1.0, float("nan")]})
+    assert compare_frames("tolerant", a, b, strict=False).ok
+    # strict still flags the int-vs-float kind on the NON-null row
+    res = compare_frames("strict", a, b, strict=True)
+    assert not res.ok and "<null>" not in res.detail
+    c = pd.DataFrame({"x": np.array([float("nan")], dtype="float32")})
+    d = pd.DataFrame({"x": [float("nan")]})
+    assert compare_frames("f32nan", c, d, strict=True).ok
+    e = pd.DataFrame({"t": [pd.NaT]})
+    f = pd.DataFrame({"t": [None]})
+    assert compare_frames("nat", e, f, strict=True).ok

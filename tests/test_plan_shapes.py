@@ -200,10 +200,12 @@ def test_no_global_windows_anywhere_in_catalog(spark):
     """Zero-tolerance gate for the 'move every row to one partition'
     window anti-pattern (the round-4 x7/v7 defect).  Every window in
     every catalog query's final plan must carry a partition clause —
-    bounded rank-the-top-k frames use an explicit constant key
-    (``Window.partitionBy(F.lit(0))``) so intent is visible in the
-    plan, and Spark's "No Partition Defined for Window operation"
-    warning stays out of the bench tail."""
+    bounded rank-the-top-k frames use the NON-FOLDABLE constant key
+    from ``operators.windows.bounded_partition_key`` (``pmod(hash(col),
+    1)``; a plain ``lit(0)`` or ``hash(col)*0`` is optimized away and
+    re-trips this gate) so intent is visible in the plan and Spark's
+    "No Partition Defined for Window operation" warning stays out of
+    the bench tail."""
     offenders = {}
     for name, spec in CATALOG.items():
         df = spec.fn(spark, SF_SMOKE)
