@@ -86,6 +86,7 @@ HEADLINE = [
     "x10_unigram_logprob",
     "x11_boilerplate_segments",
     "v8_pq_topk",
+    "v9_semantic_dedup",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -112,6 +113,7 @@ BATCH_JOBS = {
     "x10_unigram_logprob",
     "x11_boilerplate_segments",
     "v8_pq_topk",
+    "v9_semantic_dedup",
 }
 
 

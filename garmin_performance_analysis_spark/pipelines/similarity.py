@@ -669,6 +669,63 @@ def embedding_outliers(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tables: int = 4,
+    bits: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): group documents whose EMBEDDINGS are
+    near-duplicates and keep one representative per group — the
+    embedding-space sibling of MinHash dedup, which catches paraphrases
+    and template rewrites that share no n-grams.
+
+    Pipeline (every stage already scale-proven on its own):
+      1. candidate pairs from SRP-LSH bucket equi-joins
+         (``srp_lsh_pairs`` — never an all-pairs cross), verified by
+         exact cosine ≥ ``threshold``;
+      2. the pair graph connected into components with pointer-jumping
+         min-label propagation (``dedup.connected_components``,
+         O(log diameter) rounds);
+      3. canonical = minimum id per component; singleton docs are their
+         own canonical.
+
+    Deterministic end-to-end (md5-derived hyperplanes, integerized
+    projections, unique CC fixpoint), so a SQL oracle reproduces it
+    bit-for-bit.  Output: ``(vec_id, cluster_id, is_canonical,
+    n_members)`` for EVERY input vector — the keep/drop verdict plus
+    the cluster-size evidence a curation audit wants.
+
+    Scale shape: bucket join (near-linear) + CC on the PAIR graph only
+    (near-dup pairs are a tiny fraction of the corpus); the per-cluster
+    member count is ONE window partitioned by cluster_id — a keyed
+    shuffle, never a broadcast of the (cluster-cardinality ≈ N) size
+    table and never an unpartitioned window.
+    """
+    from .dedup import connected_components
+
+    pairs = srp_lsh_pairs(
+        df, id_col, vec_col, dim=dim, tables=tables, bits=bits, threshold=threshold
+    )
+    cc = connected_components(pairs, "id_a", "id_b")  # (doc_id, cluster_id)
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    labeled = ids.join(cc, "doc_id", "left").select(
+        F.col("doc_id").alias("vec_id"),
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, dim: int, m: int) -> DataFrame:
     """(_id, subspace, sv) — each vector split into ``m`` contiguous
     ``dim/m``-wide double subvectors (posexplode: linear, no shuffle)."""

@@ -643,3 +643,47 @@ def test_pq_recall_and_determinism(spark, sf_dir):
     # full shortlist -> the exact brute-force ranking
     full = run(500)
     assert [r["vec_id"] for r in full] == brute
+
+
+def test_semantic_dedup_clusters_planted_twins(spark):
+    """v9 semantic-dedup contract on a planted-twin corpus (same
+    deterministic construction as the SRP precision test): every input
+    vector gets exactly one verdict row; cluster_id is the minimum
+    member id (so exactly one canonical per cluster); n_members equals
+    the actual cluster size; every SRP-verified near-dup pair lands in
+    one cluster; and the planted twins are overwhelmingly merged while
+    unrelated base directions stay apart."""
+    import math
+
+    dim, n = 16, 30
+    rows = []
+    for k in range(n):
+        base = [math.sin(0.7 * k * (i + 1)) + 0.1 for i in range(dim)]
+        twin = [v + 0.05 * math.cos(1.3 * k * (i + 2)) for i, v in enumerate(base)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = similarity.semantic_dedup(
+        df, "vec_id", "embedding", dim=dim, tables=6, bits=3, threshold=0.9
+    ).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(2 * n))
+
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m["vec_id"] for m in members)
+        assert cid == ids[0], "cluster_id must be the min member id"
+        assert all(m["n_members"] == len(members) for m in members)
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["vec_id"] == cid
+
+    label = {r["vec_id"]: r["cluster_id"] for r in out}
+    edges = similarity.srp_lsh_pairs(
+        df, "vec_id", "embedding", dim=dim, tables=6, bits=3, threshold=0.9
+    ).collect()
+    for e in edges:
+        assert label[e["id_a"]] == label[e["id_b"]], "edge split across clusters"
+    twins_merged = sum(1 for k in range(n) if label[2 * k] == label[2 * k + 1])
+    assert twins_merged / n >= 0.8
