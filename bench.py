@@ -87,6 +87,7 @@ HEADLINE = [
     "x11_boilerplate_segments",
     "v8_pq_topk",
     "v9_semantic_dedup",
+    "c7_sequence_packing",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -114,6 +115,7 @@ BATCH_JOBS = {
     "x11_boilerplate_segments",
     "v8_pq_topk",
     "v9_semantic_dedup",
+    "c7_sequence_packing",
 }
 
 

@@ -643,3 +643,51 @@ def x11_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     '. ' segmentation stands in for newlines on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return text.boilerplate_segments(docs, "doc_id", "text", sep=r"\. ")
+
+
+@register(
+    "c7_sequence_packing",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM c
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (cum_tokens - 1) // 512
+                 ELSE (cum_tokens - n_tokens) // 512 END AS BIGINT) AS chunk_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (CASE WHEN n_tokens > 0 THEN (cum_tokens - 1) // 512
+                            ELSE (cum_tokens - n_tokens) // 512 END)
+                      - (cum_tokens - n_tokens) // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks,
+       (CASE WHEN n_tokens > 0
+             THEN (CASE WHEN n_tokens > 0 THEN (cum_tokens - 1) // 512
+                        ELSE (cum_tokens - n_tokens) // 512 END)
+                  - (cum_tokens - n_tokens) // 512 + 1
+             ELSE 0 END) > 1 AS crosses_boundary
+FROM cum
+ORDER BY doc_id
+""",
+    tags=("prep", "text"),
+)
+def c7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing over the corpus token stream
+    (context 512): per-doc global offset, chunk span, and
+    boundary-split flag.  The Spark side computes the running count
+    with the distributed prefix sum (range repartition + tiny offset
+    join); the oracle's single-task OVER(ORDER BY) is fine at oracle
+    scale and proves the prefix-sum decomposition exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.sequence_packing(docs, "doc_id", "text", context_len=512).orderBy(
+        "doc_id"
+    )

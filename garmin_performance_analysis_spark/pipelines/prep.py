@@ -254,3 +254,56 @@ def curation_record(
         "sampled",
         "keep",
     )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    context_len: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: the corpus is concatenated
+    into ONE token stream in ``id_col`` order and cut into fixed
+    ``context_len`` windows — the standard pre-training packing policy
+    (every token trains exactly once; document boundaries fall where
+    they fall).  Per document this reports where its tokens land:
+
+      - ``n_tokens``        proxy token count (``x4``'s regex tokens)
+      - ``start_offset``    global stream offset of the first token
+      - ``chunk_first`` / ``chunk_last``  training-chunk ids spanned
+      - ``n_chunks``        chunks this doc touches (0 for empty docs)
+      - ``crosses_boundary``  true when the doc is split across chunks
+
+    The chunk math is pure integer arithmetic on a global running token
+    count, computed with ``global_prefix_sum`` (range repartition +
+    tiny per-partition offset join) — NEVER a single-task unpartitioned
+    window, which is what a naive ``SUM() OVER (ORDER BY id)`` plans
+    as.  At 100 TB this is one scan + one range shuffle; the packing
+    decision for any document depends only on the prefix sum, so the
+    operator is deterministic and fully SQL-expressible for the oracle.
+    """
+    from .text import token_counts
+
+    counts = token_counts(docs, id_col, text_col).select(
+        "doc_id", F.col("regex_tokens").cast("long").alias("n_tokens")
+    )
+    cum = global_prefix_sum(counts, "doc_id", "n_tokens", "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("n_tokens")).cast("long")
+    first = F.floor(start / context_len).cast("long")
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("cum_tokens") - 1) / context_len),
+    ).otherwise(first).cast("long")
+    n_chunks = F.when(F.col("n_tokens") > 0, last - first + 1).otherwise(
+        F.lit(0)
+    ).cast("long")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("chunk_first"),
+        last.alias("chunk_last"),
+        n_chunks.alias("n_chunks"),
+        (n_chunks > 1).alias("crosses_boundary"),
+    )

@@ -687,3 +687,48 @@ def test_semantic_dedup_clusters_planted_twins(spark):
         assert label[e["id_a"]] == label[e["id_b"]], "edge split across clusters"
     twins_merged = sum(1 for k in range(n) if label[2 * k] == label[2 * k + 1])
     assert twins_merged / n >= 0.8
+
+
+def test_sequence_packing_matches_python_mirror(spark):
+    """c7 packing contract vs a transparent Python mirror on a corpus
+    with empty docs, single-token docs, and a doc longer than one
+    context window — and invariance to the input's partitioning (the
+    prefix sum must not depend on where range boundaries fall)."""
+    from garmin_performance_analysis_spark.pipelines import prep
+
+    texts = {
+        0: "alpha beta gamma",
+        1: "",                      # zero tokens
+        2: "x",                     # single token
+        3: " ".join(f"w{i}" for i in range(23)),   # spans chunks at L=8
+        4: "!!! ???",               # punctuation only -> zero regex tokens
+        5: " ".join(f"t{i}" for i in range(9)),
+    }
+    rows = [(k, v) for k, v in sorted(texts.items())]
+    import re
+
+    L = 8
+    stream, mirror = 0, {}
+    for k, v in rows:
+        n = len(re.findall(r"[a-z]+|[0-9]+", v.lower()))
+        start = stream
+        stream += n
+        if n > 0:
+            first, last = start // L, (stream - 1) // L
+            mirror[k] = (n, start, first, last, last - first + 1, last > first)
+        else:
+            f = start // L
+            mirror[k] = (0, start, f, f, 0, False)
+
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(parts)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["start_offset"], r["chunk_first"],
+                r["chunk_last"], r["n_chunks"], r["crosses_boundary"],
+            )
+            for r in prep.sequence_packing(
+                df, "doc_id", "text", context_len=L
+            ).collect()
+        }
+        assert got == mirror, f"mismatch at {parts} partitions"
