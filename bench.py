@@ -88,6 +88,8 @@ HEADLINE = [
     "v8_pq_topk",
     "v9_semantic_dedup",
     "c7_sequence_packing",
+    "x12_bpe_merges",
+    "x13_bpe_token_counts",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -116,6 +118,8 @@ BATCH_JOBS = {
     "v8_pq_topk",
     "v9_semantic_dedup",
     "c7_sequence_packing",
+    "x12_bpe_merges",
+    "x13_bpe_token_counts",
 }
 
 

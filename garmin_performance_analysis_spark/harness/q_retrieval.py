@@ -691,3 +691,58 @@ def c7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.sequence_packing(docs, "doc_id", "text", context_len=512).orderBy(
         "doc_id"
     )
+
+
+def _x13_oracle() -> str:
+    """DuckDB mirror of ``bpe_tokens_expr`` built from the SAME
+    EN_MERGES constant, so the two tokenizers cannot drift."""
+    from ..pipelines.bpe import EN_MERGES
+
+    r = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    for lhs, rhs in EN_MERGES:
+        r = f"replace({r}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens,
+       CAST(COALESCE(list_sum(list_transform(
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+         w -> length({r}) - length(replace({r}, '||', '|')) + 1
+       )), 0) AS BIGINT) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("x12_bpe_merges", oracle=None, tags=("text", "rows-only"))
+def x12_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training: 20 merges learned from the
+    corpus (one scan -> top-2000 word-frequency table; per-merge
+    iterations touch only the compact vocab).  Iterative with a
+    data-dependent argmax each round -> no single-statement SQL
+    oracle; the correctness contract is ``tests/test_bpe.py``'s exact
+    match against a transparent Python mirror, plus determinism across
+    partitionings."""
+    from ..pipelines import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, "text", n_merges=20, top_v=2000)
+
+
+@register("x13_bpe_token_counts", oracle=_x13_oracle(), tags=("text", "prep"))
+def x13_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under a FROZEN BPE tokenizer
+    (``bpe.EN_MERGES``): per doc the regex proxy count and the real
+    post-merge BPE token count, computed entirely JVM-side (encoded
+    symbol string + one replace per merge — zero UDF, zero shuffle).
+    The 100 TB shape of 'how many tokens will this corpus cost under
+    tokenizer X' — a pure in-row projection."""
+    from ..pipelines import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+        .cast("long")
+        .alias("regex_tokens"),
+        bpe.bpe_tokens_expr("text", bpe.EN_MERGES).alias("bpe_tokens"),
+    ).orderBy("doc_id")
