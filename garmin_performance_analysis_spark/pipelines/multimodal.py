@@ -3,10 +3,12 @@
 The Spark-side plumbing is real — schema, partition-friendly batch
 iteration, Arrow-batched ``mapInPandas`` — and so is the decode for
 every format that needs no codec library: ``parse_image_header`` reads
-BMP/PPM/PGM dimensions and ``decode_pixels`` reads the actual raster
-(stride-aware uncompressed BMP at 8/24/32 bpp, 1- and 2-byte netpbm
-samples) with pure ``struct``/numpy arithmetic.  Only entropy-coded
-formats (JPEG/PNG compressed data, audio, video) remain stubbed:
+BMP/PPM/PGM/PNG dimensions and ``decode_pixels`` reads the actual
+raster (stride-aware uncompressed BMP at 8/24/32 bpp, 1- and 2-byte
+netpbm samples, and full PNG via stdlib zlib — chunk walk, CRC check,
+filter reconstruction, PLTE palette lookup) with pure ``struct``/numpy
+arithmetic.  Only genuinely codec-bound formats (JPEG entropy coding,
+Adam7-interlaced or sub-byte-packed PNG, audio, video) remain stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
 cluster, shipped to executors via ``spark.archives``).
@@ -28,7 +30,8 @@ FEATURE_SCHEMA = (
 
 
 def parse_image_header(payload: bytes):
-    """Real (no-dependency) image header decode: BMP and binary PPM/PGM.
+    """Real (no-dependency) image header decode: BMP, binary PPM/PGM,
+    and PNG (IHDR).
 
     Returns ``(fmt, width, height, channels)`` or ``None`` for payloads
     that are not a recognized image — the honest fallback path for
@@ -61,12 +64,168 @@ def parse_image_header(payload: bytes):
             and 0 < abs(height) <= 1_000_000
         ):
             return ("bmp", width, abs(height), max(1, bpp // 8))
+    # --- PNG (IHDR) --------------------------------------------------
+    if len(payload) >= 33 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        ihdr_len = int.from_bytes(payload[8:12], "big")
+        if ihdr_len == 13 and payload[12:16] == b"IHDR":
+            width = int.from_bytes(payload[16:20], "big")
+            height = int.from_bytes(payload[20:24], "big")
+            color_type = payload[25]
+            channels = _PNG_CHANNELS.get(color_type)
+            if (
+                channels is not None
+                and 0 < width <= 1_000_000
+                and 0 < height <= 1_000_000
+            ):
+                return ("png", width, height, channels)
     # --- binary PPM (P6) / PGM (P5) --------------------------------
     ppm = _ppm_header(payload)
     if ppm is not None:
         fmt, width, height, channels, _maxval, _raster_off = ppm
         return (fmt, width, height, channels)
     return None
+
+
+# PNG color type → channels of the DECODED image (palette expands to
+# RGB via PLTE) and as STORED (palette entries are 1-byte indices; the
+# storage map drives the scanline stride in the pixel decoder)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+_PNG_STORAGE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, fbpp: int):
+    """Reconstruct PNG scanlines (filters 0-4 per the PNG spec §4.5.4:
+    None/Sub/Up/Average/Paeth).  ``raw`` is the inflated datastream
+    (h rows of 1 filter byte + ``stride`` data bytes); ``fbpp`` is the
+    filter-unit byte width (channels × bytes-per-sample).  Up/None rows
+    are vectorized; Sub/Average/Paeth carry an intra-row left
+    dependency and run per byte — exact over test-scale rasters, and
+    the documented plug-point for a SIMD codec on a production cluster.
+    Returns an (h, stride) uint8 array or None on a bad filter id."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f == 1:
+            rec = line.copy()
+            for i in range(fbpp, stride):
+                rec[i] = (rec[i] + rec[i - fbpp]) % 256
+        elif f == 3:
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - fbpp] if i >= fbpp else 0
+                rec[i] = (rec[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - fbpp] if i >= fbpp else 0
+                b = prev[i]
+                c = prev[i - fbpp] if i >= fbpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pr) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _png_pixels(payload: bytes):
+    """REAL PNG pixel decode with the stdlib only: chunk walk →
+    zlib-inflate the IDAT stream → per-row filter reconstruction →
+    (for palette images) PLTE lookup.  Supports non-interlaced images
+    at bit depth 8 (all color types) and 16 (non-palette); interlaced
+    (Adam7) or sub-byte-packed images return None — the remaining
+    honest boundary, alongside entropy-coded JPEG.  Means are exact
+    integer sums divided once in double, matching the BMP/netpbm
+    paths.  CRCs are verified (zlib.crc32) so corrupt payloads fall
+    back to opaque-media instead of decoding garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, plte = 8, [], None
+    w = h = bitd = color = interlace = None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        crc = payload[pos + 8 + clen : pos + 12 + clen]
+        if len(data) < clen or len(crc) < 4:
+            return None
+        if zlib.crc32(ctype + data) != struct.unpack(">I", crc)[0]:
+            return None
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            w, h, bitd, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int64)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    channels = _PNG_STORAGE_CHANNELS.get(color)
+    if (
+        w is None
+        or channels is None
+        or not idat
+        or interlace != 0
+        or bitd not in (8, 16)
+        or (color == 3 and bitd != 8)
+    ):
+        return None
+    sample_bytes = bitd // 8
+    fbpp = channels * sample_bytes
+    stride = w * fbpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    rows = _png_unfilter(raw, h, stride, fbpp)
+    if rows is None:
+        return None
+    n_px = w * h
+    if color == 3:  # palette: indices → RGB triples
+        if plte is None:
+            return None
+        idx = rows.reshape(-1).astype(np.int64)
+        if idx.max() >= len(plte):
+            return None
+        samples = plte[idx]  # (n_px, 3) int64
+    elif bitd == 16:
+        samples = (
+            rows.reshape(-1)
+            .view(np.uint8)
+            .reshape(n_px * channels, 2)
+            .astype(np.int64)
+        )
+        samples = (samples[:, 0] * 256 + samples[:, 1]).reshape(n_px, channels)
+    else:
+        samples = rows.reshape(n_px, channels).astype(np.int64)
+    ch_sums = samples.sum(axis=0)
+    n_ch = samples.shape[1]
+    means = [float(s) / n_px for s in ch_sums]
+    return (float(ch_sums.sum()) / (n_px * n_ch), means)
 
 
 def _ppm_header(payload: bytes):
@@ -141,6 +300,9 @@ def decode_pixels(payload: bytes, header=_UNSET):
       territory, as are JPEG/PNG entropy codecs.
     - binary PPM/PGM: 1-byte samples for maxval ≤ 255, big-endian
       2-byte samples above (netpbm spec); channel order RGB.
+    - PNG: non-interlaced, bit depth 8 (all color types, palette via
+      PLTE) or 16 (non-palette), all five scanline filters, CRCs
+      verified — see ``_png_pixels``.
 
     Returns ``(pixel_mean, [channel_means...])`` — exact integer sums
     divided once in double, so the result is deterministic and
@@ -174,8 +336,9 @@ def decode_pixels(payload: bytes, header=_UNSET):
         ch_sums = samples.sum(axis=0)  # exact: int64 sums of ≤65535 values
         means = [float(s) / n_px for s in ch_sums]
         return (float(ch_sums.sum()) / (n_px * channels), means)
-    hdr = parse_image_header(payload)
-    if hdr is None or hdr[0] != "bmp":
+    if hdr[0] == "png":
+        return _png_pixels(payload)
+    if hdr[0] != "bmp":
         return None
     w, h = hdr[1], hdr[2]
     bpp = int.from_bytes(payload[28:30], "little")
@@ -235,7 +398,9 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             # normalize NULL payloads once; every stat below shares it
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
             headers = [parse_image_header(p) for p in payloads]
-            pixels = [decode_pixels(p) for p in payloads]
+            pixels = [
+                decode_pixels(p, header=h) for p, h in zip(payloads, headers)
+            ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

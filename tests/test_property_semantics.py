@@ -444,3 +444,135 @@ def test_ppm_header_roundtrip(w, h, maxval, mode, ws, comment):
     assert parse_image_header(header + raster) == (fmt, w, h, channels)
     # one raster byte short -> reject (the anti-prose check)
     assert parse_image_header(header + raster[:-1]) is None
+
+
+# ---------------------------------------------------------------------------
+# PNG decode roundtrip: build arbitrary valid PNGs with the stdlib
+# (zlib + struct + CRC), decode with _png_pixels, compare against the
+# numpy ground truth of the raw image — across color types, bit
+# depths, and every scanline filter.
+
+import zlib
+
+import numpy as np
+
+from garmin_performance_analysis_spark.pipelines.multimodal import decode_pixels
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _build_png(img: np.ndarray, color_type: int, filters, plte=None) -> bytes:
+    """img: (h, w, channels_stored) uint8/uint16; filters: per-row
+    filter ids.  Applies the PNG filter transform EXACTLY per spec so
+    the decoder must invert it correctly."""
+    h, w, ch = img.shape
+    bitd = 16 if img.dtype == np.uint16 else 8
+    sb = bitd // 8
+    fbpp = ch * sb
+    if bitd == 16:
+        rows = (
+            np.stack([(img >> 8) & 0xFF, img & 0xFF], axis=-1)
+            .astype(np.uint8)
+            .reshape(h, w * fbpp)
+        )
+    else:
+        rows = img.reshape(h, w * fbpp).astype(np.uint8)
+    out = bytearray()
+    prev = np.zeros(w * fbpp, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        f = filters[y % len(filters)]
+        enc = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - fbpp] if i >= fbpp else 0
+            b = prev[i]
+            c = prev[i - fbpp] if i >= fbpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (cur[i] - pred) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(out))
+    # split IDAT in two to exercise multi-chunk reassembly
+    png += _chunk(b"IDAT", comp[: len(comp) // 2])
+    png += _chunk(b"IDAT", comp[len(comp) // 2 :])
+    png += _chunk(b"IEND", b"")
+    return png
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    bitd=st.sampled_from([8, 16]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_pixel_roundtrip(w, h, color_type, bitd, seed):
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.RandomState(seed)
+    if bitd == 16:
+        img = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+    else:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = [rng.randint(0, 5) for _ in range(h)]
+    payload = _build_png(img, color_type, filters)
+    assert parse_image_header(payload) == ("png", w, h, ch)
+    got = decode_pixels(payload)
+    assert got is not None
+    pixel_mean, ch_means = got
+    flat = img.reshape(-1, ch).astype(np.int64)
+    want_ch = [float(s) / (w * h) for s in flat.sum(axis=0)]
+    assert ch_means == want_ch
+    assert pixel_mean == float(flat.sum()) / (w * h * ch)
+    # corrupt one IDAT byte -> CRC check must reject, not decode noise
+    bad = bytearray(payload)
+    idat_at = payload.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    assert decode_pixels(bytes(bad)) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    n_colors=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_palette_roundtrip(w, h, n_colors, seed):
+    rng = np.random.RandomState(seed)
+    plte = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
+    filters = [rng.randint(0, 5) for _ in range(h)]
+    payload = _build_png(idx, 3, filters, plte=plte)
+    # header reports the DECODED channel count for palette images
+    assert parse_image_header(payload) == ("png", w, h, 3)
+    got = decode_pixels(payload)
+    assert got is not None
+    pixel_mean, ch_means = got
+    rgb = plte.astype(np.int64)[idx.reshape(-1)]
+    want_ch = [float(s) / (w * h) for s in rgb.sum(axis=0)]
+    assert ch_means == want_ch
+    assert pixel_mean == float(rgb.sum()) / (w * h * 3)
