@@ -90,6 +90,11 @@ HEADLINE = [
     "c7_sequence_packing",
     "x12_bpe_merges",
     "x13_bpe_token_counts",
+    # r5 multimodal decode family: Arrow map passes over constructed
+    # payloads (decode throughput; no shuffle, so wall ≈ scan + decode)
+    "mm3_image_decode",
+    "mm4_audio_decode",
+    "mm5_frame_sample",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -120,6 +125,9 @@ BATCH_JOBS = {
     "c7_sequence_packing",
     "x12_bpe_merges",
     "x13_bpe_token_counts",
+    "mm3_image_decode",
+    "mm4_audio_decode",
+    "mm5_frame_sample",
 }
 
 

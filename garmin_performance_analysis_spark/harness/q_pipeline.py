@@ -604,6 +604,191 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm4_audio_decode",
+    oracle="""
+WITH params AS (
+  SELECT doc_id, text, doc_id % 3 AS cls,
+         8000 + (doc_id % 8) * 1000 AS rate16,
+         doc_id % 32 + 1 AS nf16,
+         (doc_id % 1001) - 500 AS s16,
+         4000 + (doc_id % 4) * 2000 AS rate8,
+         doc_id % 16 + 1 AS nf8,
+         doc_id % 256 - 128 AS amp0,
+         (doc_id * 7 + 13) % 256 - 128 AS amp1
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cls IN (0, 1) THEN 'wav' END AS fmt,
+       CASE WHEN cls = 0 THEN 1 WHEN cls = 1 THEN 2 END AS n_channels,
+       CASE WHEN cls = 0 THEN CAST(rate16 AS INTEGER)
+            WHEN cls = 1 THEN CAST(rate8 AS INTEGER) END AS sample_rate,
+       CASE WHEN cls = 0 THEN 16 WHEN cls = 1 THEN 8 END AS bits_per_sample,
+       CASE WHEN cls = 0 THEN CAST(nf16 AS BIGINT)
+            WHEN cls = 1 THEN CAST(nf8 AS BIGINT) END AS n_frames,
+       CASE WHEN cls = 0 THEN ROUND(CAST(nf16 AS DOUBLE) / rate16, 6)
+            WHEN cls = 1 THEN ROUND(CAST(nf8 AS DOUBLE) / rate8, 6) END AS duration_s,
+       CASE WHEN cls = 0 THEN CAST(s16 AS DOUBLE)
+            WHEN cls = 1 THEN ROUND((amp0 + amp1) / 2.0, 6) END AS amp_mean,
+       CASE WHEN cls = 0 THEN CAST(ABS(s16) AS DOUBLE)
+            WHEN cls = 1
+              THEN ROUND(SQRT((amp0 * amp0 + amp1 * amp1) / 2.0), 6)
+       END AS amp_rms,
+       CASE WHEN cls = 0 THEN [CAST(s16 AS DOUBLE)]
+            WHEN cls = 1 THEN [CAST(amp0 AS DOUBLE), CAST(amp1 AS DOUBLE)]
+       END AS channel_means,
+       CASE WHEN cls = 0 THEN CAST(44 + nf16 * 2 AS INTEGER)
+            WHEN cls = 1 THEN CAST(44 + nf8 * 2 AS INTEGER)
+            ELSE CAST(octet_length(CAST(text AS BLOB)) AS INTEGER)
+       END AS n_bytes
+FROM params
+""",
+    tags=("multimodal",),
+)
+def mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode through the multimodal mapInPandas
+    path: construct valid RIFF/WAVE PCM payloads JVM-side — hex-
+    assembled 44-byte canonical header + constant-sample PCM data —
+    16-bit mono for doc_id%3=0, 8-bit stereo for doc_id%3=1 (distinct
+    per-channel constants so interleaving errors desync the channel
+    means), opaque text otherwise; then decode with
+    ``parse_audio_header`` (RIFF chunk walk) and
+    ``decode_audio_samples`` (signed-amplitude normalization, per-
+    channel means, RMS).  The oracle predicts every output — dims,
+    duration, amplitude stats — ARITHMETICALLY from doc_id without
+    seeing the payload, so a parser that misreads any header field,
+    mis-normalizes 8-bit unsigned samples, or de-interleaves channels
+    wrongly hash-mismatches.  Scale shape: narrow projection + one
+    Arrow-batched pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _le_hex(col, width_bytes: int, max_value: int):
+        # little-endian fixed-width hex for a non-negative int column;
+        # bytes beyond max_value's reach are constant-folded to "00"
+        parts = []
+        for i in range(width_bytes):
+            if max_value >> (8 * i):
+                parts.append(
+                    F.lpad(
+                        F.hex(F.pmod(F.floor(col / (256 ** i)).cast("long"), F.lit(256))),
+                        2,
+                        "0",
+                    )
+                )
+            else:
+                parts.append(F.lit("00"))
+        return F.concat(*parts)
+
+    def _wav_hex(n_channels, rate_col, bits: int, nf_col, frame_hex):
+        # canonical 44-byte PCM WAV header + repeated constant frames;
+        # block align = n_channels * bits/8 (2 for both classes here)
+        block = n_channels * (bits // 8)
+        data_size = nf_col * block
+        return F.concat(
+            F.lit("52494646"),                    # 'RIFF'
+            _le_hex(data_size + F.lit(36), 4, 65535),
+            F.lit("57415645"),                    # 'WAVE'
+            F.lit("666D7420"),                    # 'fmt '
+            F.lit("10000000"),                    # fmt chunk size 16
+            F.lit("0100"),                        # PCM
+            F.lit((n_channels).to_bytes(2, "little").hex().upper()),
+            _le_hex(rate_col, 4, 65535),
+            _le_hex(rate_col * block, 4, 65535),  # byte rate
+            F.lit(block.to_bytes(2, "little").hex().upper()),
+            F.lit(bits.to_bytes(2, "little").hex().upper()),
+            F.lit("64617461"),                    # 'data'
+            _le_hex(data_size, 4, 65535),
+            F.repeat(frame_hex, nf_col.cast("int")),
+        )
+
+    did = F.col("doc_id")
+    rate16 = (F.lit(8000) + (did % 8) * 1000).cast("long")
+    nf16 = (did % 32 + 1).cast("long")
+    s16 = (did % 1001) - 500
+    u16 = F.pmod(s16, F.lit(65536))
+    frame16 = F.concat(
+        F.lpad(F.hex(F.pmod(u16, F.lit(256))), 2, "0"),
+        F.lpad(F.hex(F.floor(u16 / 256).cast("long")), 2, "0"),
+    )
+    rate8 = (F.lit(4000) + (did % 4) * 2000).cast("long")
+    nf8 = (did % 16 + 1).cast("long")
+    frame8 = F.concat(
+        F.lpad(F.hex(did % 256), 2, "0"),
+        F.lpad(F.hex((did * 7 + 13) % 256), 2, "0"),
+    )
+    payload = (
+        F.when(did % 3 == 0, F.unhex(_wav_hex(1, rate16, 16, nf16, frame16)))
+        .when(did % 3 == 1, F.unhex(_wav_hex(2, rate8, 8, nf8, frame8)))
+        .otherwise(F.col("text").cast("binary"))
+    )
+    binary_df = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+    out = multimodal.decode_audio_features(binary_df)
+    return out.select(
+        "doc_id",
+        "fmt",
+        "n_channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_frames",
+        _r6(F.col("duration_s")).alias("duration_s"),
+        _r6(F.col("amp_mean")).alias("amp_mean"),
+        _r6(F.col("amp_rms")).alias("amp_rms"),
+        F.transform(F.col("channel_means"), lambda x: F.round(x, 6)).alias(
+            "channel_means"
+        ),
+        "n_bytes",
+    )
+
+
+@register(
+    "mm5_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 4, 2)) AS i FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 32 AS BIGINT) AS frame_offset,
+       CAST(32 AS INTEGER) AS frame_n_bytes,
+       sha256(repeat(chr(CAST(32 + (doc_id * 5 + i * 11) % 95 AS INTEGER)), 32))
+         AS frame_sha
+FROM f
+""",
+    tags=("multimodal",),
+)
+def mm5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: construct a fixed-
+    layout "video" payload JVM-side (six 32-byte frames, frame i filled
+    with printable constant ``32 + (doc_id*5 + i*11) % 95``, plus a
+    16-byte partial tail that a correct demuxer must DISCARD), then
+    demux with ``sample_frames`` keeping every 2nd frame.  The oracle
+    predicts the kept frame indices/offsets arithmetically and pins
+    each frame's CONTENT by sha256 of the predicted constant run — an
+    off-by-one frame boundary, a mis-stride, an emitted partial tail,
+    or wrong every-kth arithmetic all hash-mismatch.  Scale shape: the
+    1→N Arrow fan-out of a real demuxer, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    frame_hexes = [
+        F.repeat(F.lpad(F.hex((did * 5 + i * 11) % 95 + 32), 2, "0"), 32)
+        for i in range(6)
+    ]
+    payload = F.unhex(F.concat(*frame_hexes, F.repeat(F.lit("7E"), 16)))
+    binary_df = docs.select("doc_id", payload.alias("payload"))
+    frames = multimodal.sample_frames(binary_df, frame_bytes=32, every_kth=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.octet_length("frame_payload").alias("frame_n_bytes"),
+        F.sha2("frame_payload", 256).alias("frame_sha"),
+    )
+
+
+@register(
     "d2b_jaccard_capped_shingles",
     oracle=f"""
 WITH {_SHINGLES_CTE},

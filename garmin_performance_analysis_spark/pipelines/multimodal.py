@@ -7,8 +7,11 @@ BMP/PPM/PGM/PNG dimensions and ``decode_pixels`` reads the actual
 raster (stride-aware uncompressed BMP at 8/24/32 bpp, 1- and 2-byte
 netpbm samples, and full PNG via stdlib zlib — chunk walk, CRC check,
 filter reconstruction, PLTE palette lookup) with pure ``struct``/numpy
-arithmetic.  Only genuinely codec-bound formats (JPEG entropy coding,
-Adam7-interlaced or sub-byte-packed PNG, audio, video) remain stubbed:
+arithmetic.  ``parse_audio_header`` / ``decode_audio_samples`` do the
+same for RIFF/WAVE PCM audio (chunk walk + 8/16/24/32-bit sample
+decode, stdlib ``struct``/numpy only).  Only genuinely codec-bound
+formats (JPEG entropy coding, Adam7-interlaced or sub-byte-packed PNG,
+compressed audio, video containers) remain stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
 cluster, shipped to executors via ``spark.archives``).
@@ -517,3 +520,153 @@ def sample_frames(
             )
 
     return binary_df.mapInPandas(demux, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_bytes int, fmt string, n_channels int, "
+    "sample_rate int, bits_per_sample int, n_frames bigint, "
+    "duration_s double, amp_mean double, amp_rms double, "
+    "channel_means array<double>"
+)
+
+
+def parse_audio_header(payload: bytes):
+    """Real (no-dependency) RIFF/WAVE PCM header decode.
+
+    Walks the RIFF chunk list (word-aligned, per the RIFF spec) to the
+    ``fmt `` and ``data`` chunks and returns
+    ``(n_channels, sample_rate, bits_per_sample, data_off, data_size)``
+    or ``None`` for payloads that are not an uncompressed PCM WAV — the
+    honest fallback for opaque media (compressed codecs belong to the
+    ``decode_image_stub`` integration point).
+
+    Text-corpus safety mirrors ``parse_image_header``'s BMP argument: a
+    match requires the ``fmt `` chunk to declare audio format 1 as
+    little-endian ``0x01 0x00`` — the NUL byte never occurs in text, so
+    a document corpus cannot false-positive.
+    """
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt_info = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and csize >= 16:
+            body = payload[pos + 8 : pos + 8 + csize]
+            if len(body) < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (
+                audio_format != 1
+                or bits not in (8, 16, 24, 32)
+                or n_channels == 0
+                or sample_rate == 0
+                or block_align != n_channels * (bits // 8)
+            ):
+                return None
+            fmt_info = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            if fmt_info is None:
+                return None
+            data_off = pos + 8
+            return fmt_info + (data_off, min(csize, len(payload) - data_off))
+        # RIFF chunks are 2-byte aligned: odd sizes carry a pad byte
+        pos += 8 + csize + (csize & 1)
+    return None
+
+
+def decode_audio_samples(payload: bytes, header=_UNSET):
+    """Real PCM sample decode: per-channel means, overall mean and RMS.
+
+    8-bit WAV is unsigned (silence = 128) while 16/24/32-bit are signed
+    two's complement — both are normalized to signed amplitude so the
+    statistics are comparable across bit depths.  24-bit frames have no
+    native numpy dtype; they are widened via a zero low byte + arithmetic
+    shift (``>> 8`` after ``<i4`` view), pure vectorized math.  A
+    trailing partial frame (data size not a multiple of the block align)
+    is discarded, matching every mainstream decoder.
+
+    Returns ``(n_frames, duration_s, amp_mean, amp_rms, channel_means)``
+    or ``None`` when the payload is not PCM WAV.
+    """
+    import numpy as np
+
+    if header is _UNSET:
+        header = parse_audio_header(payload)
+    if header is None:
+        return None
+    n_channels, sample_rate, bits, data_off, data_size = header
+    block = n_channels * (bits // 8)
+    n_frames = data_size // block
+    duration = n_frames / sample_rate
+    if n_frames == 0:
+        return (0, 0.0, None, None, None)
+    raw = payload[data_off : data_off + n_frames * block]
+    if bits == 8:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:  # 24-bit: widen to i4 with a zero low byte, arithmetic shift
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        wide = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        wide[:, 1:] = b
+        x = (wide.view("<i4").ravel() >> 8).astype(np.float64)
+    frames = x.reshape(n_frames, n_channels)
+    channel_means = [float(m) for m in frames.mean(axis=0)]
+    return (
+        n_frames,
+        duration,
+        float(x.mean()),
+        float(np.sqrt((x * x).mean())),
+        channel_means,
+    )
+
+
+def decode_audio_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over binary payloads:
+    REAL RIFF/WAVE PCM decode (``parse_audio_header`` +
+    ``decode_audio_samples``) through the same ``mapInPandas`` shape as
+    ``decode_features``.  Non-WAV rows take the honest opaque fallback
+    (NULL audio columns).  Scale shape: narrow projection, one Arrow
+    pass, no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            headers = [parse_audio_header(p) for p in payloads]
+            stats = [
+                decode_audio_samples(p, header=h) if h else None
+                for p, h in zip(payloads, headers)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "fmt": ["wav" if h else None for h in headers],
+                    "n_channels": pd.array(
+                        [h[0] if h else None for h in headers], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [h[1] if h else None for h in headers], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [h[2] if h else None for h in headers], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [s[0] if s else None for s in stats], dtype="Int64"
+                    ),
+                    "duration_s": [s[1] if s else None for s in stats],
+                    "amp_mean": [s[2] if s else None for s in stats],
+                    "amp_rms": [s[3] if s else None for s in stats],
+                    "channel_means": [s[4] if s else None for s in stats],
+                }
+            )
+
+    return binary_df.mapInPandas(extract, schema=AUDIO_SCHEMA)

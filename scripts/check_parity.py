@@ -32,9 +32,11 @@ def main() -> int:
     spark = get_spark("parity-check")
     con = duckdb_connection(sf_dir)
     failures = 0
+    n_run = 0
     for name, spec in CATALOG.items():
         if name_filter and name_filter not in name:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_pdf = spec.fn(spark, sf_dir).toPandas()
@@ -59,7 +61,7 @@ def main() -> int:
         )
         if not res.ok:
             failures += 1
-    print(f"\n{len(CATALOG)} queries, {failures} failures")
+    print(f"\n{n_run} of {len(CATALOG)} queries run, {failures} failures")
     return 1 if failures else 0
 
 

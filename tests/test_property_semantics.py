@@ -576,3 +576,84 @@ def test_png_palette_roundtrip(w, h, n_colors, seed):
     want_ch = [float(s) / (w * h) for s in rgb.sum(axis=0)]
     assert ch_means == want_ch
     assert pixel_mean == float(rgb.sum()) / (w * h * 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV audio decode: build payloads with the STDLIB `wave` writer (an
+# independent RIFF implementation), decode with parse_audio_header +
+# decode_audio_samples, compare against a direct numpy reference.
+
+import io
+import wave
+
+from garmin_performance_analysis_spark.pipelines.multimodal import (
+    decode_audio_samples,
+    parse_audio_header,
+)
+
+
+@given(
+    n_channels=st.integers(min_value=1, max_value=4),
+    sampwidth=st.sampled_from([1, 2, 3, 4]),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+    n_frames=st.integers(min_value=0, max_value=64),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_matches_stdlib_writer(n_channels, sampwidth, rate, n_frames, seed):
+    rng = np.random.RandomState(seed)
+    bits = sampwidth * 8
+    lo, hi = (0, 256) if sampwidth == 1 else (-(2 ** (bits - 1)), 2 ** (bits - 1))
+    samples = rng.randint(lo, hi, size=n_frames * n_channels).astype(np.int64)
+    raw = b"".join(
+        int(s).to_bytes(sampwidth, "little", signed=sampwidth > 1) for s in samples
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(raw)
+    payload = buf.getvalue()
+
+    hdr = parse_audio_header(payload)
+    assert hdr is not None
+    got_ch, got_rate, got_bits, data_off, data_size = hdr
+    assert (got_ch, got_rate, got_bits) == (n_channels, rate, bits)
+    assert data_size == n_frames * n_channels * sampwidth
+
+    dec = decode_audio_samples(payload, header=hdr)
+    assert dec is not None
+    nf, dur, amp_mean, amp_rms, ch_means = dec
+    assert nf == n_frames
+    assert dur == n_frames / rate
+    if n_frames == 0:
+        assert amp_mean is None and amp_rms is None and ch_means is None
+        return
+    # reference: 8-bit is unsigned-with-128-offset, wider widths signed
+    ref = samples.astype(np.float64) - (128.0 if sampwidth == 1 else 0.0)
+    frames = ref.reshape(n_frames, n_channels)
+    assert ch_means == [float(m) for m in frames.mean(axis=0)]
+    assert amp_mean == float(ref.mean())
+    assert amp_rms == float(np.sqrt((ref * ref).mean()))
+
+
+def test_wav_parser_rejects_non_audio_and_partial_frames():
+    assert parse_audio_header(b"not a wav at all, just text " * 4) is None
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVEjunk" + b"\x00" * 40) is None
+    # valid WAV, then truncate mid-frame: the partial frame is discarded
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.arange(20, dtype="<i2").tobytes())
+    payload = buf.getvalue()
+    clipped = payload[:-3]  # rip 3 bytes out of the final 4-byte frame
+    dec = decode_audio_samples(clipped)
+    assert dec is not None and dec[0] == 9  # 10 frames written, last dropped
+    # a non-PCM format tag (0x03 = IEEE float) is not ours to decode
+    mut = bytearray(payload)
+    fmt_at = payload.index(b"fmt ") + 8
+    mut[fmt_at] = 3
+    assert parse_audio_header(bytes(mut)) is None
