@@ -95,6 +95,10 @@ HEADLINE = [
     "mm3_image_decode",
     "mm4_audio_decode",
     "mm5_frame_sample",
+    # r5 shard sink/source: assignment is a prefix-sum batch pass; the
+    # roundtrip writes+reads real tar shards
+    "c8_shard_assignment",
+    "c9_webdataset_roundtrip",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -128,6 +132,8 @@ BATCH_JOBS = {
     "mm3_image_decode",
     "mm4_audio_decode",
     "mm5_frame_sample",
+    "c8_shard_assignment",
+    "c9_webdataset_roundtrip",
 }
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipelines import dedup, multimodal, similarity, text
+from ..pipelines import dedup, multimodal, shards, similarity, text
 from ..sources.tables import load_table
 from .registry import r6 as _r6
 from .registry import register
@@ -785,6 +785,100 @@ def mm5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_offset",
         F.octet_length("frame_payload").alias("frame_n_bytes"),
         F.sha2("frame_payload", 256).alias("frame_sha"),
+    )
+
+
+@register(
+    "c8_shard_assignment",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         SUM(octet_length(CAST(text AS BLOB)))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes AS INTEGER) AS n_bytes,
+       CAST((cum - n_bytes) // 16384 * 2
+            + CASE WHEN (cum - 1) // 16384 > (cum - n_bytes) // 16384
+                   THEN 1 ELSE 0 END AS BIGINT) AS shard_id
+FROM s
+""",
+    tags=("curation",),
+)
+def c8_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WebDataset shard assignment (16 KiB budget):
+    window/straddler arithmetic over the DISTRIBUTED prefix sum
+    (``operators/windows.global_prefix_sum`` — range repartition +
+    tiny offset join, no single-task window), while the oracle uses
+    the naive global ``SUM OVER (ORDER BY)`` — the hash match proves
+    the two-phase sum equals the sequential semantics.  Invariant
+    under test: every multi-doc shard's bytes fit the budget; only
+    single-doc straddler shards may exceed it."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+    out = shards.assign_shards(df, "doc_id", "n_bytes", 16384)
+    return out.select("doc_id", "n_bytes", "shard_id")
+
+
+@register(
+    "c9_webdataset_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, lang,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         SUM(octet_length(CAST(text AS BLOB)))
+           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key,
+       CAST(n_bytes AS INTEGER) AS n_payload_bytes,
+       '{"doc_id":' || doc_id || ',"lang":"' || lang || '"}' AS meta,
+       CAST((cum - n_bytes) // 16384 * 2
+            + CASE WHEN (cum - 1) // 16384 > (cum - n_bytes) // 16384
+                   THEN 1 ELSE 0 END AS BIGINT) AS shard_id
+FROM s
+""",
+    tags=("curation", "multimodal"),
+)
+def c9_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sink→source roundtrip through REAL WebDataset tar shards:
+    assign docs to byte-budgeted shards, write one deterministic tar
+    per shard (``pipelines/shards.write_webdataset_shards``), read the
+    tars back via the ``binaryFile`` + untar source, and return what
+    came OUT of the tars — key, payload size, metadata json, and the
+    shard number parsed from the tar filename.  The oracle never sees
+    the filesystem: it reconstructs all four columns from `documents`
+    alone, so a lost sample, torn tar, key-zfill bug, metadata drift,
+    or misassigned shard all hash-mismatch.  The manifest collect is
+    bounded (one row per shard)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+        "lang",
+    )
+    assigned = shards.assign_shards(df, "doc_id", "n_bytes", 16384)
+    out_dir = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    manifest = shards.write_webdataset_shards(
+        assigned, out_dir, "doc_id", "payload", ["doc_id", "lang"]
+    )
+    manifest.collect()  # force the sink; bounded: one row per shard
+    back = shards.read_webdataset_shards(spark, out_dir + "/*.tar")
+    return back.select(
+        "key",
+        F.octet_length("payload").alias("n_payload_bytes"),
+        "meta",
+        F.regexp_extract("shard_path", r"shard-(\d+)\.tar", 1)
+        .cast("bigint")
+        .alias("shard_id"),
     )
 
 
