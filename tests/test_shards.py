@@ -122,3 +122,35 @@ def test_oversized_doc_gets_own_shard(spark):
     assert a[1] == 0
     assert a[3] == a[4]
     assert a[2] not in (a[1], a[3])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=25, deadline=None)
+def test_assign_shards_invariants_property(spark, sizes, budget):
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    out = shards.assign_shards(df, "doc_id", "n_bytes", budget).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    total_docs = 0
+    for members in by_shard.values():
+        total_docs += len(members)
+        if len(members) > 1:
+            assert sum(m["n_bytes"] for m in members) <= budget
+    assert total_docs == len(sizes)
+    # sequential reference: same window/straddler rule computed naively
+    cum = 0
+    for i, s in enumerate(sizes):
+        start, cum = cum, cum + s
+        w0 = start // budget
+        w_end = max(cum - 1, start) // budget
+        want = w0 * 2 + (1 if w_end > w0 else 0)
+        got = next(r["shard_id"] for r in out if r["doc_id"] == i)
+        assert got == want, (i, s, budget)
