@@ -99,6 +99,7 @@ HEADLINE = [
     # roundtrip writes+reads real tar shards
     "c8_shard_assignment",
     "c9_webdataset_roundtrip",
+    "c10_leakage_safe_split",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -134,6 +135,7 @@ BATCH_JOBS = {
     "mm5_frame_sample",
     "c8_shard_assignment",
     "c9_webdataset_roundtrip",
+    "c10_leakage_safe_split",
 }
 
 

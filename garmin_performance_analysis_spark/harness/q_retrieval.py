@@ -746,3 +746,40 @@ def x13_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("regex_tokens"),
         bpe.bpe_tokens_expr("text", bpe.EN_MERGES).alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+def _c10_oracle() -> str:
+    horner = _hex_horner("d", 1, 15)
+    return f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, fingerprint, md5('split|' || fingerprint) AS d FROM fp
+),
+bucketed AS (
+  SELECT doc_id, fingerprint, CAST({horner} % 100 AS BIGINT) AS split_bucket
+  FROM hashed
+)
+SELECT doc_id, fingerprint, split_bucket,
+       CASE WHEN split_bucket < 90 THEN 'train'
+            WHEN split_bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+@register("c10_leakage_safe_split", oracle=_c10_oracle(), tags=("prep", "curation"))
+def c10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 90/5/5 bucket is keyed on
+    the order-insensitive content fingerprint, so exact and
+    word-shuffled duplicates can never straddle train and eval —
+    the split that makes held-out metrics trustworthy after dedup.
+    Pure in-row md5/Horner arithmetic over one scan (no shuffle, no
+    RNG); ``pipelines/prep.leakage_safe_split``."""
+    from ..pipelines import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.leakage_safe_split(docs, "doc_id", "text")

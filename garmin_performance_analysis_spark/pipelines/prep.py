@@ -307,3 +307,46 @@ def sequence_packing(
         n_chunks.alias("n_chunks"),
         (n_chunks > 1).alias("crosses_boundary"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    salt: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the
+    order-insensitive content FINGERPRINT, not the doc id: every exact
+    or word-shuffled duplicate of a document hashes to the same bucket,
+    so a duplicate straddling train and test — the classic eval-leak —
+    is impossible by construction (the failure mode motivating
+    cluster-keyed splits in dedup literature; the fingerprint is the
+    cheap single-pass stand-in for a full near-dup cluster id).
+
+    Bucket = md5(salt|fingerprint) low 60 bits mod 100 (same 15-hex
+    Horner-portable arithmetic as ``sample_bucket_expr``).  Pure
+    in-row expressions over one scan — no shuffle, no RNG,
+    partition-count invariant."""
+    from .text import fingerprint_expr
+
+    fp = fingerprint_expr(text_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), fp)), 1, 15), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )

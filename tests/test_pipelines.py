@@ -732,3 +732,26 @@ def test_sequence_packing_matches_python_mirror(spark):
             ).collect()
         }
         assert got == mirror, f"mismatch at {parts} partitions"
+
+
+def test_leakage_safe_split_groups_duplicates(spark):
+    from garmin_performance_analysis_spark.pipelines import prep
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "jumps fox brown quick the"),   # word-shuffled duplicate of 1
+        (3, "the quick brown fox jumps"),   # exact duplicate of 1
+        (4, "an entirely different document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prep.leakage_safe_split(df).collect()}
+    assert out[1]["fingerprint"] == out[2]["fingerprint"] == out[3]["fingerprint"]
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[1]["split_bucket"] == out[2]["split_bucket"]
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    # partition invariance
+    again = {
+        r["doc_id"]: r["split"]
+        for r in prep.leakage_safe_split(df.repartition(3)).collect()
+    }
+    assert again == {k: v["split"] for k, v in out.items()}
