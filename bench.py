@@ -100,6 +100,9 @@ HEADLINE = [
     "c8_shard_assignment",
     "c9_webdataset_roundtrip",
     "c10_leakage_safe_split",
+    # r5 source/sink rows: ingestion parse and guarded export roundtrip
+    "s1_json_schema_parse",
+    "s5_export_roundtrip",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -136,6 +139,8 @@ BATCH_JOBS = {
     "c8_shard_assignment",
     "c9_webdataset_roundtrip",
     "c10_leakage_safe_split",
+    "s1_json_schema_parse",
+    "s5_export_roundtrip",
 }
 
 

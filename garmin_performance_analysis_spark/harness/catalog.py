@@ -121,7 +121,8 @@ _NEW_R4 = [
 # CORRECTNESS_r05 flags: x10_unigram_logprob, x11_boilerplate_segments,
 # v8_pq_topk, v9_semantic_dedup, c7_sequence_packing, x12_bpe_merges,
 # x13_bpe_token_counts, mm4_audio_decode, mm5_frame_sample,
-# c8_shard_assignment, c9_webdataset_roundtrip, c10_leakage_safe_split.
+# c8_shard_assignment, c9_webdataset_roundtrip, c10_leakage_safe_split,
+# s1_json_schema_parse, s5_export_roundtrip.
 #
 # The 24 r2-checked names that pad the round-5 window to 50 (stalest
 # signal, and code paths touched since r2 first): t3/t5 share the

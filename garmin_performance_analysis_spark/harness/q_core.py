@@ -416,3 +416,87 @@ def s2_descriptor_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mp.getItem("price") * 0.01).alias("price_scaled"),
         (mp.getItem("disc") * 100.0).alias("disc_pct"),
     )
+
+
+@register(
+    "s1_json_schema_parse",
+    oracle="""
+SELECT l_orderkey AS activity_id,
+       l_linenumber AS lapIndex,
+       l_quantity AS distance,
+       l_extendedprice AS duration,
+       CAST(l_shipdate AS VARCHAR) AS startTimeGMT,
+       l_returnflag AS intensityType,
+       l_discount AS averageHR,
+       l_tax AS maxHR
+FROM lineitem WHERE l_orderkey % 31 = 0
+""",
+    tags=("source",),
+)
+def s1_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 raw-JSON source machinery end-to-end WITHOUT touching disk:
+    assemble ``splits.json``-shaped documents (``lapDTOs`` array per
+    activity — reference layout ``docs/spec/duckdb_schema_mapping.md:
+    905-918``) from lineitem rows, serialize with ``to_json``, then
+    parse back through the SAME declared schema the file reader uses
+    (``sources/raw_json.SPLITS_FILE_SCHEMA`` — explicit schema, no
+    inference) and normalize via explode.  The oracle reads the flat
+    rows directly, so a schema-field mismatch, a lossy double↔JSON
+    roundtrip, or an explode bug all hash-mismatch.  (The file-based
+    path over these schemas is unit-tested; this gives the parse+
+    normalize machinery a driver row.)"""
+    from ..sources.raw_json import SPLITS_FILE_SCHEMA
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0)
+    lap = F.struct(
+        F.col("l_linenumber").alias("lapIndex"),
+        F.col("l_quantity").alias("distance"),
+        F.col("l_extendedprice").alias("duration"),
+        F.col("l_shipdate").cast("string").alias("startTimeGMT"),
+        F.col("l_returnflag").alias("intensityType"),
+        F.col("l_discount").alias("averageHR"),
+        F.col("l_tax").alias("maxHR"),
+    )
+    files = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(F.sort_array(F.collect_list(lap)).alias("lapDTOs"))
+        ).alias("raw")
+    )
+    parsed = files.select(
+        F.col("l_orderkey").alias("activity_id"),
+        F.explode(F.from_json("raw", SPLITS_FILE_SCHEMA)["lapDTOs"]).alias("lap"),
+    )
+    return parsed.select(
+        "activity_id",
+        F.col("lap.lapIndex").alias("lapIndex"),
+        F.col("lap.distance").alias("distance"),
+        F.col("lap.duration").alias("duration"),
+        F.col("lap.startTimeGMT").alias("startTimeGMT"),
+        F.col("lap.intensityType").alias("intensityType"),
+        F.col("lap.averageHR").alias("averageHR"),
+        F.col("lap.maxHR").alias("maxHR"),
+    )
+
+
+@register(
+    "s5_export_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("source", "sink"),
+)
+def s5_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 export sink end-to-end: run ``guarded_export`` (row-guarded
+    parquet COPY, reference ``mcp/database/readers/export.py:19-90``)
+    to a scratch directory, then READ THE EXPORTED FILES BACK and
+    return them — the oracle is the plain source query, so a dropped
+    row, re-typed column, or lossy write hash-mismatches.  Gives the
+    sink a driver row; the over-limit guard path is unit-tested."""
+    import tempfile
+
+    from ..operators.export import guarded_export
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="s5_export_") + "/supplier_export"
+    guarded_export(sup, out, fmt="parquet", max_rows=100_000)
+    return spark.read.parquet(out)
