@@ -364,3 +364,17 @@ def test_boilerplate_segments_flags_cross_doc_dups(spark):
     assert rows[1]["dup_fraction"] == 0.5
     assert rows[2]["dup_fraction"] == 0.5
     assert rows[3]["n_dup_segments"] == 0 and rows[3]["dup_fraction"] == 0.0
+
+
+def test_sample_threshold_rounds_before_casting(spark):
+    # 0.3 * 1e6 = 299999.99999999994 as a double; a bare cast truncates
+    # in Spark while DuckDB rounds — the ADVICE desync case.  Both
+    # sides now round first, so the bucket threshold is exact.
+    from garmin_performance_analysis_spark.pipelines.prep import _threshold
+
+    row = spark.range(1).select(
+        _threshold(F.lit(0.3)).alias("t3"),
+        _threshold(F.lit(0.5)).alias("t5"),
+        _threshold(F.lit(0.07)).alias("t07"),
+    ).first()
+    assert (row["t3"], row["t5"], row["t07"]) == (300000, 500000, 70000)
