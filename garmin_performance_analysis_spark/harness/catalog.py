@@ -157,3 +157,66 @@ def _rotate_for_round5() -> None:
 
 
 _rotate_for_round5()
+
+
+# ---------------------------------------------------------------------------
+# ROUND-6 ROTATION.  CORRECTNESS_r05 landed: r2+r4+r5 windows union-cover
+# 126 of 140 entries (119 green).  The round-6 window of 50 fronts, in
+# priority order:
+#   1. The 14 round-5 additions — registered past the r5 window by the
+#      standing new-queries-rotate-next-round rule, never driver-checked.
+#   2. The 3 queries whose LATEST driver row is the r4 hash FAIL
+#      (e7/t8/d10 — the BIGINT cast fixes landed in r5 but rotation kept
+#      them out of the r5 window, so the fix is driver-unconfirmed).
+#   3. mm3_image_decode, whose r5 row is an ERR (driver canonicalizer
+#      crashed on the ARRAY<DOUBLE> channel_means — flattened to scalar
+#      channel_mean_r/g/b this round), and mm2_decoded_features, whose
+#      output schema changed in the same flattening so its r4 pass row
+#      no longer describes the current code.
+#   4. Pad to 50 with the stalest r4-checked names, preferring the
+#      blocks VERDICT r5 called out: the enrichment family e1-e6 (+d8/
+#      d9), the model block m2/m4/m9-m12, w3/w7/w9, and the t4-t7
+#      anomaly/interval entries, then a12/a14/a3/a7/j2/j3/o3/o5.
+# After this window every catalog entry has a driver row in some round.
+_R6_RECHECK = [
+    # never checked (r5 additions)
+    "x10_unigram_logprob", "x11_boilerplate_segments", "v8_pq_topk",
+    "v9_semantic_dedup", "c7_sequence_packing", "x12_bpe_merges",
+    "x13_bpe_token_counts", "mm4_audio_decode", "mm5_frame_sample",
+    "c8_shard_assignment", "c9_webdataset_roundtrip", "c10_leakage_safe_split",
+    "s1_json_schema_parse", "s5_export_roundtrip",
+    # latest row is a FAIL (r4) — fixes landed r5, confirm now
+    "e7_pace_cumulative", "t8_material_event_rates", "d10_performance_trends",
+    # r5 ERR + schema changed this round
+    "mm3_image_decode", "mm2_decoded_features",
+]
+_R6_PAD = [
+    "e1_hr_zone", "e2_cadence_rating", "e3_power_efficiency",
+    "e4_terrain_type", "e5_environmental", "e6_role_phase",
+    "d8_form_efficiency", "d9_hr_efficiency",
+    "m2_loo_fragility", "m4_ols_vif", "m9_critical_speed",
+    "m10_fitness_curve", "m11_race_prediction", "m12_injury_risk",
+    "w3_latest_record", "w7_baseline_band", "w9_durability_decoupling",
+    "t4_full_causes", "t5_recommendations", "t5_severity_clusters",
+    "t6_interval_fatigue", "t6_work_recovery", "t7_range_resolution_stats",
+    "a12_group_collect", "a14_weekly_median_delta", "a3_bulk_per_key_avg",
+    "a7_zone_distribution", "j2_filtered_dim_join", "j3_join_latest_in_window",
+    "o3_top5_by_abs_z", "o5_tiebreak_ranking",
+]
+
+
+def _rotate_for_round6() -> None:
+    front = _R6_RECHECK + _R6_PAD
+    assert len(front) == 50, f"round-6 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-6 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-6 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round6()

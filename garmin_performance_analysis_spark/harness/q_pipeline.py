@@ -426,7 +426,9 @@ SELECT b.doc_id,
        CAST(NULL AS INTEGER) AS height,
        CAST(NULL AS INTEGER) AS channels,
        CAST(NULL AS DOUBLE) AS pixel_mean,
-       CAST(NULL AS DOUBLE[]) AS channel_means
+       CAST(NULL AS DOUBLE) AS channel_mean_r,
+       CAST(NULL AS DOUBLE) AS channel_mean_g,
+       CAST(NULL AS DOUBLE) AS channel_mean_b
 FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
 """,
     tags=("multimodal",),
@@ -458,7 +460,9 @@ def mm2_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "channels",
         "pixel_mean",
-        "channel_means",
+        F.get("channel_means", 0).alias("channel_mean_r"),
+        F.get("channel_means", 1).alias("channel_mean_g"),
+        F.get("channel_means", 2).alias("channel_mean_b"),
     )
 
 
@@ -490,11 +494,12 @@ SELECT doc_id,
             ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
        CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
             WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS pixel_mean,
-       CASE WHEN doc_id % 3 = 0
-              THEN [CAST(bmp_v AS DOUBLE), CAST(bmp_v AS DOUBLE), CAST(bmp_v AS DOUBLE)]
-            WHEN doc_id % 3 = 1
-              THEN [CAST(ppm_v AS DOUBLE), CAST(ppm_v AS DOUBLE), CAST(ppm_v AS DOUBLE)]
-       END AS channel_means
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_r,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_g,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_b
 FROM dims
 """,
     tags=("multimodal",),
@@ -595,11 +600,17 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("sha256"),
     )
     out = multimodal.decode_features(binary_df)
+    # channel_means stays ARRAY<DOUBLE> in the operator API; the catalog
+    # boundary flattens it to driver-sortable scalars (channels here is
+    # always 3-or-null) because the external canonicalizer's pandas sort
+    # crashes on list cells (CORRECTNESS_r05 mm3 err).
     return out.select(
         "doc_id", "fmt", "width", "height", "channels",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         "pixel_mean",
-        "channel_means",
+        F.get("channel_means", 0).alias("channel_mean_r"),
+        F.get("channel_means", 1).alias("channel_mean_g"),
+        F.get("channel_means", 2).alias("channel_mean_b"),
     )
 
 
@@ -633,9 +644,9 @@ SELECT doc_id,
             WHEN cls = 1
               THEN ROUND(SQRT((amp0 * amp0 + amp1 * amp1) / 2.0), 6)
        END AS amp_rms,
-       CASE WHEN cls = 0 THEN [CAST(s16 AS DOUBLE)]
-            WHEN cls = 1 THEN [CAST(amp0 AS DOUBLE), CAST(amp1 AS DOUBLE)]
-       END AS channel_means,
+       CASE WHEN cls = 0 THEN CAST(s16 AS DOUBLE)
+            WHEN cls = 1 THEN CAST(amp0 AS DOUBLE) END AS channel_mean_0,
+       CASE WHEN cls = 1 THEN CAST(amp1 AS DOUBLE) END AS channel_mean_1,
        CASE WHEN cls = 0 THEN CAST(44 + nf16 * 2 AS INTEGER)
             WHEN cls = 1 THEN CAST(44 + nf8 * 2 AS INTEGER)
             ELSE CAST(octet_length(CAST(text AS BLOB)) AS INTEGER)
@@ -736,9 +747,10 @@ def mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("duration_s")).alias("duration_s"),
         _r6(F.col("amp_mean")).alias("amp_mean"),
         _r6(F.col("amp_rms")).alias("amp_rms"),
-        F.transform(F.col("channel_means"), lambda x: F.round(x, 6)).alias(
-            "channel_means"
-        ),
+        # flattened at the catalog boundary (1 or 2 channels; F.get is
+        # NULL-safe past the end) — see mm3's driver-sortability note
+        _r6(F.get("channel_means", 0)).alias("channel_mean_0"),
+        _r6(F.get("channel_means", 1)).alias("channel_mean_1"),
         "n_bytes",
     )
 

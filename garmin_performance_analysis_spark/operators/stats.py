@@ -131,7 +131,12 @@ def _median_over_counts(
         )
         .groupBy(*keys)
         .agg(
-            F.when(F.max("_whi") == 0.0, F.max("_lo"))
+            # lo == hi must short-circuit: lo*0.5 + hi*0.5 underflows to 0.0
+            # when the (single) bracketing value is subnormal (e.g. 5e-324).
+            F.when(
+                (F.max("_whi") == 0.0) | (F.max("_lo") == F.max("_hi")),
+                F.max("_lo"),
+            )
             .otherwise(F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi"))
             .alias("_median"),
             F.count(F.lit(1)).alias("_n_distinct"),
@@ -157,7 +162,10 @@ def _interpolate_ranked(ranked: DataFrame, keys: Sequence[str]) -> DataFrame:
         )
         .groupBy(*keys)
         .agg(
-            F.when(F.max("_whi") == 0.0, F.max("_lo"))
+            F.when(
+                (F.max("_whi") == 0.0) | (F.max("_lo") == F.max("_hi")),
+                F.max("_lo"),
+            )
             .otherwise(F.max("_lo") * F.max("_wlo") + F.max("_hi") * F.max("_whi"))
             .alias("_median")
         )

@@ -33,6 +33,8 @@ no single SQL statement expresses.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,15 +61,30 @@ def word_freqs(
     )
 
 
+_SYMBOL_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _validate_symbol(sym: str) -> str:
+    """Merge symbols are interpolated into generated SQL expressions;
+    anything outside [a-z0-9]+ (the trainer's whole alphabet) would be
+    an expression-injection hazard, so reject it loudly."""
+    if not _SYMBOL_RE.match(sym):
+        raise ValueError(
+            f"BPE merge symbol {sym!r} is not [a-z0-9]+; refusing to embed"
+            " it in a SQL expression"
+        )
+    return sym
+
+
 def _merge_fold(lhs: str, rhs: str) -> str:
     """SQL fold applying ONE merge greedily left-to-right over a symbol
     array: when the accumulator's last symbol is ``lhs`` and the next
     symbol is ``rhs``, replace the last with the merged symbol —
     otherwise append.  Mirrors the reference BPE semantics, including
     the 'aaa' case (leftmost pair merges; the merged symbol does not
-    re-pair with the remaining 'a' in the same pass).  Safe to embed:
-    the symbol alphabet is [a-z0-9]+ by construction."""
-    m = lhs + rhs
+    re-pair with the remaining 'a' in the same pass).  Symbols are
+    validated against [a-z0-9]+ before embedding."""
+    m = _validate_symbol(lhs) + _validate_symbol(rhs)
     return f"""
     aggregate(
       symbols,
@@ -209,6 +226,7 @@ def bpe_tokens_expr(text_col: str, merges: list[tuple[str, str]]):
           " w -> concat('|', array_join(split(w, ''), '||'), '|'))"
     word = "w"
     for lhs, rhs in merges:
+        _validate_symbol(lhs), _validate_symbol(rhs)
         word = f"replace({word}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
     per_word = (
         f"transform({enc}, w -> CAST(length({word})"

@@ -24,19 +24,24 @@ behind its write-connection lock.
 Two contract points the reference gets from SQLite transactions that a
 parquet layout cannot (ADVICE r2):
 
-- **Migration fns must be idempotent (re-run safe).**  ``run_pending``
+- **Migration fns should be idempotent (re-run safe).**  ``run_pending``
   applies ``mig.fn`` and appends the ``schema_version`` row as two
-  separate steps; a crash between them re-applies that migration on the
-  next run.  ``add_column``/``rewrite_table``/``drop_table`` are all
-  idempotent, and custom fns must be too (e.g. an incremental backfill
-  must detect already-backfilled rows) — there is no cross-file atomic
-  commit to hide behind.
-- **Readers must be quiesced during a migration.**  ``rewrite_table``'s
-  two-rename swap leaves a window where ``path`` does not exist;
-  a concurrent reader gets FileNotFound (and a memoized relation would
-  pin deleted part-files afterwards — the swap invalidates the table
-  memo for exactly this reason).  The single-writer contract extends to
-  readers for the duration of ``run_pending``.
+  separate steps — there is no cross-file atomic commit to hide behind.
+  An ``_inflight_v{N}`` marker brackets the gap: a crash between the
+  two steps leaves the marker, and the next ``run_pending`` REFUSES to
+  run until an operator resolves the half-applied state, instead of
+  silently re-applying.  ``add_column``/``rewrite_table``/``drop_table``
+  are all idempotent regardless, and custom fns should be too, so that
+  resolution is usually "delete the marker and re-run".
+- **Readers resolving mid-swap are covered; long-held relations are
+  not.**  ``rewrite_table``'s two-rename swap leaves a milliseconds
+  window where ``path`` does not exist; ``sources.tables.load_table``
+  retries PATH_NOT_FOUND briefly, so a reader that *resolves* during
+  the swap succeeds.  A relation resolved *before* the swap still pins
+  deleted part-files — the swap invalidates this session's table memo
+  for exactly that reason, but other sessions' open relations mean the
+  single-writer contract still extends to readers for the duration of
+  ``run_pending``.
 """
 
 from __future__ import annotations
@@ -78,8 +83,29 @@ def current_version(spark: SparkSession, base_path: str) -> int:
     vp = _version_path(base_path)
     if not _exists(spark, vp):
         return 0
-    row = spark.read.parquet(vp).agg(F.max("version")).first()
+    try:
+        row = spark.read.parquet(vp).agg(F.max("version")).first()
+    except Exception:
+        # directory exists but holds no parquet footers yet (e.g. only a
+        # resolved _inflight marker from an interrupted first run)
+        return 0
     return int(row[0]) if row and row[0] is not None else 0
+
+
+def _inflight_markers(spark: SparkSession, base_path: str) -> list[str]:
+    """Names of ``_inflight_v*`` markers under the bookkeeping table.
+    Underscore-prefixed files are invisible to parquet readers, so the
+    markers can live inside the ``schema_version`` directory."""
+    vp = _version_path(base_path)
+    if not _exists(spark, vp):
+        return []
+    jvm, fs = _fs(spark)
+    it = fs.listStatus(jvm.org.apache.hadoop.fs.Path(vp))
+    return [
+        s.getPath().getName()
+        for s in it
+        if s.getPath().getName().startswith("_inflight_v")
+    ]
 
 
 def run_pending(
@@ -87,17 +113,40 @@ def run_pending(
 ) -> list[str]:
     """Apply every migration with version > current, ascending; record
     each in ``schema_version``.  Returns applied names.  Re-running is
-    a no-op (``runner.py:run_pending``)."""
+    a no-op (``runner.py:run_pending``).
+
+    Crash safety: ``mig.fn`` and the version-record append cannot be one
+    atomic step on a filesystem, so a crash between them would otherwise
+    re-apply the migration on the next run (silent double-apply for
+    non-idempotent migrations).  An ``_inflight_v{N}`` marker is written
+    before the migration runs and removed only after its record commits;
+    a leftover marker makes every later ``run_pending`` raise with the
+    interrupted version so an operator resolves the half-applied state
+    explicitly instead of the runner guessing."""
+    leftover = _inflight_markers(spark, base_path)
+    if leftover:
+        raise RuntimeError(
+            "run_pending: previous migration run was interrupted mid-apply "
+            f"({', '.join(sorted(leftover))} under {_version_path(base_path)}); "
+            "verify the table state, record or roll back the migration "
+            "manually, then delete the marker"
+        )
     current = current_version(spark, base_path)
     applied: list[str] = []
+    jvm, fs = _fs(spark)
+    P = jvm.org.apache.hadoop.fs.Path
     for mig in sorted(migrations, key=lambda m: m.version):
         if mig.version <= current:
             continue
+        marker = P(f"{_version_path(base_path)}/_inflight_v{mig.version}")
+        fs.mkdirs(P(_version_path(base_path)))
+        fs.create(marker, True).close()
         mig.fn(spark, base_path)
         record = spark.createDataFrame(
             [(mig.version, mig.name)], "version int, name string"
         ).withColumn("applied_at", F.current_timestamp())
         record.write.mode("append").parquet(_version_path(base_path))
+        fs.delete(marker, False)
         applied.append(mig.name)
     return applied
 
@@ -128,9 +177,11 @@ def rewrite_table(df: DataFrame, path: str, partition_by=None) -> None:
     restores the original directory before raising, so the table is
     never left missing.
 
-    Readers must be quiesced for the swap window (module docstring);
-    on success the loader memo entries covering ``path`` are
-    invalidated so later queries re-list the new files."""
+    Readers that RESOLVE ``path`` during the swap are absorbed by the
+    loader's bounded PATH_NOT_FOUND retry (``sources.tables.load_table``);
+    relations resolved before the swap still pin deleted part-files, so
+    the memo entries covering ``path`` are invalidated on success and
+    other sessions' readers must be quiesced (module docstring)."""
     from ..sources.tables import invalidate_table_memo
     from .silver import MONTH_COL
 

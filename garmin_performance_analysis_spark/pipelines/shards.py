@@ -90,8 +90,15 @@ def _pack_tar(keys, payloads, metas) -> bytes:
     """Byte-deterministic WebDataset tar: members sorted by key, zeroed
     timestamps/ownership, ``<key>.bin`` + ``<key>.json`` per sample."""
     buf = io.BytesIO()
+    # key-only sort: tuple comparison would fall through to the payload
+    # bytes on equal keys (bytes-vs-None raises TypeError).  Duplicate
+    # keys would silently emit colliding <key>.bin/<key>.json members,
+    # so they fail the shard loudly instead.
+    if len(set(keys)) != len(keys):
+        dupes = sorted({k for k in keys if list(keys).count(k) > 1})[:5]
+        raise ValueError(f"duplicate sample keys in shard: {dupes}")
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
-        for key, payload, meta in sorted(zip(keys, payloads, metas)):
+        for key, payload, meta in sorted(zip(keys, payloads, metas), key=lambda t: t[0]):
             for ext, data in (
                 ("bin", bytes(payload) if payload is not None else b""),
                 ("json", meta.encode("utf-8")),

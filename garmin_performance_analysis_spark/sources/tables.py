@@ -11,6 +11,7 @@ partition pruning for free.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,7 +106,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass  # static conf in some sessions; the NTZ branch covers it
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # A concurrent rewrite_table swap (tmp → path via two renames) has a
+    # milliseconds-wide window where `path` does not exist; resolving a
+    # relation inside it fails with PATH_NOT_FOUND even though the table
+    # is durably there before and after.  A short bounded retry makes
+    # the swap invisible to readers that resolve during it.  (Readers
+    # holding relations resolved BEFORE the swap are handled separately
+    # by invalidate_table_memo.)  A genuinely missing table still fails,
+    # just ~1 s later on this cold path only.
+    for attempt in range(4):
+        try:
+            df = spark.read.parquet(path)
+            break
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e) or attempt == 3:
+                raise
+            time.sleep(0.25)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -55,9 +55,11 @@ def streaming_shard_sink(
         manifest = write_webdataset_shards(
             assigned, batch_dir, id_col, payload_col, meta_cols
         )
+        # batch_id lives ONLY in the Hive partition path: writing it as a
+        # data column too would make a read of the `_manifest` root fail
+        # with Spark's duplicate data/partition column error.
         (
-            manifest.withColumn("batch_id", F.lit(batch_id))
-            .coalesce(1)
+            manifest.coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "_manifest", f"batch_id={batch_id}"))
         )
@@ -71,5 +73,7 @@ def streaming_shard_sink(
 
 
 def read_shard_manifest(spark, out_dir: str) -> DataFrame:
-    """All batches' manifests as one DataFrame (path carries batch_id)."""
-    return spark.read.parquet(os.path.join(out_dir, "_manifest", "batch_id=*"))
+    """All batches' manifests as one DataFrame.  Reads the ``_manifest``
+    root so Spark's partition discovery yields ``batch_id`` from the
+    directory names (it is not a data column)."""
+    return spark.read.parquet(os.path.join(out_dir, "_manifest"))

@@ -149,3 +149,16 @@ def test_x13_entry_matches_udf_path(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_merge_symbols_outside_alphabet_are_rejected():
+    """Merge symbols are embedded in generated SQL: anything outside
+    [a-z0-9]+ must raise instead of silently producing a broken (or
+    injectable) expression."""
+    import pytest
+
+    for bad in [("a'", "b"), ("a", "b\\"), ("", "b"), ("A", "b"), ("a b", "c")]:
+        with pytest.raises(ValueError):
+            bpe.bpe_tokens_expr("text", [bad])
+        with pytest.raises(ValueError):
+            bpe._merge_fold(*bad)

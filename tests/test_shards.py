@@ -154,3 +154,20 @@ def test_assign_shards_invariants_property(spark, sizes, budget):
         want = w0 * 2 + (1 if w_end > w0 else 0)
         got = next(r["shard_id"] for r in out if r["doc_id"] == i)
         assert got == want, (i, s, budget)
+
+
+def test_pack_tar_rejects_duplicate_keys():
+    """Duplicate sample keys would emit colliding tar members (and tuple
+    sorting would fall through to bytes-vs-None payload comparison);
+    the packer must fail the shard loudly instead."""
+    with pytest.raises(ValueError, match="duplicate sample keys"):
+        shards._pack_tar(["k1", "k1"], [b"x", None], ['{"a":1}', '{"a":2}'])
+
+
+def test_pack_tar_sorts_by_key_only():
+    """Sorting must never compare payloads (bytes vs None raises); the
+    key alone orders members."""
+    blob = shards._pack_tar(["b", "a"], [None, b"payload"], ["{}", "{}"])
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+        names = tar.getnames()
+    assert names == ["a.bin", "a.json", "b.bin", "b.json"]

@@ -288,3 +288,40 @@ def test_migration_preserves_month_partitioning(spark, tmp_path):
     assert len(rows) == 4
     out = {r["activity_id"]: r["total_distance_km"] for r in rows}
     assert out == {1: 10.0, 2: 99.0, 3: 12.0, 4: 13.0}
+
+
+def test_interrupted_migration_blocks_rerun(spark, tmp_path):
+    """A crash between mig.fn and the version-record append leaves an
+    _inflight marker; the next run must refuse to silently re-apply the
+    (possibly half-applied, non-idempotent) migration."""
+    import pytest
+
+    base = str(tmp_path)
+    _base(spark).write.parquet(f"{base}/activities")
+    spark.createDataFrame(
+        [(d("2024-01-01"), 70.0)], "date date, weight_kg double"
+    ).write.parquet(f"{base}/body_comp")
+
+    boom = mig.Migration(1, "boom", lambda s, b: (_ for _ in ()).throw(RuntimeError("crash")))
+    with pytest.raises(RuntimeError, match="crash"):
+        mig.run_pending(spark, base, [boom])
+
+    # the marker survived the crash: any later run_pending refuses
+    with pytest.raises(RuntimeError, match="interrupted mid-apply"):
+        mig.run_pending(spark, base, _mig_list())
+
+    # operator resolves: delete the marker, runs proceed and the marker
+    # file never leaks into the parquet bookkeeping read
+    import os
+
+    marker = f"{base}/schema_version/_inflight_v1"
+    assert os.path.exists(marker)
+    os.remove(marker)
+    assert mig.current_version(spark, base) == 0
+    applied = mig.run_pending(spark, base, _mig_list())
+    assert applied == ["add_body_mass_kg", "backfill_body_mass_kg"]
+    assert mig.current_version(spark, base) == 2
+    # markers cleaned up after successful records
+    assert not [
+        f for f in os.listdir(f"{base}/schema_version") if f.startswith("_inflight")
+    ]

@@ -317,6 +317,11 @@ def test_streaming_shard_sink_drains_and_resumes(spark, tmp_path):
     assert len(rows) == 4  # replay-free: no duplicated samples
 
     manifest = read_shard_manifest(spark, out)
+    # batch_id comes from partition discovery on the _manifest root (it
+    # is NOT a data column — writing it both ways breaks root reads with
+    # Spark's duplicate data/partition column error)
+    assert "batch_id" in manifest.columns
+    assert {int(r["batch_id"]) for r in manifest.select("batch_id").collect()} == {0, 1}
     m = manifest.agg(
         F.sum("n_samples").alias("n"), F.count("*").alias("shards")
     ).first()
