@@ -86,6 +86,11 @@ HEADLINE = [
     "x10_unigram_logprob",
     "x11_boilerplate_segments",
     "v8_pq_topk",
+    # r6: the deployable PQ split — codebooks memoized after the first
+    # call, so best-of-N records the encode+ADC+re-rank read path the
+    # way v6's SQ path is recorded; v8 above keeps the train-per-call
+    # end-to-end number in the batch bucket
+    "v8b_pq_query_path",
     "v9_semantic_dedup",
     "c7_sequence_packing",
     "x12_bpe_merges",
@@ -103,6 +108,10 @@ HEADLINE = [
     # r5 source/sink rows: ingestion parse and guarded export roundtrip
     "s1_json_schema_parse",
     "s5_export_roundtrip",
+    # r6: batch replays of the stateful incremental registries (two
+    # ingests against a throwaway registry; oracle = one-shot dedup)
+    "i1_incremental_dedup_replay",
+    "i2_incremental_lsh_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -141,6 +150,8 @@ BATCH_JOBS = {
     "c10_leakage_safe_split",
     "s1_json_schema_parse",
     "s5_export_roundtrip",
+    "i1_incremental_dedup_replay",
+    "i2_incremental_lsh_replay",
 }
 
 

@@ -21,6 +21,7 @@ from . import q_enrichment  # noqa: E402,F401
 from . import q_composites  # noqa: E402,F401
 from . import q_fitness_risk  # noqa: E402,F401
 from . import q_retrieval  # noqa: E402,F401
+from . import q_incremental  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,167 @@
+"""Batch-replay catalog entries for the incremental (stateful) dedup
+registries — the only first-class components whose production shape
+(persistent state across ingest runs) cannot be a single SQL statement.
+
+Each entry drives the REAL incremental code path deterministically:
+split ``documents`` into two ingest batches, replay them in order
+against a throwaway registry, and return the final state (or the
+second batch's findings) as rows.  The DuckDB oracle is the one-shot
+batch equivalent over the union — exactly the equivalence the
+incremental path promises ("N ingests converge to what a single global
+run would compute").  Reference anchor for the catch-up ingest
+semantics being replicated: ``mcp/database/db_reader.py:217-282``
+(the reference's incremental activity catch-up).
+
+The registry lives in a ``tempfile.mkdtemp`` directory; results are
+materialized with ``localCheckpoint`` BEFORE the directory is deleted,
+so the returned DataFrame survives cleanup and repeated calls are
+independent (fresh registry every call — deterministic by
+construction, no cross-call state beyond the session-scoped temp dir).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipelines import incremental
+from ..sources.tables import load_table
+from .q_pipeline import _BANDS, _NUM_HASHES, _SHINGLES_CTE, _hex_horner
+from .registry import r6 as _r6
+from .registry import register
+
+# Two rows sharing a brand-new key: exercises WITHIN-batch collapse to
+# the minimum id (the corpus itself has no byte-identical pairs, so
+# without these the within-batch rule would go untested by the oracle).
+_SENTINEL_TEXT = "replay sentinel duplicate payload"
+_SENTINEL_IDS = (9000001, 9000002)
+
+
+@register(
+    "i1_incremental_dedup_replay",
+    oracle=f"""
+SELECT md5(text) AS dedup_key, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT md5('{_SENTINEL_TEXT}') AS dedup_key,
+       CAST({_SENTINEL_IDS[0]} AS BIGINT) AS keep_id
+""",
+    tags=("dedup", "incremental"),
+)
+def i1_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ingest replay of the exact-dedup registry
+    (``incremental.incremental_dedup``): batch 1 = even doc_ids;
+    batch 2 = odd doc_ids + a RE-DELIVERY of the first even docs
+    (at-least-once ingest) + two sentinel rows sharing one new key.
+    Final registry contents must equal the one-shot batch dedup of the
+    union — a double-append (broken idempotency), a missed cross-run
+    drop (redelivered evens re-registering), or a broken within-batch
+    collapse (both sentinels landing) each change the row set and
+    hash-mismatch.  Scale shape: the real code path — 256-way
+    hash-prefix partition pruning on the registry read, left-anti join
+    per batch, append-only writes."""
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    redelivered = b1.orderBy(F.col("doc_id").asc()).limit(5)
+    sentinels = spark.createDataFrame(
+        [(i, _SENTINEL_TEXT) for i in _SENTINEL_IDS], "doc_id long, text string"
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(redelivered.select("doc_id", "text"))
+        .unionByName(sentinels)
+    )
+    reg_dir = tempfile.mkdtemp(prefix="i1_dedup_replay_")
+    try:
+        key = incremental.exact_key_expr("text")
+        incremental.incremental_dedup(
+            spark, b1.select("doc_id", "text"), reg_dir, "doc_id", key
+        )
+        incremental.incremental_dedup(spark, b2, reg_dir, "doc_id", key)
+        final = incremental.read_registry(spark, reg_dir).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(reg_dir, ignore_errors=True)
+    return final.select("dedup_key", F.col("keep_id").cast("bigint").alias("keep_id"))
+
+
+def _incremental_lsh_oracle() -> str:
+    """d3's SQL minhash machinery, re-oriented for the incremental
+    lookup: candidates are (old = even-id history doc, new = odd-id
+    batch doc) band collisions, estimated Jaccard >= 0.5."""
+    h1 = _hex_horner("d", 1, 15)
+    h2 = _hex_horner("d", 17, 12)
+    mins = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    rows = _NUM_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2
+  FROM (SELECT doc_id, md5(shingle) AS d FROM sh)
+),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS old_doc, b.doc_id AS new_doc
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh
+   AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+)
+SELECT c.old_doc, c.new_doc, ROUND(({matches}) / 16.0, 6) AS est_jaccard
+FROM cand c JOIN sig x ON c.old_doc = x.doc_id JOIN sig y ON c.new_doc = y.doc_id
+WHERE ({matches}) / 16.0 >= 0.5
+"""
+
+
+@register(
+    "i2_incremental_lsh_replay",
+    oracle=_incremental_lsh_oracle(),
+    tags=("dedup", "incremental"),
+)
+def i2_incremental_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ingest replay of the LSH near-dup registry
+    (``incremental.incremental_lsh_candidates``): batch 1 (even
+    doc_ids) builds the band/signature stores; batch 2 (odd doc_ids)
+    must surface exactly the (old even, new odd) near-dup pairs the
+    one-shot d3 oracle predicts over the union — est_jaccard from the
+    SAME md5 minhash scheme, so a band-prefix prune that drops a
+    partition, a signature mismatch, or a broken history join all
+    hash-mismatch.  Scale shape: the real code path — band-hash-prefix
+    pruned index lookup (cost scales with the batch, not history),
+    band equi-join, signature join for the estimate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    reg_dir = tempfile.mkdtemp(prefix="i2_lsh_replay_")
+    try:
+        incremental.incremental_lsh_candidates(
+            spark, b1, reg_dir, "doc_id", "text",
+            num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
+        )
+        pairs = incremental.incremental_lsh_candidates(
+            spark, b2, reg_dir, "doc_id", "text",
+            num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(reg_dir, ignore_errors=True)
+    return pairs.select(
+        "old_doc", "new_doc", _r6(F.col("est_jaccard")).alias("est_jaccard")
+    )

@@ -354,6 +354,41 @@ def v8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (session id, sf_dir) → collected PQ codebook rows.  m·k = 64 tiny rows
+# (the shipped-artifact size); collecting them is bounded by construction.
+_PQ_CODEBOOK_MEMO: dict = {}
+
+
+@register("v8b_pq_query_path", oracle=None, tags=("similarity", "rows-only"))
+def v8b_pq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE PQ split: codebooks are trained once per
+    (session, corpus) and memoized — the shipped-artifact shape, where
+    training is an offline job and the serving path pays only
+    encode + ADC shortlist + exact re-rank.  This entry exists so the
+    bench measures PQ's read path the way it measures v6's (SQ int8):
+    ``v8_pq_topk`` keeps the train-per-call end-to-end cost, this one
+    amortizes training exactly as production would (BENCH r5 showed
+    v8's 3.65 s is dominated by the 2-Lloyd-round training folded into
+    every call).  Training is deterministic, so memoization cannot
+    change results — pinned by ``tests/test_pipelines.py``'s v8b/v8
+    equality test.  Approximate by construction → no SQL oracle (same
+    contract as v8/v3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark.sparkContext), sf_dir)
+    rows = _PQ_CODEBOOK_MEMO.get(key)
+    if rows is None:
+        valid = emb.filter(F.size(F.col("embedding")) == 64)
+        rows = _PQ_CODEBOOK_MEMO[key] = similarity.pq_train(
+            valid, "vec_id", "embedding", dim=64, m=4, k=16, iters=2
+        ).collect()
+    codebooks = spark.createDataFrame(rows)
+    return similarity.pq_topk(
+        emb, "vec_id", "embedding", query_id=0, dim=64,
+        m=4, k_clusters=16, iters=2, k=10, shortlist=50,
+        codebooks=codebooks,
+    )
+
+
 @register("v3_ivf_topk", oracle=None, tags=("similarity", "rows-only"))
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: k-means coarse quantizer (deterministic

@@ -860,6 +860,7 @@ def pq_topk(
     iters: int = 3,
     k: int = 10,
     shortlist: int = 50,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric-distance (ADC) with exact
     re-rank — the standard memory-compressed ANN read path:
@@ -886,7 +887,11 @@ def pq_topk(
     from ..harness.registry import dec_sum
 
     valid = df.filter(F.size(F.col(vec_col)) == dim)
-    codebooks = pq_train(valid, id_col, vec_col, dim, m, k_clusters, iters)
+    if codebooks is None:
+        # train-per-call convenience shape; the deployable split passes a
+        # pre-trained (shipped-artifact) codebook so only encode+query
+        # cost is paid per call
+        codebooks = pq_train(valid, id_col, vec_col, dim, m, k_clusters, iters)
     corpus = valid.filter(F.col(id_col) != query_id)
     codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
     qsubs = _subvectors(

@@ -755,3 +755,20 @@ def test_leakage_safe_split_groups_duplicates(spark):
         for r in prep.leakage_safe_split(df.repartition(3)).collect()
     }
     assert again == {k: v["split"] for k, v in out.items()}
+
+
+def test_v8b_query_path_equals_v8(spark, sf_dir):
+    """The amortized-training catalog entry (v8b: memoized codebooks)
+    must return exactly the train-per-call entry's rows — deterministic
+    training means the split is a pure cost refactor, never a result
+    change."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness import q_pipeline
+
+    v8 = CATALOG["v8_pq_topk"].fn(spark, sf_dir).collect()
+    first = CATALOG["v8b_pq_query_path"].fn(spark, sf_dir).collect()
+    assert first == v8
+    # second call hits the codebook memo and still matches
+    assert q_pipeline._PQ_CODEBOOK_MEMO  # populated by the first call
+    again = CATALOG["v8b_pq_query_path"].fn(spark, sf_dir).collect()
+    assert again == v8
