@@ -509,48 +509,56 @@ WITH dims AS (
          doc_id % 64 + 1 AS bw, doc_id % 32 + 1 AS bh,
          ((doc_id % 64 + 1) * 3 + 3) // 4 * 4 AS stride,
          doc_id % 16 + 1 AS pw, doc_id % 8 + 1 AS ph,
+         doc_id % 128 + 1 AS jw, doc_id % 96 + 1 AS jh,
          doc_id % 256 AS bmp_v, 97 + doc_id % 26 AS ppm_v
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'bmp'
-            WHEN doc_id % 3 = 1 THEN 'ppm' END AS fmt,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bw AS INTEGER)
-            WHEN doc_id % 3 = 1 THEN CAST(pw AS INTEGER) END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bh AS INTEGER)
-            WHEN doc_id % 3 = 1 THEN CAST(ph AS INTEGER) END AS height,
-       CASE WHEN doc_id % 3 IN (0, 1) THEN 3 END AS channels,
-       CASE WHEN doc_id % 3 = 0 THEN 54 + stride * bh
-            WHEN doc_id % 3 = 1 THEN octet_length(CAST(
+       CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+            WHEN doc_id % 4 = 1 THEN 'ppm'
+            WHEN doc_id % 4 = 2 THEN 'jpeg' END AS fmt,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bw AS INTEGER)
+            WHEN doc_id % 4 = 1 THEN CAST(pw AS INTEGER)
+            WHEN doc_id % 4 = 2 THEN CAST(jw AS INTEGER) END AS width,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bh AS INTEGER)
+            WHEN doc_id % 4 = 1 THEN CAST(ph AS INTEGER)
+            WHEN doc_id % 4 = 2 THEN CAST(jh AS INTEGER) END AS height,
+       CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 3 END AS channels,
+       CASE WHEN doc_id % 4 = 0 THEN 54 + stride * bh
+            WHEN doc_id % 4 = 1 THEN octet_length(CAST(
                  'P6' || chr(10) || CAST(pw AS VARCHAR) || ' '
                  || CAST(ph AS VARCHAR) || chr(10) || '255'
                  || chr(10) AS BLOB))
                  + pw * ph * 3
+            WHEN doc_id % 4 = 2 THEN 23
             ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS pixel_mean,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_r,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_g,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 3 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_b
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS pixel_mean,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_r,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_g,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_b
 FROM dims
 """,
     tags=("multimodal",),
 )
 def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image decode through the multimodal mapInPandas
-    path: construct valid BMP (doc_id%3=0) and binary-PPM (doc_id%3=1)
-    payloads JVM-side — hex-assembled little-endian BMP header + FULL
-    constant-byte raster / ASCII PPM header + constant-letter raster —
-    leave the rest opaque text, then decode headers with
-    ``parse_image_header`` AND pixels with ``decode_pixels`` (stride-
-    aware uncompressed-BMP row walk, netpbm sample read).  The oracle
-    predicts width/height/channels/n_bytes and the per-channel pixel
-    means ARITHMETICALLY from doc_id — it never sees the payload — so
-    a parser that misreads any header field, miscomputes the row
-    stride, or includes padding bytes in the means hash-mismatches.
+    path: construct valid BMP (doc_id%4=0), binary-PPM (doc_id%4=1) and
+    JPEG (doc_id%4=2) payloads JVM-side — hex-assembled little-endian
+    BMP header + FULL constant-byte raster / ASCII PPM header +
+    constant-letter raster / SOI+SOF0+EOI JPEG marker stream (header
+    metadata only; entropy decode is the documented stub boundary, so
+    jpeg rows carry NULL pixel means) — leave the rest opaque text,
+    then decode headers with ``parse_image_header`` AND pixels with
+    ``decode_pixels`` (stride-aware uncompressed-BMP row walk, netpbm
+    sample read).  The oracle predicts width/height/channels/n_bytes
+    and the per-channel pixel means ARITHMETICALLY from doc_id — it
+    never sees the payload — so a parser that misreads any header
+    field, miscomputes the row stride, walks the JPEG marker stream
+    wrong, or includes padding bytes in the means hash-mismatches.
     Scale shape: pure narrow projection + one Arrow-batched pass, no
     shuffle."""
     docs = load_table(spark, sf_dir, "documents")
@@ -623,9 +631,25 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w_ppm * h_ppm * 3).cast("int"),
         ),
     )
+    # header-only JPEG: SOI + SOF0 (len 17 = 8 + 3 components) + EOI;
+    # 23 bytes total, dims big-endian u16 per ITU T.81 §B.2.2
+    w_jpg = (F.col("doc_id") % 128 + 1).cast("int")
+    h_jpg = (F.col("doc_id") % 96 + 1).cast("int")
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                 # SOI
+        F.lit("FFC0"),                 # SOF0 (baseline)
+        F.lit("0011"),                 # segment length 17
+        F.lit("08"),                   # precision 8
+        F.lpad(F.hex(h_jpg), 4, "0"),  # height, BE u16
+        F.lpad(F.hex(w_jpg), 4, "0"),  # width, BE u16
+        F.lit("03"),                   # 3 components
+        F.lit("011100" "021101" "031101"),  # (id, sampling, qtable) × 3
+        F.lit("FFD9"),                 # EOI
+    )
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, F.unhex(bmp_hex))
-        .when(F.col("doc_id") % 3 == 1, ppm_str.cast("binary"))
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(bmp_hex))
+        .when(F.col("doc_id") % 4 == 1, ppm_str.cast("binary"))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(jpeg_hex))
         .otherwise(F.col("text").cast("binary"))
     )
     binary_df = docs.select(

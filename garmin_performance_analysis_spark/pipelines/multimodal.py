@@ -34,13 +34,14 @@ FEATURE_SCHEMA = (
 
 def parse_image_header(payload: bytes):
     """Real (no-dependency) image header decode: BMP, binary PPM/PGM,
-    and PNG (IHDR).
+    PNG (IHDR), and JPEG (SOFn frame header).
 
     Returns ``(fmt, width, height, channels)`` or ``None`` for payloads
     that are not a recognized image — the honest fallback path for
     opaque media.  Pure ``struct``/byte arithmetic on the first bytes;
-    formats needing a codec library (JPEG/PNG entropy data, audio,
-    video) still belong to the ``decode_image_stub`` integration point.
+    PIXEL decode for formats needing a codec library (JPEG entropy
+    data, audio, video) still belongs to the ``decode_image_stub``
+    integration point.
 
     Validation: a BMP match requires DIB header size 40 at bytes 14-17
     (LE ``0x28 00 00 00``) and planes==1 at 26-27 (``0x01 0x00``) —
@@ -81,6 +82,14 @@ def parse_image_header(payload: bytes):
                 and 0 < height <= 1_000_000
             ):
                 return ("png", width, height, channels)
+    # --- JPEG (SOFn frame header) -----------------------------------
+    # Magic FF D8 FF contains 0xFF bytes text cannot hold, so JPEG can
+    # never false-positive on a text corpus.  Header-level metadata
+    # only: entropy decode stays the decode_image_stub boundary.
+    if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
+        jfh = _jpeg_frame_header(payload)
+        if jfh is not None:
+            return jfh
     # --- binary PPM (P6) / PGM (P5) --------------------------------
     ppm = _ppm_header(payload)
     if ppm is not None:
@@ -94,6 +103,52 @@ def parse_image_header(payload: bytes):
 # storage map drives the scanline stride in the pixel decoder)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
 _PNG_STORAGE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# SOF0-SOF15 are 0xC0-0xCF minus DHT (0xC4), JPG-reserved (0xC8) and
+# DAC (0xCC) — every frame type (baseline, progressive, lossless,
+# arithmetic) shares the same precision/height/width/components layout.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_frame_header(payload: bytes):
+    """JPEG marker-segment walk to the SOFn frame header — dimensions
+    and component count only (ITU T.81 §B.2.2 layout: Lf, P, Y, X, Nf).
+    Entropy decode needs a codec library and stays the documented
+    ``decode_image_stub`` boundary; this closes the header-metadata gap
+    so JPEG payloads report fmt/width/height/channels like BMP/PNG/netpbm
+    instead of falling to opaque-media.  Returns the header tuple or
+    None on a malformed marker stream (caller falls back)."""
+    pos = 2  # past SOI
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None  # desynced: not a marker where one must be
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1  # spec allows fill bytes before the marker code
+        if pos >= n:
+            return None
+        code = payload[pos]
+        pos += 1
+        if code == 0x01 or 0xD0 <= code <= 0xD9:
+            continue  # TEM/RSTn/SOI/EOI are standalone (no length)
+        if pos + 2 > n:
+            return None
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        if seg_len < 2:
+            return None
+        if code in _JPEG_SOF_MARKERS:
+            if seg_len < 8 or pos + 8 > n:
+                return None
+            height = int.from_bytes(payload[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            ncomp = payload[pos + 7]
+            if 0 < width and 0 < height and ncomp in (1, 3, 4):
+                return ("jpeg", width, height, ncomp)
+            return None
+        if code == 0xDA:
+            return None  # SOS before any SOF: give up, don't scan ECS
+        pos += seg_len
+    return None
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, fbpp: int):

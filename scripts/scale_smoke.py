@@ -78,6 +78,13 @@ QUERIES = [
     "v7_embedding_outliers",
     "c5_quality_audit",
     "c6_mixture_report",
+    # r6 additions: the stateful-registry replays (two ingests against a
+    # throwaway registry; within/cross-batch anti-joins + hash-prefix
+    # partition pruning are the scale surface) and the amortized PQ read
+    # path (codebooks memoized after the first call)
+    "i1_incremental_dedup_replay",
+    "i2_incremental_lsh_replay",
+    "v8b_pq_query_path",
 ]
 
 

@@ -657,3 +657,48 @@ def test_wav_parser_rejects_non_audio_and_partial_frames():
     fmt_at = payload.index(b"fmt ") + 8
     mut[fmt_at] = 3
     assert parse_audio_header(bytes(mut)) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    ncomp=st.sampled_from([1, 3, 4]),
+    sof=st.sampled_from([0xC0, 0xC1, 0xC2]),
+    with_app0=st.booleans(),
+    with_dqt=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_frame_header_roundtrip(w, h, ncomp, sof, with_app0, with_dqt):
+    """SOFn walk must find the frame header through any prefix of
+    ordinary marker segments, for baseline/extended/progressive frames."""
+    body = b"\xff\xd8"
+    if with_app0:
+        body += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    if with_dqt:
+        body += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    comp = b"".join(
+        struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    body += (
+        bytes([0xFF, sof])
+        + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        + comp
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(body) == ("jpeg", w, h, ncomp)
+
+
+def test_jpeg_parser_rejects_malformed_streams():
+    """Truncation, SOS-before-SOF, and desynced bytes all fall back to
+    opaque-media (None) instead of reporting garbage dimensions."""
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 4, 5, 1) + b"\x01\x11\x00"
+    # SOS before any SOF: scanning entropy data is out of scope
+    assert parse_image_header(b"\xff\xd8\xff\xda" + b"\x00\x0c" + b"\x00" * 10) is None
+    # desynced: a non-FF byte where a marker must start
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x03\x00" + b"Z" + sof) is None
+    # truncated mid-segment-length
+    assert parse_image_header(b"\xff\xd8\xff\xc0\x00") is None
+    # plain text never matches (no 0xFF bytes)
+    assert parse_image_header(b"the quick brown fox " * 4) is None
+    # happy path for the same SOF segment, as a control
+    assert parse_image_header(b"\xff\xd8" + sof + b"\xff\xd9") == ("jpeg", 5, 4, 1)
