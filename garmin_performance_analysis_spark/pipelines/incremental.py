@@ -52,6 +52,14 @@ _REGISTRY_SCHEMA = "dedup_key string, keep_id long"
 _PREFIX_COL = "_kp"
 
 
+def _write_tasks(n_rows: int) -> int:
+    """Write-side parallelism for a prefix-partitioned append: ~200k
+    keys per task, floored at 8 (commit overhead amortizes poorly below
+    that) and capped at 256 (one task per prefix — more would reopen
+    the many-tiny-files problem the co-partitioning exists to avoid)."""
+    return min(256, max(8, (n_rows + 199_999) // 200_000))
+
+
 def _prefix_expr():
     """Partition value for a key: 'p' + first two hex chars.  The
     letter marker keeps Spark's partition-value type inference from
@@ -132,14 +140,27 @@ def incremental_dedup(
     # a registry directory holding only _SUCCESS, and a schemaless
     # parquet read of that directory fails inference forever after
     # (read_registry now also reads with an explicit schema, but an
-    # empty append buys nothing and costs a commit)
-    if fresh.limit(1).count() > 0:
+    # empty append buys nothing and costs a commit).  fresh is already
+    # checkpointed, so the count is a cheap scan and is reused to size
+    # the write below.
+    n_fresh = fresh.count()
+    if n_fresh > 0:
         (
             fresh.select(
                 "dedup_key",
                 F.col(id_col).cast("long").alias("keep_id"),
                 _prefix_expr().alias(_PREFIX_COL),
             )
+            # co-partition on the prefix BEFORE the partitioned write:
+            # without it every upstream task opens a writer for every
+            # prefix dir it touches (up to tasks × 256 tiny files per
+            # append — measured ~6 s of writer/commit overhead at
+            # sf0.1, 50 s for the band store).  Task count scales with
+            # the batch (1 file per prefix per ~200k keys), and the
+            # within-partition sort keeps each task on the sorted
+            # single-open-writer path (measured 7.6 s → 1.1 s).
+            .repartition(_write_tasks(n_fresh), F.col(_PREFIX_COL))
+            .sortWithinPartitions(_PREFIX_COL)
             .write.mode("append")
             .partitionBy(_PREFIX_COL)
             .parquet(registry_path)
@@ -274,7 +295,8 @@ def incremental_lsh_candidates(
     if _exists(spark, sigs_path):
         seen = spark.read.schema(sig_schema).parquet(sigs_path).select("doc_id")
         fresh_sigs = sigs.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
-    if fresh_sigs.limit(1).count() > 0:
+    n_fresh = fresh_sigs.count()
+    if n_fresh > 0:
         # bands BEFORE sigs: idempotency is keyed on sigs/ doc_ids, so a
         # crash between the two appends must leave the retry able to
         # repair.  sigs-first + crash = doc_ids present in sigs/ with no
@@ -289,6 +311,12 @@ def incremental_lsh_candidates(
             .withColumn(
                 _PREFIX_COL, F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
             )
+            # co-partition + sorted single-writer path, task count
+            # scaled to the batch (see incremental_dedup: avoids
+            # tasks × 256 tiny files; measured 50 s → ~10 s on the
+            # whole replay at sf0.1)
+            .repartition(_write_tasks(n_fresh * bands), F.col(_PREFIX_COL))
+            .sortWithinPartitions(_PREFIX_COL)
             .write.mode("append")
             .partitionBy(_PREFIX_COL)
             .parquet(bands_path)

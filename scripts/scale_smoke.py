@@ -168,8 +168,12 @@ def run(sf_dir: str, label: str, runs: int, spark) -> list[dict]:
         fn = _v4_bits8 if name == "v4_srp_bits8" else CATALOG[name].fn
         best = float("inf")
         for _ in range(runs):
-            df = fn(spark, sf_dir)
+            # fn() INSIDE the timer: replay-style entries (i1/i2) run
+            # their work eagerly at call time and return a checkpointed
+            # frame — timing only the force would record ~0 for them
+            # (same protocol as bench.py)
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         df = fn(spark, sf_dir)
