@@ -109,9 +109,11 @@ HEADLINE = [
     "s1_json_schema_parse",
     "s5_export_roundtrip",
     # r6: batch replays of the stateful incremental registries (two
-    # ingests against a throwaway registry; oracle = one-shot dedup)
+    # ingests against a throwaway registry; oracle = one-shot dedup),
+    # and the RAG/embedding chunking pass (in-row 1→N explode)
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
+    "c11_doc_chunks",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -152,6 +154,7 @@ BATCH_JOBS = {
     "s5_export_roundtrip",
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
+    "c11_doc_chunks",
 }
 
 

@@ -783,3 +783,42 @@ def c10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prep.leakage_safe_split(docs, "doc_id", "text")
+
+
+@register(
+    "c11_doc_chunks",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 64 THEN 1
+              ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM t
+),
+c AS (
+  SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS i FROM p
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(i * 48 AS BIGINT) AS start_token,
+       CAST(LEAST(64, n - i * 48) AS BIGINT) AS chunk_tokens,
+       array_to_string(w[(i * 48 + 1):(i * 48 + 64)], ' ') AS chunk_text
+FROM c
+""",
+    tags=("prep", "curation"),
+)
+def c11_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping per-document chunking (64-token windows every 48
+    tokens) — the prep step an embedding-index / RAG corpus runs before
+    the encoder; the final remainder window is kept, a short doc is one
+    chunk.  Pure in-row arithmetic + a 1→N explode (no shuffle, no
+    UDF), with the chunk TEXT itself value-checked by the oracle so an
+    off-by-one in the slice arithmetic, a dropped remainder, or a wrong
+    overlap all hash-mismatch; ``pipelines/prep.doc_chunks``."""
+    from ..pipelines import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.doc_chunks(docs, "doc_id", "text", window=64, stride=48)

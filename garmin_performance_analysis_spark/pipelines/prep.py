@@ -309,6 +309,62 @@ def sequence_packing(
     )
 
 
+def doc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Per-document overlapping chunking — the retrieval/embedding prep
+    twin of ``sequence_packing`` (which packs the CONCATENATED stream):
+    each document's whitespace-token sequence is cut into windows of
+    ``window`` tokens every ``stride`` tokens (overlap = window−stride),
+    the standard chunking policy for embedding-index and RAG corpora.
+    The final window is the remainder (shorter, never empty); a doc of
+    ≤ ``window`` tokens yields exactly one chunk.
+
+    Output: one row per (doc, chunk) —
+    ``(doc_id, chunk_idx, start_token, chunk_tokens, chunk_text)``.
+
+    Scale shape: pure in-row arithmetic + a 1→N ``explode`` — no
+    shuffle, no UDF; the explode's fan-out is ~n_tokens/stride per doc,
+    so output size is corpus-token-linear (the same bound as the
+    embedding pass it feeds).  Fully SQL-expressible, so the catalog
+    entry carries a complete value oracle.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window, got window={window} stride={stride}"
+        )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= window, F.lit(1)
+    ).otherwise(F.ceil((n - window) / float(stride)) + 1)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_w"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    return base.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("start_token"),
+        F.least(F.lit(window), F.col("_n") - start).cast("long").alias(
+            "chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("_w"), (start + 1).cast("int"), window), " "
+        ).alias("chunk_text"),
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -772,3 +772,44 @@ def test_v8b_query_path_equals_v8(spark, sf_dir):
     assert q_pipeline._PQ_CODEBOOK_MEMO  # populated by the first call
     again = CATALOG["v8b_pq_query_path"].fn(spark, sf_dir).collect()
     assert again == v8
+
+
+def test_doc_chunks_windows_and_remainder(spark):
+    """Chunk arithmetic: ≤window docs give one chunk; longer docs give
+    overlapping windows with the remainder kept; token coverage with
+    stride overlap reconstructs the document exactly."""
+    from garmin_performance_analysis_spark.pipelines import prep
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, " ".join(words[:4]))],
+        "doc_id long, text string",
+    )
+    out = prep.doc_chunks(df, window=4, stride=3)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r for r in out.collect()
+    }
+    # doc 1: 10 tokens, window 4 stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"  # remainder kept
+    assert rows[(1, 2)]["chunk_tokens"] == 4
+    # short docs: exactly one chunk, full text
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+    assert rows[(3, 0)]["chunk_tokens"] == 4
+    # stride overlap: stitching chunk[i][: stride] + last chunk rebuilds
+    # the exact token sequence
+    stitched = (
+        rows[(1, 0)]["chunk_text"].split()[:3]
+        + rows[(1, 1)]["chunk_text"].split()[:3]
+        + rows[(1, 2)]["chunk_text"].split()
+    )
+    assert stitched == words
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        prep.doc_chunks(df, window=4, stride=5)
+    with pytest.raises(ValueError):
+        prep.doc_chunks(df, window=0, stride=0)
