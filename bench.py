@@ -114,6 +114,13 @@ HEADLINE = [
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
     "c11_doc_chunks",
+    # r6 additions: corpus rewrite, bigram LM scoring, and merit-ordered
+    # budget selection are corpus batch passes
+    "d7_segment_dedup_rewrite",
+    "x14_bigram_logprob",
+    "c12_quality_budget_select",
+    "x15_heavy_hitters",
+    "c13_per_group_sample",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -155,6 +162,11 @@ BATCH_JOBS = {
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
     "c11_doc_chunks",
+    "d7_segment_dedup_rewrite",
+    "x14_bigram_logprob",
+    "c12_quality_budget_select",
+    "x15_heavy_hitters",
+    "c13_per_group_sample",
 }
 
 

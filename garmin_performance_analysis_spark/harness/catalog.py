@@ -221,3 +221,11 @@ def _rotate_for_round6() -> None:
 
 
 _rotate_for_round6()
+
+# ROUND-7 PLAN (standing new-queries-rotate-next-round rule): the
+# round-6 additions registered PAST this window and must be fronted in
+# the round-7 rotation — v8b_pq_query_path, i1_incremental_dedup_replay,
+# i2_incremental_lsh_replay, c11_doc_chunks, d7_segment_dedup_rewrite,
+# x14_bigram_logprob, c12_quality_budget_select, x15_heavy_hitters,
+# c13_per_group_sample — plus anything CORRECTNESS_r06 flags, padded
+# with the stalest r2-then-r4 names.

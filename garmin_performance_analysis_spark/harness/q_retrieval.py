@@ -19,6 +19,7 @@ from .q_pipeline import _hex_horner
 from .registry import r6 as _r6
 from .registry import register
 
+_STOP_IN = ", ".join(f"'{s}'" for s in text.STOPWORDS)
 _BM25_TERMS = ["spark", "hash", "window"]
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -822,3 +823,175 @@ def c11_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prep.doc_chunks(docs, "doc_id", "text", window=64, stride=48)
+
+
+@register(
+    "d7_segment_dedup_rewrite",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\. ') AS sl FROM documents
+),
+segs AS (
+  SELECT doc_id, sl[CAST(i AS INTEGER)] AS seg, CAST(i AS INTEGER) AS pos
+  FROM t, UNNEST(generate_series(1, len(sl))) AS g(i)
+  WHERE length(trim(sl[CAST(i AS INTEGER)])) > 0
+),
+ranked AS (
+  SELECT doc_id, seg, pos,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, '. ' ORDER BY pos), '')
+         AS clean_text
+FROM ranked
+GROUP BY doc_id
+""",
+    tags=("dedup", "text"),
+)
+def d7_segment_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus REWRITE: every segment that repeats anywhere in
+    the corpus survives only at its globally-first (doc_id, pos); each
+    document's text is rebuilt from its survivors in original order.
+    The rebuilt text itself is value-checked by the oracle, so a wrong
+    keep-position, a dropped survivor, or an order flip all
+    hash-mismatch; ``pipelines/dedup.segment_dedup_rewrite``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup_rewrite(docs, "doc_id", "text")
+
+
+@register(
+    "x14_bigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+),
+pf AS (SELECT doc_id, w1, w2, COUNT(*) AS pf FROM pairs GROUP BY 1, 2, 3),
+bg AS (SELECT w1, w2, SUM(pf) AS c12 FROM pf GROUP BY 1, 2),
+ug AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+vs AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+    FROM documents)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(pf) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(pf * ln((c12 + 0.5) / (c1 + 0.5 * v))
+                             AS DECIMAL(30,12))) AS DOUBLE) / SUM(pf), 6)
+           AS avg_logprob
+  FROM pf JOIN bg USING (w1, w2) JOIN ug USING (w1) CROSS JOIN vs
+  GROUP BY doc_id
+)
+SELECT * FROM scored
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_bigrams, CAST(NULL AS DOUBLE) AS avg_logprob
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM scored)
+""",
+    tags=("text", "quality"),
+)
+def x14_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM quality score (add-0.5 smoothing): mean
+    ln P(w2|w1) per document under the corpus's own transition counts —
+    catches shuffled-word spam that unigram frequency (x10) cannot;
+    ``pipelines/text.bigram_logprob_scores``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob_scores(docs, "doc_id", "text", add_k=0.5)
+
+
+@register(
+    "c12_quality_budget_select",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN})))
+           * 1.0 / len(string_split(lower(text), ' ')) AS score,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+              ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM f
+)
+SELECT doc_id, ROUND(score, 6) AS quality_score, n_tokens, cum_tokens
+FROM cum
+WHERE cum_tokens <= 20000
+""",
+    tags=("prep", "curation"),
+)
+def c12_quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: spend a 20k-token budget
+    on the highest-stopword-ratio (most prose-like) documents first —
+    the merit-ordered variant of c1's ingest-ordered budget, realized
+    as a distributed prefix sum over the composite (score DESC, doc_id)
+    key; ``pipelines/prep.quality_budget_select``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.quality_budget_select(docs, "doc_id", "text", token_budget=20_000)
+
+
+@register(
+    "x15_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1)
+SELECT term, CAST(cnt AS BIGINT) AS cnt
+FROM cnt
+ORDER BY cnt DESC, term
+LIMIT 20
+""",
+    tags=("text", "sketch"),
+)
+def x15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus terms via the two-pass Misra-Gries sketch +
+    candidate recount — the full-stream ``GROUP BY term`` shuffle is
+    replaced by bounded per-partition summaries, yet the output is
+    provably exact whenever the k-th count clears N/(width+1) (any
+    Zipf-ish corpus), so a plain exact-SQL oracle applies;
+    ``operators/sketches.heavy_hitters_topk``."""
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    return sketches.heavy_hitters_topk(terms, "term", k=20, width=4096)
+
+
+@register(
+    "c13_per_group_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('pgs1|' || CAST(doc_id AS VARCHAR))
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked
+WHERE sample_rank <= 25
+""",
+    tags=("prep", "sampling"),
+)
+def c13_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-per-source uniform sample (md5-permutation
+    rank) — per-stratum COUNT sampling to c2's per-stratum RATE; the
+    md5 order makes reruns, retries, and the oracle agree row-for-row;
+    ``pipelines/prep.per_group_sample``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.per_group_sample(docs, "doc_id", "source", k=25, salt="pgs1|")

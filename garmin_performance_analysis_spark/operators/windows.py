@@ -276,7 +276,7 @@ def downsample(
 
 def global_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col,
     value_col: str,
     out_col: str = "cum_sum",
     num_partitions: int | None = None,
@@ -310,19 +310,28 @@ def global_prefix_sum(
     Cost: one linear cache of the slim input — the honest price of a
     global prefix sum; at cluster scale swap for ``persist(DISK)``.
     ``order_col`` must be unique (ties across a partition boundary
-    would otherwise split nondeterministically).
+    would otherwise split nondeterministically).  It may be a single
+    column name, or a sequence of names/Column sort expressions (e.g.
+    ``[F.desc("quality"), "doc_id"]``) whose COMBINATION is unique —
+    range partitioning and the within-partition window both honor the
+    full composite order.
     """
+    order_exprs = (
+        [F.col(order_col)]
+        if isinstance(order_col, str)
+        else [F.col(c) if isinstance(c, str) else c for c in order_col]
+    )
     part = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
+        df.repartitionByRange(num_partitions, *order_exprs)
         if num_partitions
-        else df.repartitionByRange(F.col(order_col))
+        else df.repartitionByRange(*order_exprs)
     )
     part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
         eager=False
     )
     wlocal = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local_cum", F.sum(F.col(value_col)).over(wlocal))

@@ -455,3 +455,80 @@ def contamination_stats(
             ).alias("contaminated"),
         )
     )
+
+
+def segment_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Corpus-wide first-occurrence segment dedup with document
+    reconstruction — the C4 rule ("remove any duplicated three-sentence
+    span / keep the first occurrence") reduced to segment granularity:
+    every segment that appears more than once in the corpus survives
+    only at its globally-first position (ordered by ``(doc_id, pos)``),
+    and each document's text is rebuilt from its surviving segments in
+    original order.
+
+    This differs from :func:`~..pipelines.text.boilerplate_segments`
+    (which only SCORES duplication): this operator REWRITES the corpus,
+    which is what the C4/Dolma cleanup stage actually ships.
+
+    Plan shape for 100 TB: posexplode (linear, no shuffle) → one
+    segment-keyed window (``row_number`` over partitionBy(seg)) — a
+    single shuffle on the segment hash, skew-bounded because a segment
+    that repeats M times still forms one M-row partition group and hot
+    boilerplate strings are short; survivors then reduce per-document
+    (second shuffle on doc_id) with an in-row ``sort_array`` to restore
+    segment order — never a global window, never a driver collect.
+    The rebuilt text is ``concat_ws(joiner, ...)``; empty documents
+    (all segments deduped away) keep a row with ``clean_text = ''``
+    so downstream accounting sees the tombstone.
+
+    Output: (doc_id, n_segments, n_kept, clean_text).
+    """
+    from ..plans.layout import spread_for_compute
+
+    segs = (
+        spread_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), sep)).alias(
+                "pos", "seg"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("seg"))) > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    ranked = segs.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(F.col("_rn") == 1, F.lit(1))).alias("n_kept"),
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("seg"),
+                ),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            "clean_text",
+        )
+    )

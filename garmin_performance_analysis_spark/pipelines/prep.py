@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.windows import global_prefix_sum
-from .text import corpus_features
+from .text import corpus_features, quality_features
 
 
 def training_prep(
@@ -405,4 +405,109 @@ def leakage_safe_split(
         fp.alias("fingerprint"),
         bucket.alias("split_bucket"),
         split.alias("split"),
+    )
+
+
+def quality_budget_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    token_budget: int = 20_000,
+) -> DataFrame:
+    """Quality-ranked token-budget selection — "spend the training
+    budget on the best documents first": rank the corpus by a quality
+    score (descending, doc_id tiebreak), run a global prefix sum of
+    token counts down the ranking, and keep the prefix whose running
+    total stays within ``token_budget``.
+
+    This is the data-selection stage of a curated pre-training mix
+    (quality-ranked subset selection); it differs from
+    :func:`training_prep` (gate + dedup + doc_id-ordered budget) in
+    that the ORDER is a computed score, so the budget boundary cuts by
+    merit, not by ingest order.
+
+    The score is the stopword fraction of the whitespace tokens — the
+    cheap prose-ness proxy (C4 uses the same family of signals); it is
+    an exact rational of two integer counts, so Spark and an ANSI
+    oracle order identically with no float-comparison hazard.
+
+    Plan shape for 100 TB: score is an in-row projection (no shuffle);
+    the ranking order is realized by ``global_prefix_sum`` over the
+    composite key ``(score DESC, doc_id)`` — range repartition + tiny
+    offset join, never a single-task global window; the budget cut is
+    then a pure filter.  One linear scan + one range shuffle total.
+
+    Output: (doc_id, quality_score, n_tokens, cum_tokens), kept rows
+    only, quality_score rounded 6dp for display (ordering uses the
+    unrounded value).
+    """
+    feats = quality_features(docs, id_col, text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"size(regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+', 0))"
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    slim = feats.select(
+        "doc_id", F.col("stopword_ratio").alias("_score")
+    ).join(toks, "doc_id")
+    cum = global_prefix_sum(
+        slim,
+        [F.desc("_score"), "doc_id"],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= token_budget)
+        .select(
+            "doc_id",
+            F.round(F.col("_score"), 6).alias("quality_score"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
+def per_group_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int = 25,
+    salt: str = "pgs1|",
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: within each group keep
+    the ``k`` rows ranking first by ``md5(salt || id)`` — the
+    shuffle-free analogue of per-stratum reservoir sampling (the md5
+    order IS a uniform random permutation, but a reproducible one, so
+    reruns, retries, and the ANSI oracle all agree row-for-row).
+
+    Complements :func:`stratified_sample` (per-stratum RATE) with a
+    per-stratum COUNT — the shape needed for eval-set carving and
+    per-source inspection samples ("give me 25 random docs from every
+    source").
+
+    Plan shape for 100 TB: one keyed window (partitionBy group, orderBy
+    md5 — grouped shuffle, no global window); skew-safe because every
+    group's output is capped at k and row_number short-circuits beyond
+    it.  ``id_col`` must be unique, making the md5 rank total.
+
+    Output: (id, group, sample_rank) for the kept rows.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            id_col,
+            group_col,
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
     )

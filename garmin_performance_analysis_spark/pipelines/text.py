@@ -367,3 +367,100 @@ def boilerplate_segments(
             F.round(F.col("n_dup_segments") / F.col("n_segments"), 6),
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """Corpus-bigram language-model quality score: each document's mean
+    bigram log-probability ``ln P(w_i | w_{i-1})`` under the corpus's
+    OWN add-k-smoothed bigram distribution — the next step up from the
+    unigram junk filter (:func:`unigram_logprob_scores`): repetitive or
+    shuffled-word spam that fools unigram frequency still scores low on
+    transition probability.
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)`` with V = distinct
+    unigram vocabulary size (add-k / Lidstone smoothing).
+
+    Plan shape for 100 TB: bigrams are formed IN-ROW (``arrays_zip`` of
+    the token array against its own shift — zero-shuffle, no window,
+    no self-join); one groupBy builds the bigram table and one the
+    unigram table (map-side partial agg absorbs hot pairs); V and the
+    smoothing constant ride a broadcast 1-row aggregate.  Scoring is a
+    bigram-keyed join of per-(doc, pair) frequencies against the pair
+    table plus a first-token join against the unigram table — the
+    word-count skeleton again, with AQE skew-join covering hot pairs
+    ("of the").  Docs with < 2 tokens emit ``n_bigrams = 0`` and a
+    null score (no transitions to judge).
+
+    Determinism: per-(doc,pair) contribution is one double expression;
+    the per-doc sum goes through DECIMAL(30,12) (registry convention).
+
+    Output: (doc_id, n_bigrams, avg_logprob) — avg_logprob rounded 6dp.
+    """
+    from ..harness.registry import dec_sum
+
+    toks = F.filter(_words(text_col), lambda x: x != "")
+    n = F.size(toks)
+    pairs_arr = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    base = spread_for_compute(df, id_col).select(
+        F.col(id_col).alias("doc_id"), pairs_arr.alias("_pairs")
+    )
+    doc_pairs = (
+        base.select(
+            "doc_id", F.explode("_pairs").alias("p")
+        )
+        .select(
+            "doc_id",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pf"))
+    )
+    bigrams = doc_pairs.groupBy("w1", "w2").agg(F.sum("pf").alias("c12"))
+    unigrams = (
+        base.select(F.explode("_pairs").alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_n = (
+        spread_for_compute(df, id_col)
+        .select(F.explode(F.filter(_words(text_col), lambda x: x != "")).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = (
+        doc_pairs.join(bigrams, ["w1", "w2"])
+        .join(unigrams, "w1")
+        .join(F.broadcast(vocab_n))
+        .withColumn(
+            "_contrib",
+            F.col("pf")
+            * F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("pf").cast("bigint").alias("n_bigrams"),
+        F.round(
+            dec_sum(F.col("_contrib"), scale=12, precision=30) / F.sum("pf"),
+            6,
+        ).alias("avg_logprob"),
+    )
+    # docs with < 2 tokens have no bigrams — emit the tombstone row so
+    # the score table stays one-row-per-document (audit invariant)
+    short = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+        )
+    )
+    return per_doc.unionByName(short)

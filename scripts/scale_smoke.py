@@ -85,6 +85,16 @@ QUERIES = [
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
     "v8b_pq_query_path",
+    # r6 additions (late): corpus segment-dedup rewrite (segment-keyed
+    # window + per-doc rebuild), bigram LM (two count shuffles + pair
+    # join), merit-ordered budget selection (range shuffle + offsets)
+    "d7_segment_dedup_rewrite",
+    "x14_bigram_logprob",
+    "c12_quality_budget_select",
+    # two-pass sketch top-k (bounded summaries + candidate recount) and
+    # the keyed-window count sampler
+    "x15_heavy_hitters",
+    "c13_per_group_sample",
 ]
 
 

@@ -378,3 +378,153 @@ def test_sample_threshold_rounds_before_casting(spark):
         _threshold(F.lit(0.07)).alias("t07"),
     ).first()
     assert (row["t3"], row["t5"], row["t07"]) == (300000, 500000, 70000)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """3-doc corpus with hand-computable bigram transition counts."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b)
+    # corpus: c(a,b)=3, c(b,a)=1; histories: c1(a)=3, c1(b)=1
+    # vocab (all tokens, incl. doc3's lone c): {a, b, c} -> V=3
+    rows = {r["doc_id"]: r for r in
+            text_mod.bigram_logprob_scores(df, "doc_id", "text").collect()}
+    k, v = 0.5, 3
+    p_ab = math.log((3 + k) / (3 + k * v))
+    p_ba = math.log((1 + k) / (1 + k * v))
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_logprob"] == round((2 * p_ab + p_ba) / 3, 6)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["avg_logprob"] == round(p_ab, 6)
+    # single-token doc: no transitions to judge -> tombstone row
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logprob"] is None
+    # the common transition scores above the rare one
+    assert rows[2]["avg_logprob"] > round(p_ba, 6)
+
+
+def test_segment_dedup_rewrite_keeps_first_occurrence(spark):
+    from garmin_performance_analysis_spark.pipelines import dedup as dedup_mod
+
+    df = spark.createDataFrame(
+        [
+            (1, "all rights reserved. unique one"),
+            (2, "all rights reserved. unique two"),
+            (3, "unique one. fresh tail"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_mod.segment_dedup_rewrite(df, "doc_id", "text").collect()}
+    # doc1 is the global first for both its segments -> untouched
+    assert rows[1]["clean_text"] == "all rights reserved. unique one"
+    assert rows[1]["n_segments"] == 2 and rows[1]["n_kept"] == 2
+    # doc2 loses the boilerplate header (doc1 owns it), keeps its tail
+    assert rows[2]["clean_text"] == "unique two"
+    assert rows[2]["n_kept"] == 1
+    # doc3's "unique one" was first seen in doc1 (smaller doc_id) -> dropped
+    assert rows[3]["clean_text"] == "fresh tail"
+
+
+def test_segment_dedup_rewrite_empty_doc_tombstone(spark):
+    from garmin_performance_analysis_spark.pipelines import dedup as dedup_mod
+
+    df = spark.createDataFrame(
+        [(1, "same thing"), (2, "same thing")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_mod.segment_dedup_rewrite(df, "doc_id", "text").collect()}
+    # doc2's only segment deduped away: row survives with empty text
+    assert rows[2]["n_kept"] == 0 and rows[2]["clean_text"] == ""
+    assert rows[1]["clean_text"] == "same thing"
+
+
+def test_quality_budget_select_orders_by_merit(spark):
+    from garmin_performance_analysis_spark.pipelines import prep as prep_mod
+
+    # doc2 is prose-iest (all stopwords), doc1 mixed, doc3 no stopwords
+    df = spark.createDataFrame(
+        [
+            (1, "the big table of data"),      # 2/5 stopwords, 5 tokens
+            (2, "the of and to in"),           # 5/5 stopwords, 5 tokens
+            (3, "spark rows columns"),         # 0/3 stopwords, 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = prep_mod.quality_budget_select(
+        df, "doc_id", "text", token_budget=10
+    ).collect()
+    kept = {r["doc_id"]: r for r in out}
+    # merit order: doc2 (1.0), doc1 (0.4), doc3 (0.0); budget 10 fits
+    # doc2 (5) + doc1 (5) = 10, doc3 would overflow
+    assert set(kept) == {1, 2}
+    assert kept[2]["cum_tokens"] == 5 and kept[1]["cum_tokens"] == 10
+    assert kept[2]["quality_score"] == 1.0 and kept[1]["quality_score"] == 0.4
+
+
+def test_quality_budget_select_tiebreak_is_doc_id(spark):
+    from garmin_performance_analysis_spark.pipelines import prep as prep_mod
+
+    # identical scores and token counts -> doc_id breaks the tie
+    df = spark.createDataFrame(
+        [(i, "the data table") for i in range(1, 7)], "doc_id long, text string"
+    )
+    out = prep_mod.quality_budget_select(
+        df, "doc_id", "text", token_budget=9
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    from garmin_performance_analysis_spark.operators import sketches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    got = sketches.heavy_hitters_topk(terms, "term", k=15, width=4096).collect()
+    want = (
+        terms.groupBy("term").count()
+        .orderBy(F.desc("count"), F.asc("term"))
+        .limit(15)
+        .collect()
+    )
+    assert [(r["term"], r["cnt"]) for r in got] == [
+        (r["term"], r["count"]) for r in want
+    ]
+
+
+def test_heavy_hitters_survives_compaction(spark):
+    """width small enough that the Misra-Gries batch decrement fires:
+    the heavy key must still surface with its EXACT count."""
+    from garmin_performance_analysis_spark.operators import sketches
+
+    # 1 heavy key (600 occurrences) + 3000 singletons, width 8 ->
+    # every partition compacts repeatedly; the recount restores 600
+    rows = [("hot",)] * 600 + [(f"u{i}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+    got = sketches.heavy_hitters_topk(df, "term", k=1, width=8).collect()
+    assert got[0]["term"] == "hot" and got[0]["cnt"] == 600
+
+
+def test_per_group_sample_counts_and_determinism(spark):
+    from garmin_performance_analysis_spark.pipelines import prep as prep_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = prep_mod.per_group_sample(docs, "doc_id", "source", k=5).collect()
+    b = prep_mod.per_group_sample(docs, "doc_id", "source", k=5).collect()
+    assert sorted((r["doc_id"], r["sample_rank"]) for r in a) == sorted(
+        (r["doc_id"], r["sample_rank"]) for r in b
+    )
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in a)
+    n_src = docs.select("source").distinct().count()
+    assert len(per_src) == n_src and all(v <= 5 for v in per_src.values())
+    # a different salt draws a different sample (it IS the RNG)
+    c = prep_mod.per_group_sample(docs, "doc_id", "source", k=5, salt="other|")
+    assert {r["doc_id"] for r in c.collect()} != {r["doc_id"] for r in a}
