@@ -121,6 +121,9 @@ HEADLINE = [
     "c12_quality_budget_select",
     "x15_heavy_hitters",
     "c13_per_group_sample",
+    # r6: streaming windowed-agg replay (4 AvailableNow runs against a
+    # shared checkpoint; timed end-to-end like i1/i2)
+    "i3_stream_window_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -167,6 +170,7 @@ BATCH_JOBS = {
     "c12_quality_budget_select",
     "x15_heavy_hitters",
     "c13_per_group_sample",
+    "i3_stream_window_replay",
 }
 
 

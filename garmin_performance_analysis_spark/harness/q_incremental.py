@@ -165,3 +165,94 @@ def i2_incremental_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "old_doc", "new_doc", _r6(F.col("est_jaccard")).alias("est_jaccard")
     )
+
+
+_I3_WIN_US = 300_000_000       # 5-minute tumbling windows
+_I3_WM_US = 120_000_000        # 2-minute watermark
+_I3_LATE_US = 180_000_000      # redeliver the last 3 minutes of batch 1
+
+
+def _i3_oracle() -> str:
+    """Pure-SQL replay of the two-run watermark semantics: batch 1 =
+    first half of event time; batch 2 = second half + a redelivery of
+    batch 1's last 3 minutes.  Late rows whose WINDOW END is already
+    behind the run-1 watermark are dropped; the rest merge (duplicates
+    double-count — at-least-once).  Emitted = windows whose end is
+    behind the final watermark.  Watermarks are ms-floored exactly as
+    Spark tracks them."""
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+b1 AS (SELECT e.* FROM e, m WHERE us <= mid),
+b2 AS (
+  SELECT e.* FROM e, m WHERE us > mid
+  UNION ALL
+  SELECT b1.* FROM b1, m WHERE us > mid - {_I3_LATE_US}
+),
+wm AS (
+  SELECT ((SELECT MAX(us) FROM b1) // 1000 - {_I3_WM_US // 1000}) * 1000 AS wm1,
+         ((SELECT MAX(us) FROM e) // 1000 - {_I3_WM_US // 1000}) * 1000 AS wm2
+),
+kept AS (
+  SELECT * FROM b1
+  UNION ALL
+  SELECT b2.us, b2.event_type, b2.value FROM b2, wm
+  WHERE ((us // {_I3_WIN_US}) + 1) * {_I3_WIN_US} > wm1
+),
+agg AS (
+  SELECT (us // {_I3_WIN_US}) * {_I3_WIN_US} AS ws_us, event_type AS key,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6) AS value_sum,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS value_avg,
+         MIN(value) AS value_min,
+         MAX(value) AS value_max
+  FROM kept GROUP BY 1, 2
+)
+SELECT make_timestamp(ws_us) AS window_start, key, CAST(n AS BIGINT) AS n,
+       value_sum, value_avg, value_min, value_max
+FROM agg, wm WHERE ws_us + {_I3_WIN_US} <= wm2
+"""
+
+
+@register(
+    "i3_stream_window_replay",
+    oracle=_i3_oracle(),
+    tags=("streaming", "agg"),
+)
+def i3_stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of the STREAMING windowed aggregation
+    (``streaming/replay.windowed_stats_replay``): real file source →
+    ``withWatermark`` → 5-min tumbling window per event_type →
+    append-mode parquet sink, one AvailableNow run per batch over a
+    shared checkpoint.  Batch 1 = first half of event time; batch 2 =
+    the rest plus a redelivered 3-minute tail of batch 1 (at-least-once
+    upstream).  The oracle replays the watermark arithmetic in SQL:
+    a window finalized by run 1 must reject its late rows, an open
+    window must MERGE them (double-counting the redelivery), and only
+    windows behind the final watermark may appear — so a watermark that
+    fails to restore from the checkpoint, a drop rule applied to the
+    wrong boundary, or a premature emission all hash-mismatch."""
+    from ..streaming.replay import windowed_stats_replay
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    b1 = ev.filter(us <= mid)
+    b2 = ev.filter(us > mid).unionByName(
+        b1.filter(us > mid - _I3_LATE_US)
+    )
+    work = tempfile.mkdtemp(prefix="i3_stream_replay_")
+    try:
+        out = windowed_stats_replay(
+            spark, [b1, b2], work,
+            ts_col="ts", key_col="event_type", value_col="value",
+            window_sec=_I3_WIN_US // 1_000_000,
+            watermark_sec=_I3_WM_US // 1_000_000,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -334,3 +334,46 @@ def test_streaming_shard_sink_drains_and_resumes(spark, tmp_path):
     for r in manifest.collect():
         blob = open(r["path"], "rb").read()
         assert hashlib.sha256(blob).hexdigest() == r["sha256"]
+
+
+def test_windowed_stats_replay_merges_open_and_drops_closed(spark, tmp_path):
+    """Constructed two-batch scenario pinning the watermark semantics
+    the i3 catalog entry relies on: after batch 1 the watermark sits at
+    00:28 (max 00:30 - 2min), so batch 2's late row into the CLOSED
+    [00:00, 00:05) window is dropped, its late row into the still-OPEN
+    [00:25, 00:30) window merges, and only windows behind the final
+    watermark are emitted."""
+    from garmin_performance_analysis_spark.streaming.replay import (
+        windowed_stats_replay,
+    )
+
+    def ev(mmss, k, v):
+        return (f"2024-01-01 00:{mmss}", k, float(v))
+
+    b1 = spark.createDataFrame(
+        [ev("01:00", "a", 1), ev("26:00", "a", 2), ev("30:00", "a", 3)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        [
+            ev("02:00", "a", 10),   # late into [00,05) — closed (wm=28) -> DROP
+            ev("27:00", "a", 20),   # late into [25,30) — open -> MERGE
+            ev("59:00", "a", 4),    # advances final watermark to 00:57
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = windowed_stats_replay(
+        spark, [b1, b2], str(tmp_path / "i3"),
+        ts_col="ts", key_col="event_type", value_col="value",
+        window_sec=300, watermark_sec=120,
+    )
+    rows = {r["window_start"].strftime("%M"): r for r in out.collect()}
+    # [00,05): batch-1 row only (late 10 dropped); [25,30): 2 + merged 20
+    assert rows["00"]["n"] == 1 and rows["00"]["value_sum"] == 1.0
+    assert rows["25"]["n"] == 2 and rows["25"]["value_sum"] == 22.0
+    # [30,35) emitted once the final watermark (00:57) passed it
+    assert rows["30"]["n"] == 1
+    # [55,60) holds the 00:59 row — final wm 00:57 has NOT passed its
+    # end, so it must not be emitted
+    assert "55" not in rows
