@@ -52,6 +52,11 @@ HEADLINE = [
     "d3_minhash_lsh_pairs",
     "x1_text_quality",
     "v1_cosine_topk",
+    # r6: CDC merge, SCD2 history, and daily gap-fill are read-shaped
+    # event-table queries (keyed windows + one join each)
+    "j10_cdc_apply",
+    "w11_scd2_intervals",
+    "t10_gap_fill_ffill",
     # r3: the heaviest previously-untimed plans (VERDICT r2 item 3) —
     # wall numbers for the enrichment/robust-fit/anomaly-rate families
     # and the scale-path dedup/ANN candidate generators.

@@ -188,3 +188,172 @@ def t9_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
         ).alias("total_value"),
     )
+
+
+@register(
+    "j10_cdc_apply",
+    oracle="""
+WITH base AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0)
+  WHERE rn = 1
+),
+ch AS (
+  SELECT user_id, value,
+         CASE WHEN event_id % 10 = 1 THEN 'delete' ELSE 'upsert' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_id % 2 = 1
+),
+latest AS (SELECT user_id, value, op FROM ch WHERE rn = 1)
+SELECT user_id,
+       CASE WHEN l.op IS NOT NULL THEN l.value ELSE b.value END AS value
+FROM base b FULL OUTER JOIN latest l USING (user_id)
+WHERE l.op IS NULL OR l.op <> 'delete'
+""",
+    tags=("join", "cdc"),
+)
+def j10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert: even event_ids build the base snapshot
+    (latest value per user), odd event_ids play the CDC stream
+    (event_id % 10 == 1 → delete tombstone, else upsert); per key the
+    latest change by (ts, event_id) wins, untouched keys keep base —
+    ``operators/joins.cdc_apply``.  A wrong precedence order, a
+    tombstone that fails to drop, or a base row lost in the outer join
+    all change the row set."""
+    from ..operators.joins import cdc_apply
+    from ..operators.windows import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    base = latest_per_key(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "value")
+    changes = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 1, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    out = cdc_apply(base, changes, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "value")
+
+
+@register(
+    "w11_scd2_intervals",
+    oracle="""
+WITH snap AS (
+  SELECT user_id, ts, CAST(floor(value) AS BIGINT) % 5 AS vband
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events)
+  WHERE rn = 1
+),
+marked AS (
+  SELECT user_id, ts, vband,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN vband IS DISTINCT FROM lag(vband) OVER w THEN 1
+              ELSE 0 END AS new_run
+  FROM snap
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+versioned AS (
+  SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS version
+  FROM marked
+),
+runs AS (
+  SELECT user_id, version, MIN(vband) AS vband,
+         MIN(ts) AS valid_from
+  FROM versioned GROUP BY 1, 2
+)
+SELECT user_id, vband, CAST(version AS BIGINT) AS version, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to
+FROM runs
+""",
+    tags=("window", "scd2"),
+)
+def w11_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history with change suppression: the quantized
+    value band (floor(value) % 5) per user becomes one validity
+    interval per DISTINCT run — redelivered unchanged snapshots must
+    NOT mint versions; ``operators/windows.scd2_intervals``.  valid_to
+    is null on each user's current version."""
+    from ..operators.windows import latest_per_key, scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    snap = latest_per_key(
+        ev, ["user_id", "ts"], [F.col("event_id")]
+    ).select(
+        "user_id",
+        "ts",
+        (F.floor("value").cast("bigint") % 5).alias("vband"),
+    )
+    return scd2_intervals(snap, ["user_id"], "ts", ["vband"]).select(
+        "user_id", "vband", "version", "valid_from", "valid_to"
+    )
+
+
+@register(
+    "t10_gap_fill_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+cal AS (
+  SELECT user_id, CAST(day_ts AS DATE) AS day FROM (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day_ts
+    FROM spans)
+),
+joined AS (
+  SELECT c.user_id, c.day, d.day_value,
+         d.day_value IS NOT NULL AS is_observed
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS UNBOUNDED PRECEDING) AS day_value,
+       is_observed
+FROM joined
+""",
+    tags=("timeseries", "window"),
+)
+def t10_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap fill + forward fill over each user's own
+    [first, last] day span — the regularization before rolling-window
+    features whose frames assume one row per day; calendar built
+    in-row with sequence()+explode (no calendar-table cross join);
+    ``operators/windows.gap_fill_ffill``."""
+    from ..harness.registry import dec_avg
+    from ..operators.windows import gap_fill_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(dec_avg(F.col("value")), 6).alias("day_value"))
+    )
+    out = gap_fill_ffill(daily, ["user_id"], "day", ["day_value"])
+    # date rendered as string on both sides (registry convention for
+    # DATE columns — a4's day does the same)
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_value",
+        "is_observed",
+    )

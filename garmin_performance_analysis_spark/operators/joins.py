@@ -175,3 +175,59 @@ def preaggregated_join(
     """
     pre = fact.groupBy(group_key).agg(F.avg(agg_col).alias(agg_alias))
     return dim.join(pre, dim[dim_key] == pre[group_key]).drop(group_key)
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a CDC change stream to a base snapshot — the batch MERGE
+    (upsert/delete) every lakehouse sync runs.
+
+    Semantics: per key, the LATEST change by ``order_cols`` wins; a
+    ``delete`` tombstone removes the key, any other op upserts the
+    change row's payload; keys untouched by the stream keep their base
+    row.  ``order_cols`` must be a total order within each key (pass a
+    unique tiebreak — nondeterministic "latest" is how real CDC
+    pipelines corrupt themselves).
+
+    Plan shape for 100 TB: one keyed window over the CHANGES (usually
+    ≪ base) to pick each key's latest op, then ONE full-outer hash join
+    on the key — no window over the base at all.  With the base
+    bucketed on the key the join is shuffle-free on that side; AQE
+    handles a skewed change stream.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload = [c for c in base.columns if c not in key_cols]
+    b = base.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in payload]
+    )
+    c = latest.select(
+        *key_cols,
+        F.col(op_col).alias("_op"),
+        *[F.col(p).alias(f"_c_{p}") for p in payload],
+    )
+    joined = b.join(c, list(key_cols), "full_outer")
+    kept = joined.filter(
+        F.col("_op").isNull() | (F.col("_op") != delete_op)
+    )
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{p}"))
+            .otherwise(F.col(f"_b_{p}"))
+            .alias(p)
+            for p in payload
+        ],
+    )

@@ -350,3 +350,117 @@ def global_prefix_sum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a snapshot/
+    change stream: per key, collapse consecutive observations with an
+    UNCHANGED payload and emit one validity interval per distinct run —
+    (valid_from, valid_to, version), ``valid_to`` null for the current
+    row.
+
+    The change-suppression step matters: raw SCD2 over a feed that
+    re-delivers unchanged snapshots mints a new version per delivery
+    and the dimension table grows with the FEED, not with actual
+    change.  Run detection is the null-safe ``<=>`` comparison against
+    ``lag``, so null payloads compare stably.
+
+    ``ts_col`` must be unique per key (tiebreak upstream if not).
+
+    Plan shape for 100 TB: two stacked keyed windows (lag + running
+    version sum) and one (key, version) groupBy — all shuffling on the
+    same key hash, so AQE plans ONE exchange; no global window.
+
+    Output: key cols + value cols + (version, valid_from, valid_to).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    changed = F.lit(False)
+    for v in value_cols:
+        changed = changed | ~F.col(v).eqNullSafe(F.lag(F.col(v)).over(w))
+    marked = df.withColumn(
+        "_new_run",
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(1))
+        .when(changed, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    versioned = marked.withColumn(
+        "_version",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = versioned.groupBy(*key_cols, "_version").agg(
+        *[F.first(v).alias(v) for v in value_cols],
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("_run_end"),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("_version")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wk))
+        .select(
+            *key_cols,
+            *value_cols,
+            F.col("_version").cast("bigint").alias("version"),
+            "valid_from",
+            "valid_to",
+        )
+    )
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Per-key daily gap fill with forward fill: materialize every
+    calendar day between each key's first and last observation and
+    carry the most recent observed values into the gaps — the
+    regularization step before any rolling-window feature (W4-W6
+    style) whose frame arithmetic assumes one row per day.
+
+    Plan shape for 100 TB: the calendar is built per key with in-row
+    ``sequence()`` + explode (no cross join against a calendar table,
+    no shuffle to produce it); observed rows then attach by (key, day)
+    left join and the fill is ``last(..., ignorenulls)`` over a keyed
+    window — two exchanges on the same key family.  Span explosion is
+    the operator's honest cost: a key spanning years emits years of
+    days; cap spans upstream if that is not wanted.
+
+    Output: key cols + (day, <value cols>, is_observed).
+    """
+    spans = df.groupBy(*key_cols).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    days = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    obs = df.select(
+        *key_cols,
+        F.col(date_col).alias("day"),
+        *[F.col(v) for v in value_cols],
+        F.lit(True).alias("is_observed"),
+    )
+    joined = days.join(obs, [*key_cols, "day"], "left")
+    wf = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "day",
+        *[
+            F.last(F.col(v), ignorenulls=True).over(wf).alias(v)
+            for v in value_cols
+        ],
+        F.coalesce(F.col("is_observed"), F.lit(False)).alias("is_observed"),
+    )

@@ -333,3 +333,103 @@ def test_approx_profiler_tracks_exact(spark):
             0.05 * e["stat_n_distinct"], 2
         ), col
         assert abs(a["stat_median"] - e["stat_median"]) <= grid[col], col
+
+
+def test_cdc_apply_upsert_delete_untouched(spark):
+    from garmin_performance_analysis_spark.operators.joins import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", 11.0),   # stale update...
+            (1, 2, "upsert", 12.0),   # ...superseded by this one
+            (2, 3, "delete", None),   # tombstone
+            (4, 4, "upsert", 40.0),   # brand-new key
+            (5, 5, "delete", None),   # tombstone for a key never seen
+        ],
+        "k long, seq long, op string, v double",
+    )
+    out = {r["k"]: r["v"] for r in cdc_apply(
+        base, changes, ["k"], ["seq"]).collect()}
+    assert out == {1: 12.0, 3: 30.0, 4: 40.0}
+
+
+def test_cdc_apply_delete_then_reinsert_latest_wins(spark):
+    from garmin_performance_analysis_spark.operators.joins import cdc_apply
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 1, "delete", None), (1, 2, "upsert", 9.0)],
+        "k long, seq long, op string, v double",
+    )
+    out = cdc_apply(base, changes, ["k"], ["seq"]).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 9.0)]
+
+
+def test_scd2_intervals_suppresses_unchanged_redelivery(spark):
+    from garmin_performance_analysis_spark.operators.windows import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"), (1, 20, "a"),   # redelivered unchanged -> 1 version
+            (1, 30, "b"),                  # change -> version 2
+            (1, 40, "a"),                  # back to a -> version 3 (not merged)
+            (2, 10, "x"),
+        ],
+        "k long, t long, v string",
+    )
+    rows = scd2_intervals(df, ["k"], "t", ["v"]).collect()
+    k1 = sorted(
+        [r for r in rows if r["k"] == 1], key=lambda r: r["version"]
+    )
+    assert [(r["version"], r["v"], r["valid_from"], r["valid_to"])
+            for r in k1] == [(1, "a", 10, 30), (2, "b", 30, 40), (3, "a", 40, None)]
+    k2 = [r for r in rows if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["valid_to"] is None
+
+
+def test_scd2_intervals_null_payload_is_stable(spark):
+    from garmin_performance_analysis_spark.operators.windows import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (1, 3, "a")], "k long, t long, v string"
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "t", ["v"]).collect(),
+        key=lambda r: r["version"],
+    )
+    # two null deliveries collapse into ONE version (null-safe compare)
+    assert [(r["version"], r["v"]) for r in rows] == [(1, None), (2, "a")]
+
+
+def test_gap_fill_ffill_fills_and_flags(spark):
+    import datetime
+
+    from garmin_performance_analysis_spark.operators.windows import (
+        gap_fill_ffill,
+    )
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 1.0),
+            (1, d(2024, 1, 4), 4.0),   # 2-day gap
+            (2, d(2024, 2, 1), 9.0),   # single-day key: no gap rows
+        ],
+        "k long, day date, v double",
+    )
+    rows = gap_fill_ffill(df, ["k"], "day", ["v"]).collect()
+    k1 = sorted([r for r in rows if r["k"] == 1], key=lambda r: r["day"])
+    assert [(str(r["day"]), r["v"], r["is_observed"]) for r in k1] == [
+        ("2024-01-01", 1.0, True),
+        ("2024-01-02", 1.0, False),
+        ("2024-01-03", 1.0, False),
+        ("2024-01-04", 4.0, True),
+    ]
+    assert len([r for r in rows if r["k"] == 2]) == 1
