@@ -57,6 +57,10 @@ HEADLINE = [
     "j10_cdc_apply",
     "w11_scd2_intervals",
     "t10_gap_fill_ffill",
+    "j11_snapshot_diff",
+    "j12_interval_overlap",
+    "t11_time_weighted_avg",
+    "c14_top_p_select",
     # r3: the heaviest previously-untimed plans (VERDICT r2 item 3) —
     # wall numbers for the enrichment/robust-fit/anomaly-rate families
     # and the scale-path dedup/ANN candidate generators.

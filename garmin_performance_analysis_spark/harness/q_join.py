@@ -217,3 +217,158 @@ def j8_nearest_covariate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break_past=True,
     )
     return out.select("l.event_id", "l.user_id", "l.value", "covariate", "gap_days")
+
+
+@register(
+    "j11_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0)
+  WHERE rn = 1
+),
+new AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 3 = 0)
+  WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       COALESCE(o.event_type, n.event_type) AS event_type,
+       o.value AS old_value, n.value AS new_value,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+       END AS change_type
+FROM old o FULL OUTER JOIN new n
+  ON o.user_id = n.user_id AND o.event_type = n.event_type
+WHERE CASE WHEN o.user_id IS NULL THEN 'added'
+           WHEN n.user_id IS NULL THEN 'removed'
+           WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+      END IS NOT NULL
+""",
+    tags=("join", "cdc"),
+)
+def j11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the inverse of j10's CDC apply: two keyed
+    snapshots of the latest value per (user, event_type) (taken over
+    the event_id%2 and event_id%3 subsets so the diff exercises all
+    three change types) reduced to the added/removed/changed stream
+    that turns one into the other; one full-outer hash join, no
+    window over either snapshot — ``operators/joins.snapshot_diff``."""
+    from ..operators.joins import snapshot_diff
+    from ..operators.windows import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(pred):
+        return latest_per_key(
+            ev.filter(pred),
+            ["user_id", "event_type"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).select("user_id", "event_type", "value")
+
+    out = snapshot_diff(
+        snap(F.col("event_id") % 2 == 0),
+        snap(F.col("event_id") % 3 == 0),
+        ["user_id", "event_type"],
+    )
+    return out.select(
+        "user_id", "event_type", "old_value", "new_value", "change_type"
+    )
+
+
+@register(
+    "j12_interval_overlap",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) // 1000000
+           - LAG(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_seq,
+         epoch_us(MIN(ts)) // 1000000 AS start_sec,
+         epoch_us(MAX(ts)) // 1000000 AS end_sec
+  FROM marked GROUP BY user_id, session_seq
+),
+top AS (
+  SELECT user_id AS r_user_id, session_seq AS r_session_seq,
+         start_sec AS r_start_sec, end_sec AS r_end_sec
+  FROM sessions
+  ORDER BY end_sec - start_sec DESC, user_id, session_seq
+  LIMIT 20
+)
+SELECT s.user_id, s.session_seq, r_user_id, r_session_seq,
+       LEAST(s.end_sec, r_end_sec) - GREATEST(s.start_sec, r_start_sec)
+         AS overlap_sec
+FROM sessions s JOIN top
+  ON s.start_sec <= r_end_sec AND r_start_sec <= s.end_sec
+ AND s.user_id <> r_user_id
+""",
+    tags=("join", "range"),
+)
+def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bucketing: every user session (t9's
+    30-min-gap sessionization) that overlaps one of the 20 longest
+    sessions of a DIFFERENT user, with the overlap duration.  The
+    oracle states the raw range predicate; the Spark plan must NOT —
+    ``operators/joins.interval_overlap_join`` explodes intervals to
+    1-day buckets, hash-joins on the bucket, and keeps each pair only
+    in its first shared bucket (exactly-once without a dedup
+    shuffle)."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    sessions = marked.groupBy("user_id", "session_seq").agg(
+        F.min(epoch).alias("start_sec"), F.max(epoch).alias("end_sec")
+    )
+    top = sessions.orderBy(
+        (F.col("end_sec") - F.col("start_sec")).desc(),
+        "user_id",
+        "session_seq",
+    ).limit(20)
+    out = interval_overlap_join(
+        sessions,
+        top,
+        [],
+        ("start_sec", "end_sec"),
+        ("start_sec", "end_sec"),
+        bucket_width=86_400,
+    )
+    return out.filter(F.col("user_id") != F.col("r_user_id")).select(
+        "user_id",
+        "session_seq",
+        "r_user_id",
+        "r_session_seq",
+        (
+            F.least("end_sec", "r_end_sec")
+            - F.greatest("start_sec", "r_start_sec")
+        ).alias("overlap_sec"),
+    )

@@ -995,3 +995,34 @@ def c13_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pipelines/prep.per_group_sample``."""
     docs = load_table(spark, sf_dir, "documents")
     return prep.per_group_sample(docs, "doc_id", "source", k=25, salt="pgs1|")
+
+
+@register(
+    "c14_top_p_select",
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_score,
+         CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM documents
+)
+SELECT source, doc_id, n_chars, cum_score
+FROM scored
+WHERE (cum_score - n_chars) * 1000000 < 500000 * total
+""",
+    tags=("prep", "curation"),
+)
+def c14_top_p_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) selection per source: the smallest prefix of
+    size-ranked documents covering ≥50% of each source's total
+    character MASS — mixing corpora by quality/size mass instead of
+    document count; the boundary row is decided in exact integer
+    arithmetic so engines cannot disagree through float rounding;
+    ``pipelines/prep.top_p_select``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prep.top_p_select(
+        docs, ["source"], "n_chars", "doc_id", p_ppm=500_000
+    ).select("source", "doc_id", "n_chars", "cum_score")

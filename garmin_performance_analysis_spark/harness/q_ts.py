@@ -357,3 +357,42 @@ def t10_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         "is_observed",
     )
+
+
+@register(
+    "t11_time_weighted_avg",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         epoch_us(ts) // 1000000 AS es,
+         lead(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nes
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         SUM(CAST(value * (nes - es) AS DECIMAL(30,6))) AS num,
+         MAX(es) - MIN(es) AS span_sec,
+         COUNT(*) AS n_obs
+  FROM o GROUP BY 1
+)
+SELECT user_id, ROUND(CAST(num AS DOUBLE) / span_sec, 6) AS twa,
+       span_sec, CAST(n_obs AS BIGINT) AS n_obs
+FROM a WHERE span_sec > 0
+""",
+    tags=("timeseries", "agg"),
+)
+def t11_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time-weighted average of each user's value series —
+    the estimator for IRREGULAR sampling where a plain AVG is biased by
+    sampling density (each value holds until the next observation, so
+    its weight is the seconds it was current);
+    ``operators/windows.time_weighted_avg``.  event_id tiebreaks
+    duplicate timestamps so the weight assignment is engine-stable;
+    products go through DECIMAL(30,6) before summing."""
+    from ..operators.windows import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
+    )

@@ -231,3 +231,124 @@ def cdc_apply(
             for p in payload
         ],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Diff two keyed snapshots of the same table — the inverse of
+    :func:`cdc_apply`: derive the change stream (added / removed /
+    changed) that turns ``old`` into ``new``.
+
+    Payload columns (everything outside ``key_cols``; both frames must
+    agree on them) come back twice, as ``old_<col>`` / ``new_<col>``.
+    Unchanged rows are dropped.  Comparison is null-safe (``<=>``), so
+    a null payload is a stable value, not a perpetual "change".
+
+    Plan shape for 100 TB: ONE full-outer hash join on the key and an
+    in-row null-safe comparison — no window, no groupBy.  With both
+    snapshots bucketed on the key (the natural layout for snapshots of
+    the same table) the join is shuffle-free; otherwise it is a single
+    symmetric exchange.
+    """
+    payload = [c for c in old.columns if c not in key_cols]
+    if [c for c in new.columns if c not in key_cols] != payload:
+        raise ValueError("old/new payload columns differ")
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in payload],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in payload],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .drop("_in_old", "_in_new")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap join: emit one row per (left, right) pair whose
+    ``[start, end]`` intervals (inclusive, integer units — epoch
+    seconds, day numbers...) overlap, optionally also matching on
+    ``key_cols``.
+
+    Plan shape for 100 TB — the reason this exists: a raw range
+    predicate (``l.start <= r.end AND r.start <= l.end``) gives
+    Catalyst no equi-key, so it plans a broadcast-nested-loop or
+    cartesian join: O(N*M) comparisons.  Instead each interval is
+    exploded to the fixed-width buckets it spans (in-row ``sequence``,
+    no shuffle to build), the join runs as an ordinary HASH equi-join
+    on (keys, bucket), and the exact overlap predicate filters within
+    the bucket.  A pair sharing k buckets would surface k times; it is
+    kept only in the FIRST shared bucket (``bucket ==
+    max(floor(l_start/w), floor(r_start/w))``) — exactly-once output
+    with pure in-row arithmetic, no distinct/dedup shuffle.
+
+    ``bucket_width`` trades explode factor against bucket selectivity:
+    ~ the median interval length is a good default; intervals spanning
+    B buckets emit B rows (that linear blowup is the operator's honest
+    cost, same as every published bucketed range join).
+    """
+    lo, hi = left_bounds
+    ro, rhi = right_bounds
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _bucketed(df, start, end):
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / w), F.floor(F.col(end) / w)
+                )
+            ),
+        )
+
+    lkeys = [*key_cols, "_bucket"]
+    lb = _bucketed(left, lo, hi)
+    rb = _bucketed(
+        right.select(
+            *key_cols,
+            *[
+                F.col(c).alias(f"r_{c}")
+                for c in right.columns
+                if c not in key_cols
+            ],
+        ),
+        f"r_{ro}",
+        f"r_{rhi}",
+    )
+    joined = lb.join(rb, lkeys, "inner")
+    overlap = (F.col(lo) <= F.col(f"r_{rhi}")) & (
+        F.col(f"r_{ro}") <= F.col(hi)
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(lo) / w), F.floor(F.col(f"r_{ro}") / w)
+    )
+    return joined.filter(
+        overlap & (F.col("_bucket") == first_shared)
+    ).drop("_bucket")

@@ -464,3 +464,55 @@ def gap_fill_ffill(
         ],
         F.coalesce(F.col("is_observed"), F.lit(False)).alias("is_observed"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Step-function time-weighted average per key for an IRREGULARLY
+    sampled series: each observation holds until the next one, so its
+    weight is the seconds until that next observation — the estimator
+    a plain AVG silently gets wrong whenever sampling density
+    correlates with the value (bursts of low readings drag the naive
+    mean down).
+
+    The last observation per key carries no weight (nothing follows
+    it); keys whose span is zero (single observation, or all at one
+    timestamp) are dropped rather than emitted as 0/0.
+
+    Ordering inside a key is (ts, *tiebreak_cols) — pass a unique
+    tiebreak when timestamps can collide, or the per-engine order of
+    equal timestamps would move weight between their values.
+
+    Plan shape for 100 TB: one keyed LEAD window and one groupBy on
+    the SAME key — AQE plans a single hash exchange; no global state.
+
+    Output: key cols + (twa, span_sec, n_obs).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        ts_col, *[F.col(c) for c in tiebreak_cols]
+    )
+    epoch = F.col(ts_col).cast("long")
+    delta = F.lead(epoch).over(w) - epoch
+    weighted = df.select(
+        *key_cols,
+        epoch.alias("_epoch"),
+        (F.col(value_col) * delta).alias("_wv"),
+    )
+    agg = weighted.groupBy(*key_cols).agg(
+        F.sum(F.col("_wv").cast("decimal(30,6)")).alias("_num"),
+        (F.max("_epoch") - F.min("_epoch")).alias("span_sec"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.filter(F.col("span_sec") > 0).select(
+        *key_cols,
+        F.round(
+            F.col("_num").cast("double") / F.col("span_sec"), 6
+        ).alias("twa"),
+        "span_sec",
+        "n_obs",
+    )

@@ -511,3 +511,53 @@ def per_group_sample(
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
     )
+
+
+def top_p_select(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    id_col: str,
+    p_ppm: int,
+) -> DataFrame:
+    """Nucleus (top-p) selection per group: order each group's rows by
+    ``score_col`` descending (``id_col`` as the unique tiebreak) and
+    keep the smallest prefix whose scores cover at least ``p_ppm``
+    parts-per-million of the group's total score — the mass-based
+    sibling of top-k, used to mix corpora by quality MASS instead of
+    document count (a group of many mediocre documents contributes
+    more rows than one with a few stellar ones).
+
+    The threshold is exact integer arithmetic — a row is kept iff the
+    cumulative score STRICTLY BEFORE it is below p·total, i.e.
+    ``(cum - score) * 1_000_000 < p_ppm * total`` — so engines cannot
+    disagree on the boundary row through float rounding.  Requires an
+    integer ``score_col`` (token counts, byte sizes, integer quality
+    grades); scale floats to integers upstream.
+
+    Plan shape for 100 TB: a keyed cumulative-sum window and a keyed
+    total window over the SAME partition key — one hash exchange, no
+    global window, no driver-side totals.
+
+    Output: group cols + (id, score, cum_score, keep rows only).
+    """
+    if not (0 < int(p_ppm) <= 1_000_000):
+        raise ValueError("p_ppm must be in (0, 1e6]")
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    scored = df.select(
+        *group_cols,
+        id_col,
+        F.col(score_col).cast("bigint").alias(score_col),
+    ).withColumn(
+        "cum_score", F.sum(score_col).over(wcum)
+    ).withColumn("_total", F.sum(score_col).over(wtot))
+    before = F.col("cum_score") - F.col(score_col)
+    return scored.filter(
+        before * F.lit(1_000_000) < F.lit(int(p_ppm)) * F.col("_total")
+    ).drop("_total")

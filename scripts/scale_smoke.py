@@ -95,6 +95,9 @@ QUERIES = [
     # the keyed-window count sampler
     "x15_heavy_hitters",
     "c13_per_group_sample",
+    # r6 addition: nucleus selection (two keyed windows on one exchange;
+    # output grows with the corpus since it keeps a MASS fraction)
+    "c14_top_p_select",
 ]
 
 

@@ -433,3 +433,110 @@ def test_gap_fill_ffill_fills_and_flags(spark):
         ("2024-01-04", 4.0, True),
     ]
     assert len([r for r in rows if r["k"] == 2]) == 1
+
+
+def test_snapshot_diff_change_types(spark):
+    from garmin_performance_analysis_spark.operators.joins import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 4.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, None), (5, 5.0)], "k long, v double"
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged, k=3 unchanged (null <=> null) -> both absent
+    assert set(rows) == {2, 4, 5}
+    assert rows[2]["change_type"] == "changed"
+    assert (rows[2]["old_v"], rows[2]["new_v"]) == (2.0, 9.0)
+    assert rows[4]["change_type"] == "removed" and rows[4]["new_v"] is None
+    assert rows[5]["change_type"] == "added" and rows[5]["old_v"] is None
+
+
+def test_interval_overlap_join_exact_pairs_once(spark):
+    from garmin_performance_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 25),    # spans buckets 0-2 (width 10)
+            (2, 40, 45),
+            (3, 100, 100),
+        ],
+        "lid long, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 5, 30),    # overlaps lid=1 across 3 shared buckets
+            (20, 45, 50),   # touches lid=2 at a single point
+            (30, 60, 70),   # overlaps nothing
+        ],
+        "rid long, s long, e long",
+    )
+    out = interval_overlap_join(
+        left, right, [], ("s", "e"), ("s", "e"), bucket_width=10
+    )
+    pairs = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    # multi-bucket pair (1,10) must appear exactly ONCE
+    assert pairs == [(1, 10), (2, 20)]
+
+
+def test_interval_overlap_join_with_keys(spark):
+    from garmin_performance_analysis_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 0, 10), ("b", 0, 10)], "k string, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, 15)], "k string, s long, e long"
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], ("s", "e"), ("s", "e"), bucket_width=100
+    ).collect()
+    # same time range but key 'b' must not match key 'a'
+    assert len(out) == 1 and out[0]["k"] == "a"
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    import datetime
+
+    from garmin_performance_analysis_spark.operators.windows import (
+        time_weighted_avg,
+    )
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 10.0),   # holds 10s
+            (1, t(10), 20.0),  # holds 30s
+            (1, t(40), 99.0),  # last: no weight
+            (2, t(0), 7.0),    # single obs: dropped (zero span)
+        ],
+        "k long, ts timestamp, v double",
+    )
+    rows = time_weighted_avg(df, ["k"], "ts", "v").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # (10*10 + 20*30) / 40 = 700/40 = 17.5  (naive avg would be 43.0)
+    assert (r["k"], r["twa"], r["span_sec"], r["n_obs"]) == (1, 17.5, 40, 3)
+
+
+def test_top_p_select_boundary_row(spark):
+    from garmin_performance_analysis_spark.pipelines.prep import top_p_select
+
+    df = spark.createDataFrame(
+        [("g", 1, 50), ("g", 2, 30), ("g", 3, 20)],
+        "grp string, id long, score long",
+    )
+    # p=0.5: row 1 (cum_before=0 < 50) kept; row 2 (cum_before=50,
+    # 50*1e6 == 500000*100 -> strict < fails) excluded.
+    kept = top_p_select(df, ["grp"], "score", "id", p_ppm=500_000).collect()
+    assert [(r["id"], r["cum_score"]) for r in kept] == [(1, 50)]
+    # p just above the boundary pulls in the crossing row
+    kept2 = top_p_select(df, ["grp"], "score", "id", p_ppm=500_001).collect()
+    assert sorted(r["id"] for r in kept2) == [1, 2]
