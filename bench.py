@@ -61,6 +61,7 @@ HEADLINE = [
     "j12_interval_overlap",
     "t11_time_weighted_avg",
     "c14_top_p_select",
+    "i4_stream_join_replay",
     # r3: the heaviest previously-untimed plans (VERDICT r2 item 3) —
     # wall numbers for the enrichment/robust-fit/anomaly-rate families
     # and the scale-path dedup/ANN candidate generators.

@@ -229,6 +229,7 @@ _rotate_for_round6()
 # x14_bigram_logprob, c12_quality_budget_select, x15_heavy_hitters,
 # c13_per_group_sample, i3_stream_window_replay, j10_cdc_apply,
 # w11_scd2_intervals, t10_gap_fill_ffill, j11_snapshot_diff,
-# j12_interval_overlap, t11_time_weighted_avg, c14_top_p_select — plus
+# j12_interval_overlap, t11_time_weighted_avg, c14_top_p_select,
+# i4_stream_join_replay — plus
 # anything CORRECTNESS_r06 flags, padded with the stalest
 # r2-then-r4 names.

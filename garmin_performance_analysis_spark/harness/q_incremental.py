@@ -256,3 +256,101 @@ def i3_stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_I4_GAP_US = 1_800_000_000     # 30-minute attribution window
+_I4_WM_US = 120_000_000        # 2-minute watermark
+
+
+def _i4_oracle() -> str:
+    """Pure-SQL replay of the stream-stream inner join's watermark
+    arithmetic (rules pinned empirically — see
+    ``tests/test_streaming.py::test_stream_join_replay_watermark_semantics``):
+    run 1 joins batch 1 of both sides freely; run 2 drops input rows at
+    or below the run-1 global watermark (min over sides of ms-floored
+    max event time minus delay) on EITHER side, and the state-retention
+    bounds are exactly the reachability bounds, so the total emitted
+    bag is the join over (batch1 ∪ surviving-batch2) per side."""
+    return f"""
+WITH e AS (SELECT epoch_us(ts) AS us, user_id, event_id FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+             (MAX(us) - MIN(us)) // 4 AS tail FROM e),
+b1l AS (SELECT e.* FROM e, m WHERE event_id % 2 = 0 AND us <= mid),
+b1r AS (SELECT e.* FROM e, m WHERE event_id % 2 = 1 AND us <= mid),
+wm AS (SELECT (LEAST((SELECT MAX(us) FROM b1l) // 1000,
+                     (SELECT MAX(us) FROM b1r) // 1000)
+               - {_I4_WM_US // 1000}) * 1000 AS wm1),
+l2 AS (
+  SELECT e.* FROM e, m WHERE event_id % 2 = 0 AND us > mid
+  UNION ALL
+  SELECT b1l.* FROM b1l, m WHERE us > mid - tail
+),
+r2 AS (
+  SELECT e.* FROM e, m WHERE event_id % 2 = 1 AND us > mid
+  UNION ALL
+  SELECT b1r.* FROM b1r, m WHERE us > mid - tail
+),
+lall AS (SELECT * FROM b1l
+         UNION ALL
+         SELECT l2.us, l2.user_id, l2.event_id FROM l2, wm WHERE us > wm1),
+rall AS (SELECT * FROM b1r
+         UNION ALL
+         SELECT r2.us, r2.user_id, r2.event_id FROM r2, wm WHERE us > wm1)
+SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+       r.us - l.us AS gap_us
+FROM lall l JOIN rall r
+  ON l.user_id = r.user_id
+ AND r.us >= l.us AND r.us <= l.us + {_I4_GAP_US}
+"""
+
+
+@register(
+    "i4_stream_join_replay",
+    oracle=_i4_oracle(),
+    tags=("streaming", "join"),
+)
+def i4_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of a STREAM-STREAM inner join
+    (``streaming/replay.stream_join_replay``): even event_ids stream
+    on the left, odd on the right, attribution condition = same user
+    within 30 minutes after the left event; real file sources →
+    ``withWatermark`` on both → range-condition join → append parquet
+    sink over a shared checkpoint.  Batch 1 = first half of event
+    time; batch 2 = the rest plus a redelivered LAST QUARTER of batch
+    1 on both sides — most of that tail sits at or below the restored
+    run-1 watermark and must be dropped on input (a wrong drop rule or
+    a watermark that fails to restore changes the pair bag), while the
+    survivors re-match and duplicate their pairs (at-least-once).  The
+    oracle replays the pinned arithmetic in SQL; the unit pin test
+    carries the per-rule probes at second granularity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    tail = (bounds["tmax"] - bounds["tmin"]) // 4
+    evl = ev.filter(F.col("event_id") % 2 == 0)
+    evr = ev.filter(F.col("event_id") % 2 == 1)
+    b1l = evl.filter(us <= mid)
+    b1r = evr.filter(us <= mid)
+    b2l = evl.filter(us > mid).unionByName(b1l.filter(us > mid - tail))
+    b2r = evr.filter(us > mid).unionByName(b1r.filter(us > mid - tail))
+    work = tempfile.mkdtemp(prefix="i4_stream_join_")
+    try:
+        from ..streaming.replay import stream_join_replay
+
+        out = stream_join_replay(
+            spark, [b1l, b2l], [b1r, b2r], work,
+            key_col="user_id", ts_col="ts",
+            max_gap_sec=_I4_GAP_US // 1_000_000,
+            watermark_sec=_I4_WM_US // 1_000_000,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out.select(
+        F.col("k").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )

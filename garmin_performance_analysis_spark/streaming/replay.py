@@ -50,6 +50,7 @@ def windowed_stats_replay(
     value_col: str = "value",
     window_sec: int = 300,
     watermark_sec: int = 120,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Replay ``batches`` (in order) through the streaming windowed
     aggregation and return the parquet sink's contents — the finalized
@@ -59,6 +60,10 @@ def windowed_stats_replay(
     ``value_sum`` aggregates through DECIMAL(30,12) inside the stream
     (shuffle-order-independent, registry convention); ``value_avg`` is
     derived as sum/n at read-back so both engines share one formula.
+
+    ``shuffle_partitions`` bounds the stream's state partition count
+    (see ``stream_join_replay`` — per-partition state-store setup is
+    the replay's fixed cost; results are partitioning-invariant).
     """
     src = os.path.join(work_dir, "src")
     out = os.path.join(work_dir, "out")
@@ -91,12 +96,18 @@ def windowed_stats_replay(
         )
         q.awaitTermination()
 
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("append").parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+        # drain run: no new data, but the no-data micro-batch emits
+        # windows the LAST batch's watermark advance finalized
         run_once()
-    # drain run: no new data, but the no-data micro-batch emits windows
-    # the LAST batch's watermark advance finalized
-    run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     sink = spark.read.parquet(out)
     return sink.select(
@@ -108,3 +119,129 @@ def windowed_stats_replay(
         F.col("vmin").alias("value_min"),
         F.col("vmax").alias("value_max"),
     )
+
+
+def stream_join_replay(
+    spark: SparkSession,
+    left_batches: list[DataFrame],
+    right_batches: list[DataFrame],
+    work_dir: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap_sec: int = 600,
+    watermark_sec: int = 120,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Deterministic replay of a STREAM-STREAM inner join — the
+    attribution join (right events joined to the left event they
+    follow within ``max_gap_sec``, same key), run through the real
+    Structured Streaming path: two file sources → ``withWatermark`` on
+    both → inner join with an event-time range condition → append
+    parquet sink, one ``Trigger.AvailableNow`` run per batch pair over
+    a shared checkpoint.
+
+    Semantics exercised (the ones a batch join cannot show):
+
+    - a match is emitted when its LATER row arrives — and only if the
+      earlier row is still in state;
+    - state eviction: a left row is dropped from state once no future
+      right row could reach it (``l.ts + max_gap < watermark``), a
+      right row once ``r.ts < watermark`` — so late-arriving partners
+      of evicted rows produce NO match (at-most-once loss, the honest
+      cost of bounded state);
+    - late INPUT rows behind the side's state watermark are discarded
+      before they touch state;
+    - redelivered duplicates that survive the late filter match again
+      (at-least-once upstream duplicates its outputs).
+
+    The watermark is the GLOBAL one (min over both inputs), ms-floored
+    as Spark tracks it, and advances only between runs (each batch is
+    one file = one micro-batch).  Inner join emits nothing on the
+    no-data drain, so none is run.
+
+    Scale shape: state is bounded by watermark + gap on both sides;
+    the shuffle is the join-key hash, identical to the batch twin
+    (``operators/joins``' as-of family).  Left/right frames must share
+    the schema (key, ts, payload...).
+
+    Returns the sink contents: one row per emitted match with both
+    sides' payloads.
+
+    ``shuffle_partitions`` bounds the stream's STATE partition count
+    (pinned into the checkpoint at the first batch): a stream-stream
+    join spins four state stores per partition per run, a fixed cost
+    that dwarfs the data at replay scale — 8 partitions halves the
+    replay wall vs the session's 32 with identical results.  Pass
+    ``None`` to inherit the session setting (what a real cluster job
+    would size by key cardinality instead).
+    """
+    src_l = os.path.join(work_dir, "src_l")
+    src_r = os.path.join(work_dir, "src_r")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    os.makedirs(src_l, exist_ok=True)
+    os.makedirs(src_r, exist_ok=True)
+    schema = left_batches[0].schema
+
+    def run_once() -> None:
+        left = (
+            spark.readStream.schema(schema)
+            .parquet(src_l)
+            .withWatermark(ts_col, f"{watermark_sec} seconds")
+            .select(
+                F.col(key_col).alias("k"),
+                F.col(ts_col).alias("l_ts"),
+                *[
+                    F.col(c).alias(f"l_{c}")
+                    for c in schema.fieldNames()
+                    if c not in (key_col, ts_col)
+                ],
+            )
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .parquet(src_r)
+            .withWatermark(ts_col, f"{watermark_sec} seconds")
+            .select(
+                F.col(key_col).alias("r_k"),
+                F.col(ts_col).alias("r_ts"),
+                *[
+                    F.col(c).alias(f"r_{c}")
+                    for c in schema.fieldNames()
+                    if c not in (key_col, ts_col)
+                ],
+            )
+        )
+        joined = left.join(
+            right,
+            (F.col("k") == F.col("r_k"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (
+                F.col("r_ts")
+                <= F.col("l_ts") + F.expr(f"interval {max_gap_sec} seconds")
+            ),
+            "inner",
+        ).drop("r_k")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for lb, rb in zip(left_batches, right_batches):
+            lb.coalesce(1).write.mode("append").parquet(src_l)
+            rb.coalesce(1).write.mode("append").parquet(src_r)
+            run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.read.parquet(out)

@@ -377,3 +377,51 @@ def test_windowed_stats_replay_merges_open_and_drops_closed(spark, tmp_path):
     # [55,60) holds the 00:59 row — final wm 00:57 has NOT passed its
     # end, so it must not be emitted
     assert "55" not in rows
+
+
+def test_stream_join_replay_watermark_semantics(spark, tmp_path):
+    """Pins the empirically-probed stream-stream inner-join rules the
+    i4 oracle encodes: run-1 pairs all emit (no watermark yet); run-2
+    INPUT rows at or below the run-1 global watermark (min over both
+    sides of ms-floored max - delay) are dropped on EITHER side; state
+    rows remain matchable exactly while a surviving partner could
+    reach them (left: l_ts + gap > wm — 860 vs wm 900, gap 50 —
+    verified by the (l5, rb) pair); redelivered duplicates that clear
+    the watermark match again, duplicating pairs."""
+    import datetime
+
+    from garmin_performance_analysis_spark.streaming.replay import (
+        stream_join_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(1, t0 + datetime.timedelta(seconds=s), tag) for s, tag in rows],
+            "user_id long, ts timestamp, tag string",
+        )
+
+    # watermark 100 s, gap 50 s -> wm after run 1 = 1000 - 100 = 900
+    b1_l = df([(0, "l1"), (500, "l2"), (860, "l5"), (940, "l3"),
+               (1000, "l4")])
+    b1_r = df([(30, "r1"), (960, "r2"), (1000, "r3")])
+    b2_l = df([(870, "la"),    # 870 <= 900: late input, dropped
+               (920, "lb"), (1100, "lf")])
+    b2_r = df([(880, "rd"),    # 880 <= 900: late input, dropped
+               (905, "rb"), (930, "rc"),
+               (960, "r2dup"),  # redelivery above wm: matches AGAIN
+               (1120, "rf")])
+    out = stream_join_replay(
+        spark, [b1_l, b2_l], [b1_r, b2_r], str(tmp_path / "i4"),
+        key_col="user_id", ts_col="ts", max_gap_sec=50, watermark_sec=100,
+    )
+    pairs = sorted((r["l_tag"], r["r_tag"]) for r in out.collect())
+    assert pairs == [
+        ("l1", "r1"),                        # run 1
+        ("l3", "r2"), ("l3", "r2dup"),       # run 1 + redelivered dup
+        ("l4", "r3"),                        # run 1
+        ("l5", "rb"),                        # b1 state x new input
+        ("lb", "r2"), ("lb", "r2dup"),       # new x state, new x new
+        ("lb", "rc"), ("lf", "rf"),          # new x new
+    ]
