@@ -181,6 +181,10 @@ BATCH_JOBS = {
     "x15_heavy_hitters",
     "c13_per_group_sample",
     "i3_stream_window_replay",
+    # r7 (VERDICT r6 item 3): the stream-stream join replay spins 4
+    # state stores × partitions × runs — a replay job like i1/i2/i3,
+    # not a read tool; it was inflating the read-path average 0.69→0.84
+    "i4_stream_join_replay",
 }
 
 
@@ -238,14 +242,22 @@ def main() -> None:
     read_path = round(
         sum(v for k, v in timings.items() if k not in BATCH_JOBS), 3
     )
+    # The driver captures only a bounded tail of stdout; BENCH_r06 was
+    # lost because the single ~4 KB JSON line (74 per-query timings)
+    # outgrew that window and the FRONT of the line — including the
+    # headline value — was truncated away.  So: per-query detail goes on
+    # an earlier line, and the LAST stdout line is a compact (<200 byte)
+    # summary that survives any tail capture and still parses as the
+    # one-JSON-line contract.
+    print(json.dumps({"detail_queries": timings}))
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
                 "read_path_sec": read_path,
                 "batch_job_sec": round(total - read_path, 3),
             }
