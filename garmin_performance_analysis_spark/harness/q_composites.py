@@ -310,12 +310,132 @@ def m5_powerlaw_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m5b_huber_baseline", oracle=None, tags=("ml", "baseline", "pandas-udf"))
+def _irls_dsum(e: str) -> str:
+    return f"CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE)"
+
+
+def _irls_fit_sql(src: str, wcol: str | None) -> str:
+    """One (weighted) OLS layer over ``src`` rows (g, x, y[, w])."""
+    w = wcol or "1.0"
+    return f"""
+  SELECT g,
+         {_irls_dsum(w)} AS sw,
+         {_irls_dsum(f"({w}) * x")} AS swx,
+         {_irls_dsum(f"({w}) * y")} AS swy,
+         {_irls_dsum(f"({w}) * x * y")} AS swxy,
+         {_irls_dsum(f"({w}) * x * x")} AS swxx
+  FROM {src} GROUP BY g
+"""
+
+
+_IRLS_COEF = """
+  SELECT g, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
+         (swy - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx)) * swx) / sw AS a
+  FROM {m} WHERE sw * swxx - swx * swx > 0{minn}
+"""
+
+_IRLS_REWEIGHT = """
+r{i} AS (
+  SELECT p.g, p.x, p.y, ABS(p.y - (c.a + c.b * p.x)) AS ar
+  FROM pts p JOIN c{j} c ON c.g = p.g
+),
+s{i} AS (SELECT g, MEDIAN(ar) AS med FROM r{i} GROUP BY g),
+w{i} AS (
+  SELECT r.g, r.x, r.y,
+         CASE WHEN ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END) <= 1.35
+              THEN 1.0
+              ELSE 1.35 / (ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END))
+         END AS w
+  FROM r{i} r JOIN s{i} s ON s.g = r.g
+),
+m{i} AS ({fit}),
+c{i} AS ({coef})"""
+
+
+def _irls_oracle(pts_sql: str, final_select: str) -> str:
+    """Frozen-schedule Huber IRLS oracle (OLS init + 2 reweights) over
+    a caller-supplied ``pts`` CTE producing (g, x, y) rows."""
+    parts = [
+        "WITH pts AS (" + pts_sql + "),\nm0 AS ("
+        + _irls_fit_sql("pts", None)
+        + """),
+c0 AS ("""
+        + _IRLS_COEF.format(m="m0", minn=" AND sw >= 50")
+        + ")"
+    ]
+    for i in (1, 2):
+        parts.append(
+            ","
+            + _IRLS_REWEIGHT.format(
+                i=i,
+                j=i - 1,
+                fit=_irls_fit_sql(f"w{i}", "w"),
+                coef=_IRLS_COEF.format(m=f"m{i}", minn=""),
+            )
+        )
+    parts.append(final_select)
+    return "".join(parts)
+
+
+def _m5c_oracle() -> str:
+    return _irls_oracle(
+        """
+  SELECT l_returnflag AS g, l_discount * 100.0 AS x, l_tax * 100.0 AS y
+  FROM lineitem
+""",
+        f"""
+SELECT p.g AS l_returnflag,
+       ROUND(MAX(c.a), 6) AS coef_a,
+       ROUND(MAX(c.b), 6) AS coef_b,
+       ROUND(SQRT({_irls_dsum("(p.y - (c.a + c.b * p.x)) * (p.y - (c.a + c.b * p.x))")}
+             / COUNT(*)), 6) AS rmse,
+       COUNT(*) AS n_samples
+FROM pts p JOIN c2 c ON c.g = p.g
+GROUP BY p.g
+ORDER BY l_returnflag
+""",
+    )
+
+
+def _m5b_oracle() -> str:
+    # m5b's mapping + physiologic gates (VALID_RANGES: vo 2..15,
+    # speed 1.5..7, inclusive like pandas .between); metric literal.
+    return _irls_oracle(
+        """
+  SELECT l_returnflag AS g, l_discount * 100.0 AS x, l_tax * 100.0 AS y
+  FROM lineitem
+  WHERE l_tax * 100.0 BETWEEN 2.0 AND 15.0
+    AND l_discount * 100.0 BETWEEN 1.5 AND 7.0
+""",
+        f"""
+SELECT p.g AS l_returnflag,
+       'vo' AS metric,
+       ROUND(MAX(c.a), 6) AS coef_a,
+       ROUND(MAX(c.b), 6) AS coef_b,
+       ROUND(SQRT({_irls_dsum("(p.y - (c.a + c.b * p.x)) * (p.y - (c.a + c.b * p.x))")}
+             / COUNT(*)), 6) AS rmse,
+       COUNT(*) AS n_samples
+FROM pts p JOIN c2 c ON c.g = p.g
+GROUP BY p.g
+ORDER BY l_returnflag
+""",
+    )
+
+
+@register(
+    "m5b_huber_baseline", oracle=_m5b_oracle(), tags=("ml", "baseline", "pandas-udf")
+)
 def m5b_huber_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 Huber-robust linear baseline via grouped ``applyInPandas``
-    (``mcp/form_baseline/trainer.py:144-202``): per-group IRLS/sklearn
-    Huber fit with the reference's physiologic validity gates.  Not
-    SQL-expressible (iteratively reweighted fit) → rows-only check."""
+    (``mcp/form_baseline/trainer.py:144-202``): per-group numpy IRLS
+    Huber fit with the reference's physiologic validity gates.
+
+    r7: pinned to the frozen IRLS schedule (OLS + 2 Huber reweights,
+    the same math ``huber_irls_baseline``/m5c runs distributed) so the
+    grouped-pandas path gets a real ANSI oracle instead of the old
+    rows-only check — VERDICT r6 item 6.  The pandas fit sums moments
+    with ``math.fsum``; the DECIMAL(30,12) oracle quantization sits
+    ~6 orders of magnitude inside the 6dp parity rounding."""
     li = load_table(spark, sf_dir, "lineitem")
     splits = li.select(
         "l_returnflag",
@@ -323,7 +443,13 @@ def m5b_huber_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount") * 100.0).alias("speed_mps"),
     )
     out = train_linear_baselines(
-        splits, ["l_returnflag"], "vo", "vo_value", "speed_mps", min_samples=50
+        splits,
+        ["l_returnflag"],
+        "vo",
+        "vo_value",
+        "speed_mps",
+        min_samples=50,
+        n_reweights=2,
     )
     return out.select(
         "l_returnflag",
@@ -422,88 +548,6 @@ def m6_baseline_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.least(F.lit(5.0), 5.0 - davg_pen / 10.0))
         ).alias("stars"),
     )
-
-
-def _irls_dsum(e: str) -> str:
-    return f"CAST(SUM(CAST(({e}) AS DECIMAL(30,12))) AS DOUBLE)"
-
-
-def _irls_fit_sql(src: str, wcol: str | None) -> str:
-    """One (weighted) OLS layer over ``src`` rows (g, x, y[, w])."""
-    w = wcol or "1.0"
-    return f"""
-  SELECT g,
-         {_irls_dsum(w)} AS sw,
-         {_irls_dsum(f"({w}) * x")} AS swx,
-         {_irls_dsum(f"({w}) * y")} AS swy,
-         {_irls_dsum(f"({w}) * x * y")} AS swxy,
-         {_irls_dsum(f"({w}) * x * x")} AS swxx
-  FROM {src} GROUP BY g
-"""
-
-
-_IRLS_COEF = """
-  SELECT g, (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
-         (swy - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx)) * swx) / sw AS a
-  FROM {m} WHERE sw * swxx - swx * swx > 0{minn}
-"""
-
-_IRLS_REWEIGHT = """
-r{i} AS (
-  SELECT p.g, p.x, p.y, ABS(p.y - (c.a + c.b * p.x)) AS ar
-  FROM pts p JOIN c{j} c ON c.g = p.g
-),
-s{i} AS (SELECT g, MEDIAN(ar) AS med FROM r{i} GROUP BY g),
-w{i} AS (
-  SELECT r.g, r.x, r.y,
-         CASE WHEN ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END) <= 1.35
-              THEN 1.0
-              ELSE 1.35 / (ar / (CASE WHEN s.med = 0 THEN 1.0 ELSE s.med / 0.6745 END))
-         END AS w
-  FROM r{i} r JOIN s{i} s ON s.g = r.g
-),
-m{i} AS ({fit}),
-c{i} AS ({coef})"""
-
-
-def _m5c_oracle() -> str:
-    parts = [
-        """
-WITH pts AS (
-  SELECT l_returnflag AS g, l_discount * 100.0 AS x, l_tax * 100.0 AS y
-  FROM lineitem
-),
-m0 AS ("""
-        + _irls_fit_sql("pts", None)
-        + """),
-c0 AS ("""
-        + _IRLS_COEF.format(m="m0", minn=" AND sw >= 50")
-        + ")"
-    ]
-    for i in (1, 2):
-        parts.append(
-            ","
-            + _IRLS_REWEIGHT.format(
-                i=i,
-                j=i - 1,
-                fit=_irls_fit_sql(f"w{i}", "w"),
-                coef=_IRLS_COEF.format(m=f"m{i}", minn=""),
-            )
-        )
-    parts.append(
-        f"""
-SELECT p.g AS l_returnflag,
-       ROUND(MAX(c.a), 6) AS coef_a,
-       ROUND(MAX(c.b), 6) AS coef_b,
-       ROUND(SQRT({_irls_dsum("(p.y - (c.a + c.b * p.x)) * (p.y - (c.a + c.b * p.x))")}
-             / COUNT(*)), 6) AS rmse,
-       COUNT(*) AS n_samples
-FROM pts p JOIN c2 c ON c.g = p.g
-GROUP BY p.g
-ORDER BY l_returnflag
-"""
-    )
-    return "".join(parts)
 
 
 @register("m5c_huber_irls", oracle=_m5c_oracle(), tags=("ml", "baseline"))

@@ -33,8 +33,51 @@ VALID_RANGES = {
 }
 
 
-def _huber_fit(x: np.ndarray, y: np.ndarray, seed: int = 42):
-    """Huber-robust linear fit: sklearn when available, else IRLS."""
+def _frozen_irls_fit(x: np.ndarray, y: np.ndarray, n_reweights: int):
+    """Frozen-schedule Huber IRLS: one OLS init + exactly ``n_reweights``
+    Huber reweights (delta 1.35, MAD scale with the med==0 → 1.0 guard).
+
+    Same math as ``huber_irls_baseline``'s distributed SQL shape, so a
+    grouped-pandas fit using this path is checkable against the same
+    closed-form DECIMAL-moment oracle (see m5b/m5c in q_composites).
+    Coefficients come from the closed-form normal equations over
+    ``math.fsum`` moments — exactly-rounded sums, so the only drift vs
+    a DECIMAL(30,12) SQL oracle is the 1e-12 cast quantization, far
+    inside the 6dp parity rounding."""
+    import math
+
+    def wls(w: np.ndarray):
+        sw = math.fsum(w)
+        swx = math.fsum(w * x)
+        swy = math.fsum(w * y)
+        swxy = math.fsum(w * x * y)
+        swxx = math.fsum(w * x * x)
+        det = sw * swxx - swx * swx
+        b = (sw * swxy - swx * swy) / det
+        a = (swy - b * swx) / sw
+        return a, b
+
+    w = np.ones_like(y, dtype=float)
+    a, b = wls(w)
+    for _ in range(n_reweights):
+        ar = np.abs(y - (a + b * x))
+        med = float(np.median(ar))
+        scale = 1.0 if med == 0.0 else med / 0.6745
+        r = ar / scale
+        w = np.where(r <= 1.35, 1.0, 1.35 / r)
+        a, b = wls(w)
+    return a, b
+
+
+def _huber_fit(
+    x: np.ndarray, y: np.ndarray, seed: int = 42, n_reweights: int | None = None
+):
+    """Huber-robust linear fit: sklearn when available, else IRLS.
+
+    ``n_reweights`` selects the deterministic frozen schedule (oracle-
+    checkable) regardless of sklearn availability."""
+    if n_reweights is not None:
+        return _frozen_irls_fit(x, y, n_reweights)
     try:
         from sklearn.linear_model import HuberRegressor
 
@@ -135,9 +178,14 @@ def train_linear_baselines(
     value_col: str,
     speed_col: str = "speed_mps",
     min_samples: int = 50,
+    n_reweights: int | None = None,
 ) -> DataFrame:
     """Per-group Huber linear baseline ``value = a + b·speed`` for
-    vo/vr/cadence with the reference's validity gates."""
+    vo/vr/cadence with the reference's validity gates.
+
+    ``n_reweights`` pins the fit to the frozen IRLS schedule (see
+    ``_frozen_irls_fit``) so the grouped-pandas path is checkable
+    against the same closed-form SQL oracle as ``huber_irls_baseline``."""
     gd = dict(splits.dtypes)
     key_schema = ", ".join(f"{c} {gd[c]}" for c in group_cols)
     out_schema = (
@@ -157,7 +205,7 @@ def train_linear_baselines(
             return pd.DataFrame(columns=cols)
         x = clean[speed_col].to_numpy(dtype=float)
         y = clean[value_col].to_numpy(dtype=float)
-        a, b = _huber_fit(x, y)
+        a, b = _huber_fit(x, y, n_reweights=n_reweights)
         rmse = float(np.sqrt(np.mean((y - (a + b * x)) ** 2)))
         return pd.DataFrame(
             [dict(keys, metric=metric, coef_a=a, coef_b=b, rmse=rmse, n_samples=len(clean))]

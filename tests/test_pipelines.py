@@ -311,11 +311,11 @@ def test_sample_frames_fanout(spark):
 
 
 def test_m5b_huber_matches_local_sklearn_gold(spark):
-    """m5b has no SQL oracle (iterative robust fit); pin it instead to
-    a locally recomputed gold: the same Huber estimator (sklearn when
-    present, IRLS fallback otherwise) on the same gated rows loaded
-    through an independent path (duckdb→pandas), per group, must agree
-    to 1e-9 — validating the Spark grouping/gating/rmse plumbing."""
+    """m5b is pinned to a locally recomputed gold: the same frozen
+    2-reweight Huber IRLS on the same gated rows loaded through an
+    independent path (duckdb→pandas), per group, must agree to 1e-9 —
+    validating the Spark grouping/gating/rmse plumbing independently of
+    the SQL oracle it gained in r7."""
     import duckdb
     import numpy as np
 
@@ -344,7 +344,7 @@ def test_m5b_huber_matches_local_sklearn_gold(spark):
         gold_groups += 1
         x = clean["speed_mps"].to_numpy(dtype=float)
         y = clean["vo_value"].to_numpy(dtype=float)
-        a, b = _huber_fit(x, y)
+        a, b = _huber_fit(x, y, n_reweights=2)
         rmse = float(np.sqrt(np.mean((y - (a + b * x)) ** 2)))
         row = got[flag]
         assert row["n_samples"] == len(clean)
