@@ -98,6 +98,18 @@ QUERIES = [
     # r6 addition: nucleus selection (two keyed windows on one exchange;
     # output grows with the corpus since it keeps a MASS fraction)
     "c14_top_p_select",
+    # r7 additions (VERDICT r6 item 5): the events-table sync/
+    # regularization family — the corpus now replicates events too
+    # (user_id-shifted replicas; every query here partitions by
+    # user_id, so work scales in #keys with no cross-replica
+    # interference; j12's cross-user overlap join keeps a fixed top-20
+    # reference side, so its output also grows linearly)
+    "j10_cdc_apply",
+    "j11_snapshot_diff",
+    "j12_interval_overlap",
+    "w11_scd2_intervals",
+    "t10_gap_fill_ffill",
+    "t11_time_weighted_avg",
 ]
 
 
@@ -171,6 +183,30 @@ def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
         os.path.join(out_dir, "embeddings.parquet"),
     )
 
+    # events: replicate by shifting user_id (every sync-family query
+    # partitions by user_id, so replicas never interact) and event_id
+    # by a multiple of lcm(2,3,10)=30 so the parity/modulo classes the
+    # CDC/diff queries carve (event_id%2 base/changes, %3 snapshots,
+    # %10 tombstones) are IDENTICAL in every replica.  Timestamps stay
+    # as-is: per-user day spans and session shapes repeat per replica,
+    # which is exactly the many-more-keys axis a 100 TB event store
+    # grows along.
+    events = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    epdf = events.to_pandas()
+    user_stride = int(epdf["user_id"].max()) + 1
+    event_stride = ((int(epdf["event_id"].max()) // 30) + 1) * 30
+    ev_parts = []
+    for r in range(replicas):
+        part = epdf.copy()
+        part["user_id"] = part["user_id"] + r * user_stride
+        part["event_id"] = part["event_id"] + r * event_stride
+        ev_parts.append(part)
+    big_ev = pd.concat(ev_parts, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big_ev, preserve_index=False).cast(events.schema),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
 
 def run(sf_dir: str, label: str, runs: int, spark) -> list[dict]:
     from garmin_performance_analysis_spark.harness.catalog import CATALOG
@@ -226,8 +262,9 @@ def main() -> None:
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             cached = json.load(fh)
-    if cached != manifest or not os.path.exists(
-        os.path.join(args.out, "documents.parquet")
+    if cached != manifest or not all(
+        os.path.exists(os.path.join(args.out, f"{t}.parquet"))
+        for t in ("documents", "embeddings", "events")
     ):
         # manifest mismatch = stale corpus from a different sf_dir or
         # replica count; silently reusing it would mislabel every row
