@@ -509,8 +509,9 @@ WITH dims AS (
          doc_id % 64 + 1 AS bw, doc_id % 32 + 1 AS bh,
          ((doc_id % 64 + 1) * 3 + 3) // 4 * 4 AS stride,
          doc_id % 16 + 1 AS pw, doc_id % 8 + 1 AS ph,
-         doc_id % 128 + 1 AS jw, doc_id % 96 + 1 AS jh,
-         doc_id % 256 AS bmp_v, 97 + doc_id % 26 AS ppm_v
+         doc_id % 24 + 1 AS jw, doc_id % 16 + 1 AS jh,
+         doc_id % 256 AS bmp_v, 97 + doc_id % 26 AS ppm_v,
+         145 + doc_id % 8 AS jpg_v
   FROM documents
 )
 SELECT doc_id,
@@ -523,19 +524,23 @@ SELECT doc_id,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bh AS INTEGER)
             WHEN doc_id % 4 = 1 THEN CAST(ph AS INTEGER)
             WHEN doc_id % 4 = 2 THEN CAST(jh AS INTEGER) END AS height,
-       CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 3 END AS channels,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 3
+            WHEN doc_id % 4 = 2 THEN 1 END AS channels,
        CASE WHEN doc_id % 4 = 0 THEN 54 + stride * bh
             WHEN doc_id % 4 = 1 THEN octet_length(CAST(
                  'P6' || chr(10) || CAST(pw AS VARCHAR) || ' '
                  || CAST(ph AS VARCHAR) || chr(10) || '255'
                  || chr(10) AS BLOB))
                  + pw * ph * 3
-            WHEN doc_id % 4 = 2 THEN 23
+            WHEN doc_id % 4 = 2
+                 THEN 144 + 2 * (((jw + 7) // 8) * ((jh + 7) // 8) - 1)
             ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS pixel_mean,
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE)
+            WHEN doc_id % 4 = 2 THEN CAST(jpg_v AS DOUBLE) END AS pixel_mean,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
-            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_r,
+            WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE)
+            WHEN doc_id % 4 = 2 THEN CAST(jpg_v AS DOUBLE) END AS channel_mean_r,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
             WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE) END AS channel_mean_g,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
@@ -547,20 +552,20 @@ FROM dims
 def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image decode through the multimodal mapInPandas
     path: construct valid BMP (doc_id%4=0), binary-PPM (doc_id%4=1) and
-    JPEG (doc_id%4=2) payloads JVM-side — hex-assembled little-endian
-    BMP header + FULL constant-byte raster / ASCII PPM header +
-    constant-letter raster / SOI+SOF0+EOI JPEG marker stream (header
-    metadata only; entropy decode is the documented stub boundary, so
-    jpeg rows carry NULL pixel means) — leave the rest opaque text,
-    then decode headers with ``parse_image_header`` AND pixels with
-    ``decode_pixels`` (stride-aware uncompressed-BMP row walk, netpbm
-    sample read).  The oracle predicts width/height/channels/n_bytes
-    and the per-channel pixel means ARITHMETICALLY from doc_id — it
-    never sees the payload — so a parser that misreads any header
-    field, miscomputes the row stride, walks the JPEG marker stream
-    wrong, or includes padding bytes in the means hash-mismatches.
-    Scale shape: pure narrow projection + one Arrow-batched pass, no
-    shuffle."""
+    entropy-coded baseline JPEG (doc_id%4=2) payloads JVM-side —
+    hex-assembled little-endian BMP header + FULL constant-byte raster
+    / ASCII PPM header + constant-letter raster / full JPEG marker
+    stream with DQT, custom byte-aligned Huffman tables, and a per-MCU
+    entropy scan (see the jpeg_hex comment) — leave the rest opaque
+    text, then decode headers with ``parse_image_header`` AND pixels
+    with ``decode_pixels`` (stride-aware uncompressed-BMP row walk,
+    netpbm sample read, full Huffman+IDCT JPEG decode).  The oracle
+    predicts width/height/channels/n_bytes and the per-channel pixel
+    means ARITHMETICALLY from doc_id — it never sees the payload — so
+    a parser that misreads any header field, miscomputes the row
+    stride, mis-decodes the JPEG entropy stream, or includes padding
+    bytes in the means hash-mismatches.  Scale shape: pure narrow
+    projection + one Arrow-batched pass, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     w_bmp = (F.col("doc_id") % 64 + 1).cast("int")
     h_bmp = (F.col("doc_id") % 32 + 1).cast("int")
@@ -631,20 +636,38 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (w_ppm * h_ppm * 3).cast("int"),
         ),
     )
-    # header-only JPEG: SOI + SOF0 (len 17 = 8 + 3 components) + EOI;
-    # 23 bytes total, dims big-endian u16 per ITU T.81 §B.2.2
-    w_jpg = (F.col("doc_id") % 128 + 1).cast("int")
-    h_jpg = (F.col("doc_id") % 96 + 1).cast("int")
+    # REAL entropy-coded baseline JPEG (r7 — was header-only until the
+    # stdlib decoder landed): grayscale, all-ones quant table, two
+    # custom canonical Huffman tables chosen so every code is
+    # byte-aligned (DC: symbols {8, 0} at length 8 → codes 0x00/0x01;
+    # AC: EOB at length 8 → 0x00), giving a constant-gray raster whose
+    # scan is 3 + 2·(nMCU−1) LITERAL bytes: first MCU encodes DC diff
+    # dv (category 8: code 00, eight raw bits), every later MCU is
+    # diff-0 + EOB (01 00).  dv = 136 + 8·(doc_id%8) keeps dv/8 an
+    # exact integer, so the decoded mean is exactly 145 + doc_id%8 —
+    # pure oracle arithmetic that never sees the payload.  A decoder
+    # that mis-walks the Huffman stream, mis-extends the category-8
+    # bits, dequantizes or level-shifts wrong, or crops the MCU grid
+    # to the wrong dims hash-mismatches.
+    w_jpg = (F.col("doc_id") % 24 + 1).cast("int")
+    h_jpg = (F.col("doc_id") % 16 + 1).cast("int")
+    n_mcu = (F.floor((w_jpg + 7) / 8) * F.floor((h_jpg + 7) / 8)).cast("int")
+    dv_hex = F.lpad(F.hex(F.lit(136) + (F.col("doc_id") % 8) * 8), 2, "0")
     jpeg_hex = F.concat(
-        F.lit("FFD8"),                 # SOI
-        F.lit("FFC0"),                 # SOF0 (baseline)
-        F.lit("0011"),                 # segment length 17
-        F.lit("08"),                   # precision 8
-        F.lpad(F.hex(h_jpg), 4, "0"),  # height, BE u16
-        F.lpad(F.hex(w_jpg), 4, "0"),  # width, BE u16
-        F.lit("03"),                   # 3 components
-        F.lit("011100" "021101" "031101"),  # (id, sampling, qtable) × 3
-        F.lit("FFD9"),                 # EOI
+        F.lit("FFD8"),                       # SOI
+        F.lit("FFDB0043" + "00" + "01" * 64),  # DQT id 0: all ones
+        F.lit("FFC0000B08"),                 # SOF0, len 11, precision 8
+        F.lpad(F.hex(h_jpg), 4, "0"),        # height, BE u16
+        F.lpad(F.hex(w_jpg), 4, "0"),        # width, BE u16
+        F.lit("01" "011100"),                # 1 component: id 1, 1×1, q0
+        # DHT DC0: two length-8 codes for symbols {8, 0}
+        F.lit("FFC40015" "00" + "00" * 7 + "02" + "00" * 8 + "0800"),
+        # DHT AC0: one length-8 code for EOB
+        F.lit("FFC40014" "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+        F.lit("FFDA0008" "01" "0100" "003F00"),  # SOS
+        F.lit("00"), dv_hex, F.lit("00"),    # MCU 1: DC cat 8 + dv + EOB
+        F.repeat(F.lit("0100"), n_mcu - 1),  # MCUs 2..n: DC diff 0 + EOB
+        F.lit("FFD9"),                       # EOI
     )
     payload = (
         F.when(F.col("doc_id") % 4 == 0, F.unhex(bmp_hex))

@@ -702,3 +702,307 @@ def test_jpeg_parser_rejects_malformed_streams():
     assert parse_image_header(b"the quick brown fox " * 4) is None
     # happy path for the same SOF segment, as a control
     assert parse_image_header(b"\xff\xd8" + sof + b"\xff\xd9") == ("jpeg", 5, 4, 1)
+
+
+# ---------------------------------------------------------------------------
+# JPEG entropy-decode roundtrip: Huffman-encode arbitrary quantized
+# coefficient blocks with an INDEPENDENT test-side encoder (own bit
+# writer, byte stuffing, restart markers, fixed-length canonical
+# tables), then require _jpeg_pixels to reproduce the pixels an
+# INDEPENDENT 4-loop IDCT reconstruction predicts — across grayscale
+# and 4:2:0 color, restart intervals, and non-MCU-aligned dimensions.
+
+from hypothesis import assume
+
+from garmin_performance_analysis_spark.pipelines.multimodal import (
+    _JPEG_ZIGZAG,
+    _jpeg_pixels,
+)
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+# Fixed-length canonical tables: every DC category 0..11 at length 5;
+# every AC (run,size) symbol plus EOB/ZRL at length 8.  Deliberately
+# NOT the T.81 example tables, so nothing about the decoder's table
+# builder is assumed beyond canonical-code semantics.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canon_codes(symbols, length):
+    return {sym: (length, i) for i, sym in enumerate(symbols)}
+
+
+_DC_CODES = _canon_codes(_DC_SYMS, 5)
+_AC_CODES = _canon_codes(_AC_SYMS, 8)
+
+
+def _dht(tc_th: int, symbols, length: int) -> bytes:
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    payload = bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _write_sym(bw, codes, sym):
+    length, code = codes[sym]
+    bw.write(code, length)
+
+
+def _write_coef_bits(bw, v: int) -> int:
+    s = int(abs(v)).bit_length()
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+    return s
+
+
+def _encode_block(bw, coefs, pred):
+    """coefs: 64 ints in zigzag order.  Returns the new DC predictor."""
+    dc = int(coefs[0])
+    s = int(abs(dc - pred)).bit_length()
+    _write_sym(bw, _DC_CODES, s)
+    if s:
+        d = dc - pred
+        bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if coefs[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _write_sym(bw, _AC_CODES, 0xF0)  # ZRL
+            run -= 16
+        s = int(abs(v)).bit_length()
+        _write_sym(bw, _AC_CODES, (run << 4) | s)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        _write_sym(bw, _AC_CODES, 0x00)  # EOB
+    return dc
+
+
+def _build_jpeg(w, h, comp_blocks, samplings, quants, dri=0):
+    """comp_blocks[ci]: list of 64-int zigzag blocks in MCU scan order;
+    samplings[ci] = (hs, vs); quants[ci] = 64 ints (zigzag)."""
+    nc = len(comp_blocks)
+    out = bytearray(b"\xff\xd8")
+    for qi, q in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([qi]) + bytes(q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = samplings[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, ci if ci < len(quants) else 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht(0x00, _DC_SYMS, 5) + _dht(0x10, _AC_SYMS, 8)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    bw = _JBitWriter()
+    preds = [0] * nc
+    iters = [iter(blocks) for blocks in comp_blocks]
+    rst = 0
+    for m in range(mx * my):
+        if dri and m and m % dri == 0:
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            bw = _JBitWriter()
+            preds = [0] * nc
+        for ci in range(nc):
+            hs, vs = samplings[ci]
+            for _ in range(hs * vs):
+                preds[ci] = _encode_block(bw, next(iters[ci]), preds[ci])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ref_idct(coefs_zz, quant_zz):
+    """Independent 4-loop IDCT reconstruction of one block (T.81 A.3.3
+    stated directly), on dequantized de-zigzagged coefficients."""
+    blk = np.zeros((8, 8))
+    for zz, nat in enumerate(_JPEG_ZIGZAG):
+        blk[nat // 8][nat % 8] = coefs_zz[zz] * quant_zz[zz]
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * blk[u][v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x][y] = acc / 4 + 128.0
+    return out
+
+
+def _ref_decode(w, h, comp_blocks, samplings, quants):
+    """Independent full-frame reconstruction: blocks → planes → crop →
+    nearest upsample → (YCbCr→RGB) → round/clip → channel means."""
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    full = []
+    for ci, blocks in enumerate(comp_blocks):
+        hs, vs = samplings[ci]
+        plane = np.zeros((my * vs * 8, mx * hs * 8))
+        it = iter(blocks)
+        for m in range(mx * my):
+            mcu_y, mcu_x = divmod(m, mx)
+            for by in range(vs):
+                for bx in range(hs):
+                    plane[
+                        (mcu_y * vs + by) * 8 : (mcu_y * vs + by) * 8 + 8,
+                        (mcu_x * hs + bx) * 8 : (mcu_x * hs + bx) * 8 + 8,
+                    ] = _ref_idct(next(it), quants[ci])
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        p = plane[:ch, :cw]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        chans = [full[0]]
+    else:
+        y, cb, cr = full
+        chans = [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ]
+    # reject draws whose float pixels sit on a rounding knife-edge —
+    # there the two independent IDCTs may legally round apart
+    for c in chans:
+        assume(float(np.min(np.abs(np.mod(c, 1.0) - 0.5))) > 1e-6)
+    ints = [np.clip(np.round(c), 0, 255).astype(np.int64) for c in chans]
+    n_px = w * h
+    means = [float(c.sum()) / n_px for c in ints]
+    total = sum(float(c.sum()) for c in ints)
+    return means, total / (n_px * len(ints))
+
+
+def _rand_blocks(rng, n_blocks, density):
+    blocks = []
+    for _ in range(n_blocks):
+        coefs = np.zeros(64, dtype=np.int64)
+        coefs[0] = rng.randint(-400, 401)
+        nz = rng.randint(0, density + 1)
+        for _ in range(nz):
+            coefs[rng.randint(1, 64)] = rng.randint(-200, 201)
+        blocks.append(coefs)
+    return blocks
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    density=st.integers(min_value=0, max_value=12),
+    dri=st.sampled_from([0, 1, 2]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_grayscale_entropy_roundtrip(w, h, density, dri, seed):
+    rng = np.random.RandomState(seed)
+    quant = [1] + [rng.randint(1, 9) for _ in range(63)]
+    n_blocks = (-(-w // 8)) * (-(-h // 8))
+    blocks = _rand_blocks(rng, n_blocks, density)
+    payload = _build_jpeg(w, h, [blocks], [(1, 1)], [quant], dri=dri)
+    assert parse_image_header(payload) == ("jpeg", w, h, 1)
+    want_means, want_mean = _ref_decode(w, h, [blocks], [(1, 1)], [quant])
+    got = decode_pixels(payload)
+    assert got is not None, "baseline JPEG must decode"
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
+    # truncating the scan mid-stream must reject, not decode noise
+    assert _jpeg_pixels(payload[: len(payload) // 2]) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_420_color_entropy_roundtrip(w, h, seed):
+    """4:2:0: Y at 2×2 per MCU, chroma at 1×1 with nearest upsampling,
+    YCbCr→RGB — against the independent reconstruction."""
+    rng = np.random.RandomState(seed)
+    quants = [[1] + [rng.randint(1, 5) for _ in range(63)] for _ in range(3)]
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    mx = -(-w // 16)
+    my = -(-h // 16)
+    comp_blocks = [
+        _rand_blocks(rng, mx * my * 4, 6),
+        _rand_blocks(rng, mx * my, 4),
+        _rand_blocks(rng, mx * my, 4),
+    ]
+    payload = _build_jpeg(w, h, comp_blocks, samplings, quants)
+    assert parse_image_header(payload) == ("jpeg", w, h, 3)
+    want_means, want_mean = _ref_decode(w, h, comp_blocks, samplings, quants)
+    got = decode_pixels(payload)
+    assert got is not None
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
+
+
+def test_jpeg_unsupported_shapes_fall_back_to_header_only():
+    """Progressive (SOF2) and header-only streams report dimensions via
+    parse_image_header but decode to None — the documented stub
+    boundary; arbitrary text stays fully opaque."""
+    # header-only (mm3's old jpeg class): SOI + SOF0 + EOI, no scan
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 4, 5, 1) + b"\x01\x11\x00"
+    hdr_only = b"\xff\xd8" + sof + b"\xff\xd9"
+    assert parse_image_header(hdr_only) == ("jpeg", 5, 4, 1)
+    assert _jpeg_pixels(hdr_only) is None
+    # progressive: same layout under SOF2
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 4, 5, 1) + b"\x01\x11\x00"
+    prog = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    assert parse_image_header(prog) == ("jpeg", 5, 4, 1)
+    assert _jpeg_pixels(prog) is None
