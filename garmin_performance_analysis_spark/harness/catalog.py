@@ -22,6 +22,7 @@ from . import q_composites  # noqa: E402,F401
 from . import q_fitness_risk  # noqa: E402,F401
 from . import q_retrieval  # noqa: E402,F401
 from . import q_incremental  # noqa: E402,F401
+from . import q_funnel  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

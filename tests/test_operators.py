@@ -547,3 +547,72 @@ def test_top_p_select_boundary_row(spark):
     # p just above the boundary pulls in the crossing row
     kept2 = top_p_select(df, ["grp"], "score", "id", p_ppm=500_001).collect()
     assert sorted(r["id"] for r in kept2) == [1, 2]
+
+
+def test_ordered_funnel_respects_order_and_strict_after(spark):
+    """A click BEFORE the first view must not match stage 1, and a
+    stage event at EXACTLY the prior stage's timestamp is excluded
+    (strictly-after semantics)."""
+    from datetime import datetime
+
+    from garmin_performance_analysis_spark.operators.funnels import ordered_funnel
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # key 1: click at t1 precedes view at t2 -> depth stalls at view
+        (1, t(1), "click"),
+        (1, t(2), "view"),
+        # key 2: purchase ties click's ts exactly -> excluded
+        (2, t(1), "view"),
+        (2, t(3), "click"),
+        (2, t(3), "purchase"),
+        # key 3: full ordered conversion
+        (3, t(1), "view"),
+        (3, t(2), "click"),
+        (3, t(5), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, et string")
+    out = ordered_funnel(df, ["k"], "ts", "et", ["view", "click", "purchase"])
+    got = {
+        r["k"]: (r["stage0_ts"], r["stage1_ts"], r["stage2_ts"])
+        for r in out.groupBy("k")
+        .agg(
+            F.min("stage0_ts").alias("stage0_ts"),
+            F.min("stage1_ts").alias("stage1_ts"),
+            F.min("stage2_ts").alias("stage2_ts"),
+        )
+        .collect()
+    }
+    assert got[1] == (t(2), None, None)
+    assert got[2] == (t(1), t(3), None)
+    assert got[3] == (t(1), t(2), t(5))
+
+
+def test_retention_cohorts_offsets_and_sizes(spark):
+    """Two users in the same Monday-truncated cohort week, one active
+    two weeks later; a third user founds a later cohort."""
+    from datetime import datetime
+
+    from garmin_performance_analysis_spark.operators.funnels import (
+        retention_cohorts,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 2)),   # cohort week of Mon 2024-01-01
+        (2, datetime(2024, 1, 4)),
+        (1, datetime(2024, 1, 16)),  # +2 weeks
+        (3, datetime(2024, 1, 9)),   # cohort week of Mon 2024-01-08
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_period"].date().isoformat(), r["period_offset"]): (
+            r["active_users"],
+            r["cohort_size"],
+            r["retention_rate"],
+        )
+        for r in retention_cohorts(df, "user_id", "ts").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 3
