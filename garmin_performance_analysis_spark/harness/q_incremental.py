@@ -354,3 +354,96 @@ def i4_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
     )
+
+
+_I5_DELAY_US = 120_000_000     # 2-minute dedup horizon
+
+
+def _i5_oracle() -> str:
+    """Pure-SQL replay of ``dropDuplicatesWithinWatermark``'s two-run
+    watermark arithmetic (rules probed empirically — see
+    ``streaming/replay.stream_dedup_replay``): run 1 emits every key
+    of batch 1; run 2 drops input rows at or below the ms-floored
+    run-1 watermark, evicts state whose ``ts + delay`` is at or below
+    it, and emits each surviving key once iff it has no live state —
+    so a redelivery inside the horizon is dropped and one past the
+    horizon re-emits."""
+    return f"""
+WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+             (MAX(us) - MIN(us)) // 4 AS tail FROM e),
+b1 AS (
+  SELECT user_id, MIN(us) AS us FROM e, m WHERE us <= mid GROUP BY user_id, mid
+),
+b2 AS (
+  SELECT user_id, MIN(us) AS us FROM e, m WHERE us > mid GROUP BY user_id, mid
+  UNION ALL
+  SELECT b1.user_id, b1.us FROM b1, m WHERE b1.us > m.mid - m.tail
+),
+wm AS (
+  SELECT ((SELECT MAX(us) FROM b1) // 1000 - {_I5_DELAY_US // 1000}) * 1000
+    AS wm1
+),
+live AS (
+  SELECT b1.user_id FROM b1, wm WHERE b1.us + {_I5_DELAY_US} > wm.wm1
+),
+arrivals AS (
+  SELECT DISTINCT b2.user_id FROM b2, wm WHERE b2.us > wm.wm1
+)
+SELECT user_id FROM b1
+UNION ALL
+SELECT user_id FROM arrivals
+WHERE user_id NOT IN (SELECT user_id FROM live)
+"""
+
+
+@register(
+    "i5_stream_dedup_replay",
+    oracle=_i5_oracle(),
+    tags=("streaming", "dedup"),
+)
+def i5_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of the STREAMING watermarked dedup
+    (``streaming/replay.stream_dedup_replay`` —
+    ``dropDuplicatesWithinWatermark`` over a shared checkpoint, the
+    bounded-state twin of batch d1): batch 1 carries one row per user
+    (the user's first first-half event), batch 2 carries each user's
+    first second-half event plus a REDELIVERY of every batch-1 row
+    from the last quarter of the span (at-least-once upstream).  The
+    oracle replays the pinned watermark arithmetic: a redelivery whose
+    key still has live dedup state is dropped, a key whose state
+    expired re-emits (the horizon contract), and late rows at or below
+    the restored watermark never reach the operator — so a watermark
+    that fails to restore, an eviction off by one ms, or a dropped
+    within-horizon duplicate all change the emitted key multiset.
+    Scale shape: state is O(keys inside the horizon), not corpus size;
+    the shuffle is the dedup-key hash, checkpoint-pinned to 8 state
+    partitions like i3/i4."""
+    from ..streaming.replay import stream_dedup_replay
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    tail = (bounds["tmax"] - bounds["tmin"]) // 4
+    b1 = (
+        ev.filter(us <= mid)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    b2 = (
+        ev.filter(us > mid)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+        .unionByName(b1.filter(F.unix_micros(F.col("ts")) > mid - tail))
+    )
+    work = tempfile.mkdtemp(prefix="i5_stream_dedup_")
+    try:
+        out = stream_dedup_replay(
+            spark, [b1, b2], work,
+            ts_col="ts", key_cols=["user_id"],
+            delay_sec=_I5_DELAY_US // 1_000_000,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -245,3 +245,73 @@ def stream_join_replay(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return spark.read.parquet(out)
+
+
+def stream_dedup_replay(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    work_dir: str,
+    *,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    delay_sec: int = 120,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay ``batches`` through the REAL streaming watermarked dedup
+    (``withWatermark`` → ``dropDuplicatesWithinWatermark``), one
+    ``Trigger.AvailableNow`` run per batch over a shared checkpoint,
+    and return the sink's emitted KEY rows (multiplicity = emissions).
+
+    Pinned semantics (probed empirically, mirrored by the i5 oracle —
+    the same treatment ``stream_join_replay`` got in r6):
+
+    - watermark after run N = ms-FLOORED max event time of its batch
+      minus ``delay_sec``;
+    - a later run's input row survives iff its event time is STRICTLY
+      above the restored watermark (row exactly AT the watermark is
+      dropped — probed at the boundary, incl. sub-ms event times vs
+      the floored watermark);
+    - a key's dedup state survives iff ``state_ts + delay`` is
+      STRICTLY above the watermark (expiry exactly AT the watermark
+      evicts — probed) — an evicted key's redelivery RE-EMITS, which
+      is the documented contract (the horizon is the source's
+      retention bound, not a correctness bug);
+    - a key with live state drops every new arrival.
+
+    Only key columns are returned: within one micro-batch the row kept
+    for a new key is selection-order-arbitrary, so non-key payload
+    columns are not deterministic — keys and emission multiplicity
+    are.  Callers wanting payloads must make them functions of the key.
+    """
+    key_cols = key_cols or ["k"]
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = batches[0].schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        dd = stream.withWatermark(
+            ts_col, f"{delay_sec} seconds"
+        ).dropDuplicatesWithinWatermark(key_cols)
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select(*key_cols)

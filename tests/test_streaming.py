@@ -425,3 +425,51 @@ def test_stream_join_replay_watermark_semantics(spark, tmp_path):
         ("lb", "r2"), ("lb", "r2dup"),       # new x state, new x new
         ("lb", "rc"), ("lf", "rf"),          # new x new
     ]
+
+
+def test_stream_dedup_replay_watermark_semantics(spark, tmp_path):
+    """Pins the dropDuplicatesWithinWatermark boundary rules the i5
+    oracle encodes, at the exact boundaries (probed, then frozen
+    here): with delay 60 s and batch-1 max event time 1000 s the
+    restored watermark is 940 s —
+
+    - a key whose state expires EXACTLY at the watermark (ts 880 s:
+      880+60 = 940 ≤ 940) is evicted, so its redelivery RE-EMITS;
+    - a key expiring 1 s later (ts 881 s) still has live state, so
+      its redelivery is dropped;
+    - a new key arriving exactly AT the watermark (940.000 s) is
+      dropped as late; just above (940.0005 s, sub-ms vs the FLOORED
+      watermark) is kept.
+    """
+    from datetime import datetime, timedelta
+
+    from garmin_performance_analysis_spark.streaming.replay import (
+        stream_dedup_replay,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def T(sec, micro=0):
+        return t0 + timedelta(seconds=sec, microseconds=micro)
+
+    b1 = spark.createDataFrame(
+        [(T(880), "expires_at_wm"), (T(881), "expires_after_wm"),
+         (T(1000), "max_setter")],
+        "ts timestamp, k string",
+    )
+    b2 = spark.createDataFrame(
+        [(T(941), "expires_at_wm"),     # evicted -> re-emits
+         (T(941), "expires_after_wm"),  # live state -> dropped
+         (T(940), "late_at_wm"),        # ts == wm -> dropped
+         (T(940, 500), "just_above_wm")],  # ts > floored wm -> kept
+        "ts timestamp, k string",
+    )
+    out = stream_dedup_replay(
+        spark, [b1, b2], str(tmp_path / "i5t"),
+        ts_col="ts", key_cols=["k"], delay_sec=60,
+    )
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(
+        ["expires_at_wm", "expires_after_wm", "max_setter",  # run 1
+         "expires_at_wm", "just_above_wm"]                   # run 2
+    )
