@@ -134,6 +134,14 @@ HEADLINE = [
     # r6: streaming windowed-agg replay (4 AvailableNow runs against a
     # shared checkpoint; timed end-to-end like i1/i2)
     "i3_stream_window_replay",
+    # r7 additions: sessionized funnel + retention cohorts are
+    # read-shaped event queries (keyed windows / two aggs + join); the
+    # ANN recall-verdict (k-means per call) and the streaming dedup
+    # replay are batch jobs
+    "t12_funnel_conversion",
+    "a17_retention_cohorts",
+    "v10_ivf_recall_verdict",
+    "i5_stream_dedup_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -185,6 +193,9 @@ BATCH_JOBS = {
     # state stores × partitions × runs — a replay job like i1/i2/i3,
     # not a read tool; it was inflating the read-path average 0.69→0.84
     "i4_stream_join_replay",
+    # r7 additions
+    "v10_ivf_recall_verdict",
+    "i5_stream_dedup_replay",
 }
 
 

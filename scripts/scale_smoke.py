@@ -110,6 +110,14 @@ QUERIES = [
     "w11_scd2_intervals",
     "t10_gap_fill_ffill",
     "t11_time_weighted_avg",
+    # r7 additions: sessionized funnel + retention cohorts (events,
+    # user-keyed → linear), the ANN recall-verdict (one 10×N cosine
+    # pass + k-means), and the streaming dedup replay (state bounded
+    # by the horizon; two AvailableNow runs of fixed cost)
+    "t12_funnel_conversion",
+    "a17_retention_cohorts",
+    "v10_ivf_recall_verdict",
+    "i5_stream_dedup_replay",
 ]
 
 
