@@ -396,3 +396,159 @@ def t11_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         ev, ["user_id"], "ts", "value", tiebreak_cols=["event_id"]
     )
+
+
+_J14_INTERVALS = """
+snap AS (
+  SELECT user_id, ts, CAST(floor(value) AS BIGINT) % 5 AS vband
+  FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+    FROM events)
+  WHERE rn = 1
+),
+marked AS (
+  SELECT user_id, ts, vband,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN vband IS DISTINCT FROM lag(vband) OVER w THEN 1
+              ELSE 0 END AS new_run
+  FROM snap
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+versioned AS (
+  SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS version
+  FROM marked
+),
+runs AS (
+  SELECT user_id, version, MIN(vband) AS vband,
+         MIN(ts) AS valid_from
+  FROM versioned GROUP BY 1, 2
+),
+intervals AS (
+  SELECT user_id, vband, version, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM runs
+)"""
+
+
+@register(
+    "j14_scd2_lookup",
+    oracle=f"""
+WITH {_J14_INTERVALS}
+SELECT f.event_id, f.user_id, f.ts, f.value,
+       d.vband AS asof_vband, CAST(d.version AS BIGINT) AS asof_version
+FROM events f JOIN intervals d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""",
+    tags=("join", "scd2"),
+)
+def j14_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-validity-interval dimension lookup — the consumption
+    side of w11's SCD2 history: every fact row resolves to the dim
+    version whose ``[valid_from, valid_to)`` contains its timestamp
+    (a fact exactly AT a boundary belongs to the NEW version).  The
+    oracle states the raw interval predicate; the Spark plan must NOT:
+    because SCD2 versions are contiguous and non-overlapping per key,
+    the interval membership IS the backward as-of match on valid_from
+    (``operators/joins.backward_asof_join`` — union-tag + one keyed
+    sort window, ONE hash exchange, no range join, no
+    BroadcastNestedLoop).  The same reduction is the 100 TB shape for
+    any temporal dimension lookup."""
+    from ..operators.joins import backward_asof_join
+    from ..operators.windows import latest_per_key, scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    snap = latest_per_key(ev, ["user_id", "ts"], [F.col("event_id")]).select(
+        "user_id",
+        "ts",
+        (F.floor("value").cast("bigint") % 5).alias("vband"),
+    )
+    dim = scd2_intervals(snap, ["user_id"], "ts", ["vband"]).select(
+        "user_id", F.col("valid_from"), "vband", "version"
+    )
+    facts = ev.select("user_id", "event_id", "ts", "value")
+    out = backward_asof_join(
+        facts, dim, ["user_id"], "ts", "valid_from", ["vband", "version"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", "asof_vband", "asof_version"
+    )
+
+
+@register(
+    "w12_ewma_halflife",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, day_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+  FROM daily
+),
+terms AS (
+  SELECT *, CASE WHEN i = 0 THEN day_value
+                 ELSE POWER(2.0, i - 1) * day_value END AS term
+  FROM idx
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       FLOOR(day_value * 1000000.0 + 0.5) / 1000000.0 AS day_value,
+       FLOOR(POWER(0.5, i) * SUM(term) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS UNBOUNDED PRECEDING) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM terms
+""",
+    tags=("timeseries", "window"),
+)
+def w12_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each
+    user's DAILY mean — recursive smoothing unrolled into one keyed
+    running sum: with alpha = 1/2 the recurrence
+    ``y_i = (x_i + y_{i-1}) / 2`` (y_0 = x_0) closes to
+    ``y_i = 0.5^i * (x_0 + sum_{j=1..i} 2^(j-1) x_j)``, and every
+    2^±k scaling is EXACT in binary floating point, so one window SUM
+    plus two pow() calls replaces the non-window-expressible
+    recursion.  Smoothing runs over the bounded daily grid (the t10
+    regularization convention — positions are calendar-bounded, so
+    2^i cannot overflow; an unbounded tick-level series would need
+    block-carry segmentation instead, documented here as the scale
+    boundary).  One exchange on user_id shared by the index, term,
+    and cumulative-sum windows."""
+    from pyspark.sql import Window
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dec_avg(F.col("value")).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = F.row_number().over(w) - 1
+    idx = daily.withColumn("i", i)
+    term = F.when(F.col("i") == 0, F.col("day_value")).otherwise(
+        F.pow(F.lit(2.0), F.col("i") - 1) * F.col("day_value")
+    )
+    cum = F.sum(term).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # halved 2dp inputs sit EXACTLY on 6dp rounding boundaries
+    # (…4375 → …437/…438 split between Spark's BigDecimal HALF_UP and
+    # DuckDB's scaled-double round — measured at sf0.01 row 545), so
+    # both sides quantize with the IDENTICAL IEEE expression
+    # floor(x·1e6 + 0.5)/1e6 instead of ROUND (the a15 precedent).
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return idx.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        q6(F.col("day_value")).alias("day_value"),
+        q6(F.pow(F.lit(0.5), F.col("i")) * cum).alias("ewma"),
+    )
