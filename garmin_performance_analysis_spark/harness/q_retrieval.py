@@ -1026,3 +1026,68 @@ def c14_top_p_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.top_p_select(
         docs, ["source"], "n_chars", "doc_id", p_ppm=500_000
     ).select("source", "doc_id", "n_chars", "cum_score")
+
+
+def _x16_oracle() -> str:
+    from .q_pipeline import _hex_horner
+
+    h = _hex_horner("d", 1, 8)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_target,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, is_target, ({h}) % 1024 AS bucket
+  FROM (SELECT doc_id, is_target, md5(term) AS d FROM toks)
+),
+btf AS (
+  SELECT doc_id, is_target, bucket, COUNT(*) AS tf
+  FROM hashed GROUP BY 1, 2, 3
+),
+cr AS (SELECT bucket, SUM(tf) AS c_r FROM btf GROUP BY 1),
+ct AS (SELECT bucket, SUM(tf) AS c_t FROM btf WHERE is_target GROUP BY 1),
+tot AS (
+  SELECT (SELECT SUM(c_r) FROM cr) AS R,
+         (SELECT COALESCE(SUM(c_t), 0) FROM ct) AS T
+),
+lm AS (
+  SELECT cr.bucket,
+         ln((COALESCE(ct.c_t, 0) + 1.0) / (T + 1024.0))
+           - ln((cr.c_r + 1.0) / (R + 1024.0)) AS lw
+  FROM cr LEFT JOIN ct USING (bucket), tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(MAX(CASE WHEN is_target THEN 1 ELSE 0 END) AS INTEGER)
+         AS is_target,
+       ROUND(CAST(SUM(CAST(tf * lw AS DECIMAL(30,12))) AS DOUBLE)
+             / SUM(tf), 6) AS avg_log_ratio
+FROM btf JOIN lm USING (bucket)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "x16_dsir_importance",
+    oracle=_x16_oracle(),
+    tags=("text", "selection"),
+)
+def x16_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: mean per-token log-likelihood ratio of
+    a target-domain hashed-unigram LM (docs with doc_id % 10 == 0
+    stand in for the quality domain) over the raw-corpus LM, add-1
+    smoothed over 1024 md5 buckets — the data-selection signal that
+    tilts a web-scale mixture toward a target domain
+    (``pipelines/text.dsir_importance``; public technique, Xie et al.
+    2023).  Fixed-size LMs broadcast to the scorer; the only
+    token-wide shuffle is the (doc, bucket) count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_importance(
+        docs.withColumn("_is_target", F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        "_is_target",
+        buckets=1024,
+    )

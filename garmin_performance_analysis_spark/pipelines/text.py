@@ -464,3 +464,87 @@ def bigram_logprob_scores(
         )
     )
     return per_doc.unionByName(short)
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public
+    technique): score every document by the mean per-token
+    log-likelihood ratio between a TARGET-domain hashed-unigram LM and
+    the RAW-corpus LM — the importance-resampling signal that tilts a
+    web-scale mixture toward a quality domain without training a
+    model.
+
+    Features are md5-hashed unigram buckets (32-bit slice mod
+    ``buckets``) so the LM is a fixed-size table regardless of corpus
+    vocabulary — the property that makes DSIR tractable at 100 TB, and
+    the property that makes the oracle exact (both engines hash with
+    md5).  Both LMs use add-1 smoothing over the bucket space.
+
+    Plan shape: one explode + (doc, bucket) agg is the only token-wide
+    shuffle; both LMs are bucket aggs of THAT frame (≤ ``buckets``
+    rows each), their join is broadcast, and scoring is a per-doc
+    reduction with DECIMAL sums.  Output: (doc_id, n_tokens,
+    is_target, avg_log_ratio) — higher = more target-like.
+    """
+    from ..harness.registry import dec_sum
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    btf = (
+        spread_for_compute(df, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(target_col).alias("is_target"),
+            F.explode(_words(text_col)).alias("term"),
+        )
+        .select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    raw = btf.groupBy("bucket").agg(F.sum("tf").alias("c_r"))
+    tgt = (
+        btf.filter(F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    totals = raw.join(F.broadcast(tgt), "bucket", "left").select(
+        F.sum("c_r").alias("R"),
+        F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("T"),
+    )
+    lm = (
+        raw.join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("T") + float(buckets))
+                )
+                - F.log((F.col("c_r") + 1.0) / (F.col("R") + float(buckets)))
+            ).alias("lw"),
+        )
+    )
+    return (
+        btf.join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.max(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("int")
+            .alias("is_target"),
+            F.round(
+                dec_sum(F.col("tf") * F.col("lw"), scale=12, precision=30)
+                / F.sum("tf"),
+                6,
+            ).alias("avg_log_ratio"),
+        )
+    )
