@@ -1091,3 +1091,62 @@ def x16_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_is_target",
         buckets=1024,
     )
+
+
+def _c15_oracle() -> str:
+    h = _hex_horner("d", 1, 15)
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars, md5('c15|' || CAST(doc_id AS VARCHAR)) AS d
+  FROM documents WHERE n_chars > 0
+),
+scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln((({h}) % 1000000 + 0.5) / 1000000.0) / n_chars AS sel_score
+  FROM hashed
+)
+SELECT doc_id, weight, ROUND(sel_score, 6) AS sel_score
+FROM scored
+ORDER BY sel_score DESC, doc_id ASC
+LIMIT 200
+"""
+
+
+@register(
+    "c15_weighted_sample",
+    oracle=_c15_oracle(),
+    tags=("prep", "sampling"),
+)
+def c15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-Res key (public technique): each doc draws
+    ``u ∈ (0,1)`` and ranks by ``u^(1/w)`` — computed in the log
+    domain (``ln(u)/w``, same ordering, no pow-ulp divergence) with
+    ``u`` derived from ``md5('c15|' || doc_id)`` so the draw is
+    deterministic, partition-invariant, and bit-identical in the
+    oracle.  Top-200 by key = an exact weighted-without-replacement
+    sample favoring long documents (weight = n_chars).  Scale shape:
+    in-row key + TakeOrderedAndProject — k-bounded, no global sort,
+    no shuffle beyond the top-k merge; the A-Res key is THE way to
+    draw a weighted sample in one pass over 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("c15|"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+        + 0.5
+    ) / 1_000_000.0
+    score = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            score.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(200)
+        .select("doc_id", "weight", F.round("_s", 6).alias("sel_score"))
+    )

@@ -552,3 +552,60 @@ def w12_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("day_value")).alias("day_value"),
         q6(F.pow(F.lit(0.5), F.col("i")) * cum).alias("ewma"),
     )
+
+
+@register(
+    "w13_rolling_median_7d",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       FLOOR(day_value * 1000000.0 + 0.5) / 1000000.0 AS day_value,
+       FLOOR(MEDIAN(day_value) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5)
+         / 1000000.0 AS rolling_median
+FROM daily
+""",
+    tags=("timeseries", "window"),
+)
+def w13_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row exact median of each user's daily mean — the
+    robust smoother W4's centered rolling MEAN cannot replace when
+    spikes must not leak into the baseline.  Spark's ``percentile``
+    runs as a true window aggregate (frame-local exact interpolation,
+    matching DuckDB's windowed MEDIAN definition), so no UDF and no
+    per-key collect; the frame is ROWS-based over the daily grid, so
+    per-row work is O(7) regardless of corpus size, and the only
+    exchange is the user_id hash.  Interpolated medians of half-cent
+    inputs sit on dyadic 6dp boundaries, so both sides quantize with
+    the identical floor(x·1e6 + 0.5) expression (the w12 lesson)."""
+    from pyspark.sql import Window
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("day_value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        q6(F.col("day_value")).alias("day_value"),
+        q6(F.expr("percentile(day_value, 0.5)").over(w)).alias(
+            "rolling_median"
+        ),
+    )
