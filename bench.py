@@ -142,6 +142,14 @@ HEADLINE = [
     "a17_retention_cohorts",
     "v10_ivf_recall_verdict",
     "i5_stream_dedup_replay",
+    # r7 cont.: SCD2 lookup join, EWMA, and rolling median are
+    # read-shaped event queries; DSIR scoring and weighted sampling
+    # are corpus batch passes
+    "j14_scd2_lookup",
+    "w12_ewma_halflife",
+    "w13_rolling_median_7d",
+    "x16_dsir_importance",
+    "c15_weighted_sample",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -196,6 +204,8 @@ BATCH_JOBS = {
     # r7 additions
     "v10_ivf_recall_verdict",
     "i5_stream_dedup_replay",
+    "x16_dsir_importance",
+    "c15_weighted_sample",
 }
 
 

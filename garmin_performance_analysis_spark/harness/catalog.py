@@ -285,6 +285,11 @@ def _rotate_for_round7() -> None:
 
 _rotate_for_round7()
 
-# ROUND-8 PLAN (standing rule): any queries registered during round 7
-# land PAST this window and must be fronted in the round-8 rotation,
-# padded with the stalest names by latest-driver-row round.
+# ROUND-8 PLAN (standing rule): the round-7 additions registered PAST
+# this window and must be fronted in the round-8 rotation —
+# t12_funnel_conversion, a17_retention_cohorts, v10_ivf_recall_verdict,
+# i5_stream_dedup_replay, j14_scd2_lookup, w12_ewma_halflife,
+# w13_rolling_median_7d, x16_dsir_importance, c15_weighted_sample —
+# plus anything CORRECTNESS_r07 flags, padded with the stalest names
+# by latest-driver-row round (r4 block first: m14/m15/m3b/m5/m6/p1/
+# x1-x4/d4b, then r5).

@@ -118,6 +118,14 @@ QUERIES = [
     "a17_retention_cohorts",
     "v10_ivf_recall_verdict",
     "i5_stream_dedup_replay",
+    # r7 cont.: SCD2 lookup (as-of reduction), EWMA + rolling median
+    # (keyed daily-grid windows), DSIR scoring (two broadcast LMs),
+    # weighted sampling (k-bounded top-k)
+    "j14_scd2_lookup",
+    "w12_ewma_halflife",
+    "w13_rolling_median_7d",
+    "x16_dsir_importance",
+    "c15_weighted_sample",
 ]
 
 
