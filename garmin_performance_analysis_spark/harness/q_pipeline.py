@@ -1246,3 +1246,42 @@ def x5_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     without materializing the text twice."""
     docs = load_table(spark, sf_dir, "documents")
     return text.redact_pii(docs, "doc_id", "text")
+
+
+@register(
+    "d8_containment_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+freq AS (SELECT shingle, COUNT(*) AS f FROM sh GROUP BY shingle),
+kept AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle) WHERE f <= 25),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, x.n AS size_a, y.n AS size_b,
+       ROUND(shared * 1.0 / LEAST(x.n, y.n), 6) AS containment
+FROM shared JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE shared * 1.0 / LEAST(x.n, y.n) >= 0.6
+""",
+    tags=("dedup", "skew"),
+)
+def d8_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication pairs by n-gram CONTAINMENT
+    ``|A∩B| / min(|A|,|B|)`` — catches a short document pasted inside
+    a long one, which Jaccard dilutes below any useful threshold
+    (``pipelines/dedup.ngram_containment_pairs``).  Freq-capped
+    shingles (f ≤ 25) keep the candidate join linear-ish at scale,
+    exactly like d2b."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6,
+        max_shingle_freq=25, checkpoint=True,
+    )
+    return out.select(
+        "doc_a", "doc_b", "shared",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        _r6(F.col("containment")).alias("containment"),
+    )

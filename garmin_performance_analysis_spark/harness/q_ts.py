@@ -609,3 +609,61 @@ def w13_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median"
         ),
     )
+
+
+@register(
+    "t13_seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.user_id, ABS(a.day_value - f.day_value) AS abs_err
+  FROM daily a JOIN daily f
+    ON a.user_id = f.user_id AND a.day = f.day + INTERVAL 7 DAY
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       FLOOR(CAST(SUM(CAST(abs_err AS DECIMAL(30,12))) AS DOUBLE)
+             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mae
+FROM scored GROUP BY user_id
+""",
+    tags=("timeseries", "forecast"),
+)
+def t13_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each user-day's mean
+    with the value from exactly 7 days earlier and score per-user MAE
+    over the days where both sides are observed — the baseline every
+    fancier forecaster must beat, and the standard data-drift monitor
+    for an event warehouse.  One keyed self-equi-join on
+    (user, day−7) — date-shifted equi keys, NOT a range join — plus
+    one grouped DECIMAL mean; two exchanges total, co-partitioned at
+    scale."""
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("day_value")
+    )
+    fc = daily.select(
+        "user_id",
+        F.date_add("day", 7).alias("day"),
+        F.col("day_value").alias("forecast"),
+    )
+    scored = daily.join(fc, ["user_id", "day"]).select(
+        "user_id", F.abs(F.col("day_value") - F.col("forecast")).alias("abs_err")
+    )
+    mae = (
+        F.floor(
+            F.sum(F.col("abs_err").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+            * 1_000_000.0
+            + 0.5
+        )
+        / 1_000_000.0
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"), mae.alias("mae")
+    )

@@ -532,3 +532,53 @@ def segment_dedup_rewrite(
             "clean_text",
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 25,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT
+    ``C = |A∩B| / min(|A|,|B|)`` — the sub-document duplication signal
+    Jaccard misses: a short doc pasted inside a long one has low J
+    (union dominated by the long doc) but containment ≈ 1.  Same
+    shingle self-join skeleton as ``ngram_jaccard_pairs``; the
+    ``max_shingle_freq`` cap is the skew/candidate-blow-up control
+    that makes the join viable at scale (a public-technique standard:
+    containment-based dedup à la Broder's resemblance/containment
+    pair)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle").drop(
+            "_f"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("size_b")),
+            "doc_b",
+        )
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", "shared", "size_a", "size_b", cont.alias("containment"))
+    )
