@@ -150,6 +150,12 @@ HEADLINE = [
     "w13_rolling_median_7d",
     "x16_dsir_importance",
     "c15_weighted_sample",
+    # r7 cont.: containment dedup is a corpus batch pass; the
+    # seasonal-naive backtest is a read-shaped keyed self-join; the
+    # session-window replay is a streaming batch job like i3/i4/i5
+    "d8_containment_pairs",
+    "t13_seasonal_naive_backtest",
+    "i6_stream_session_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -206,6 +212,8 @@ BATCH_JOBS = {
     "i5_stream_dedup_replay",
     "x16_dsir_importance",
     "c15_weighted_sample",
+    "d8_containment_pairs",
+    "i6_stream_session_replay",
 }
 
 

@@ -447,3 +447,128 @@ def i5_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+_I6_GAP_US = 1_800_000_000     # 30-minute session gap
+_I6_WM_US = 120_000_000        # 2-minute watermark
+
+
+def _i6_oracle() -> str:
+    """Pure-SQL two-phase replay of the streaming session-window
+    semantics (rules probed empirically at the boundaries — see
+    ``streaming/replay.stream_session_replay``): phase 1 sessionizes
+    batch 1 and emits sessions whose end (last_ts + gap) is at or
+    below wm1; phase 2 re-sessionizes the UNEMITTED batch-1 rows plus
+    the batch-2 rows whose tentative end strictly clears wm1, and
+    emits at wm2.  Redelivered duplicates double-count; sessions merge
+    when rows are strictly closer than the gap (touching windows do
+    NOT merge — probed)."""
+    gap = _I6_GAP_US
+    sessionize = """
+  SELECT k, us, value,
+         CAST(SUM(CASE WHEN prev IS NULL OR us - prev >= {gap} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY us, rid
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+  FROM (
+    SELECT k, us, value, rid,
+           LAG(us) OVER (PARTITION BY k ORDER BY us, rid) AS prev
+    FROM {src})
+"""
+    return f"""
+WITH e AS (
+  SELECT user_id AS k, epoch_us(ts) AS us, value,
+         row_number() OVER (ORDER BY user_id, ts, event_id) AS rid
+  FROM events
+),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+             (MAX(us) - MIN(us)) // 4 AS tail FROM e),
+b1 AS (SELECT e.* FROM e, m WHERE us <= mid),
+b2 AS (
+  SELECT e.* FROM e, m WHERE us > mid
+  UNION ALL
+  SELECT b1.* FROM b1, m WHERE us > mid - tail
+),
+wm AS (
+  SELECT ((SELECT MAX(us) FROM b1) // 1000 - {_I6_WM_US // 1000}) * 1000 AS wm1,
+         ((SELECT MAX(us) FROM e) // 1000 - {_I6_WM_US // 1000}) * 1000 AS wm2
+),
+rows1 AS ({sessionize.format(gap=gap, src="b1")}),
+sess1 AS (
+  SELECT k, seq, MIN(us) AS s_us, MAX(us) AS last_us,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(30,12))) AS vsum
+  FROM rows1 GROUP BY k, seq
+),
+emitted1 AS (SELECT sess1.* FROM sess1, wm WHERE last_us + {gap} <= wm.wm1),
+open_rows AS (
+  SELECT r.k, r.us, r.value,
+         row_number() OVER (ORDER BY r.k, r.us) AS rid
+  FROM rows1 r
+  LEFT JOIN emitted1 x ON r.k = x.k AND r.seq = x.seq
+  WHERE x.k IS NULL
+),
+keep2 AS (
+  SELECT b2.k, b2.us, b2.value,
+         1000000 + row_number() OVER (ORDER BY b2.k, b2.us, b2.rid) AS rid
+  FROM b2, wm WHERE b2.us + {gap} > wm.wm1
+),
+p2 AS (SELECT * FROM open_rows UNION ALL SELECT * FROM keep2),
+rows2 AS ({sessionize.format(gap=gap, src="p2")}),
+sess2 AS (
+  SELECT k, seq, MIN(us) AS s_us, MAX(us) AS last_us,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(30,12))) AS vsum
+  FROM rows2 GROUP BY k, seq
+),
+emitted2 AS (SELECT sess2.* FROM sess2, wm WHERE last_us + {gap} <= wm.wm2),
+unioned AS (
+  SELECT * FROM emitted1 UNION ALL SELECT * FROM emitted2
+)
+SELECT make_timestamp(s_us) AS window_start,
+       make_timestamp(last_us + {gap}) AS window_end,
+       k AS user_id, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(vsum AS DOUBLE), 6) AS value_sum
+FROM unioned
+"""
+
+
+@register(
+    "i6_stream_session_replay",
+    oracle=_i6_oracle(),
+    tags=("streaming", "window"),
+)
+def i6_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of the STREAMING session-window aggregation
+    (``streaming/replay.stream_session_replay`` — the stateful
+    sessionizer whose batch twin is t9): batch 1 = first half of event
+    time, batch 2 = the rest plus a redelivered last quarter of batch
+    1.  The oracle replays the probed watermark arithmetic in two
+    phases: run 1 emits sessions whose end clears wm1 (inclusive) and
+    EVICTS them, run 2 re-sessionizes the open remainder plus the
+    batch-2 rows whose tentative session end STRICTLY clears wm1
+    (rows older than the watermark survive while ts+gap does),
+    merging redeliveries into open sessions (double-count,
+    at-least-once).  A wrong late-filter boundary, a session merged
+    across a gap-width touch, an eviction that fails to split an
+    overlapping late arrival into a new session, or a watermark that
+    doesn't restore — all change the emitted session set."""
+    from ..streaming.replay import stream_session_replay
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    tail = (bounds["tmax"] - bounds["tmin"]) // 4
+    b1 = ev.filter(us <= mid)
+    b2 = ev.filter(us > mid).unionByName(b1.filter(us > mid - tail))
+    work = tempfile.mkdtemp(prefix="i6_stream_session_")
+    try:
+        out = stream_session_replay(
+            spark, [b1, b2], work,
+            ts_col="ts", key_col="user_id", value_col="value",
+            gap_sec=_I6_GAP_US // 1_000_000,
+            watermark_sec=_I6_WM_US // 1_000_000,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

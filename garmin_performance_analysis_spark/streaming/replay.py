@@ -315,3 +315,85 @@ def stream_dedup_replay(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).select(*key_cols)
+
+
+def stream_session_replay(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    work_dir: str,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap_sec: int = 1800,
+    watermark_sec: int = 120,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay ``batches`` through the REAL streaming session-window
+    aggregation (``session_window`` + ``withWatermark``, append mode)
+    over a shared checkpoint and return the emitted sessions.
+
+    Pinned semantics (probed empirically at the exact boundaries, like
+    ``stream_join_replay``/``stream_dedup_replay``):
+
+    - a later run's input row survives iff its tentative session END
+      (``ts + gap``) is STRICTLY above the restored watermark — a row
+      whose end lands exactly AT the watermark is dropped, but a row
+      older than the watermark itself survives while ``ts + gap``
+      clears it (probed: ts ≤ wm, ts+gap > wm → kept and emitted);
+    - surviving rows MERGE into open sessions (redelivered duplicates
+      double-count — at-least-once, same honesty as the i3/i4 oracles);
+    - a session is emitted (and evicted) when its end is ≤ the
+      watermark, INCLUSIVE (end == wm emits), and each AvailableNow
+      run self-drains via the no-data micro-batch — no explicit drain
+      run needed;
+    - an already-emitted session is GONE from state: a late survivor
+      overlapping it opens a separate session (probed: overlapping
+      emitted+new sessions both appear in the sink).
+    """
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = batches[0].schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark(ts_col, f"{watermark_sec} seconds")
+            .groupBy(
+                F.session_window(F.col(ts_col), f"{gap_sec} seconds").alias("sw"),
+                F.col(key_col).alias("k"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(value_col).cast("decimal(30,12)")).alias("vsum"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = spark.read.parquet(out)
+    return sink.select(
+        F.col("sw.start").alias("window_start"),
+        F.col("sw.end").alias("window_end"),
+        F.col("k").alias(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("vsum").cast("double"), 6).alias("value_sum"),
+    )

@@ -126,6 +126,8 @@ QUERIES = [
     "w13_rolling_median_7d",
     "x16_dsir_importance",
     "c15_weighted_sample",
+    "d8_containment_pairs",
+    "t13_seasonal_naive_backtest",
 ]
 
 

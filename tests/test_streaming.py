@@ -473,3 +473,60 @@ def test_stream_dedup_replay_watermark_semantics(spark, tmp_path):
         ["expires_at_wm", "expires_after_wm", "max_setter",  # run 1
          "expires_at_wm", "just_above_wm"]                   # run 2
     )
+
+
+def test_stream_session_replay_watermark_semantics(spark, tmp_path):
+    """Pins the session-window boundary rules the i6 oracle encodes
+    (probed, then frozen): gap 50 s, delay 60 s, batch-1 max event
+    time 1000 s → restored watermark 940 s —
+
+    - run 1 SELF-DRAINS: a session ending exactly AT the watermark
+      (rows @890 → end 940 ≤ 940) is emitted by run 1's no-data batch;
+    - a batch-2 row whose tentative end lands exactly AT the watermark
+      (@890 → 940) is dropped; STRICTLY above (@900 → 950) is kept
+      even though the row itself is older than the watermark;
+    - a kept late row overlapping an ALREADY-EMITTED session opens a
+      separate (overlapping) session — evicted state never merges;
+    - redeliveries merge into open sessions and double-count.
+    """
+    from datetime import datetime, timedelta
+
+    from garmin_performance_analysis_spark.streaming.replay import (
+        stream_session_replay,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    T = lambda s: t0 + timedelta(seconds=s)  # noqa: E731
+    b1 = spark.createDataFrame(
+        [("E", T(880), 1.0), ("D", T(935), 1.0), ("MAX", T(1000), 1.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("E", T(900), 1.0),    # overlaps emitted [880,930): new session
+            ("FB", T(890), 1.0),   # end == wm (940): dropped
+            ("D", T(935), 1.0),    # redelivery into open session: merges
+            ("D", T(960), 1.0),    # extension
+            ("Z", T(2000), 1.0),   # wm advancer -> wm2 = 1940
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = stream_session_replay(
+        spark, [b1, b2], str(tmp_path / "i6t"),
+        ts_col="ts", key_col="user_id", value_col="value",
+        gap_sec=50, watermark_sec=60,
+    )
+    got = sorted(
+        (r["user_id"], r["window_start"], r["window_end"], r["n"], r["value_sum"])
+        for r in out.collect()
+    )
+    assert got == sorted(
+        [
+            ("E", T(880), T(930), 1, 1.0),   # emitted by run 1
+            ("E", T(900), T(950), 1, 1.0),   # separate overlapping session
+            ("D", T(935), T(1010), 3, 3.0),  # merged + double-counted
+            ("MAX", T(1000), T(1050), 1, 1.0),
+        ]
+    )
+    # FB absent: its tentative end hit the watermark exactly
+    assert not any(k == "FB" for k, *_ in got)
