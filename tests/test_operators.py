@@ -616,3 +616,73 @@ def test_retention_cohorts_offsets_and_sizes(spark):
     assert got[("2024-01-01", 2)] == (1, 2, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(got) == 3
+
+
+def test_ewma_closed_form_matches_recursion(spark):
+    """w12's closed form 0.5^i·(x0 + Σ 2^(j-1)·xj) must equal the
+    textbook recursion y_i = (x_i + y_{i-1})/2 exactly (power-of-two
+    scalings are lossless in binary floating point)."""
+    import math
+
+    import duckdb
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["day"]): r["ewma"]
+        for r in CATALOG["w12_ewma_halflife"].fn(spark, sf).collect()
+    }
+    # UNQUANTIZED daily means via the identical DECIMAL formula (the
+    # operator's outputs are floor-quantized, so the recursion must run
+    # on the raw series)
+    raw = duckdb.sql(
+        f"""
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                 AS dv
+        FROM '{sf}/events.parquet' GROUP BY 1, CAST(ts AS DATE)
+        ORDER BY user_id, day
+        """
+    ).fetchall()
+    checked, y, prev_user = 0, None, None
+    for user, day, x in raw:
+        y = x if user != prev_user else (x + y) / 2.0
+        prev_user = user
+        assert got[(user, day)] == math.floor(y * 1e6 + 0.5) / 1e6
+        checked += 1
+    assert checked > 100
+
+
+def test_containment_pairs_on_constructed_docs(spark):
+    """A short doc fully pasted inside a long one: containment = 1.0
+    even though Jaccard is far below any useful threshold."""
+    from garmin_performance_analysis_spark.pipelines.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, filler + " " + short),     # contains doc 1 verbatim
+            (3, "zeta eta theta iota kappa unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=None
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    # sanity: Jaccard for the same pair is small (3 shared / 63 union)
+    from garmin_performance_analysis_spark.pipelines.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    j = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
+    jmap = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in j}
+    assert jmap[(1, 2)] < 0.1
