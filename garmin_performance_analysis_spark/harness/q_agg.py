@@ -449,3 +449,33 @@ def a9b_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_band[0], 1).otherwise(0).alias("distinct_within_5pct"),
         F.when(in_band[1], 1).otherwise(0).alias("median_within_p45_p55"),
     )
+
+
+@register(
+    "a18_cube_volumes",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def a18_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four (status × priority) marginal levels in ONE aggregation
+    via CUBE — the a15 ROLLUP lesson extended to the full grouping-set
+    lattice: every level shares a single partial-agg + exchange
+    instead of four separate scans.  Totals use the a15 scaled-long
+    sum (exact BIGINT arithmetic identical in both engines; DECIMAL
+    rescale and double-ROUND both diverge in the last digit at yearly
+    magnitudes — measured there)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+            / 100.0
+        ).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
