@@ -479,3 +479,41 @@ def a18_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "a19_percentile_bands",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(quantile_cont(l_extendedprice, 0.10) * 1000000.0 + 0.5)
+         / 1000000.0 AS p10,
+       FLOOR(quantile_cont(l_extendedprice, 0.50) * 1000000.0 + 0.5)
+         / 1000000.0 AS p50,
+       FLOOR(quantile_cont(l_extendedprice, 0.90) * 1000000.0 + 0.5)
+         / 1000000.0 AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def a19_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated P10/P50/P90 bands per group — the
+    reporting-quantile shape (Spark's ``percentile`` aggregate and
+    DuckDB's ``quantile_cont`` share the rank-(p·(n−1)) linear-
+    interpolation definition, so the values are comparable exactly).
+    Interpolated quantiles of 2dp inputs are dyadic rationals, so both
+    sides quantize with the identical floor(x·1e6+0.5) expression (the
+    w12 lesson).  At 100 TB the exact path is ONE sort-based agg per
+    group; the mergeable-sketch sibling is a9b's
+    ``percentile_approx``."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        q6(F.expr("percentile(l_extendedprice, 0.10)")).alias("p10"),
+        q6(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
+        q6(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"),
+    )
