@@ -156,6 +156,11 @@ HEADLINE = [
     "d8_containment_pairs",
     "t13_seasonal_naive_backtest",
     "i6_stream_session_replay",
+    # r7 cont.: CUBE + percentile bands are read-shaped aggs; the
+    # versioned-CDC replay is a batch job like i1/i2
+    "a18_cube_volumes",
+    "a19_percentile_bands",
+    "i7_cdc_versioned_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -214,6 +219,7 @@ BATCH_JOBS = {
     "c15_weighted_sample",
     "d8_containment_pairs",
     "i6_stream_session_replay",
+    "i7_cdc_versioned_replay",
 }
 
 

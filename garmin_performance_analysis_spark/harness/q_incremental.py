@@ -21,6 +21,7 @@ construction, no cross-call state beyond the session-scoped temp dir).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -572,3 +573,77 @@ def i6_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "i7_cdc_versioned_replay",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN event_id % 2 = 1 AND event_id % 10 = 1
+              THEN 'delete' ELSE 'upsert' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, value, ts AS version_ts,
+       CAST(event_id AS BIGINT) AS version_event
+FROM ranked WHERE rn = 1 AND op = 'upsert'
+""",
+    tags=("incremental", "cdc"),
+)
+def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of the VERSIONED CDC merge
+    (``operators/joins.cdc_apply_versioned``): the base snapshot
+    (latest even event per user, version-stamped) absorbs the odd-event
+    change stream split into two time-ordered batches, where batch 2
+    REDELIVERS the last quarter of batch 1 — older, already-applied
+    changes arriving out of order.  The version guard must reject them;
+    the oracle is the ONE-SHOT result (the per-user latest event
+    overall, deletes absent), which the two-step replay only matches if
+    incremental apply is batch-order-insensitive.  Each intermediate
+    table round-trips through parquet like a real sync (i1/i2
+    convention).  Scale shape per batch: one window over the CHANGES +
+    one full-outer key join — never a window over the base."""
+    from ..operators.joins import cdc_apply_versioned
+    from ..operators.windows import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base0 = latest_per_key(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "value", "ts", "event_id")
+    odd = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 10 == 1, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    bounds = odd.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    tail = (bounds["tmax"] - bounds["tmin"]) // 4
+    c1 = odd.filter(us <= mid)
+    c2 = odd.filter(us > mid).unionByName(c1.filter(us > mid - tail))
+    work = tempfile.mkdtemp(prefix="i7_cdc_replay_")
+    try:
+        s1 = cdc_apply_versioned(
+            base0, c1, ["user_id"], "ts", "event_id", ["value"]
+        )
+        s1.write.mode("overwrite").parquet(os.path.join(work, "v1"))
+        s1_back = spark.read.parquet(os.path.join(work, "v1"))
+        final = cdc_apply_versioned(
+            s1_back, c2, ["user_id"], "ts", "event_id", ["value"]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return final.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("version_ts"),
+        F.col("event_id").cast("bigint").alias("version_event"),
+    )

@@ -352,3 +352,72 @@ def interval_overlap_join(
     return joined.filter(
         overlap & (F.col("_bucket") == first_shared)
     ).drop("_bucket")
+
+
+def cdc_apply_versioned(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    seq_col: str,
+    value_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Versioned CDC MERGE with OUT-OF-ORDER protection: the base
+    carries each key's applied version ``(ts_col, seq_col)`` and a
+    change only lands if it is strictly newer — so re-deliveries and
+    late-arriving older changes are rejected instead of clobbering
+    fresher state.  This is the property that makes incremental apply
+    BATCH-ORDER-INSENSITIVE: applying a change stream in any split of
+    ordered batches converges to the same table as one combined apply
+    (``cdc_apply`` without the guard does not — an older redelivered
+    upsert in a later batch would overwrite a newer value).
+
+    ``base`` schema: ``key_cols + value_cols + [ts_col, seq_col]``;
+    ``changes``: same plus ``op_col``.  A delete tombstone removes the
+    key (if newer); an upsert replaces payload AND version.  Returns
+    the new base in the same schema.
+
+    Plan shape: one keyed window over the CHANGES only + one
+    full-outer hash join on the key, same as ``cdc_apply`` — the
+    version guard is a pure row-level comparison, no extra shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(seq_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload = list(value_cols) + [ts_col, seq_col]
+    b = base.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in payload]
+    )
+    c = latest.select(
+        *key_cols,
+        F.col(op_col).alias("_op"),
+        *[F.col(p).alias(f"_c_{p}") for p in payload],
+    )
+    joined = b.join(c, list(key_cols), "full_outer")
+    newer = F.col(f"_b_{ts_col}").isNull() | (
+        (F.col(f"_c_{ts_col}") > F.col(f"_b_{ts_col}"))
+        | (
+            (F.col(f"_c_{ts_col}") == F.col(f"_b_{ts_col}"))
+            & (F.col(f"_c_{seq_col}") > F.col(f"_b_{seq_col}"))
+        )
+    )
+    applies = F.col("_op").isNotNull() & newer
+    kept = joined.filter(
+        ~(applies & (F.col("_op") == delete_op))
+    )
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(applies, F.col(f"_c_{p}"))
+            .otherwise(F.col(f"_b_{p}"))
+            .alias(p)
+            for p in payload
+        ],
+    )

@@ -686,3 +686,51 @@ def test_containment_pairs_on_constructed_docs(spark):
     j = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0).collect()
     jmap = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in j}
     assert jmap[(1, 2)] < 0.1
+
+
+def test_cdc_versioned_rejects_out_of_order_redelivery(spark):
+    """The version guard must reject an older redelivered upsert (the
+    clobber an unversioned apply would commit) and equal-version
+    redeliveries (idempotency), while a genuinely newer change lands;
+    a newer tombstone deletes."""
+    from garmin_performance_analysis_spark.operators.joins import (
+        cdc_apply_versioned,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 100.0, 10, 7), (2, 200.0, 10, 8), (3, 300.0, 10, 9)],
+        "k long, v double, ts long, seq long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 50.0, 5, 3, "upsert"),    # OLDER: must be rejected
+            (2, 200.0, 10, 8, "upsert"),  # equal version: rejected (idempotent)
+            (3, 333.0, 11, 1, "upsert"),  # newer: lands
+            (4, 400.0, 12, 2, "upsert"),  # new key: inserted
+            (2, 0.0, 9, 99, "delete"),    # OLDER tombstone: rejected
+        ],
+        "k long, v double, ts long, seq long, op string",
+    )
+    out = {
+        r["k"]: (r["v"], r["ts"], r["seq"])
+        for r in cdc_apply_versioned(
+            base, changes, ["k"], "ts", "seq", ["v"]
+        ).collect()
+    }
+    assert out == {
+        1: (100.0, 10, 7),   # old redelivery rejected
+        2: (200.0, 10, 8),   # equal-version + older tombstone rejected
+        3: (333.0, 11, 1),   # newer upsert landed
+        4: (400.0, 12, 2),   # insert
+    }
+    # a NEWER tombstone deletes
+    tomb = spark.createDataFrame(
+        [(1, 0.0, 20, 1, "delete")], "k long, v double, ts long, seq long, op string"
+    )
+    out2 = sorted(
+        r["k"]
+        for r in cdc_apply_versioned(
+            base, tomb, ["k"], "ts", "seq", ["v"]
+        ).collect()
+    )
+    assert out2 == [2, 3]
