@@ -1006,3 +1006,63 @@ def test_jpeg_unsupported_shapes_fall_back_to_header_only():
     prog = b"\xff\xd8" + sof2 + b"\xff\xd9"
     assert parse_image_header(prog) == ("jpeg", 5, 4, 1)
     assert _jpeg_pixels(prog) is None
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel vs a from-scratch Python mirror on random event sets.
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_ordered_funnel_matches_python_mirror(spark, n, seed):
+    import datetime
+
+    from garmin_performance_analysis_spark.operators.funnels import ordered_funnel
+
+    rng = np.random.RandomState(seed)
+    stages = ["view", "click", "purchase"]
+    rows = []
+    for i in range(n):
+        k = int(rng.randint(0, 4))
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=int(rng.randint(0, 500))
+        )
+        et = stages[rng.randint(0, 3)]
+        rows.append((k, ts, et))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, et string")
+    got = {
+        r["k"]: (r["s0"], r["s1"], r["s2"])
+        for r in ordered_funnel(df, ["k"], "ts", "et", stages)
+        .groupBy("k")
+        .agg(
+            F.min("stage0_ts").alias("s0"),
+            F.min("stage1_ts").alias("s1"),
+            F.min("stage2_ts").alias("s2"),
+        )
+        .collect()
+    }
+    # mirror: stage k = min ts of stage-k events strictly after stage k-1
+    want = {}
+    by_k = {}
+    for k, ts, et in rows:
+        by_k.setdefault(k, []).append((ts, et))
+    for k, evs in by_k.items():
+        prev = None
+        matched = []
+        for stage in stages:
+            cands = [
+                t
+                for (t, et) in evs
+                if et == stage and (prev is None or t > prev)
+            ]
+            cur = min(cands) if cands else None
+            matched.append(cur)
+            if cur is None:
+                matched += [None] * (len(stages) - len(matched))
+                break
+            prev = cur
+        want[k] = tuple(matched)
+    assert got == want
