@@ -161,6 +161,8 @@ HEADLINE = [
     "a18_cube_volumes",
     "a19_percentile_bands",
     "i7_cdc_versioned_replay",
+    # r7: 3-iteration PageRank is an iterative batch program
+    "g1_pagerank",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -220,6 +222,7 @@ BATCH_JOBS = {
     "d8_containment_pairs",
     "i6_stream_session_replay",
     "i7_cdc_versioned_replay",
+    "g1_pagerank",
 }
 
 

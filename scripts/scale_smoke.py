@@ -128,6 +128,11 @@ QUERIES = [
     "c15_weighted_sample",
     "d8_containment_pairs",
     "t13_seasonal_naive_backtest",
+    # r7: versioned-CDC two-batch replay (events; change-window + key
+    # join per batch, parquet roundtrip between batches)
+    "i7_cdc_versioned_replay",
+    # r7: power iteration over the event graph (3 × join+agg rounds)
+    "g1_pagerank",
 ]
 
 

@@ -734,3 +734,30 @@ def test_cdc_versioned_rejects_out_of_order_redelivery(spark):
         ).collect()
     )
     assert out2 == [2, 3]
+
+
+def test_pagerank_cycle_uniform_and_mass_conserved(spark):
+    """On a directed 3-cycle the rank vector is a fixed point (stays
+    uniform); on any dangling-free graph the total mass stays 1."""
+    from garmin_performance_analysis_spark.operators.graph import pagerank_fixed
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    cycle = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    pr = {
+        r["node"]: r["pagerank"]
+        for r in pagerank_fixed(cycle, nodes, iters=3).collect()
+    }
+    for v in pr.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 1)], "src long, dst long"
+    )
+    pr2 = pagerank_fixed(star, nodes, iters=3).collect()
+    assert abs(sum(r["pagerank"] for r in pr2) - 1.0) < 1e-9
+    # hand-check one iteration's structure: node 2 receives nothing
+    pr1 = {
+        r["node"]: r["pagerank"]
+        for r in pagerank_fixed(star, nodes, iters=1).collect()
+    }
+    assert abs(pr1[2] - 0.15 / 3) < 1e-12
+    assert abs(pr1[0] - (0.15 / 3 + 0.85 * 2.0 / 3.0)) < 1e-12
