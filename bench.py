@@ -161,8 +161,10 @@ HEADLINE = [
     "a18_cube_volumes",
     "a19_percentile_bands",
     "i7_cdc_versioned_replay",
-    # r7: 3-iteration PageRank is an iterative batch program
+    # r7: 3-iteration PageRank is an iterative batch program; the
+    # sketch rollup is a read-shaped two-agg + merge
     "g1_pagerank",
+    "a20_sketch_rollup",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

