@@ -165,6 +165,8 @@ HEADLINE = [
     # sketch rollup is a read-shaped two-agg + merge
     "g1_pagerank",
     "a20_sketch_rollup",
+    # r7: CSV edge-format roundtrip is a sink+source batch row
+    "s8_csv_roundtrip",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -225,6 +227,7 @@ BATCH_JOBS = {
     "i6_stream_session_replay",
     "i7_cdc_versioned_replay",
     "g1_pagerank",
+    "s8_csv_roundtrip",
 }
 
 

@@ -500,3 +500,41 @@ def s5_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="s5_export_") + "/supplier_export"
     guarded_export(sup, out, fmt="parquet", max_rows=100_000)
     return spark.read.parquet(out)
+
+
+@register(
+    "s8_csv_roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       ROUND(CAST(n_nationkey AS DOUBLE) / 4.0, 6) AS frac
+FROM nation
+""",
+    tags=("source", "sink"),
+)
+def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with a PINNED schema — the interchange format
+    every warehouse still meets at its edges: write nation (plus a
+    computed double, to exercise float text round-tripping) to CSV
+    with an explicit header, read it back with a DECLARED schema
+    (never inferSchema — schema inference samples the data and is a
+    correctness hazard the moment a column's first file is atypical),
+    and return the read-back rows.  The oracle is the plain source
+    query over parquet, so a quoting bug, a dropped header, a
+    re-typed column, or a float that fails to round-trip through text
+    hash-mismatches.  Scale note: CSV scans can't push predicates or
+    prune columns — this entry is the EDGE format; everything internal
+    stays parquet."""
+    import tempfile
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        _r6(F.col("n_nationkey").cast("double") / 4.0).alias("frac"),
+    )
+    out = tempfile.mkdtemp(prefix="s8_csv_") + "/nation_csv"
+    nat.write.mode("overwrite").option("header", True).csv(out)
+    schema = (
+        "n_nationkey bigint, n_name string, n_regionkey bigint, frac double"
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
