@@ -167,6 +167,10 @@ HEADLINE = [
     "a20_sketch_rollup",
     # r7: CSV edge-format roundtrip is a sink+source batch row
     "s8_csv_roundtrip",
+    # r7: v10's deployable split — index memoized after the first
+    # call, so best-of-N records the IVF probe+rank+verify read path
+    # the way v8b records PQ's (v10 above keeps train-per-call)
+    "v10b_ivf_query_path",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

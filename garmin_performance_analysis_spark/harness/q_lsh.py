@@ -322,3 +322,113 @@ def v10_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall_ok",
         )
     )
+
+
+# (session id, sf_dir) → (checkpointed cluster assignments, collected
+# centroid rows).  The centroid table is k=8 tiny rows; the assignment
+# frame is a localCheckpoint (the persisted-index shape), never
+# collected.
+_IVF_INDEX_MEMO: dict = {}
+
+
+@register(
+    "v10b_ivf_query_path",
+    oracle=f"""
+WITH pr AS (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings WHERE vec_id < 10
+),
+ranked AS (
+  SELECT pr.probe_id, e.vec_id,
+         {_cos_expr('e.embedding', 'pr.p')} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+                            ORDER BY {_cos_expr('e.embedding', 'pr.p')} DESC,
+                                     e.vec_id ASC) AS rank
+  FROM embeddings e JOIN pr ON e.vec_id <> pr.probe_id
+)
+SELECT probe_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(cos, 6) AS cosine,
+       1 AS probe_recall_ok, 1 AS mean_recall_ok
+FROM ranked WHERE rank <= 10
+""",
+    tags=("similarity", "ann"),
+)
+def v10b_ivf_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v10's DEPLOYABLE split (the v8→v8b precedent): the IVF index —
+    k-means cluster assignments + centroids — is built once per
+    (session, corpus) and memoized (assignments as a localCheckpoint,
+    the persisted-index shape; centroids as 8 collected rows, the
+    shipped-artifact size), so the query path pays probe selection +
+    candidate ranking + the exact-verification pass only.  Training is
+    deterministic (DECIMAL centroid means), so memoization cannot
+    change results; the oracle is identical to v10's."""
+    from pyspark.sql import Window
+
+    from ..pipelines.similarity import _dot, _norm, ivf_centroids, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark.sparkContext), sf_dir)
+    memo = _IVF_INDEX_MEMO.get(key)
+    if memo is None:
+        assigned = kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iters=3
+        ).localCheckpoint(eager=True)
+        cents = ivf_centroids(assigned, "embedding", "cluster_id").collect()
+        memo = _IVF_INDEX_MEMO[key] = (assigned, cents)
+    assigned, cent_rows = memo
+    cents = spark.createDataFrame(cent_rows)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p")
+    )
+    pairs = (
+        assigned.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos", _dot("embedding", "_p") / (_norm("embedding") * _norm("_p"))
+        )
+        .select("probe_id", "vec_id", "cluster_id", "cos")
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = pairs.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= 10
+    )
+    probe_cent = cents.crossJoin(F.broadcast(probes)).withColumn(
+        "ccos", _dot("centroid", "_p") / (_norm("centroid") * _norm("_p"))
+    )
+    w_cent = Window.partitionBy("probe_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probed = (
+        probe_cent.withColumn("crn", F.row_number().over(w_cent))
+        .filter(F.col("crn") <= 3)
+        .select("probe_id", F.col("centroid_id").alias("cluster_id"))
+    )
+    approx = (
+        pairs.join(F.broadcast(probed), ["probe_id", "cluster_id"])
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+    )
+    hits = (
+        exact.select("probe_id", "vec_id")
+        .join(approx.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    mean_ok = hits.agg(
+        F.when(F.sum("_hits") >= F.lit(0.7 * 100), 1).otherwise(0).alias(
+            "mean_recall_ok"
+        )
+    )
+    return (
+        exact.join(F.broadcast(hits), "probe_id", "left")
+        .crossJoin(F.broadcast(mean_ok))
+        .select(
+            "probe_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            _r6(F.col("cos")).alias("cosine"),
+            F.when(F.coalesce(F.col("_hits"), F.lit(0)) >= 3, 1)
+            .otherwise(0)
+            .alias("probe_recall_ok"),
+            "mean_recall_ok",
+        )
+    )
