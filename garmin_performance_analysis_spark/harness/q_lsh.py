@@ -432,3 +432,114 @@ def v10b_ivf_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall_ok",
         )
     )
+
+
+def _o7_oracle() -> str:
+    lam = "0.5"
+    q = _cos_expr("e.embedding", "pr.p")
+    pq = _cos_expr("x.embedding", "y.embedding")
+    steps = []
+    for t in range(2, 6):
+        prev = ", ".join(f"(SELECT vec_id FROM s{j})" for j in range(1, t))
+        maxsim = ", ".join(
+            f"(SELECT sim FROM pairs WHERE a = c.vec_id"
+            f" AND b = (SELECT vec_id FROM s{j}))"
+            for j in range(1, t)
+        )
+        greatest = f"GREATEST({maxsim})" if t > 2 else maxsim
+        steps.append(f"""
+s{t} AS (
+  SELECT c.vec_id, {lam} * c.cq - (1.0 - {lam}) * {greatest} AS score
+  FROM scored c
+  WHERE c.vec_id NOT IN ({prev})
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS sel_rank, vec_id, ROUND(score, 6) AS mmr_score FROM s{t}"
+        for t in range(1, 6)
+    )
+    return f"""
+WITH pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT e.vec_id, {q} AS cq,
+         ROW_NUMBER() OVER (ORDER BY {q} DESC, e.vec_id ASC) AS rn
+  FROM embeddings e, pr WHERE e.vec_id <> 0
+),
+scored AS (SELECT vec_id, cq FROM ranked WHERE rn <= 20),
+sc_emb AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN scored s ON e.vec_id = s.vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, {pq} AS sim
+  FROM sc_emb x JOIN sc_emb y ON x.vec_id <> y.vec_id
+),
+s1 AS (
+  SELECT vec_id, {lam} * cq AS score
+  FROM scored ORDER BY score DESC, vec_id ASC LIMIT 1
+),{",".join(steps)}
+{sel}
+"""
+
+
+@register("o7_mmr_rerank", oracle=_o7_oracle(), tags=("similarity", "ranking"))
+def o7_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank (Carbonell &
+    Goldstein 1998, public technique): from the exact top-20 cosine
+    shortlist for the query vector, greedily select 5 results
+    maximizing ``λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)``
+    (λ=1/2, exact in binary) — the serving-path step that stops a
+    result page from being five near-duplicates.  The shortlist and
+    its 20×20 pairwise similarity matrix are computed DISTRIBUTED;
+    only the 20+380 scored rows are collected for the inherently
+    sequential 5-step greedy (bounded by construction — the BPE
+    per-merge-argmax precedent).  The oracle unrolls the same five
+    greedy steps in CTEs over the identical cosine expressions, so a
+    wrong diversity penalty, a stale max-sim, or a tiebreak drift
+    hash-mismatches."""
+    from ..pipelines.similarity import _dot, _norm
+
+    lam = 0.5
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_p"))
+    cos = _dot("embedding", "_p") / (_norm("embedding") * _norm("_p"))
+    shortlist = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cq", cos)
+        .orderBy(F.desc("cq"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "cq", "embedding")
+    )
+    pair_cos = _dot("embedding", "_e2") / (_norm("embedding") * _norm("_e2"))
+    b = shortlist.select(
+        F.col("vec_id").alias("_v2"), F.col("embedding").alias("_e2")
+    )
+    pairs = (
+        shortlist.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") != F.col("_v2"))
+        .select("vec_id", "_v2", pair_cos.alias("sim"))
+    )
+    cand = {r["vec_id"]: r["cq"] for r in shortlist.select("vec_id", "cq").collect()}
+    sims = {(r["vec_id"], r["_v2"]): r["sim"] for r in pairs.collect()}
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, 6):
+        best = None
+        for v, cq in cand.items():
+            if v in chosen:
+                continue
+            if chosen:
+                score = lam * cq - (1.0 - lam) * max(
+                    sims[(v, s)] for s in chosen
+                )
+            else:
+                score = lam * cq
+            key = (score, -v)
+            if best is None or key > best[0]:
+                best = (key, v, score)
+        chosen.append(best[1])
+        selected.append((rank, best[1], round(best[2], 6)))
+    return spark.createDataFrame(
+        selected, "sel_rank int, vec_id bigint, mmr_score double"
+    )
