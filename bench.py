@@ -171,8 +171,10 @@ HEADLINE = [
     # call, so best-of-N records the IVF probe+rank+verify read path
     # the way v8b records PQ's (v10 above keeps train-per-call)
     "v10b_ivf_query_path",
-    # r7: MMR diversity re-rank is a serving read (k-bounded shortlist)
+    # r7: MMR diversity re-rank is a serving read (k-bounded shortlist);
+    # CUSUM drift is a read-shaped keyed-window query
     "o7_mmr_rerank",
+    "t14_cusum_drift",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -667,3 +667,102 @@ def t13_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_scored"), mae.alias("mae")
     )
+
+
+@register(
+    "t14_cusum_drift",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CAST(day_value AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*) AS mu,
+         CASE WHEN COUNT(*) > 1 THEN sqrt(GREATEST(
+           (CAST(SUM(CAST(day_value * day_value AS DECIMAL(38,12))) AS DOUBLE)
+            - CAST(SUM(CAST(day_value AS DECIMAL(30,12))) AS DOUBLE)
+              * CAST(SUM(CAST(day_value AS DECIMAL(30,12))) AS DOUBLE)
+              / COUNT(*)) / (COUNT(*) - 1), 0.0)) END AS sd
+  FROM daily GROUP BY user_id
+),
+stats AS (
+  SELECT d.user_id, p.mu, p.sd, d.day, d.day_value
+  FROM daily d JOIN per_user p ON d.user_id = p.user_id
+),
+cum AS (
+  SELECT user_id, day, day_value, mu, sd,
+         SUM(day_value - mu) OVER (PARTITION BY user_id ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS r
+  FROM stats
+),
+c2 AS (
+  SELECT *, r - LEAST(0.0, MIN(r) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)) AS s_raw
+  FROM cum
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       FLOOR(day_value * 1000000.0 + 0.5) / 1000000.0 AS day_value,
+       FLOOR(s_raw * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+       CAST(CASE WHEN s_raw > 2.0 * sd THEN 1 ELSE 0 END AS INTEGER)
+         AS drift_alarm
+FROM c2
+""",
+    tags=("timeseries", "anomaly"),
+)
+def t14_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over each user's daily mean —
+    the classic sequential change detector, whose recursion
+    ``S_i = max(0, S_{i-1} + y_i)`` looks window-inexpressible until
+    the running-min identity closes it: with ``R = cumsum(y)``,
+    ``S_i = R_i − min(0, running_min(R))`` EXACTLY (both are the
+    maximal suffix sum ending at i, floored at 0).  One keyed
+    exchange carries all four windows (per-user mean/std, the cumsum,
+    the running min); the alarm fires when S exceeds 2σ of the daily
+    series.  Same floor-quantization as w12 (cumsum diffs of dyadic
+    day-means sit on 6dp boundaries); the alarm compares the RAW S
+    with the identical expression in both engines."""
+    from pyspark.sql import Window
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("day_value")
+    )
+    from .registry import dec_std
+
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # DECIMAL mean/std (shuffle-order-independent, registry convention)
+    # via a grouped agg + key join rather than float window aggregates
+    per_user = daily.groupBy("user_id").agg(
+        dec_avg(F.col("day_value")).alias("mu"),
+        dec_std(F.col("day_value")).alias("sd"),
+    )
+    st = daily.join(per_user, "user_id").select(
+        "user_id", "day", "day_value", "mu", "sd"
+    )
+    cum = st.withColumn(
+        "r", F.sum(F.col("day_value") - F.col("mu")).over(w_cum)
+    )
+    s_raw = F.col("r") - F.least(F.lit(0.0), F.min("r").over(w_cum))
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return cum.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        q6(F.col("day_value")).alias("day_value"),
+        q6(s_raw).alias("cusum"),
+        F.when(s_raw > 2.0 * F.col("sd"), 1).otherwise(0).cast("int").alias(
+            "drift_alarm"
+        ),
+    )

@@ -761,3 +761,28 @@ def test_pagerank_cycle_uniform_and_mass_conserved(spark):
     }
     assert abs(pr1[2] - 0.15 / 3) < 1e-12
     assert abs(pr1[0] - (0.15 / 3 + 0.85 * 2.0 / 3.0)) < 1e-12
+
+
+def test_cusum_identity_matches_recursion(spark):
+    """The running-min identity S = R − min(0, running_min(R)) must
+    equal the textbook recursion S_i = max(0, S_{i-1} + y_i) exactly
+    (both are the maximal suffix sum floored at 0)."""
+    from pyspark.sql import Window
+
+    rows = [(1, i, v) for i, v in enumerate([3.0, -5.0, 2.0, 2.0, -1.0, -4.0, 6.0])]
+    df = spark.createDataFrame(rows, "k long, t long, y double")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = F.sum("y").over(w)
+    out = df.select(
+        "t", (r - F.least(F.lit(0.0), F.min(r).over(w))).alias("s")
+    ).collect()
+    got = {r["t"]: r["s"] for r in out}
+    s, want = 0.0, {}
+    for i, v in enumerate([3.0, -5.0, 2.0, 2.0, -1.0, -4.0, 6.0]):
+        s = max(0.0, s + v)
+        want[i] = s
+    assert got == want
