@@ -175,6 +175,7 @@ HEADLINE = [
     # CUSUM drift is a read-shaped keyed-window query
     "o7_mmr_rerank",
     "t14_cusum_drift",
+    "t15_autocorr_lag1",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -766,3 +766,83 @@ def t14_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_alarm"
         ),
     )
+
+
+@register(
+    "t15_autocorr_lag1",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT user_id, day_value AS x,
+         LEAD(day_value) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                  THEN (n*sxy - sx*sy)
+                       / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) END, 6)
+         AS autocorr
+FROM m WHERE n >= 3
+""",
+    tags=("timeseries", "stats"),
+)
+def t15_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's daily mean — the
+    persistence/momentum statistic a forecasting pipeline checks
+    before choosing a model (t13's seasonal-naive is only sensible
+    when this is high).  One LEAD window pairs consecutive days, then
+    the m5-style DECIMAL moment sums give Pearson r in closed form —
+    order-independent, oracle bit-matched at 6dp.  One keyed exchange
+    total (the daily agg and the LEAD share the user_id hash)."""
+    from pyspark.sql import Window
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("day_value")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = daily.select(
+        "user_id",
+        F.col("day_value").alias("x"),
+        F.lead("day_value").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+
+    def dsum(c, p=30):
+        return F.sum(c.cast(f"decimal({p},12)")).cast("double")
+
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.filter(n >= 3).select(
+        "user_id",
+        n.cast("bigint").alias("n_pairs"),
+        _r6(
+            F.when((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0), r)
+        ).alias("autocorr"),
+    )
