@@ -176,6 +176,7 @@ HEADLINE = [
     "o7_mmr_rerank",
     "t14_cusum_drift",
     "t15_autocorr_lag1",
+    "w14_seasonal_decompose",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

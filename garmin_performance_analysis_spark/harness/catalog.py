@@ -295,7 +295,7 @@ _rotate_for_round7()
 # i6_stream_session_replay, a18_cube_volumes, a19_percentile_bands,
 # i7_cdc_versioned_replay, g1_pagerank, a20_sketch_rollup,
 # s8_csv_roundtrip, v10b_ivf_query_path, o7_mmr_rerank,
-# t14_cusum_drift, t15_autocorr_lag1 —
+# t14_cusum_drift, t15_autocorr_lag1, w14_seasonal_decompose —
 # plus anything CORRECTNESS_r07 flags, padded with the stalest names
 # by latest-driver-row round (r4 block first: m14/m15/m3b/m5/m6/p1/
 # x1-x4/d4b, then r5).

@@ -846,3 +846,95 @@ def t15_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0), r)
         ).alias("autocorr"),
     )
+
+
+@register(
+    "w14_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+               * 1000000.0 + 0.5) / 1000000.0 AS dv_q
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT user_id, day, dv_q,
+         FLOOR(CAST(SUM(CAST(dv_q AS DECIMAL(30,12))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w * 1000000.0 + 0.5) / 1000000.0 AS trend_q,
+         dayofweek(day) AS wd
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT user_id, wd,
+         FLOOR(CAST(SUM(CAST(dv_q - trend_q AS DECIMAL(30,12))) AS DOUBLE)
+               / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS seasonal_q
+  FROM tr GROUP BY 1, 2
+)
+SELECT t.user_id, strftime(t.day, '%Y-%m-%d') AS day,
+       CAST(t.wd AS INTEGER) AS weekday,
+       t.dv_q AS day_value,
+       t.trend_q AS trend,
+       s.seasonal_q AS seasonal,
+       FLOOR((t.dv_q - t.trend_q - s.seasonal_q) * 1000000.0 + 0.5)
+         / 1000000.0 AS residual
+FROM tr t JOIN seas s ON t.user_id = s.user_id AND t.wd = s.wd
+""",
+    tags=("timeseries", "window"),
+)
+def w14_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of each user's daily
+    series: trend = 7-row centered moving mean (frame shrinks at the
+    edges, identically in both engines via COUNT-over-frame), seasonal
+    = per-(user, weekday) mean of the detrended series (grouped
+    DECIMAL agg + key join, never a float window), residual = the
+    rest — the decomposition every seasonality-aware monitor runs
+    before alerting on raw values (t14's CUSUM fires on residuals in
+    practice).  One user-keyed exchange carries the daily agg and the
+    centered window; the seasonal join is co-partitioned.  Dyadic
+    outputs → the floor(x·1e6+0.5) quantization on both sides (w12
+    lesson); weekday keys use Spark's dayofweek−1 == DuckDB's
+    dayofweek (both Sunday-based)."""
+    from pyspark.sql import Window
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("day_value")
+    )
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    # every DECIMAL cast sees only 6dp-quantized doubles: a 12dp cast
+    # of an ARBITRARY double rounds in Spark but truncates in DuckDB
+    # (±1e-12/row — measured flipping one residual of 40k at sf0.1);
+    # a 6dp-exact value is unambiguous at 12dp in both engines
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    dq = daily.select("user_id", "day", q6(F.col("day_value")).alias("dv_q"))
+    tr = dq.select(
+        "user_id",
+        "day",
+        "dv_q",
+        q6(
+            F.sum(F.col("dv_q").cast("decimal(30,12)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trend_q"),
+        (F.dayofweek("day") - 1).alias("wd"),
+    )
+    seas = tr.groupBy("user_id", "wd").agg(
+        q6(dec_avg(F.col("dv_q") - F.col("trend_q"))).alias("seasonal_q")
+    )
+    j = tr.join(seas, ["user_id", "wd"])
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("wd").cast("int").alias("weekday"),
+        F.col("dv_q").alias("day_value"),
+        F.col("trend_q").alias("trend"),
+        F.col("seasonal_q").alias("seasonal"),
+        q6(F.col("dv_q") - F.col("trend_q") - F.col("seasonal_q")).alias(
+            "residual"
+        ),
+    )
