@@ -17,14 +17,14 @@ from .registry import register
 _T12_SESSIONS = """
 ordered AS (
   SELECT user_id, event_id, ts, event_type,
-         epoch_us(ts) // 1000000
-           - LAG(epoch_us(ts) // 1000000)
+         epoch_us(ts)
+           - LAG(epoch_us(ts))
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ),
 marked AS (
   SELECT user_id, event_id, ts, event_type,
-         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS session_seq

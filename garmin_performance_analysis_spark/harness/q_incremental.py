@@ -597,14 +597,18 @@ def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/joins.cdc_apply_versioned``): the base snapshot
     (latest even event per user, version-stamped) absorbs the odd-event
     change stream split into two time-ordered batches, where batch 2
-    REDELIVERS the last quarter of batch 1 — older, already-applied
-    changes arriving out of order.  The version guard must reject them;
-    the oracle is the ONE-SHOT result (the per-user latest event
+    REDELIVERS only the UPSERTS from the last quarter of batch 1 —
+    older, already-applied changes arriving out of order WITHOUT their
+    accompanying deletes, so a user whose tail delete was applied in
+    batch 1 sees only the stale upsert again in batch 2.  That is the
+    CDC resurrection trap: the tombstone's retained version must reject
+    it.  The oracle is the ONE-SHOT result (the per-user latest event
     overall, deletes absent), which the two-step replay only matches if
-    incremental apply is batch-order-insensitive.  Each intermediate
-    table round-trips through parquet like a real sync (i1/i2
-    convention).  Scale shape per batch: one window over the CHANGES +
-    one full-outer key join — never a window over the base."""
+    incremental apply is batch-order-insensitive, deletes included.
+    Each intermediate table round-trips through parquet like a real
+    sync (i1/i2 convention), tombstones travelling with it.  Scale
+    shape per batch: one window over the CHANGES + one full-outer key
+    join — never a window over the base."""
     from ..operators.joins import cdc_apply_versioned
     from ..operators.windows import latest_per_key
 
@@ -628,7 +632,9 @@ def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (bounds["tmin"] + bounds["tmax"]) // 2
     tail = (bounds["tmax"] - bounds["tmin"]) // 4
     c1 = odd.filter(us <= mid)
-    c2 = odd.filter(us > mid).unionByName(c1.filter(us > mid - tail))
+    c2 = odd.filter(us > mid).unionByName(
+        c1.filter((us > mid - tail) & (F.col("op") == "upsert"))
+    )
     work = tempfile.mkdtemp(prefix="i7_cdc_replay_")
     try:
         s1 = cdc_apply_versioned(
@@ -636,9 +642,14 @@ def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s1.write.mode("overwrite").parquet(os.path.join(work, "v1"))
         s1_back = spark.read.parquet(os.path.join(work, "v1"))
-        final = cdc_apply_versioned(
-            s1_back, c2, ["user_id"], "ts", "event_id", ["value"]
-        ).localCheckpoint(eager=True)
+        final = (
+            cdc_apply_versioned(
+                s1_back, c2, ["user_id"], "ts", "event_id", ["value"]
+            )
+            .filter(~F.col("_deleted"))
+            .drop("_deleted")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return final.select(

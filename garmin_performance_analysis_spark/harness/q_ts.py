@@ -532,9 +532,21 @@ def w12_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("day")
     i = F.row_number().over(w) - 1
     idx = daily.withColumn("i", i)
-    term = F.when(F.col("i") == 0, F.col("day_value")).otherwise(
-        F.pow(F.lit(2.0), F.col("i") - 1) * F.col("day_value")
+    # Past i=1023 the 2^(i-1) term overflows double to inf and the
+    # EWMA silently becomes inf/NaN in BOTH engines — fail loudly
+    # instead (assert_true is folded into the term so Catalyst cannot
+    # prune it); series longer than that belong to the block-carry
+    # form (operators/windows.ewma_blocked, the w15 entry).
+    guard = F.assert_true(
+        F.col("i") < 1023,
+        F.lit(
+            "w12 closed-form EWMA is calendar-bounded: >1023 days/user "
+            "overflows 2^(i-1); use the block-carry form (w15)"
+        ),
     )
+    term = F.when(
+        guard.isNull() & (F.col("i") == 0), F.col("day_value")
+    ).otherwise(F.pow(F.lit(2.0), F.col("i") - 1) * F.col("day_value"))
     cum = F.sum(term).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

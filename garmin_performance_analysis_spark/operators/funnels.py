@@ -44,13 +44,17 @@ def sessionize(
 ) -> DataFrame:
     """Mark gap-based sessions: a new session starts where the gap to
     the previous event (per key, ordered by ts + tiebreak) exceeds
-    ``gap_sec``.  Adds ``out_col`` (1-based BIGINT)."""
+    ``gap_sec``.  Adds ``out_col`` (1-based BIGINT).  Gaps compare at
+    FULL microsecond precision (``unix_micros``, not a second-floored
+    epoch cast): a true gap of ``gap_sec + 0.9s`` splits the session
+    even though its whole-second floor equals ``gap_sec``."""
     w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
-    epoch = F.col(ts_col).cast("long")
+    epoch = F.unix_micros(F.col(ts_col))
     gap = epoch - F.lag(epoch).over(w)
+    gap_us = int(gap_sec) * 1_000_000
     return df.withColumn(
         out_col,
-        F.sum(F.when(gap.isNull() | (gap > gap_sec), 1).otherwise(0)).over(
+        F.sum(F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )

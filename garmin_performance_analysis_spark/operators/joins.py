@@ -363,6 +363,7 @@ def cdc_apply_versioned(
     value_cols: Sequence[str],
     op_col: str = "op",
     delete_op: str = "delete",
+    tombstone_col: str = "_deleted",
 ) -> DataFrame:
     """Versioned CDC MERGE with OUT-OF-ORDER protection: the base
     carries each key's applied version ``(ts_col, seq_col)`` and a
@@ -374,14 +375,25 @@ def cdc_apply_versioned(
     (``cdc_apply`` without the guard does not — an older redelivered
     upsert in a later batch would overwrite a newer value).
 
-    ``base`` schema: ``key_cols + value_cols + [ts_col, seq_col]``;
-    ``changes``: same plus ``op_col``.  A delete tombstone removes the
-    key (if newer); an upsert replaces payload AND version.  Returns
-    the new base in the same schema.
+    Deletes are retained as TOMBSTONES, not dropped: a delete that
+    applies keeps the key's row with ``tombstone_col`` = true, NULL
+    payload, and the delete's version.  Dropping the row would lose
+    the delete's version, so an OLDER upsert redelivered in a LATER
+    batch would find no base row and resurrect the key — the classic
+    CDC resurrection bug.  With the tombstone the version guard
+    rejects it, and split-batch apply converges to the combined
+    apply for every interleaving, deletes included.  Read the live
+    view with ``filter(~col(tombstone_col))``.
+
+    ``base`` schema: ``key_cols + value_cols + [ts_col, seq_col]``
+    plus optionally ``tombstone_col`` (absent → all rows live, so a
+    plain snapshot bootstraps cleanly); ``changes``: keys + payload +
+    version + ``op_col``.  Returns the new base WITH ``tombstone_col``.
 
     Plan shape: one keyed window over the CHANGES only + one
     full-outer hash join on the key, same as ``cdc_apply`` — the
-    version guard is a pure row-level comparison, no extra shuffle.
+    version guard and tombstone flag are pure row-level expressions,
+    no extra shuffle.
     """
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(ts_col).desc(), F.col(seq_col).desc()
@@ -392,8 +404,15 @@ def cdc_apply_versioned(
         .drop("_rn")
     )
     payload = list(value_cols) + [ts_col, seq_col]
+    base_tomb = (
+        F.col(tombstone_col)
+        if tombstone_col in base.columns
+        else F.lit(False)
+    )
     b = base.select(
-        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in payload]
+        *key_cols,
+        *[F.col(c).alias(f"_b_{c}") for c in payload],
+        base_tomb.alias("_b_tomb"),
     )
     c = latest.select(
         *key_cols,
@@ -409,15 +428,24 @@ def cdc_apply_versioned(
         )
     )
     applies = F.col("_op").isNotNull() & newer
-    kept = joined.filter(
-        ~(applies & (F.col("_op") == delete_op))
-    )
-    return kept.select(
+    is_delete = F.col("_op") == delete_op
+    val_types = {f.name: f.dataType for f in changes.schema.fields}
+    return joined.select(
         *key_cols,
+        *[
+            F.when(applies & is_delete, F.lit(None).cast(val_types[v]))
+            .when(applies, F.col(f"_c_{v}"))
+            .otherwise(F.col(f"_b_{v}"))
+            .alias(v)
+            for v in value_cols
+        ],
         *[
             F.when(applies, F.col(f"_c_{p}"))
             .otherwise(F.col(f"_b_{p}"))
             .alias(p)
-            for p in payload
+            for p in (ts_col, seq_col)
         ],
+        F.when(applies, is_delete)
+        .otherwise(F.coalesce(F.col("_b_tomb"), F.lit(False)))
+        .alias(tombstone_col),
     )

@@ -549,6 +549,28 @@ def test_top_p_select_boundary_row(spark):
     assert sorted(r["id"] for r in kept2) == [1, 2]
 
 
+def test_sessionize_subsecond_gap_precision(spark):
+    """A gap of gap_sec + 0.9s must split the session even though its
+    whole-second floor equals gap_sec (microsecond-precision gaps);
+    a gap of exactly gap_sec must NOT split (strict >)."""
+    from datetime import datetime, timedelta
+
+    from garmin_performance_analysis_spark.operators.funnels import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + timedelta(seconds=1800, microseconds=900_000)),  # split
+        (1, 3, t0 + timedelta(seconds=3600, microseconds=900_000)),  # exact gap: no split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, ["user_id"], "ts", "event_id", gap_sec=1800).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2}
+
+
 def test_ordered_funnel_respects_order_and_strict_after(spark):
     """A click BEFORE the first view must not match stage 1, and a
     stage event at EXACTLY the prior stage's timestamp is excluded
@@ -711,11 +733,13 @@ def test_cdc_versioned_rejects_out_of_order_redelivery(spark):
         ],
         "k long, v double, ts long, seq long, op string",
     )
+    rows = cdc_apply_versioned(
+        base, changes, ["k"], "ts", "seq", ["v"]
+    ).collect()
     out = {
         r["k"]: (r["v"], r["ts"], r["seq"])
-        for r in cdc_apply_versioned(
-            base, changes, ["k"], "ts", "seq", ["v"]
-        ).collect()
+        for r in rows
+        if not r["_deleted"]
     }
     assert out == {
         1: (100.0, 10, 7),   # old redelivery rejected
@@ -723,17 +747,64 @@ def test_cdc_versioned_rejects_out_of_order_redelivery(spark):
         3: (333.0, 11, 1),   # newer upsert landed
         4: (400.0, 12, 2),   # insert
     }
-    # a NEWER tombstone deletes
+    assert not any(r["_deleted"] for r in rows)  # no delete applied
+    # a NEWER tombstone deletes: the key stays as a tombstone row
+    # carrying the DELETE's version, with NULL payload
     tomb = spark.createDataFrame(
         [(1, 0.0, 20, 1, "delete")], "k long, v double, ts long, seq long, op string"
     )
-    out2 = sorted(
-        r["k"]
-        for r in cdc_apply_versioned(
-            base, tomb, ["k"], "ts", "seq", ["v"]
-        ).collect()
+    rows2 = cdc_apply_versioned(
+        base, tomb, ["k"], "ts", "seq", ["v"]
+    ).collect()
+    assert sorted(r["k"] for r in rows2 if not r["_deleted"]) == [2, 3]
+    dead = {r["k"]: r for r in rows2 if r["_deleted"]}
+    assert set(dead) == {1}
+    assert dead[1]["v"] is None
+    assert (dead[1]["ts"], dead[1]["seq"]) == (20, 1)
+
+
+def test_cdc_versioned_tombstone_blocks_resurrection(spark):
+    """Upsert-after-delete redelivery: an upsert OLDER than an applied
+    delete arrives alone in a LATER batch.  Without a retained
+    tombstone it would find no base row and resurrect the key; the
+    tombstone's version must reject it, so split-batch apply converges
+    to the combined apply."""
+    from garmin_performance_analysis_spark.operators.joins import (
+        cdc_apply_versioned,
     )
-    assert out2 == [2, 3]
+
+    base = spark.createDataFrame(
+        [(1, 100.0, 1, 0)], "k long, v double, ts long, seq long"
+    )
+    up = (1, 150.0, 5, 0, "upsert")
+    dele = (1, None, 9, 0, "delete")
+    sch = "k long, v double, ts long, seq long, op string"
+    batch1 = spark.createDataFrame([up, dele], sch)
+    batch2 = spark.createDataFrame([up], sch)  # stale redelivery, alone
+    s1 = cdc_apply_versioned(base, batch1, ["k"], "ts", "seq", ["v"])
+    split = cdc_apply_versioned(s1, batch2, ["k"], "ts", "seq", ["v"])
+    combined = cdc_apply_versioned(
+        base,
+        spark.createDataFrame([up, dele, up], sch),
+        ["k"],
+        "ts",
+        "seq",
+        ["v"],
+    )
+    srows = sorted(split.collect())
+    crows = sorted(combined.collect())
+    assert srows == crows  # batch-order-insensitive, deletes included
+    assert len(srows) == 1 and srows[0]["_deleted"]  # still deleted
+    assert srows[0]["v"] is None
+    # and a genuinely NEWER upsert re-creates the key through the
+    # tombstone (delete-then-insert is legal)
+    rebirth = spark.createDataFrame([(1, 500.0, 12, 0, "upsert")], sch)
+    live = (
+        cdc_apply_versioned(split, rebirth, ["k"], "ts", "seq", ["v"])
+        .filter("NOT _deleted")
+        .collect()
+    )
+    assert [(r["k"], r["v"], r["ts"]) for r in live] == [(1, 500.0, 12)]
 
 
 def test_pagerank_cycle_uniform_and_mass_conserved(spark):
