@@ -336,30 +336,106 @@ def v2_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("cosine")).alias("cosine"))
 
 
-@register("v8_pq_topk", oracle=None, tags=("similarity", "rows-only"))
-def v8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (PQ-ADC + exact re-rank): 4-subspace
-    deterministic codebooks, every vector stored as 4 small codes, the
-    query's centroid-distance table broadcast, shortlist by summed ADC
-    distance, exact cosine over the shortlist only.  Approximate by
-    construction -> no SQL oracle; the correctness contract is
-    ``tests/test_pipelines.py::test_pq_recall_and_determinism``:
-    deterministic across runs, recall vs brute force bounded below,
-    and exact agreement with brute force when the shortlist covers the
-    corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(
-        emb, "vec_id", "embedding", query_id=0, dim=64,
-        m=4, k_clusters=16, iters=2, k=10, shortlist=50,
+def _exact_topk_ranked(pool: DataFrame, query: list[float]) -> DataFrame:
+    """Exact cosine top-10 vs ``query`` with a rank column — the
+    oracle-checkable value block of the v3/v8/v10 recall-verdict
+    pattern.  TakeOrderedAndProject for the top-k; the rank window
+    runs AFTER the limit over 10 rows on the non-foldable bounded
+    partition key (plan-gate convention)."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    exact10 = similarity.brute_force_topk(pool, "vec_id", "embedding", query, 10)
+    w = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return exact10.withColumn("rank", F.row_number().over(w))
+
+
+def _set_recall_verdict(
+    exact: DataFrame, approx: DataFrame, min_hits: int, name: str
+) -> DataFrame:
+    """1-row frame: 1 iff |exact ∩ approx| (by vec_id) >= min_hits."""
+    return (
+        exact.select("vec_id")
+        .join(approx.select("vec_id"), "vec_id")
+        .agg(F.when(F.count(F.lit(1)) >= min_hits, 1).otherwise(0).alias(name))
     )
 
 
-# (session id, sf_dir) → collected PQ codebook rows.  m·k = 64 tiny rows
-# (the shipped-artifact size); collecting them is bounded by construction.
+_V_EXACT_TOPK_ORACLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+ranked AS (
+  SELECT e.vec_id, {cos} AS cos,
+         ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id ASC) AS rank
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, ROUND(cos, 6) AS cosine,
+       {verdicts}
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "v8_pq_topk",
+    oracle=_V_EXACT_TOPK_ORACLE.format(
+        cos=_cos_expr("e.embedding", "q.qe"),
+        verdicts="1 AS shortlist_recall_ok",
+    ),
+    tags=("similarity", "ann"),
+)
+def v8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC + exact re-rank) WITH an
+    in-band recall verdict — the a9b/v10 pattern (r8 upgrade from
+    rows-only): 4-subspace deterministic codebooks, every vector
+    stored as 4 small codes, the query's centroid-distance table
+    broadcast, shortlist by summed ADC distance, exact cosine over the
+    shortlist only.  The approximate ranking itself can't be
+    hash-matched by ANSI SQL, so the comparable output is (a) the
+    exact brute-force top-10 (oracle-checked value for value) and (b)
+    ``shortlist_recall_ok`` pinned to 1: PQ@shortlist-200 (20x k, a
+    standard re-rank budget) recall vs exact >= 0.4 — measured 0.6 at
+    sf0.1 (N=2000), 1.0 where the shortlist covers the corpus; the
+    unit test (``test_pq_recall_and_determinism``) keeps the tighter
+    shortlist-50 floor at its own fixture scale — a verdict flip
+    means the codebooks or ADC ranking actually broke, not sketch
+    luck.  Training is deterministic (no RNG), so the whole chain is
+    reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    exact = _exact_topk_ranked(emb.filter(F.col("vec_id") != 0), query)
+    pq = similarity.pq_topk(
+        emb, "vec_id", "embedding", query_id=0, dim=64,
+        m=4, k_clusters=16, iters=2, k=10, shortlist=200,
+    )
+    verdict = _set_recall_verdict(exact, pq, 4, "shortlist_recall_ok")
+    return exact.crossJoin(F.broadcast(verdict)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        _r6(F.col("cosine")).alias("cosine"),
+        "shortlist_recall_ok",
+    )
+
+
+# (applicationId, sf_dir) → collected PQ codebook rows.  m·k = 64 tiny
+# rows (the shipped-artifact size); collecting them is bounded by
+# construction.  applicationId is unique per SparkContext (id() can be
+# recycled by CPython after GC).
 _PQ_CODEBOOK_MEMO: dict = {}
 
 
-@register("v8b_pq_query_path", oracle=None, tags=("similarity", "rows-only"))
+@register(
+    "v8b_pq_query_path",
+    oracle=_V_EXACT_TOPK_ORACLE.format(
+        cos=_cos_expr("e.embedding", "q.qe"),
+        verdicts="1 AS shortlist_recall_ok",
+    ),
+    tags=("similarity", "ann"),
+)
 def v8b_pq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYABLE PQ split: codebooks are trained once per
     (session, corpus) and memoized — the shipped-artifact shape, where
@@ -371,10 +447,11 @@ def v8b_pq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     v8's 3.65 s is dominated by the 2-Lloyd-round training folded into
     every call).  Training is deterministic, so memoization cannot
     change results — pinned by ``tests/test_pipelines.py``'s v8b/v8
-    equality test.  Approximate by construction → no SQL oracle (same
-    contract as v8/v3)."""
+    equality test.  Output and oracle are v8's (r8 upgrade from
+    rows-only): exact top-10 values + ``shortlist_recall_ok`` pinned
+    to 1, with the PQ ranking built from the MEMOIZED codebooks."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     rows = _PQ_CODEBOOK_MEMO.get(key)
     if rows is None:
         valid = emb.filter(F.size(F.col("embedding")) == 64)
@@ -382,36 +459,73 @@ def v8b_pq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             valid, "vec_id", "embedding", dim=64, m=4, k=16, iters=2
         ).collect()
     codebooks = spark.createDataFrame(rows)
-    return similarity.pq_topk(
+    query = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    exact = _exact_topk_ranked(emb.filter(F.col("vec_id") != 0), query)
+    pq = similarity.pq_topk(
         emb, "vec_id", "embedding", query_id=0, dim=64,
-        m=4, k_clusters=16, iters=2, k=10, shortlist=50,
+        m=4, k_clusters=16, iters=2, k=10, shortlist=200,
         codebooks=codebooks,
+    )
+    verdict = _set_recall_verdict(exact, pq, 4, "shortlist_recall_ok")
+    return exact.crossJoin(F.broadcast(verdict)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        _r6(F.col("cosine")).alias("cosine"),
+        "shortlist_recall_ok",
     )
 
 
-@register("v3_ivf_topk", oracle=None, tags=("similarity", "rows-only"))
+@register(
+    "v3_ivf_topk",
+    oracle=_V_EXACT_TOPK_ORACLE.format(
+        cos=_cos_expr("e.embedding", "q.qe"),
+        verdicts="1 AS partial_recall_ok, 1 AS full_probe_exact_ok",
+    ),
+    tags=("similarity", "ann"),
+)
 def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: k-means coarse quantizer (deterministic
-    Lloyd iterations), probe the 3 nearest centroids, exact search
-    inside them.  Approximate by construction → no SQL oracle; the
-    correctness contract is ``tests/test_pipelines.py::
-    test_ivf_recall_vs_brute_force``: recall vs v1 (brute force) must
-    be 1.0 at full probe and bounded below at partial probe, with
-    monotone recall in n_probe."""
+    """IVF approximate top-10 WITH in-band recall verdicts — the
+    a9b/v10 pattern (r8 upgrade from rows-only): k-means coarse
+    quantizer (deterministic Lloyd iterations), probe the 3 nearest
+    centroids, exact search inside them.  The approximate ranking
+    can't be hash-matched by ANSI SQL, so the comparable output is
+    (a) the exact brute-force top-10 (oracle-checked value for value)
+    and (b) two verdict columns the oracle pins to 1:
+    ``partial_recall_ok`` — IVF@n_probe=3 recall vs exact >= 0.2 (the
+    unit-test floor on this weak-cluster-structure corpus) — and
+    ``full_probe_exact_ok`` — IVF@n_probe=8 (all clusters) returns
+    exactly the brute-force set, the identity every IVF index must
+    satisfy.  The whole chain is deterministic (k-means init = k
+    smallest ids, DECIMAL centroid means), so a verdict flip means the
+    quantizer or probe pruning actually broke."""
     emb = load_table(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0)
     query = [float(v) for v in target.select("embedding").first()[0]]
     assigned = similarity.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
     cents = similarity.ivf_centroids(assigned, "embedding", "cluster_id")
-    return similarity.ivf_topk(
-        assigned.filter(F.col("vec_id") != 0),
-        cents,
-        "vec_id",
-        "embedding",
-        "cluster_id",
-        query,
-        k=10,
-        n_probe=3,
+    pool = assigned.filter(F.col("vec_id") != 0)
+    exact = _exact_topk_ranked(pool, query)
+    partial = similarity.ivf_topk(
+        pool, cents, "vec_id", "embedding", "cluster_id", query, k=10, n_probe=3
+    )
+    full = similarity.ivf_topk(
+        pool, cents, "vec_id", "embedding", "cluster_id", query, k=10, n_probe=8
+    )
+    v_partial = _set_recall_verdict(exact, partial, 2, "partial_recall_ok")
+    v_full = _set_recall_verdict(exact, full, 10, "full_probe_exact_ok")
+    return (
+        exact.crossJoin(F.broadcast(v_partial))
+        .crossJoin(F.broadcast(v_full))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            _r6(F.col("cosine")).alias("cosine"),
+            "partial_recall_ok",
+            "full_probe_exact_ok",
+        )
     )
 
 
