@@ -299,3 +299,74 @@ _rotate_for_round7()
 # plus anything CORRECTNESS_r07 flags, padded with the stalest names
 # by latest-driver-row round (r4 block first: m14/m15/m3b/m5/m6/p1/
 # x1-x4/d4b, then r5).
+
+# ---------------------------------------------------------------------------
+# ROUND-8 ROTATION.  CORRECTNESS_r07 landed 49/50 green (the 1 non-pass
+# was v8b_pq_query_path = no_oracle, rows-only BY DESIGN at the time —
+# upgraded to a real ANSI oracle this round).  The round-8 window of 50
+# fronts, in priority order:
+#   1. The 23 round-7 additions — registered PAST the r7 window by the
+#      standing new-queries-rotate-next-round rule, never
+#      driver-checked (strict-parity green in-repo at sf0.001/0.01,
+#      and independently verified by the round-7 judge's own 181/181
+#      sweep).
+#   2. v3_ivf_topk, v8_pq_topk, v8b_pq_query_path, whose oracles were
+#      UPGRADED this round from rows-only to the recall-verdict
+#      pattern (exact brute-force top-10 values + verdict columns
+#      pinned to 1) — their old no_oracle rows no longer describe the
+#      current checks (the r7 a9b/m5b precedent).
+#   3. The 11 entries whose latest driver row is r4 — the stalest
+#      block in the catalog.
+#   4. Pad to 50 with 13 of the stalest r5 names, favouring the
+#      flagship (q1), the operator-family anchors (a1/a9 stats, d1/d3/
+#      d5/d6 dedup, j7/j9 as-of, m1 regression, t3 islands, w5 ACWR,
+#      x6 retrieval).
+_R8_FRONT = [
+    # never driver-checked (r7 additions)
+    "t12_funnel_conversion", "a17_retention_cohorts",
+    "v10_ivf_recall_verdict", "i5_stream_dedup_replay", "j14_scd2_lookup",
+    "w12_ewma_halflife", "w13_rolling_median_7d", "x16_dsir_importance",
+    "c15_weighted_sample", "d8_containment_pairs",
+    "t13_seasonal_naive_backtest", "i6_stream_session_replay",
+    "a18_cube_volumes", "a19_percentile_bands", "i7_cdc_versioned_replay",
+    "g1_pagerank", "a20_sketch_rollup", "s8_csv_roundtrip",
+    "v10b_ivf_query_path", "o7_mmr_rerank", "t14_cusum_drift",
+    "t15_autocorr_lag1", "w14_seasonal_decompose",
+    # oracle upgraded this round — old rows-only rows are stale
+    "v3_ivf_topk", "v8_pq_topk", "v8b_pq_query_path",
+    # latest driver row is r4 (stalest block)
+    "d4b_simhash_pairs", "m14_star_rating", "m15_training_gaps",
+    "m3b_hinge_heat_model", "m5_powerlaw_baseline", "m6_baseline_scoring",
+    "p1_allowlist_projection", "x1_text_quality", "x2_language_id",
+    "x3_content_fingerprint", "x4_token_counts",
+    # stalest-r5 pad
+    "q1_pricing_summary", "a1_stats_block", "a9_profile_table",
+    "d1_exact_hash_groups", "d3_minhash_lsh_pairs", "d5_dedup_clusters",
+    "d6_decontamination", "j7_nearest_date_asof", "j9_backward_asof",
+    "m1_linregress_by_group", "t3_sustained_islands",
+    "w5_acwr_rolling_loads", "x6_tfidf_topk",
+]
+
+
+def _rotate_for_round8() -> None:
+    front = list(_R8_FRONT)
+    assert len(front) == 50, f"round-8 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-8 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-8 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round8()
+
+# ROUND-9 PLAN (standing rule): any queries added in round 8 register
+# PAST this window and must be fronted in the round-9 rotation, plus
+# anything CORRECTNESS_r08 flags, padded with the stalest names by
+# latest-driver-row round (the remaining r5 block first: a10/a15/c1/
+# c2/c3/c5/c6/d2/d4/j8/m3/m7/m8/m13/mm1/p7/s2/s4/t2/t5/t9/v2/v4b/v5/
+# v6/v7/w1/w2/w8/x5/x7/x8/x9, then r6).
