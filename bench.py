@@ -298,11 +298,26 @@ def main() -> None:
     # The driver captures only a bounded tail of stdout; BENCH_r06 was
     # lost because the single ~4 KB JSON line (74 per-query timings)
     # outgrew that window and the FRONT of the line — including the
-    # headline value — was truncated away.  So: per-query detail goes on
-    # an earlier line, and the LAST stdout line is a compact (<200 byte)
-    # summary that survives any tail capture and still parses as the
-    # one-JSON-line contract.
-    print(json.dumps({"detail_queries": timings}))
+    # headline value — was truncated away.  r7 fixed the summary but
+    # the detail dict was still ONE long line, so 35 of 97 timings
+    # fell off the front of the captured tail.  So: per-query detail
+    # is CHUNKED into <=1 KB JSON lines (each independently
+    # parseable, keyed by part number), and the LAST stdout line is a
+    # compact (<200 byte) summary that survives any tail capture and
+    # still parses as the one-JSON-line contract.
+    names = list(timings)
+    chunk = 15
+    n_parts = (len(names) + chunk - 1) // chunk
+    for part, start in enumerate(range(0, len(names), chunk), start=1):
+        line = json.dumps(
+            {
+                "detail_part": part,
+                "of": n_parts,
+                "queries": {n: timings[n] for n in names[start : start + chunk]},
+            }
+        )
+        assert len(line) <= 1024, f"detail part {part} exceeds 1 KB"
+        print(line)
     print(
         json.dumps(
             {
