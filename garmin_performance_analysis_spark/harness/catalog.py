@@ -24,6 +24,7 @@ from . import q_retrieval  # noqa: E402,F401
 from . import q_incremental  # noqa: E402,F401
 from . import q_funnel  # noqa: E402,F401
 from . import q_graph  # noqa: E402,F401
+from . import q_skew  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -807,6 +807,80 @@ def test_cdc_versioned_tombstone_blocks_resurrection(spark):
     assert [(r["k"], r["v"], r["ts"]) for r in live] == [(1, 500.0, 12)]
 
 
+def test_salted_aggregate_matches_plain_and_spreads_hot_key(spark):
+    """Salting is a pure physical rewrite: the two-stage result must
+    equal the plain one-stage GROUP BY exactly (DECIMAL sums make the
+    recombination associative), and the hot key's rows must actually
+    land in every salt bucket (the straggler-spreading property)."""
+    from garmin_performance_analysis_spark.operators.skew import salted_aggregate
+
+    rows = [(1 if i % 10 else 2, i, float(i) / 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, id long, v double").withColumn(
+        "vdec", F.col("v").cast("decimal(30,12)")
+    )
+    got = {
+        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": ("v", "count"),
+                "s": ("vdec", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            buckets=16,
+            salt_on=["id"],
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("vdec").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the hot key (k=1, 1800 rows) hits all 16 salt buckets
+    salted = df.withColumn("_salt", F.pmod(F.hash("id"), F.lit(16)))
+    n_buckets = (
+        salted.filter("k = 1").select("_salt").distinct().count()
+    )
+    assert n_buckets == 16
+    # non-algebraic aggregates are rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(df, ["k"], {"m": ("v", "avg")})
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Replicating the small side once per salt bucket must reproduce
+    the plain join exactly — every (big row, small row) match pairs up
+    in exactly one bucket — including inner-join drops of unmatched
+    keys."""
+    from garmin_performance_analysis_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(7 if i % 4 else i % 30, i) for i in range(1000)], "k long, id long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(25)], "k long, name string"
+    )
+    got = sorted(
+        (r["k"], r["id"], r["name"])
+        for r in salted_join(big, small, ["k"], buckets=16).collect()
+    )
+    want = sorted(
+        (r["k"], r["id"], r["name"]) for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_pagerank_cycle_uniform_and_mass_conserved(spark):
     """On a directed 3-cycle the rank vector is a fixed point (stays
     uniform); on any dangling-free graph the total mass stays 1."""

@@ -196,6 +196,17 @@ def test_d6_decontamination_broadcasts_probe_set(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_k2_salted_join_shuffles_on_key_plus_salt(spark):
+    """The salted join must actually reach a shuffled join keyed on
+    (n_key, _salt) — if Spark broadcast the dim, the salt would never
+    touch an exchange and the entry would demonstrate nothing."""
+    df = CATALOG["k2_salted_skew_join"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan  # salt participates in the join keys
+    assert "BroadcastHashJoin" not in plan.split("ShuffledHashJoin")[0]
+
+
 def test_no_global_windows_anywhere_in_catalog(spark):
     """Zero-tolerance gate for the 'move every row to one partition'
     window anti-pattern (the round-4 x7/v7 defect).  Every window in
