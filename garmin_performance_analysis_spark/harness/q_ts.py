@@ -567,6 +567,100 @@ def w12_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w15_ewma_blocked",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+           AS day_value
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, day_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+  FROM daily
+),
+blk AS (
+  SELECT *, i // 8 AS b, i % 8 AS l,
+         CASE WHEN i = 0 THEN 2.0 * day_value
+              ELSE POWER(2.0, i % 8) * day_value END AS t
+  FROM idx
+),
+s AS (
+  SELECT *, SUM(t) OVER (PARTITION BY user_id, b ORDER BY l
+                         ROWS UNBOUNDED PRECEDING) AS s
+  FROM blk
+),
+blocks AS (
+  SELECT user_id, b, MAX_BY(s, l) AS tb, COUNT(*) AS lb
+  FROM s GROUP BY 1, 2
+),
+eprev AS (
+  SELECT *, COALESCE(SUM(lb) OVER (PARTITION BY user_id ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ep
+  FROM blocks
+),
+pairs AS (
+  SELECT tgt.user_id, tgt.b, src.b AS k,
+         POWER(0.5, CAST(tgt.ep - src.ep AS DOUBLE)) * src.tb AS contrib
+  FROM eprev tgt JOIN eprev src
+    ON tgt.user_id = src.user_id
+   AND src.b >= tgt.b - 135 AND src.b <= tgt.b - 1
+),
+cums AS (
+  SELECT *, SUM(contrib) OVER (PARTITION BY user_id, b ORDER BY k
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pairs
+),
+carries AS (
+  SELECT user_id, b, MAX_BY(cum, k) AS c FROM cums GROUP BY 1, 2
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       FLOOR(s.day_value * 1000000.0 + 0.5) / 1000000.0 AS day_value,
+       FLOOR(POWER(0.5, CAST(s.l + 1 AS DOUBLE))
+             * (COALESCE(c.c, 0.0) + s.s) * 1000000.0 + 0.5) / 1000000.0
+         AS ewma
+FROM s LEFT JOIN carries c ON s.user_id = c.user_id AND s.b = c.b
+""",
+    tags=("timeseries", "window"),
+)
+def w15_ewma_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life EWMA of each user's daily mean via BLOCK-CARRY
+    segmentation (``operators/windows.ewma_halflife_blocked``,
+    block=8) — the unbounded-series scale path that closes w12's
+    documented boundary: w12's closed form overflows ``2^(i-1)`` past
+    1023 days, while here every cross-block factor is a DECAYING
+    ``0.5^g`` (exactly +0.0 past g >= 1075, so the carry join is
+    banded and linear in series length).  Same input grid, same
+    quantization, and the same alpha = 1/2 recurrence as w12 — but a
+    different summation association, so w12 and w15 agree
+    mathematically, not bit-for-bit; each entry's oracle mirrors ITS
+    association exactly (block=8 puts ~4 blocks per user on this
+    corpus, so the carry chain is genuinely exercised).  Scale shape:
+    two keyed windows + a tiny blocks frame + a banded explode-join —
+    no global windows, no recursion."""
+    from ..operators.windows import ewma_halflife_blocked
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dec_avg(F.col("value")).alias("day_value"))
+    out = ewma_halflife_blocked(daily, ["user_id"], "day", "day_value", block=8)
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        q6(F.col("day_value")).alias("day_value"),
+        q6(F.col("ewma")).alias("ewma"),
+    )
+
+
+@register(
     "w13_rolling_median_7d",
     oracle="""
 WITH daily AS (

@@ -516,3 +516,105 @@ def time_weighted_avg(
         "span_sec",
         "n_obs",
     )
+
+
+def ewma_halflife_blocked(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    block: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Half-life EWMA (alpha = 1/2) for UNBOUNDED per-key series via
+    block-carry segmentation — the scale path past the calendar-bounded
+    closed form (w12), whose ``2^(i-1)`` term overflows double at
+    ~1023 elements.
+
+    The recurrence ``y_i = (x_i + y_{i-1}) / 2`` (``y_0 = x_0``) closes
+    WITHIN a block of ``block`` rows as ``y = 0.5^(l+1) * (C + S_l)``
+    where ``l`` is the in-block position, ``S_l`` the running sum of
+    ``2^l * x`` (the global first element contributes ``2 * x_0`` so
+    ``y_0 = x_0``), and ``C`` the carry — the EWMA after the previous
+    block's last row.  Carries unroll across blocks as
+    ``C_b = sum_k 0.5^(E_{b-1} - E_{k-1}) * T_k`` (``T_k`` = block k's
+    full term sum, ``E`` = cumulative row counts): every factor is now
+    ``0.5^g`` with g > 0, which DECAYS — past g >= 1075 the double
+    product is EXACTLY +0.0 (below the minimum subnormal), so sources
+    farther than ``1075 // block + 1`` blocks are dropped without
+    changing any bit of the sum.  That banding makes the carry join
+    linear in series length: each block feeds at most BAND = O(1075 /
+    block) targets, built by an in-row ``sequence`` explode + hash
+    equi-join on (keys, block) — no range join, no quadratic pair-up.
+
+    Every scaling (``2^l``, ``0.5^g``) is exact in binary floating
+    point; rounding happens only in the running additions, whose order
+    is fixed by the (keys, block, l) / (keys, block, k) window sorts —
+    so the whole chain is deterministic and mirrorable bit-for-bit by
+    an engine that applies the identical expression shapes.
+
+    Scale shape: one window over (keys) for the global index, one over
+    (keys, block) for in-block prefixes, one tiny blocks frame
+    (n/block rows) with a keyed prefix sum, a banded explode-join, and
+    one keyed window over the carry pairs.  No global windows; state
+    per task is one block.
+    """
+    if block < 1 or block > 512:
+        raise ValueError("block must be in [1, 512] (2^l must stay finite)")
+    band = 1075 // block + 1
+    w_key = Window.partitionBy(*keys).orderBy(order_col)
+    frame = (
+        df.withColumn("_i", F.row_number().over(w_key) - 1)
+        .withColumn("_b", F.floor(F.col("_i") / block))
+        .withColumn("_l", (F.col("_i") % block).cast("int"))
+    )
+    term = F.when(F.col("_i") == 0, 2.0 * F.col(value_col)).otherwise(
+        F.pow(F.lit(2.0), F.col("_l")) * F.col(value_col)
+    )
+    w_blk = Window.partitionBy(*keys, "_b").orderBy("_l")
+    frame = frame.withColumn("_t", term).withColumn(
+        "_s",
+        F.sum("_t").over(w_blk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    blocks = frame.groupBy(*keys, "_b").agg(
+        F.max_by("_s", "_l").alias("_T"), F.count(F.lit(1)).alias("_L")
+    )
+    w_blocks = Window.partitionBy(*keys).orderBy("_b")
+    blocks = blocks.withColumn(
+        "_ep",
+        F.coalesce(
+            F.sum("_L").over(w_blocks.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    src = blocks.select(
+        *keys,
+        F.col("_b").alias("_k"),
+        F.col("_T").alias("_Tk"),
+        F.col("_ep").alias("_epk"),
+        F.explode(
+            F.sequence(F.col("_b") + 1, F.col("_b") + band)
+        ).alias("_b"),
+    )
+    pairs = src.join(blocks.select(*keys, "_b", "_ep"), [*keys, "_b"]).withColumn(
+        "_contrib",
+        F.pow(F.lit(0.5), (F.col("_ep") - F.col("_epk")).cast("double"))
+        * F.col("_Tk"),
+    )
+    w_carry = Window.partitionBy(*keys, "_b").orderBy("_k")
+    carries = (
+        pairs.withColumn(
+            "_cum",
+            F.sum("_contrib").over(
+                w_carry.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(*keys, "_b")
+        .agg(F.max_by("_cum", "_k").alias("_C"))
+    )
+    out = frame.join(carries, [*keys, "_b"], "left").withColumn(
+        out_col,
+        F.pow(F.lit(0.5), (F.col("_l") + 1).cast("double"))
+        * (F.coalesce(F.col("_C"), F.lit(0.0)) + F.col("_s")),
+    )
+    return out.drop("_i", "_b", "_l", "_t", "_s", "_C")

@@ -676,7 +676,36 @@ def test_ewma_closed_form_matches_recursion(spark):
     assert checked > 100
 
 
-def test_containment_pairs_on_constructed_docs(spark):
+def test_ewma_blocked_matches_recursion_and_survives_long_series(spark):
+    """w15's block-carry EWMA re-associates the same dyadic-scaled sum
+    as the textbook recursion y_i = (x_i + y_{i-1})/2, so it agrees to
+    rounding (not bitwise — different addition order), and — the point
+    of the operator — it stays FINITE and correct on a 1100-day series
+    where w12's closed form overflows 2^(i-1) to inf.  1100 days at
+    block=8 is 138 blocks, past the 135-block zero-contribution band,
+    so the exact-+0.0 drop path is exercised too."""
+    import math
+    from datetime import date, timedelta
+
+    from garmin_performance_analysis_spark.operators.windows import (
+        ewma_halflife_blocked,
+    )
+
+    n = 1100
+    xs = [100.0 + 50.0 * math.sin(0.37 * d) + (d % 7) for d in range(n)]
+    rows = [(1, date(2020, 1, 1) + timedelta(days=d), xs[d]) for d in range(n)]
+    df = spark.createDataFrame(rows, "user_id long, day date, v double")
+    got = {
+        r["day"].isoformat(): r["ewma"]
+        for r in ewma_halflife_blocked(df, ["user_id"], "day", "v", block=8).collect()
+    }
+    assert len(got) == n
+    y = None
+    for d in range(n):
+        y = xs[d] if y is None else (xs[d] + y) / 2.0
+        day = (date(2020, 1, 1) + timedelta(days=d)).isoformat()
+        assert math.isfinite(got[day])
+        assert abs(got[day] - y) <= 1e-9 * max(1.0, abs(y)), (d, got[day], y)
     """A short doc fully pasted inside a long one: containment = 1.0
     even though Jaccard is far below any useful threshold."""
     from garmin_performance_analysis_spark.pipelines.dedup import (
