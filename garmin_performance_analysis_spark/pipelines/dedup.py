@@ -582,3 +582,108 @@ def ngram_containment_pairs(
         .filter(cont >= threshold)
         .select("doc_a", "doc_b", "shared", "size_a", "size_b", cont.alias("containment"))
     )
+
+
+def bloom_contamination_stats(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Decontamination audit through a RELATIONAL Bloom filter — the
+    compact-artifact sibling of ``contamination_stats``: instead of
+    broadcasting the probe set's distinct shingles (d6's shape), the
+    probe side reduces to a Bloom filter and only that bounded
+    artifact travels.
+
+    The filter's bit-set is materialized as a DISTINCT-POSITIONS table
+    (<= min(k·n, m_bits) rows of one BIGINT — bounded by ``m_bits``
+    REGARDLESS of probe size, the property that makes it shippable at
+    100 TB): position_j(s) = md5('bloom' || j || '|' || s) taken as a
+    60-bit integer mod ``m_bits``, j in [0, k).  Membership is the
+    classic all-k-positions-present test, run as an in-row k-way
+    explode + one broadcast equi-join on the position + a per-shingle
+    count == k.  md5-derived positions (the repo's derandomization
+    convention) make the filter and its false-positive SET fully
+    deterministic and reproducible in any engine — so the audit is
+    exactly oracle-checkable, false positives included.
+
+    Classic Bloom guarantees carried: NO false negatives (every truly
+    contaminated shingle hits all k positions by construction), FP
+    rate ~ (1 - e^(-k·n/m))^k — at the default 2^20 bits / 3 hashes a
+    50k-shingle probe set sits near 0.2%.
+
+    Output: one row per corpus document (zero-hit rows included) with
+    both the exact and the Bloom hit counts:
+    (doc_id, n_shingles, n_exact_hits, n_bloom_hits,
+     no_false_negatives, hit_frac, contaminated).
+    """
+    c_sh = word_shingles(corpus, id_col, text_col, n=n)
+    p_sh = word_shingles(probe, id_col, text_col, n=n).select("shingle").distinct()
+    j_arr = F.array(*[F.lit(j) for j in range(k_hashes)])
+
+    def _pos():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom"),
+                            F.col("j").cast("string"),
+                            F.lit("|"),
+                            F.col("shingle"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+
+    probe_pos = (
+        p_sh.select("shingle", F.explode(j_arr).alias("j"))
+        .select(_pos().alias("pos"))
+        .distinct()
+    )
+    corpus_pos = c_sh.select(
+        "doc_id", "shingle", F.explode(j_arr).alias("j")
+    ).withColumn("pos", _pos())
+    sh_hits = (
+        corpus_pos.join(F.broadcast(probe_pos), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == k_hashes)
+    )
+    bloom_doc = sh_hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits")
+    )
+    exact_doc = (
+        c_sh.join(F.broadcast(p_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    per_doc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_exact = F.coalesce(F.col("n_exact_hits"), F.lit(0))
+    n_bloom = F.coalesce(F.col("n_bloom_hits"), F.lit(0))
+    return (
+        per_doc.join(exact_doc, "doc_id", "left")
+        .join(bloom_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_exact.alias("n_exact_hits"),
+            n_bloom.alias("n_bloom_hits"),
+            (n_bloom >= n_exact).alias("no_false_negatives"),
+            F.round(n_exact * 1.0 / F.col("n_shingles"), 6).alias("hit_frac"),
+            (n_exact * 1.0 / F.col("n_shingles") >= flag_threshold).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -133,6 +133,28 @@ QUERIES = [
     "i7_cdc_versioned_replay",
     # r7: power iteration over the event graph (3 × join+agg rounds)
     "g1_pagerank",
+    # r8 (VERDICT r7 item 3): the 9 r7 entries measured plan-only so
+    # far — CUBE grouping sets (orders), exact percentile bands
+    # (lineitem; the cost IS the per-group sort), mergeable HLL rollup
+    # (events; daily sketches → weekly union, no rescan), MMR re-rank
+    # + memoized-IVF serving (embeddings), CSV roundtrip (nation),
+    # CUSUM / lag-1 autocorrelation / seasonal decomposition (events,
+    # keyed daily-grid windows)
+    "a18_cube_volumes",
+    "a19_percentile_bands",
+    "a20_sketch_rollup",
+    "o7_mmr_rerank",
+    "v10b_ivf_query_path",
+    "s8_csv_roundtrip",
+    "t14_cusum_drift",
+    "t15_autocorr_lag1",
+    "w14_seasonal_decompose",
+    # r8 additions: salted hot-key aggregate / salted skew join
+    # (events + nation; the hot key grows 10× and must spread over the
+    # fixed 16 salt buckets) and the block-carry EWMA (events)
+    "k1_salted_hot_key_agg",
+    "k2_salted_skew_join",
+    "w15_ewma_blocked",
 ]
 
 
@@ -230,6 +252,41 @@ def synthesize(sf_dir: str, out_dir: str, replicas: int) -> None:
         os.path.join(out_dir, "events.parquet"),
     )
 
+    # orders/lineitem/nation (r8): the a18 CUBE, a19 exact-percentile
+    # bands, and s8 CSV roundtrip read these.  Keys shift by replica
+    # stride (l_orderkey uses the ORDERS stride so order↔lineitem joins
+    # stay consistent); the low-cardinality dimension columns (status,
+    # priority, returnflag…) repeat per replica, so grouped outputs
+    # keep the same groups with 10× the rows — the rollup axis a
+    # 100 TB fact table actually grows along.  Nation keys shift by 25;
+    # only replica 0 matches the fact-side key domain (inner joins are
+    # unaffected), while s8's export grows 10×.
+    for tbl, key_cols in (
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey"]),
+        ("nation", ["n_nationkey"]),
+    ):
+        t = pq.read_table(os.path.join(sf_dir, f"{tbl}.parquet"))
+        tp = t.to_pandas()
+        if tbl == "nation":
+            stride = 25
+        elif tbl == "orders":
+            stride = int(tp["o_orderkey"].max()) + 1
+            orders_stride = stride
+        else:
+            stride = orders_stride  # keep l_orderkey aligned with orders
+        parts = []
+        for r in range(replicas):
+            part = tp.copy()
+            for kc in key_cols:
+                part[kc] = part[kc] + r * stride
+            parts.append(part)
+        big = pd.concat(parts, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(big, preserve_index=False).cast(t.schema),
+            os.path.join(out_dir, f"{tbl}.parquet"),
+        )
+
 
 def run(sf_dir: str, label: str, runs: int, spark) -> list[dict]:
     from garmin_performance_analysis_spark.harness.catalog import CATALOG
@@ -280,14 +337,21 @@ def main() -> None:
         QUERIES[:] = [q for q in QUERIES if any(p in q for p in pats)]
 
     manifest_path = os.path.join(args.out, "manifest.json")
-    manifest = {"sf_dir": os.path.abspath(args.sf_dir), "replicas": args.replicas}
+    # corpus v3 adds orders/lineitem/nation (a18/a19/s8/k2 need them)
+    manifest = {
+        "sf_dir": os.path.abspath(args.sf_dir),
+        "replicas": args.replicas,
+        "corpus_version": 3,
+    }
     cached = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             cached = json.load(fh)
     if cached != manifest or not all(
         os.path.exists(os.path.join(args.out, f"{t}.parquet"))
-        for t in ("documents", "embeddings", "events")
+        for t in (
+            "documents", "embeddings", "events", "orders", "lineitem", "nation"
+        )
     ):
         # manifest mismatch = stale corpus from a different sf_dir or
         # replica count; silently reusing it would mislabel every row
