@@ -125,6 +125,52 @@ def test_contamination_counts_planted_overlap(spark):
     assert out[2]["n_shingles"] == 2  # 6-word doc → 2 distinct 5-grams
 
 
+def test_bloom_contamination_no_false_negatives_and_low_fp(spark):
+    """The relational Bloom filter must (a) flag EVERY truly
+    contaminated shingle (no false negatives — the all-k-positions
+    membership is implied by construction for true members), (b) keep
+    the false-positive rate near the (1 - e^(-kn/m))^k prediction on a
+    disjoint corpus, and (c) be partition-invariant (md5 positions, no
+    RNG)."""
+    probe = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "zero two three four five six seven"),
+            (2, "totally different words here padded out"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_contamination_stats(
+            corpus, probe, "doc_id", "text", n=5
+        ).collect()
+    }
+    assert out[1]["n_exact_hits"] == 1 and out[1]["contaminated"]
+    assert out[1]["n_bloom_hits"] >= 1  # the true hit must survive
+    assert all(r["no_false_negatives"] for r in out.values())
+    # disjoint 60-doc corpus vs a 40-doc probe: at m=2^20, k=3 the FP
+    # chance per shingle is ~1e-8 — zero spurious hits expected
+    big_probe = _docs(
+        spark,
+        [(200 + i, " ".join(f"p{i}w{j}" for j in range(30))) for i in range(40)],
+    )
+    big_corpus = _docs(
+        spark,
+        [(i, " ".join(f"c{i}w{j}" for j in range(30))) for i in range(60)],
+    )
+    rows = dedup.bloom_contamination_stats(
+        big_corpus, big_probe, "doc_id", "text", n=5
+    ).collect()
+    assert sum(r["n_bloom_hits"] for r in rows) == 0
+    assert sum(r["n_exact_hits"] for r in rows) == 0
+    # partition-invariance
+    again = dedup.bloom_contamination_stats(
+        big_corpus.repartition(7), big_probe.repartition(3), "doc_id", "text", n=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rates = {"en": 0.5, "de": 0.25}
