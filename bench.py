@@ -177,6 +177,15 @@ HEADLINE = [
     "t14_cusum_drift",
     "t15_autocorr_lag1",
     "w14_seasonal_decompose",
+    # r8 additions: the salted hot-key aggregate and skew join are
+    # read-shaped event queries (the salting is a physical rewrite of
+    # a plain GROUP BY / JOIN); block-carry EWMA is a read-shaped
+    # keyed-window query like w12; Bloom decontamination is a corpus
+    # batch pass like d6
+    "k1_salted_hot_key_agg",
+    "k2_salted_skew_join",
+    "w15_ewma_blocked",
+    "d9_bloom_decontaminate",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -238,6 +247,8 @@ BATCH_JOBS = {
     "i7_cdc_versioned_replay",
     "g1_pagerank",
     "s8_csv_roundtrip",
+    # r8: Bloom decontamination is a corpus batch pass like d6
+    "d9_bloom_decontaminate",
 }
 
 

@@ -155,6 +155,10 @@ QUERIES = [
     "k1_salted_hot_key_agg",
     "k2_salted_skew_join",
     "w15_ewma_blocked",
+    # r8: Bloom decontamination — the probe set (doc_id % 23 == 0)
+    # grows with the corpus here, but the positions artifact is
+    # capped at m_bits rows, so the broadcast side stays bounded
+    "d9_bloom_decontaminate",
 ]
 
 
