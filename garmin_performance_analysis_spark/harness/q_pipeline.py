@@ -646,8 +646,10 @@ SELECT doc_id,
                  || CAST(ph AS VARCHAR) || chr(10) || '255'
                  || chr(10) AS BLOB))
                  + pw * ph * 3
-            WHEN doc_id % 4 = 2
+            WHEN doc_id % 8 = 2
                  THEN 144 + 2 * (((jw + 7) // 8) * ((jh + 7) // 8) - 1)
+            WHEN doc_id % 8 = 6
+                 THEN 152 + 2 * ((jw + 7) // 8) * ((jh + 7) // 8)
             ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
        CASE WHEN doc_id % 4 = 0 THEN CAST(bmp_v AS DOUBLE)
             WHEN doc_id % 4 = 1 THEN CAST(ppm_v AS DOUBLE)
@@ -665,8 +667,9 @@ FROM dims
 )
 def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image decode through the multimodal mapInPandas
-    path: construct valid BMP (doc_id%4=0), binary-PPM (doc_id%4=1) and
-    entropy-coded baseline JPEG (doc_id%4=2) payloads JVM-side —
+    path: construct valid BMP (doc_id%4=0), binary-PPM (doc_id%4=1),
+    entropy-coded baseline JPEG (doc_id%8=2) and PROGRESSIVE JPEG
+    (doc_id%8=6 — SOF2, DC-band + AC-band scans) payloads JVM-side —
     hex-assembled little-endian BMP header + FULL constant-byte raster
     / ASCII PPM header + constant-letter raster / full JPEG marker
     stream with DQT, custom byte-aligned Huffman tables, and a per-MCU
@@ -783,10 +786,34 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("0100"), n_mcu - 1),  # MCUs 2..n: DC diff 0 + EOB
         F.lit("FFD9"),                       # EOI
     )
+    # REAL progressive JPEG (r8 — the decoder landed this round): the
+    # SAME constant-gray image under SOF2 with TWO scans — a DC-band
+    # scan (Ss=Se=0: block 1 = cat-8 code + dv bits, later blocks =
+    # cat-0 code) then an AC-band scan (Ss=1, Se=63: one byte-aligned
+    # EOB code per block).  Identical dims/dv → the oracle's predicted
+    # means are shared with the baseline class; only n_bytes differs
+    # (extra SOS header, 1-byte-per-block scans: 152 + 2·nMCU).
+    jpeg_prog_hex = F.concat(
+        F.lit("FFD8"),
+        F.lit("FFDB0043" + "00" + "01" * 64),
+        F.lit("FFC2000B08"),                 # SOF2 (progressive), len 11
+        F.lpad(F.hex(h_jpg), 4, "0"),
+        F.lpad(F.hex(w_jpg), 4, "0"),
+        F.lit("01" "011100"),
+        F.lit("FFC40015" "00" + "00" * 7 + "02" + "00" * 8 + "0800"),
+        F.lit("FFC40014" "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+        F.lit("FFDA0008" "01" "0100" "000000"),  # DC scan Ss=0 Se=0 Ah=Al=0
+        F.lit("00"), dv_hex,                 # block 1: DC cat 8 + dv
+        F.repeat(F.lit("01"), n_mcu - 1),    # blocks 2..n: DC diff 0
+        F.lit("FFDA0008" "01" "0100" "013F00"),  # AC scan Ss=1 Se=63
+        F.repeat(F.lit("00"), n_mcu),        # one EOB per block
+        F.lit("FFD9"),
+    )
     payload = (
         F.when(F.col("doc_id") % 4 == 0, F.unhex(bmp_hex))
         .when(F.col("doc_id") % 4 == 1, ppm_str.cast("binary"))
-        .when(F.col("doc_id") % 4 == 2, F.unhex(jpeg_hex))
+        .when(F.col("doc_id") % 8 == 2, F.unhex(jpeg_hex))
+        .when(F.col("doc_id") % 8 == 6, F.unhex(jpeg_prog_hex))
         .otherwise(F.col("text").cast("binary"))
     )
     binary_df = docs.select(

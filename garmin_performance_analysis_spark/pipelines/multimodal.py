@@ -12,9 +12,12 @@ same for RIFF/WAVE PCM audio (chunk walk + 8/16/24/32-bit sample
 decode, stdlib ``struct``/numpy only).  Baseline sequential JPEG is
 decoded for real too (``_jpeg_pixels``: Huffman entropy decode with
 restart intervals, dequant, zigzag, float IDCT, chroma upsampling,
-YCbCr→RGB).  Only the remaining genuinely codec-bound shapes
-(progressive/arithmetic/12-bit JPEG, Adam7-interlaced or
-sub-byte-packed PNG, compressed audio, video containers) stay stubbed:
+YCbCr→RGB), and PROGRESSIVE Huffman JPEG as well
+(``_jpeg_pixels_progressive``: multi-scan spectral selection +
+successive approximation, EOB runs, per-scan restart intervals).
+Only the remaining genuinely codec-bound shapes (arithmetic-coded or
+12-bit JPEG, Adam7-interlaced or sub-byte-packed PNG, compressed
+audio, video containers) stay stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
 cluster, shipped to executors via ``spark.archives``).
@@ -256,6 +259,34 @@ def _jpeg_decode_block(br: _JpegBits, dctab: dict, actab: dict, pred: int):
     return dc, coefs
 
 
+def _jpeg_split_entropy(payload: bytes, spos: int):
+    """Split the entropy-coded data starting at ``spos`` into restart
+    segments, unstuffing FF00; returns ``(segments, end_pos)`` where
+    ``end_pos`` sits on the 0xFF of the terminating marker (or at end
+    of payload)."""
+    n = len(payload)
+    segments, cur = [], bytearray()
+    i = spos
+    while i < n:
+        b = payload[i]
+        if b == 0xFF and i + 1 < n:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # any other marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
 def _jpeg_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decode with stdlib + numpy only —
     closes the last ``NotImplementedError`` decode boundary for the
@@ -267,9 +298,10 @@ def _jpeg_pixels(payload: bytes):
     (integer-ratio subsampling: 4:4:4, 4:2:2, 4:2:0) → YCbCr→RGB for
     3-component scans (ITU T.871 constants).  Returns
     ``(pixel_mean, [channel_means...])`` like the BMP/PPM/PNG paths,
-    or None for the remaining codec-bound shapes (progressive SOF2,
-    arithmetic coding, 12-bit precision, hierarchical, CMYK) — the
-    documented ``decode_image_stub`` boundary."""
+    or None for the remaining codec-bound shapes (arithmetic coding,
+    12-bit precision, hierarchical, CMYK) — the documented
+    ``decode_image_stub`` boundary.  Progressive (SOF2, Huffman)
+    streams dispatch to ``_jpeg_pixels_progressive``."""
     import struct
 
     import numpy as np
@@ -341,8 +373,10 @@ def _jpeg_pixels(payload: bytes):
                     cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, tqi))
                 frame = (fh, fw, comps)
+            elif code == 0xC2:  # progressive (Huffman): own scan loop
+                return _jpeg_pixels_progressive(payload)
             elif code in _JPEG_SOF_MARKERS:
-                return None  # progressive/arithmetic/lossless/hierarchical
+                return None  # arithmetic/lossless/hierarchical
             elif code == 0xDD:  # DRI
                 dri = int.from_bytes(data[:2], "big")
             elif code == 0xDA:  # SOS: scan header then entropy data
@@ -362,26 +396,7 @@ def _jpeg_pixels(payload: bytes):
             return None
         scan_tabs, spos = scan
 
-        # Split entropy data into restart segments, unstuffing FF00.
-        segments, cur = [], bytearray()
-        i = spos
-        while i < n:
-            b = payload[i]
-            if b == 0xFF and i + 1 < n:
-                nxt = payload[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    i += 2
-                    continue
-                break  # any other marker ends the scan (EOI)
-            cur.append(b)
-            i += 1
-        segments.append(bytes(cur))
+        segments, _ = _jpeg_split_entropy(payload, spos)
 
         fh, fw, comps = frame
         hmax = max(c[1] for c in comps)
@@ -432,7 +447,15 @@ def _jpeg_pixels(payload: bytes):
     except (_JpegCorrupt, struct.error, IndexError):
         return None
 
-    # Per-component crop to its true dims, then upsample to full frame.
+    return _jpeg_compose(fh, fw, comps, planes, hmax, vmax)
+
+
+def _jpeg_compose(fh, fw, comps, planes, hmax, vmax):
+    """Shared decode tail (baseline + progressive): per-component crop
+    to true dims, integer-ratio upsample to the full frame, YCbCr→RGB
+    for 3-component frames, round/clip, channel means."""
+    import numpy as np
+
     full = []
     for ci, (_cid, hs, vs, _tq) in enumerate(comps):
         cw = -(-fw * hs // hmax)
@@ -455,6 +478,312 @@ def _jpeg_pixels(payload: bytes):
     ch_sums = samples.reshape(n_px, samples.shape[-1]).sum(axis=0)
     means = [float(s) / n_px for s in ch_sums]
     return (float(ch_sums.sum()) / (n_px * samples.shape[-1]), means)
+
+
+def _jpeg_ac_first(br: _JpegBits, actab: dict, coef, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first pass for one block's band (T.81 §G.2.2):
+    run/size symbols place ``value << Al`` coefficients; EOBn symbols
+    start an end-of-band run covering whole blocks.  Returns the
+    updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise _JpegCorrupt
+        coef[k] = _jpeg_extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(br: _JpegBits, actab: dict, coef, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block's band (T.81 §G.2.2 /
+    the public successive-approximation algorithm): newly-nonzero
+    coefficients arrive as ±(1 << Al); every already-nonzero
+    coefficient crossed on the way consumes one correction bit that
+    may grow its magnitude by (1 << Al).  Returns the updated EOB
+    run (correction bits keep flowing inside an EOB run)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise _JpegCorrupt
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+        else:
+            return eobrun
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_pixels_progressive(payload: bytes):
+    """Progressive (SOF2, Huffman) JPEG decode with stdlib + numpy —
+    closes the decode boundary r7 left documented: the frame's DCT
+    coefficients accumulate across MULTIPLE scans, each covering a
+    spectral band [Ss, Se] of one bit plane (successive approximation
+    Ah→Al), with DC scans optionally interleaved across components and
+    AC scans always single-component (T.81 Annex G).  Tables (DQT/DHT)
+    and DRI may be redefined between scans; restart intervals count
+    MCUs (interleaved) or blocks (single-component) and reset both the
+    DC predictors and the EOB run.  After the last scan the
+    coefficient store dequantizes and IDCTs exactly like the baseline
+    path (shared ``_jpeg_compose`` tail).  Returns
+    ``(pixel_mean, [channel_means...])`` or None for streams outside
+    the supported class (12-bit, CMYK, arithmetic)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    stores = None  # per-comp (bh_pad, bw_pad, 64) int32 zigzag coefs
+    geom = None
+    saw_scan = False
+    pos = 2
+    n = len(payload)
+    try:
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            while pos < n and payload[pos] == 0xFF:
+                pos += 1
+            if pos >= n:
+                return None
+            code = payload[pos]
+            pos += 1
+            if code == 0xD9:  # EOI
+                break
+            if code == 0x01 or 0xD0 <= code <= 0xD8:
+                continue
+            if pos + 2 > n:
+                return None
+            seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+            if seg_len < 2 or pos + seg_len > n:
+                return None
+            data = payload[pos + 2 : pos + seg_len]
+            if code == 0xDB:
+                i = 0
+                while i < len(data):
+                    pq, tq = data[i] >> 4, data[i] & 0x0F
+                    if pq != 0:
+                        return None
+                    if i + 65 > len(data):
+                        return None
+                    qt[tq] = np.frombuffer(
+                        data, np.uint8, 64, i + 1
+                    ).astype(np.float64)
+                    i += 65
+            elif code == 0xC4:
+                i = 0
+                while i + 17 <= len(data):
+                    tc, th = data[i] >> 4, data[i] & 0x0F
+                    counts = data[i + 1 : i + 17]
+                    nsym = sum(counts)
+                    if i + 17 + nsym > len(data):
+                        return None
+                    huff[(tc, th)] = _jpeg_canonical_huffman(
+                        counts, data[i + 17 : i + 17 + nsym]
+                    )
+                    i += 17 + nsym
+            elif code == 0xC2:
+                if len(data) < 6:
+                    return None
+                prec, fh, fw, nc = (
+                    data[0],
+                    int.from_bytes(data[1:3], "big"),
+                    int.from_bytes(data[3:5], "big"),
+                    data[5],
+                )
+                if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0x0F, tqi))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    return None
+                for _cid, hs, vs, _tq in comps:
+                    if hs == 0 or vs == 0 or hmax % hs or vmax % vs:
+                        return None
+                mx = -(-fw // (8 * hmax))
+                my = -(-fh // (8 * vmax))
+                frame = (fh, fw, comps)
+                geom = (hmax, vmax, mx, my)
+                stores = [
+                    np.zeros((my * vs, mx * hs, 64), dtype=np.int32)
+                    for _cid, hs, vs, _tq in comps
+                ]
+            elif code in _JPEG_SOF_MARKERS:
+                return None  # mixed frame types: malformed
+            elif code == 0xDD:
+                dri = int.from_bytes(data[:2], "big")
+            elif code == 0xDA:
+                if frame is None or len(data) < 4:
+                    return None
+                fh, fw, comps = frame
+                hmax, vmax, mx, my = geom
+                ns = data[0]
+                if len(data) < 4 + 2 * ns:
+                    return None
+                scan_comps = []  # (comp index, td, ta)
+                for c in range(ns):
+                    cs, tdta = data[1 + 2 * c], data[2 + 2 * c]
+                    ci = next(
+                        (i for i, cm in enumerate(comps) if cm[0] == cs), None
+                    )
+                    if ci is None:
+                        raise _JpegCorrupt
+                    scan_comps.append((ci, tdta >> 4, tdta & 0x0F))
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ahal = data[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                if se > 63 or ss > se:
+                    raise _JpegCorrupt
+                if ss > 0 and ns != 1:
+                    raise _JpegCorrupt  # AC scans are single-component
+                segments, end_pos = _jpeg_split_entropy(payload, pos + seg_len)
+                seg_idx = 0
+                br = _JpegBits(segments[0])
+                preds = [0] * len(comps)
+                eobrun = 0
+                if ns > 1:
+                    units = mx * my  # interleaved MCU walk (DC band only)
+                else:
+                    ci = scan_comps[0][0]
+                    _cid, hs, vs, _tq = comps[ci]
+                    cw = -(-fw * hs // hmax)
+                    ch = -(-fh * vs // vmax)
+                    bw_t, bh_t = -(-cw // 8), -(-ch // 8)
+                    units = bw_t * bh_t
+                for u in range(units):
+                    if dri and u and u % dri == 0:
+                        seg_idx += 1
+                        if seg_idx >= len(segments):
+                            raise _JpegCorrupt
+                        br = _JpegBits(segments[seg_idx])
+                        preds = [0] * len(comps)
+                        eobrun = 0
+                    if ns > 1:  # interleaved DC scan
+                        mcu_y, mcu_x = divmod(u, mx)
+                        for ci, td, _ta in scan_comps:
+                            _cid, hs, vs, _tq = comps[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    coef = stores[ci][
+                                        mcu_y * vs + by, mcu_x * hs + bx
+                                    ]
+                                    if ah == 0:
+                                        s = br.read_huff(huff[(0, td)])
+                                        diff = (
+                                            _jpeg_extend(br.read_bits(s), s)
+                                            if s
+                                            else 0
+                                        )
+                                        preds[ci] += diff
+                                        coef[0] = preds[ci] << al
+                                    else:
+                                        coef[0] = int(coef[0]) | (
+                                            br.read_bit() << al
+                                        )
+                    else:  # single-component scan (DC or AC band)
+                        ci, td, ta = scan_comps[0]
+                        by, bx = divmod(u, bw_t)
+                        coef = stores[ci][by, bx]
+                        if ss == 0:
+                            if ah == 0:
+                                s = br.read_huff(huff[(0, td)])
+                                diff = (
+                                    _jpeg_extend(br.read_bits(s), s) if s else 0
+                                )
+                                preds[ci] += diff
+                                coef[0] = preds[ci] << al
+                            else:
+                                coef[0] = int(coef[0]) | (br.read_bit() << al)
+                        else:
+                            actab = huff.get((1, ta))
+                            if actab is None:
+                                raise _JpegCorrupt
+                            if ah == 0:
+                                eobrun = _jpeg_ac_first(
+                                    br, actab, coef, ss, se, al, eobrun
+                                )
+                            else:
+                                eobrun = _jpeg_ac_refine(
+                                    br, actab, coef, ss, se, al, eobrun
+                                )
+                saw_scan = True
+                pos = end_pos
+                continue
+            pos += seg_len
+        if frame is None or stores is None or not saw_scan:
+            return None
+        fh, fw, comps = frame
+        hmax, vmax, mx, my = geom
+        idctm = _jpeg_idct_matrix()
+        planes = []
+        for ci, (_cid, hs, vs, tqi) in enumerate(comps):
+            if tqi not in qt:
+                return None
+            deq = stores[ci].astype(np.float64) * qt[tqi][None, None, :]
+            nat = np.zeros_like(deq)
+            nat[..., _JPEG_ZIGZAG] = deq
+            bh, bw_ = nat.shape[0], nat.shape[1]
+            blocks = nat.reshape(bh, bw_, 8, 8)
+            px = np.einsum("ij,xyjk,lk->xyil", idctm, blocks, idctm) + 128.0
+            planes.append(
+                px.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            )
+    except (_JpegCorrupt, struct.error, IndexError):
+        return None
+    return _jpeg_compose(fh, fw, comps, planes, hmax, vmax)
 
 
 def _png_unfilter(raw: bytes, h: int, stride: int, fbpp: int):
@@ -746,7 +1075,7 @@ def decode_image_stub(payload: bytes) -> dict:
     """Integration point for a real codec-library decoder.
 
     STUB for the shapes ``decode_pixels`` doesn't cover in-repo
-    (progressive/arithmetic/12-bit JPEG, interlaced or sub-byte PNG,
+    (arithmetic-coded/12-bit JPEG, interlaced or sub-byte PNG,
     compressed audio, video containers): those need PIL/libvips/
     ffmpeg, not present in this container.  On a production cluster,
     replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))``

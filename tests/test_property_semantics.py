@@ -756,6 +756,8 @@ class _JBitWriter:
 _DC_SYMS = list(range(12))
 _AC_SYMS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [
+    r << 4 for r in range(1, 15)  # EOBn run-length symbols (progressive)
 ]
 
 
@@ -993,9 +995,9 @@ def test_jpeg_420_color_entropy_roundtrip(w, h, seed):
 
 
 def test_jpeg_unsupported_shapes_fall_back_to_header_only():
-    """Progressive (SOF2) and header-only streams report dimensions via
-    parse_image_header but decode to None — the documented stub
-    boundary; arbitrary text stays fully opaque."""
+    """Header-only streams (baseline or progressive: no scan data at
+    all) report dimensions via parse_image_header but decode to None;
+    arbitrary text stays fully opaque."""
     # header-only (mm3's old jpeg class): SOI + SOF0 + EOI, no scan
     sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 4, 5, 1) + b"\x01\x11\x00"
     hdr_only = b"\xff\xd8" + sof + b"\xff\xd9"
@@ -1066,3 +1068,310 @@ def test_ordered_funnel_matches_python_mirror(spark, n, seed):
             prev = cur
         want[k] = tuple(matched)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG roundtrip: an INDEPENDENT test-side progressive
+# encoder (spectral-selection scan scripts with successive
+# approximation, EOB-run batching, restart markers) against the same
+# _ref_decode ground truth the baseline tests use.  A complete scan
+# script reconstructs the coefficients EXACTLY (progressive is
+# lossless in the coefficient domain once every bit plane is sent), so
+# the decoder must match _ref_decode bit-for-bit.
+
+from garmin_performance_analysis_spark.pipelines.multimodal import (  # noqa: E402
+    _jpeg_pixels_progressive,
+)
+
+
+def _p_write_eobn(bw, eobrun: int) -> None:
+    r = eobrun.bit_length() - 1
+    assert r < 15
+    _write_sym(bw, _AC_CODES, r << 4)
+    if r:
+        bw.write(eobrun - (1 << r), r)
+
+
+def _p_enc_dc(bw, coef0: int, pred: int, ah: int, al: int) -> int:
+    v = int(coef0) >> al  # arithmetic shift: two's complement plane split
+    if ah == 0:
+        d = v - pred
+        s = int(abs(d)).bit_length()
+        _write_sym(bw, _DC_CODES, s)
+        if s:
+            bw.write(d if d >= 0 else d + (1 << s) - 1, s)
+        return v
+    bw.write(v & 1, 1)  # refinement: one raw bit per block
+    return pred
+
+
+def _p_enc_ac_first(bw, coefs, ss: int, se: int, al: int, state: dict) -> None:
+    vals = {}
+    for k in range(ss, se + 1):
+        c = int(coefs[k])
+        m = abs(c) >> al
+        vals[k] = m if c >= 0 else -m
+    last_nz = max((k for k in range(ss, se + 1) if vals[k]), default=None)
+    if last_nz is None:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _p_write_eobn(bw, state["eobrun"])
+            state["eobrun"] = 0
+        return
+    if state["eobrun"]:
+        _p_write_eobn(bw, state["eobrun"])
+        state["eobrun"] = 0
+    run = 0
+    for k in range(ss, last_nz + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _write_sym(bw, _AC_CODES, 0xF0)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        _write_sym(bw, _AC_CODES, (run << 4) | s)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < se:
+        state["eobrun"] += 1
+
+
+def _p_enc_ac_refine(bw, coefs, ss: int, se: int, al: int, state: dict) -> None:
+    """Inverse of the decoder's refinement walk: newly-significant
+    coefs (|c| >> al == 1) carry (run, sign); already-significant ones
+    (|c| >> al > 1) consume one correction bit wherever the decoder's
+    positional walk crosses them.  Fully-empty bands batch into EOB
+    runs (no bits owed); bands with leftovers emit their own EOB=1
+    followed by the owed correction bits."""
+    vis = {k: abs(int(coefs[k])) >> al for k in range(ss, se + 1)}
+    hist = {k: vis[k] > 1 for k in range(ss, se + 1)}
+    newly = [k for k in range(ss, se + 1) if vis[k] == 1]
+    if not newly and not any(hist.values()):
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _p_write_eobn(bw, state["eobrun"])
+            state["eobrun"] = 0
+        return
+    if state["eobrun"]:
+        _p_write_eobn(bw, state["eobrun"])
+        state["eobrun"] = 0
+    k = ss
+    for j in newly:
+        run = sum(1 for t in range(k, j) if not hist[t])
+        while run > 15:
+            _write_sym(bw, _AC_CODES, 0xF0)
+            crossed = 0
+            while crossed < 16:
+                if hist[k]:
+                    bw.write(vis[k] & 1, 1)
+                else:
+                    crossed += 1
+                k += 1
+            run -= 16
+        _write_sym(bw, _AC_CODES, (run << 4) | 1)
+        bw.write(1 if int(coefs[j]) > 0 else 0, 1)
+        for t in range(k, j):
+            if hist[t]:
+                bw.write(vis[t] & 1, 1)
+        k = j + 1
+    if k <= se:
+        _write_sym(bw, _AC_CODES, 0x00)  # EOB run of 1
+        for t in range(k, se + 1):
+            if hist[t]:
+                bw.write(vis[t] & 1, 1)
+
+
+def _build_progressive_jpeg(w, h, comp_grids, samplings, quants, scans, dri=0):
+    """comp_grids[ci]: 2-D list [by][bx] of 64-int zigzag blocks over
+    the PADDED (my*vs, mx*hs) grid.  scans: list of dicts with keys
+    comps (component indices), ss, se, ah, al."""
+    nc = len(comp_grids)
+    out = bytearray(b"\xff\xd8")
+    for qi, q in enumerate(quants):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([qi]) + bytes(q)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = samplings[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, ci if ci < len(quants) else 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht(0x00, _DC_SYMS, 5) + _dht(0x10, _AC_SYMS, 8)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    for scan in scans:
+        sc, ss, se = scan["comps"], scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sos = bytes([len(sc)])
+        for ci in sc:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _JBitWriter()
+        preds = [0] * nc
+        state = {"eobrun": 0}
+        rst = 0
+        if len(sc) > 1:  # interleaved DC scan
+            units = mx * my
+        else:
+            ci = sc[0]
+            hs, vs = samplings[ci]
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            bw_t, bh_t = -(-cw // 8), -(-ch // 8)
+            units = bw_t * bh_t
+        for u in range(units):
+            if dri and u and u % dri == 0:
+                if state["eobrun"]:
+                    _p_write_eobn(bw, state["eobrun"])
+                    state["eobrun"] = 0
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                bw = _JBitWriter()
+                preds = [0] * nc
+            if len(sc) > 1:
+                mcu_y, mcu_x = divmod(u, mx)
+                for ci in sc:
+                    hs, vs = samplings[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            blk = comp_grids[ci][mcu_y * vs + by][mcu_x * hs + bx]
+                            preds[ci] = _p_enc_dc(bw, blk[0], preds[ci], ah, al)
+            else:
+                ci = sc[0]
+                by, bx = divmod(u, bw_t)
+                blk = comp_grids[ci][by][bx]
+                if ss == 0:
+                    preds[ci] = _p_enc_dc(bw, blk[0], preds[ci], ah, al)
+                elif ah == 0:
+                    _p_enc_ac_first(bw, blk, ss, se, al, state)
+                else:
+                    _p_enc_ac_refine(bw, blk, ss, se, al, state)
+        if state["eobrun"]:
+            _p_write_eobn(bw, state["eobrun"])
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _grid(blocks_flat, bh, bw_):
+    it = iter(blocks_flat)
+    return [[next(it) for _ in range(bw_)] for _ in range(bh)]
+
+
+def _grid_to_mcu_order(grid, mx, my, hs, vs):
+    out = []
+    for m in range(mx * my):
+        mcu_y, mcu_x = divmod(m, mx)
+        for by in range(vs):
+            for bx in range(hs):
+                out.append(grid[mcu_y * vs + by][mcu_x * hs + bx])
+    return out
+
+
+_GRAY_SA_SCRIPT = [
+    {"comps": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},   # DC coarse
+    {"comps": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},   # AC low band coarse
+    {"comps": [0], "ss": 6, "se": 63, "ah": 0, "al": 1},  # AC high band
+    {"comps": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},   # DC refine
+    {"comps": [0], "ss": 1, "se": 5, "ah": 2, "al": 1},   # AC refine plane 1
+    {"comps": [0], "ss": 1, "se": 5, "ah": 1, "al": 0},   # AC refine plane 0
+    {"comps": [0], "ss": 6, "se": 63, "ah": 1, "al": 0},  # AC refine plane 0
+]
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    density=st.integers(min_value=0, max_value=12),
+    dri=st.sampled_from([0, 1, 2]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_grayscale_sa_roundtrip(w, h, density, dri, seed):
+    """Full successive-approximation script (DC Al=1→0, AC planes
+    2→1→0 on a split spectral band) with EOB-run batching and restart
+    intervals: complete refinement is coefficient-lossless, so the
+    progressive decoder must reproduce the independent reconstruction
+    exactly — same bar as the baseline roundtrip."""
+    rng = np.random.RandomState(seed)
+    quant = [1] + [rng.randint(1, 9) for _ in range(63)]
+    bw_t, bh_t = -(-w // 8), -(-h // 8)
+    blocks = _rand_blocks(rng, bw_t * bh_t, density)
+    payload = _build_progressive_jpeg(
+        w, h, [_grid(blocks, bh_t, bw_t)], [(1, 1)], [quant],
+        _GRAY_SA_SCRIPT, dri=dri,
+    )
+    assert parse_image_header(payload) == ("jpeg", w, h, 1)
+    want_means, want_mean = _ref_decode(w, h, [blocks], [(1, 1)], [quant])
+    got = _jpeg_pixels(payload)  # dispatches to the progressive path
+    assert got is not None, "progressive JPEG must decode"
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
+    # truncating the scan mid-stream must reject, not decode noise
+    assert _jpeg_pixels_progressive(payload[: len(payload) * 2 // 3]) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=18),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_420_spectral_roundtrip(w, h, seed):
+    """4:2:0 color with an interleaved DC scan + per-component AC
+    band scans (spectral selection only, Al=0) — the canonical
+    progressive layout — against the independent reconstruction."""
+    rng = np.random.RandomState(seed)
+    quants = [[1] + [rng.randint(1, 5) for _ in range(63)] for _ in range(3)]
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    mx, my = -(-w // 16), -(-h // 16)
+    grids = [
+        _grid(_rand_blocks(rng, my * 2 * mx * 2, 6), my * 2, mx * 2),
+        _grid(_rand_blocks(rng, my * mx, 4), my, mx),
+        _grid(_rand_blocks(rng, my * mx, 4), my, mx),
+    ]
+    scans = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+    ]
+    payload = _build_progressive_jpeg(w, h, grids, samplings, quants, scans)
+    assert parse_image_header(payload) == ("jpeg", w, h, 3)
+    # NON-INTERLEAVED AC scans cover only each component's true block
+    # extent: pad-only blocks (outside ceil(cw/8)x ceil(ch/8)) never
+    # receive AC coefficients, so zero them in the reference too
+    ref_grids = []
+    for ci, (hs, vs) in enumerate(samplings):
+        cw = -(-w * hs // 2)
+        ch = -(-h * vs // 2)
+        bw_t, bh_t = -(-cw // 8), -(-ch // 8)
+        g = []
+        for by, row in enumerate(grids[ci]):
+            out_row = []
+            for bx, blk in enumerate(row):
+                if by < bh_t and bx < bw_t:
+                    out_row.append(blk)
+                else:
+                    dc_only = np.zeros(64, dtype=np.int64)
+                    dc_only[0] = blk[0]
+                    out_row.append(dc_only)
+            g.append(out_row)
+        ref_grids.append(g)
+    ref_blocks = [
+        _grid_to_mcu_order(ref_grids[ci], mx, my, *samplings[ci])
+        for ci in range(3)
+    ]
+    want_means, want_mean = _ref_decode(w, h, ref_blocks, samplings, quants)
+    got = _jpeg_pixels(payload)
+    assert got is not None
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
