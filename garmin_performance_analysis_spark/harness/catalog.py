@@ -318,10 +318,11 @@ _rotate_for_round7()
 #      current checks (the r7 a9b/m5b precedent).
 #   3. The 11 entries whose latest driver row is r4 — the stalest
 #      block in the catalog.
-#   4. Pad to 50 with 13 of the stalest r5 names, favouring the
-#      flagship (q1), the operator-family anchors (a1/a9 stats, d1/d3/
-#      d5/d6 dedup, j7/j9 as-of, m1 regression, t3 islands, w5 ACWR,
-#      x6 retrieval).
+#   4. Pad to 50 with 12 of the stalest r5 names, favouring the
+#      flagship (q1) and the operator-family anchors (a1/a9 stats,
+#      d1/d3/d5/d6 dedup, j7/j9 as-of, m1 regression, t3 islands,
+#      w5 ACWR), plus mm3 whose oracle changed this round (the
+#      progressive-JPEG payload class).
 _R8_FRONT = [
     # never driver-checked (r7 additions)
     "t12_funnel_conversion", "a17_retention_cohorts",
@@ -345,7 +346,10 @@ _R8_FRONT = [
     "d1_exact_hash_groups", "d3_minhash_lsh_pairs", "d5_dedup_clusters",
     "d6_decontamination", "j7_nearest_date_asof", "j9_backward_asof",
     "m1_linregress_by_group", "t3_sustained_islands",
-    "w5_acwr_rolling_loads", "x6_tfidf_topk",
+    "w5_acwr_rolling_loads",
+    # oracle changed late in round 8 (progressive-JPEG payload class
+    # split, n_bytes arithmetic updated) — fronted like v3/v8/v8b
+    "mm3_image_decode",
 ]
 
 
