@@ -190,6 +190,9 @@ HEADLINE = [
     # bucketed silver tables exist (written on first call, memoized —
     # the v8b convention: best-of-N records the amortized read path)
     "j15_bucketed_colocated_join",
+    # r8: the applyInPandasWithState replay is a streaming batch job
+    # like i3/i5/i6
+    "i8_stream_runs_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -253,6 +256,8 @@ BATCH_JOBS = {
     "s8_csv_roundtrip",
     # r8: Bloom decontamination is a corpus batch pass like d6
     "d9_bloom_decontaminate",
+    # r8: streaming stateful replay job
+    "i8_stream_runs_replay",
 }
 
 

@@ -658,3 +658,98 @@ def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("version_ts"),
         F.col("event_id").cast("bigint").alias("version_event"),
     )
+
+
+_I8_CUT = 40.0
+_I8_MAX_GAP = 2
+_I8_MIN_SPAN = 5
+
+
+@register(
+    "i8_stream_runs_replay",
+    oracle=f"""
+WITH flagged AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS seq
+  FROM events WHERE value > {_I8_CUT}
+),
+ordered AS (
+  SELECT user_id, seq,
+         CASE WHEN LAG(seq) OVER w IS NULL
+              OR seq - LAG(seq) OVER w > {_I8_MAX_GAP}
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered
+),
+agg AS (
+  SELECT user_id, island,
+         MIN(seq) AS island_start, MAX(seq) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS island_rows
+  FROM isl GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY island_start DESC) AS rn
+  FROM agg
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, island_start, island_end,
+       island_rows
+FROM ranked
+WHERE rn > 1 AND island_end - island_start + 1 >= {_I8_MIN_SPAN}
+""",
+    tags=("incremental", "streaming", "stateful"),
+)
+def i8_stream_runs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch replay of the CUSTOM ``applyInPandasWithState``
+    operator (``streaming/stateful.sustained_runs_stateful`` — T3's
+    sustained-island filter with the open island living in the state
+    store): flagged rows = active days with value > {cut} per user,
+    sequence = epoch day; batch 2 is the later half of the timeline,
+    so islands SPANNING the batch boundary only close correctly if the
+    carried (start, last, rows) state survives the checkpoint
+    round-trip.  The oracle is the batch gaps-and-islands statement of
+    the emission contract: every closed island with span >=
+    {{min_span}} days, EXCLUDING each user's final island (open
+    forever without a timeout — the documented AvailableNow drain
+    rule).  This is the catalog entry that drives the
+    applyInPandasWithState surface end-to-end with a hash-checked
+    oracle (i3/i5/i6 cover the BUILT-IN stateful operators; this one
+    covers the custom state function)."""
+    from ..streaming.replay import stream_stateful_runs_replay
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.filter(F.col("value") > _I8_CUT).select(
+        F.col("user_id").alias("key"),
+        F.floor(us / 86_400_000_000).cast("long").alias("seq"),
+        us.alias("_us"),
+    )
+    bounds = flagged.agg(
+        F.min("_us").alias("tmin"), F.max("_us").alias("tmax")
+    ).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    b1 = flagged.filter(F.col("_us") <= mid).drop("_us")
+    b2 = flagged.filter(F.col("_us") > mid).drop("_us")
+    work = tempfile.mkdtemp(prefix="i8_stateful_runs_")
+    try:
+        out = stream_stateful_runs_replay(
+            spark,
+            [b1, b2],
+            work,
+            key_col="key",
+            seq_col="seq",
+            max_gap=_I8_MAX_GAP,
+            min_span=_I8_MIN_SPAN,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "island_start",
+        "island_end",
+        "island_rows",
+    )

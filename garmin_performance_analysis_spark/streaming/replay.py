@@ -397,3 +397,74 @@ def stream_session_replay(
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("vsum").cast("double"), 6).alias("value_sum"),
     )
+
+
+def stream_stateful_runs_replay(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    work_dir: str,
+    *,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    max_gap: int = 2,
+    min_span: int = 5,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay ``batches`` through the CUSTOM stateful operator
+    (``streaming/stateful.sustained_runs_stateful`` —
+    ``applyInPandasWithState``), one ``Trigger.AvailableNow`` run per
+    batch over a shared checkpoint, and return the emitted islands.
+
+    Emission contract (follows directly from the operator, so the i8
+    oracle can state it in SQL):
+
+    - an island EMITS when a later arrival for its key sits more than
+      ``max_gap`` past the island's end — including an arrival in a
+      LATER batch: the open island's (start, last, rows) lives in the
+      state store between runs, which is the whole point;
+    - each key's FINAL island never closes and never emits (no
+      timeout is armed: a pending processing-time timeout makes
+      AvailableNow spin empty "state cleanup" micro-batches forever —
+      see ``sustained_runs_stateful``'s docstring — and a real
+      deployment flushes quiet keys with a timeout instead);
+    - only islands spanning >= ``min_span`` sequence units emit;
+      duplicate sequence values collapse (state counts distinct).
+
+    Each batch lands as exactly one source file, so each run processes
+    one deterministic data micro-batch; batches must be time-ordered
+    (later batches strictly after earlier ones on the sequence axis),
+    which the i8 harness guarantees by splitting on the time axis.
+    """
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = batches[0].schema
+
+    def run_once() -> None:
+        from .stateful import sustained_runs_stateful
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        runs = sustained_runs_stateful(
+            stream, key_col, seq_col, max_gap=max_gap, min_span=min_span
+        )
+        q = (
+            runs.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)

@@ -163,6 +163,9 @@ QUERIES = [
     # bucketed write is memoized per corpus, best-of-2 records the
     # exchange-free join read)
     "j15_bucketed_colocated_join",
+    # r8: custom-stateful-operator replay (events; user-keyed state,
+    # two AvailableNow runs of fixed cost + per-key O(1) state)
+    "i8_stream_runs_replay",
 ]
 
 
