@@ -15,9 +15,10 @@ restart intervals, dequant, zigzag, float IDCT, chroma upsampling,
 YCbCr→RGB), and PROGRESSIVE Huffman JPEG as well
 (``_jpeg_pixels_progressive``: multi-scan spectral selection +
 successive approximation, EOB runs, per-scan restart intervals).
-Only the remaining genuinely codec-bound shapes (arithmetic-coded or
-12-bit JPEG, Adam7-interlaced or sub-byte-packed PNG, compressed
-audio, video containers) stay stubbed:
+Adam7-interlaced PNG de-interlaces for real too
+(``_png_deinterlace``).  Only the remaining genuinely codec-bound
+shapes (arithmetic-coded or 12-bit JPEG, sub-byte-packed PNG,
+compressed audio, video containers) stay stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
 cluster, shipped to executors via ``spark.archives``).
@@ -834,13 +835,51 @@ def _png_unfilter(raw: bytes, h: int, stride: int, fbpp: int):
     return out
 
 
+# Adam7 pass grid (PNG spec §8.2): (x_origin, y_origin, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, w: int, h: int, fbpp: int):
+    """Adam7 reconstruction: the inflated stream holds SEVEN
+    independently-filtered sub-images (empty passes contribute zero
+    bytes, not even filter bytes), each unfiltered with its own
+    pass-width stride and scattered onto the 8×8 sampling grid.
+    Returns the de-interlaced (h, w·fbpp) uint8 raster or None on a
+    length/filter mismatch."""
+    import numpy as np
+
+    full = np.zeros((h, w, fbpp), dtype=np.uint8)
+    off = 0
+    for ox, oy, sx, sy in _ADAM7:
+        pw = 0 if w <= ox else -(-(w - ox) // sx)
+        ph = 0 if h <= oy else -(-(h - oy) // sy)
+        if pw == 0 or ph == 0:
+            continue
+        stride_p = pw * fbpp
+        need = ph * (1 + stride_p)
+        chunk = raw[off : off + need]
+        if len(chunk) != need:
+            return None
+        off += need
+        rows_p = _png_unfilter(chunk, ph, stride_p, fbpp)
+        if rows_p is None:
+            return None
+        full[oy::sy, ox::sx, :] = rows_p.reshape(ph, pw, fbpp)
+    if off != len(raw):
+        return None
+    return full.reshape(h, w * fbpp)
+
+
 def _png_pixels(payload: bytes):
     """REAL PNG pixel decode with the stdlib only: chunk walk →
     zlib-inflate the IDAT stream → per-row filter reconstruction →
-    (for palette images) PLTE lookup.  Supports non-interlaced images
-    at bit depth 8 (all color types) and 16 (non-palette); interlaced
-    (Adam7) or sub-byte-packed images return None — the remaining
-    honest boundary, alongside entropy-coded JPEG.  Means are exact
+    (for palette images) PLTE lookup.  Supports bit depth 8 (all
+    color types) and 16 (non-palette), interlace 0 and Adam7
+    (``_png_deinterlace``); sub-byte-packed images (bit depth 1/2/4)
+    return None — the remaining honest boundary.  Means are exact
     integer sums divided once in double, matching the BMP/netpbm
     paths.  CRCs are verified (zlib.crc32) so corrupt payloads fall
     back to opaque-media instead of decoding garbage."""
@@ -880,7 +919,7 @@ def _png_pixels(payload: bytes):
         w is None
         or channels is None
         or not idat
-        or interlace != 0
+        or interlace not in (0, 1)
         or bitd not in (8, 16)
         or (color == 3 and bitd != 8)
     ):
@@ -892,9 +931,12 @@ def _png_pixels(payload: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (1 + stride):
-        return None
-    rows = _png_unfilter(raw, h, stride, fbpp)
+    if interlace == 1:  # Adam7: seven filtered sub-images, scattered
+        rows = _png_deinterlace(raw, w, h, fbpp)
+    else:
+        if len(raw) != h * (1 + stride):
+            return None
+        rows = _png_unfilter(raw, h, stride, fbpp)
     if rows is None:
         return None
     n_px = w * h
@@ -1075,7 +1117,7 @@ def decode_image_stub(payload: bytes) -> dict:
     """Integration point for a real codec-library decoder.
 
     STUB for the shapes ``decode_pixels`` doesn't cover in-repo
-    (arithmetic-coded/12-bit JPEG, interlaced or sub-byte PNG,
+    (arithmetic-coded/12-bit JPEG, sub-byte-packed PNG,
     compressed audio, video containers): those need PIL/libvips/
     ffmpeg, not present in this container.  On a production cluster,
     replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))``

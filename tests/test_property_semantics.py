@@ -468,25 +468,13 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _build_png(img: np.ndarray, color_type: int, filters, plte=None) -> bytes:
-    """img: (h, w, channels_stored) uint8/uint16; filters: per-row
-    filter ids.  Applies the PNG filter transform EXACTLY per spec so
-    the decoder must invert it correctly."""
-    h, w, ch = img.shape
-    bitd = 16 if img.dtype == np.uint16 else 8
-    sb = bitd // 8
-    fbpp = ch * sb
-    if bitd == 16:
-        rows = (
-            np.stack([(img >> 8) & 0xFF, img & 0xFF], axis=-1)
-            .astype(np.uint8)
-            .reshape(h, w * fbpp)
-        )
-    else:
-        rows = img.reshape(h, w * fbpp).astype(np.uint8)
+def _filter_png_rows(rows: np.ndarray, fbpp: int, filters) -> bytearray:
+    """Apply the spec filter transform to one (sub-)image's byte rows;
+    the previous-row state starts at zero (each Adam7 pass filters
+    independently)."""
     out = bytearray()
-    prev = np.zeros(w * fbpp, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(rows.shape[1], dtype=np.int32)
+    for y in range(rows.shape[0]):
         cur = rows[y].astype(np.int32)
         f = filters[y % len(filters)]
         enc = np.empty_like(cur)
@@ -510,7 +498,45 @@ def _build_png(img: np.ndarray, color_type: int, filters, plte=None) -> bytes:
         out.append(f)
         out.extend(enc.astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color_type, 0, 0, 0)
+    return out
+
+
+_ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _build_png(img: np.ndarray, color_type: int, filters, plte=None,
+               interlace: int = 0) -> bytes:
+    """img: (h, w, channels_stored) uint8/uint16; filters: per-row
+    filter ids.  Applies the PNG filter transform EXACTLY per spec so
+    the decoder must invert it correctly; interlace=1 emits the seven
+    Adam7 sub-images, each independently filtered (empty passes emit
+    nothing, per spec)."""
+    h, w, ch = img.shape
+    bitd = 16 if img.dtype == np.uint16 else 8
+    sb = bitd // 8
+    fbpp = ch * sb
+    if bitd == 16:
+        byte_img = np.stack([(img >> 8) & 0xFF, img & 0xFF], axis=-1).astype(
+            np.uint8
+        ).reshape(h, w, fbpp)
+    else:
+        byte_img = img.reshape(h, w, fbpp).astype(np.uint8)
+    out = bytearray()
+    if interlace == 0:
+        out = _filter_png_rows(byte_img.reshape(h, w * fbpp), fbpp, filters)
+    else:
+        for ox, oy, sx, sy in _ADAM7_TEST:
+            sub = byte_img[oy::sy, ox::sx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[0], sub.shape[1]
+            out += _filter_png_rows(
+                sub.reshape(ph, pw * fbpp), fbpp, filters
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color_type, 0, 0, interlace)
     png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if plte is not None:
         png += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
@@ -1375,3 +1401,51 @@ def test_jpeg_progressive_420_spectral_roundtrip(w, h, seed):
     got_mean, got_means = got
     assert got_means == want_means
     assert got_mean == want_mean
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    bitd=st.sampled_from([8, 16]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_interlaced_roundtrip(w, h, color_type, bitd, seed):
+    """Adam7: seven independently-filtered sub-images scattered on the
+    8x8 grid — including sub-pixel-wide images where later passes are
+    EMPTY and contribute zero bytes.  The encoder filters each pass
+    per spec with its own zero previous row; the decoder must invert
+    every pass and reassemble the exact raster (palette included)."""
+    if color_type == 3:
+        bitd = 8  # palette is 8-bit indices only
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    rng = np.random.RandomState(seed)
+    plte = None
+    if color_type == 3:
+        n_colors = rng.randint(1, 17)
+        plte = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        img = rng.randint(0, n_colors, size=(h, w, 1)).astype(np.uint8)
+    elif bitd == 16:
+        img = rng.randint(0, 65536, size=(h, w, ch)).astype(np.uint16)
+    else:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    filters = [rng.randint(0, 5) for _ in range(max(1, h))]
+    payload = _build_png(img, color_type, filters, plte=plte, interlace=1)
+    got = decode_pixels(payload)
+    assert got is not None, "interlaced PNG must decode"
+    pixel_mean, ch_means = got
+    if color_type == 3:
+        flat = plte.astype(np.int64)[img.reshape(-1)]
+        out_ch = 3
+    else:
+        flat = img.reshape(-1, ch).astype(np.int64)
+        out_ch = ch
+    want_ch = [float(s) / (w * h) for s in flat.sum(axis=0)]
+    assert ch_means == want_ch
+    assert pixel_mean == float(flat.sum()) / (w * h * out_ch)
+    # a truncated interlaced stream must reject, not misassemble
+    import zlib as _z
+
+    raw_start = payload.index(b"IDAT")
+    assert decode_pixels(payload[: raw_start + 8]) is None
