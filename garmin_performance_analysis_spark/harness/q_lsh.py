@@ -25,15 +25,23 @@ def _recall_verdict_output(exact: DataFrame, approx: DataFrame) -> DataFrame:
     instead of silently tightening against an oracle that pins it to
     1.  One keyed join of the two top-k lists + one 1-row aggregate;
     both verdict frames broadcast back onto the exact ranking."""
-    totals = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_n"))
-    hits = (
+    # ONE pass over `exact` for both the denominator and the hit count
+    # (left-join marks membership): a separate totals aggregation would
+    # re-evaluate the whole kmeans+cosine subtree a third time —
+    # Catalyst has no cross-subtree CSE, and the extra evaluation cost
+    # 1.5x wall on v10 when first measured (BENCH r8 adjudication).
+    stats = (
         exact.select("probe_id", "vec_id")
-        .join(approx.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+        .join(
+            approx.select("probe_id", "vec_id").withColumn("_hit", F.lit(1)),
+            ["probe_id", "vec_id"],
+            "left",
+        )
         .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
-    stats = totals.join(hits, "probe_id", "left").select(
-        "probe_id", "_n", F.coalesce("_hits", F.lit(0)).alias("_hits")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_hits"),
+        )
     )
     mean_ok = stats.agg(
         F.when(F.sum("_hits") >= 0.7 * F.sum("_n"), 1)
@@ -305,7 +313,13 @@ def v10_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_p")
     )
-    assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
+    # materialize the per-call training ONCE: exact, approx, and cents
+    # all consume `assigned`, and Catalyst has no cross-subtree CSE —
+    # without this the 3 Lloyd iterations re-run per consumer (still
+    # train-PER-CALL by design; v10b is the cross-call memo)
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", k=8, iters=3
+    ).localCheckpoint(eager=True)
     cents = ivf_centroids(assigned, "embedding", "cluster_id")
     pairs = (
         assigned.crossJoin(F.broadcast(probes))

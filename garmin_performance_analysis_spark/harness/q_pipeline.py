@@ -504,7 +504,14 @@ def v3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0)
     query = [float(v) for v in target.select("embedding").first()[0]]
-    assigned = similarity.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=3)
+    # materialize the trained index ONCE per call: the exact ranking,
+    # both probe levels, and the verdict joins all consume `assigned`,
+    # and Catalyst has no cross-subtree CSE — without the checkpoint
+    # the 3-iteration Lloyd training would re-run once per consumer
+    # (still train-PER-CALL, unlike v10b's cross-call memo)
+    assigned = similarity.kmeans_assign(
+        emb, "vec_id", "embedding", k=8, iters=3
+    ).localCheckpoint(eager=True)
     cents = similarity.ivf_centroids(assigned, "embedding", "cluster_id")
     pool = assigned.filter(F.col("vec_id") != 0)
     exact = _exact_topk_ranked(pool, query)
