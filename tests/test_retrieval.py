@@ -169,6 +169,29 @@ def test_bloom_contamination_no_false_negatives_and_low_fp(spark):
         big_corpus.repartition(7), big_probe.repartition(3), "doc_id", "text", n=5
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # FALSE-POSITIVE path: a deliberately tiny filter (64 bits for ~26
+    # probe shingles × 3 hashes) saturates the position set, so the
+    # disjoint corpus now bloom-hits even though exact hits stay zero —
+    # and the md5 positions make that FP set itself deterministic
+    tiny = {
+        r["doc_id"]: r
+        for r in dedup.bloom_contamination_stats(
+            big_corpus, big_probe, "doc_id", "text", n=5, m_bits=64
+        ).collect()
+    }
+    assert sum(r["n_exact_hits"] for r in tiny.values()) == 0
+    assert sum(r["n_bloom_hits"] for r in tiny.values()) > 0
+    assert all(r["no_false_negatives"] for r in tiny.values())
+    assert not any(r["contaminated"] for r in tiny.values())  # exact rules
+    tiny2 = {
+        r["doc_id"]: r
+        for r in dedup.bloom_contamination_stats(
+            big_corpus.repartition(5), big_probe, "doc_id", "text", n=5, m_bits=64
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in tiny.items()} == {
+        k: tuple(v) for k, v in tiny2.items()
+    }
 
 
 def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
