@@ -341,9 +341,13 @@ _R8_FRONT = [
     "m3b_hinge_heat_model", "m5_powerlaw_baseline", "m6_baseline_scoring",
     "p1_allowlist_projection", "x1_text_quality", "x2_language_id",
     "x3_content_fingerprint", "x4_token_counts",
-    # stalest-r5 pad
+    # stalest-r5 pad (d5 displaced late in r8 by i1, whose oracle was
+    # FIXED this round — first-seen-wins vs the old one-shot MIN, a
+    # latent sf0.1-only mismatch; d5's dedup family keeps in-window
+    # coverage via d1/d3/d6 and fronts in r9)
     "q1_pricing_summary", "a1_stats_block", "a9_profile_table",
-    "d1_exact_hash_groups", "d3_minhash_lsh_pairs", "d5_dedup_clusters",
+    "d1_exact_hash_groups", "d3_minhash_lsh_pairs",
+    "i1_incremental_dedup_replay",
     "d6_decontamination", "j7_nearest_date_asof", "j9_backward_asof",
     "m1_linregress_by_group", "t3_sustained_islands",
     "w5_acwr_rolling_loads",
@@ -376,5 +380,6 @@ _rotate_for_round8()
 # i8_stream_runs_replay — plus anything CORRECTNESS_r08 flags, padded
 # with the stalest names by latest-driver-row round (the remaining r5
 # block first: a10/a15/c1/c2/c3/c5/c6/d2/d4/j8/m3/m7/m8/m13/mm1/p7/
-# s2/s4/t2/t5/t9/v2/v4b/v5/v6/v7/w1/w2/w8/x5/x7/x8/x9 — note x6 was
-# displaced from the r8 pad by mm3 and is r5-stale too — then r6).
+# s2/s4/t2/t5/t9/v2/v4b/v5/v6/v7/w1/w2/w8/x5/x7/x8/x9 — note x6 and
+# d5 were displaced from the r8 pad by mm3 and the oracle-fixed i1,
+# so both front in r9 — then r6).

@@ -44,7 +44,9 @@ _SENTINEL_IDS = (9000001, 9000002)
 @register(
     "i1_incremental_dedup_replay",
     oracle=f"""
-SELECT md5(text) AS dedup_key, CAST(MIN(doc_id) AS BIGINT) AS keep_id
+SELECT md5(text) AS dedup_key,
+       CAST(COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                     MIN(doc_id)) AS BIGINT) AS keep_id
 FROM documents GROUP BY md5(text)
 UNION ALL
 SELECT md5('{_SENTINEL_TEXT}') AS dedup_key,
@@ -57,9 +59,16 @@ def i1_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``incremental.incremental_dedup``): batch 1 = even doc_ids;
     batch 2 = odd doc_ids + a RE-DELIVERY of the first even docs
     (at-least-once ingest) + two sentinel rows sharing one new key.
-    Final registry contents must equal the one-shot batch dedup of the
-    union — a double-append (broken idempotency), a missed cross-run
-    drop (redelivered evens re-registering), or a broken within-batch
+    The registry keeps each key's FIRST-SEEN doc — within a batch the
+    minimum id, across batches the EARLIER BATCH wins — so the oracle
+    states exactly that: min even id when the key has an even member
+    (batch 1 saw it first), else min id overall.  A plain one-shot
+    MIN(doc_id) is NOT equivalent: a later-batch doc with a smaller id
+    must NOT displace the registered key (first caught at sf0.1, where
+    two duplicate texts pair an odd id below the min even id — the r8
+    sweep lesson; at smaller SFs the two expressions coincide).  A
+    double-append (broken idempotency), a missed cross-run drop
+    (redelivered evens re-registering), or a broken within-batch
     collapse (both sentinels landing) each change the row set and
     hash-mismatch.  Scale shape: the real code path — 256-way
     hash-prefix partition pruning on the registry read, left-anti join
