@@ -1449,3 +1449,98 @@ def test_png_adam7_interlaced_roundtrip(w, h, color_type, bitd, seed):
 
     raw_start = payload.index(b"IDAT")
     assert decode_pixels(payload[: raw_start + 8]) is None
+
+
+# ---------------------------------------------------------------------------
+# Salting is a pure physical rewrite: for ANY data, key skew, bucket
+# count, and salt column, the two-stage salted aggregate and the
+# replicated salted join must equal their plain one-stage forms.
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    n_keys=st.integers(min_value=1, max_value=8),
+    buckets=st.sampled_from([1, 2, 7, 16]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_salted_aggregate_equals_plain_for_any_skew(
+    spark, n, n_keys, buckets, seed
+):
+    import numpy as np
+
+    from garmin_performance_analysis_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    rng = np.random.RandomState(seed)
+    # zipf-ish skew: key 0 gets the lion's share
+    keys = rng.zipf(1.5, size=n) % n_keys
+    rows = [
+        (int(k), int(i), float(rng.randint(-1000, 1000)) / 8)
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, v double").withColumn(
+        "vdec", F.col("v").cast("decimal(30,12)")
+    )
+    got = {
+        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "n": ("v", "count"),
+                "s": ("vdec", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            buckets=buckets,
+            salt_on=["id"],
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("vdec").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    n_dim=st.integers(min_value=1, max_value=12),
+    buckets=st.sampled_from([1, 3, 16]),
+    how=st.sampled_from(["inner", "left"]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_salted_join_equals_plain_for_any_skew(
+    spark, n, n_dim, buckets, how, seed
+):
+    import numpy as np
+
+    from garmin_performance_analysis_spark.operators.skew import salted_join
+
+    rng = np.random.RandomState(seed)
+    # hot key 0 + keys that MISS the dim (exercise inner drops / left nulls)
+    keys = [0 if rng.rand() < 0.6 else int(rng.randint(0, n_dim + 3)) for _ in range(n)]
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, id long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(n_dim)], "k long, name string"
+    )
+    got = sorted(
+        (r["k"], r["id"], r["name"])
+        for r in salted_join(big, small, ["k"], buckets=buckets, how=how).collect()
+    )
+    want = sorted(
+        (r["k"], r["id"], r["name"]) for r in big.join(small, "k", how).collect()
+    )
+    assert got == want
