@@ -23,6 +23,15 @@ FLOAT_DECIMALS = 6
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB defaults its memory limit to ~80% of PHYSICAL RAM, but in
+    # this process it shares the address space with a 16g Spark driver
+    # heap — near the end of a long full-catalog sweep the allocator
+    # hits the real ceiling and aborts with "failed to allocate 2048
+    # bytes" on otherwise-fine oracles (observed three times in r8,
+    # different entries each run, all green in a fresh process).  A
+    # modest explicit cap makes DuckDB spill instead of hard-failing.
+    con.execute("SET memory_limit = '8GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         con.execute(
