@@ -193,6 +193,8 @@ HEADLINE = [
     # r8: the applyInPandasWithState replay is a streaming batch job
     # like i3/i5/i6
     "i8_stream_runs_replay",
+    # r8: RRF hybrid fusion is a serving read (both inputs k-bounded)
+    "o8_rrf_hybrid",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

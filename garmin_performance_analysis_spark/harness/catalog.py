@@ -373,11 +373,12 @@ def _rotate_for_round8() -> None:
 
 _rotate_for_round8()
 
-# ROUND-9 PLAN (standing rule): the SIX round-8 additions registered
+# ROUND-9 PLAN (standing rule): the SEVEN round-8 additions registered
 # PAST this window and must be fronted in the round-9 rotation —
 # k1_salted_hot_key_agg, k2_salted_skew_join, w15_ewma_blocked,
 # d9_bloom_decontaminate, j15_bucketed_colocated_join,
-# i8_stream_runs_replay — plus anything CORRECTNESS_r08 flags, padded
+# i8_stream_runs_replay, o8_rrf_hybrid — plus anything
+# CORRECTNESS_r08 flags, padded
 # with the stalest names by latest-driver-row round (the remaining r5
 # block first: a10/a15/c1/c2/c3/c5/c6/d2/d4/j8/m3/m7/m8/m13/mm1/p7/
 # s2/s4/t2/t5/t9/v2/v4b/v5/v6/v7/w1/w2/w8/x5/x7/x8/x9 — note x6 and

@@ -55,11 +55,13 @@ def x6_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.tfidf_topk(docs, "doc_id", "text", k=5)
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 ranking as a reusable WITH-body (corpus .. ranked) —
+    shared verbatim by the x7 oracle and o8's fusion oracle so the two
+    can never drift on the lexical scoring rule."""
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = _BM25_K1, _BM25_B
-    return f"""
-WITH corpus AS (
+    return f"""corpus AS (
   SELECT COUNT(*) AS n_docs,
          SUM(len(string_split(lower(text), ' '))) * 1.0 / COUNT(*) AS avgdl
   FROM documents
@@ -89,9 +91,14 @@ agg AS (
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM agg
-)
-SELECT doc_id, score, n_query_terms, rk FROM ranked WHERE rk <= 20
-"""
+)"""
+
+
+def _bm25_oracle() -> str:
+    return (
+        f"WITH {_bm25_ctes()}\n"
+        "SELECT doc_id, score, n_query_terms, rk FROM ranked WHERE rk <= 20"
+    )
 
 
 @register("x7_bm25_search", oracle=_bm25_oracle(), tags=("retrieval", "text"))
@@ -1229,4 +1236,102 @@ def c15_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_s"), F.asc("doc_id"))
         .limit(200)
         .select("doc_id", "weight", F.round("_s", 6).alias("sel_score"))
+    )
+
+
+def _o8_oracle() -> str:
+    from .q_pipeline import _cos_expr
+
+    cos = _cos_expr("e.embedding", "q.qe")
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (SELECT doc_id AS id, rk AS lex_rank FROM ranked WHERE rk <= 20),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem_ranked AS (
+  SELECT e.vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id ASC) AS sem_rank
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+sem AS (SELECT id, sem_rank FROM sem_ranked WHERE sem_rank <= 20),
+fused AS (
+  SELECT COALESCE(l.id, s.id) AS id,
+         COALESCE(1.0 / (60 + l.lex_rank), 0)
+           + COALESCE(1.0 / (60 + s.sem_rank), 0) AS rrf,
+         l.lex_rank, s.sem_rank
+  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+),
+top AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS rank FROM fused
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(id AS BIGINT) AS id,
+       ROUND(rrf, 6) AS rrf_score,
+       CAST(lex_rank AS INTEGER) AS lex_rank,
+       CAST(sem_rank AS INTEGER) AS sem_rank
+FROM top WHERE rank <= 10
+"""
+
+
+@register(
+    "o8_rrf_hybrid",
+    oracle=_o8_oracle(),
+    tags=("retrieval", "similarity", "fusion"),
+)
+def o8_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search via reciprocal-rank fusion — the standard
+    production combiner for lexical + semantic retrieval (public RRF
+    formulation, Cormack/Clarke/Buettcher: score = Σ 1/(60 + rank)):
+    the x7 BM25 top-20 (3-term query over documents) fuses with the
+    exact cosine top-20 (query vector vec_id=0 over embeddings) on the
+    shared id space; items missing from one list contribute only the
+    other's term, exactly RRF's contract for partial overlap.  Both
+    input rankings reuse the exact machinery of their standalone
+    entries (the oracle shares x7's CTEs verbatim), so the fusion
+    layer is the only new logic: one 20+20-row full-outer join + a
+    bounded top-10 — serving-path cheap at any corpus size, since both
+    inputs are k-bounded BEFORE the fuse.  1/(60+r) terms are
+    non-dyadic rationals, so ROUND(6) is cross-engine safe (the r7
+    quantization lesson's safe class)."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=20
+    ).select(
+        F.col("doc_id").alias("id"), F.col("rk").cast("int").alias("lex_rank")
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    cos = similarity._dot("embedding", "_q") / (
+        similarity._norm("embedding") * similarity._norm("_q")
+    )
+    sem20 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cosine", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    w_sem = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    sem = sem20.withColumn("sem_rank", F.row_number().over(w_sem)).select(
+        F.col("vec_id").alias("id"), F.col("sem_rank").cast("int")
+    )
+    fused = lex.join(sem, "id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (60 + F.col("sem_rank")), F.lit(0.0)),
+    )
+    top10 = fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(10)
+    w_rank = Window.partitionBy(bounded_partition_key("id")).orderBy(
+        F.desc("rrf"), F.asc("id")
+    )
+    return top10.withColumn("rank", F.row_number().over(w_rank)).select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("id").cast("bigint").alias("id"),
+        _r6(F.col("rrf")).alias("rrf_score"),
+        "lex_rank",
+        "sem_rank",
     )

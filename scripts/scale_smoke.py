@@ -166,6 +166,9 @@ QUERIES = [
     # r8: custom-stateful-operator replay (events; user-keyed state,
     # two AvailableNow runs of fixed cost + per-key O(1) state)
     "i8_stream_runs_replay",
+    # r8: RRF hybrid fusion (documents + embeddings; both rankings
+    # k-bounded before the fuse, so only the input scans grow)
+    "o8_rrf_hybrid",
 ]
 
 

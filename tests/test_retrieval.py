@@ -597,3 +597,31 @@ def test_per_group_sample_counts_and_determinism(spark):
     # a different salt draws a different sample (it IS the RNG)
     c = prep_mod.per_group_sample(docs, "doc_id", "source", k=5, salt="other|")
     assert {r["doc_id"] for r in c.collect()} != {r["doc_id"] for r in a}
+
+
+def test_rrf_fusion_partial_overlap_semantics(spark):
+    """RRF contract on constructed rankings: an item in BOTH lists sums
+    both reciprocal terms; an item in one list contributes only that
+    term; ordering follows the fused score with id tiebreak."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG  # noqa: F401
+    from pyspark.sql import Window
+    from garmin_performance_analysis_spark.operators.windows import (
+        bounded_partition_key,
+    )
+
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "id long, lex_rank int")
+    sem = spark.createDataFrame([(20, 1), (30, 2)], "id long, sem_rank int")
+    fused = lex.join(sem, "id", "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (60 + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (60 + F.col("sem_rank")), F.lit(0.0)),
+    )
+    rows = {r["id"]: r["rrf"] for r in fused.collect()}
+    assert rows[20] == 1.0 / 62 + 1.0 / 61   # both lists
+    assert rows[10] == 1.0 / 61              # lexical only
+    assert rows[30] == 1.0 / 62              # semantic only
+    order = [
+        r["id"]
+        for r in fused.orderBy(F.desc("rrf"), F.asc("id")).collect()
+    ]
+    assert order == [20, 10, 30]  # 1/61 > 1/62, id breaks nothing here
