@@ -384,3 +384,55 @@ _rotate_for_round8()
 # s2/s4/t2/t5/t9/v2/v4b/v5/v6/v7/w1/w2/w8/x5/x7/x8/x9 — note x6 and
 # d5 were displaced from the r8 pad by mm3 and the oracle-fixed i1,
 # so both front in r9 — then r6).
+
+# ---------------------------------------------------------------------------
+# Round-9 catalog rotation — executes the plan above verbatim.
+#
+# CORRECTNESS_r08 flagged nothing (50/50 PASS incl. hash), so the window
+# is: the 7 never-driver-checked round-8 additions, then the ENTIRE
+# remaining r5-stale block (35 names — includes d5_dedup_clusters and
+# x6_tfidf_topk, displaced from the r8 pad), then 8 r6-stale family
+# anchors to pad to exactly 50.  After this round every one of the 188
+# catalog entries has a driver correctness row (union of r2–r9 windows).
+_R9_FRONT = [
+    # never driver-checked (round-8 additions, standing rule)
+    "k1_salted_hot_key_agg", "k2_salted_skew_join", "w15_ewma_blocked",
+    "d9_bloom_decontaminate", "j15_bucketed_colocated_join",
+    "i8_stream_runs_replay", "o8_rrf_hybrid",
+    # the full r5-stale block (latest driver row = r5 for all 35)
+    "a10_histogram", "a15_multi_rollup", "c1_training_prep",
+    "c2_stratified_sample", "c3_curation_record", "c5_quality_audit",
+    "c6_mixture_report", "d2_ngram_jaccard_pairs",
+    "d4_simhash_fingerprints", "d5_dedup_clusters", "j8_nearest_covariate",
+    "m13_weighted_similarity", "m3_multivariate_ols", "m7_vdot",
+    "m8_best_segment", "mm1_binary_metadata", "p7_json_predicate",
+    "s2_descriptor_pivot", "s4_watermark_cursor", "t2_t4_anomaly_pipeline",
+    "t5_cluster_buckets", "t9_event_sessions", "v2_cosine_dup_pairs",
+    "v4b_srp_multiprobe", "v5_batch_topk", "v6_sq_topk",
+    "v7_embedding_outliers", "w1_zscore_outliers", "w2_latest_per_key",
+    "w8_streaks", "x5_redact_pii", "x6_tfidf_topk", "x7_bm25_search",
+    "x8_repetition_signals", "x9_vocab_stats",
+    # r6-stale pad (8 family anchors: source, join, agg, enrichment band,
+    # ML risk, anomaly causes, vector dedup, multimodal decode — mm2
+    # shares the decode kernels whose progressive-JPEG class landed r8)
+    "s1_json_schema_parse", "j3_join_latest_in_window",
+    "a3_bulk_per_key_avg", "e1_hr_zone", "m12_injury_risk",
+    "t4_full_causes", "v9_semantic_dedup", "mm2_decoded_features",
+]
+
+
+def _rotate_for_round9() -> None:
+    front = list(_R9_FRONT)
+    assert len(front) == 50, f"round-9 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-9 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-9 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round9()
