@@ -195,6 +195,16 @@ HEADLINE = [
     "i8_stream_runs_replay",
     # r8: RRF hybrid fusion is a serving read (both inputs k-bounded)
     "o8_rrf_hybrid",
+    # r9 additions: graph iteration (CC + bounded BFS) are batch jobs;
+    # the HDR quantile sketch, z-order tile rollup, and schema-merge
+    # read are read-shaped single-agg queries; Holt smoothing is a
+    # keyed grouped-map pass like w12's family
+    "g2_connected_components",
+    "g3_bfs_hops",
+    "a21_hdr_quantile_sketch",
+    "z1_zorder_layout",
+    "s9_schema_evolution",
+    "t16_holt_linear",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -202,6 +212,8 @@ HEADLINE = [
 # reference's 300 ms/read budget (its benchmark scopes to read tools;
 # robust fits and corpus-wide dedup are batch jobs there too).
 BATCH_JOBS = {
+    "g2_connected_components",
+    "g3_bfs_hops",
     "m5c_huber_irls",
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",
@@ -233,6 +245,11 @@ BATCH_JOBS = {
     "c10_leakage_safe_split",
     "s1_json_schema_parse",
     "s5_export_roundtrip",
+    # r9: s9 writes two parquet batches per call (sink+source
+    # roundtrip like s5); the CSV roundtrip s8 precedent keeps pure
+    # in-memory roundtrips on the read path, but s9's double write is
+    # ingest-shaped
+    "s9_schema_evolution",
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
     "c11_doc_chunks",
@@ -285,6 +302,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # sampled BEFORE the Spark session exists, so it reflects ambient
+    # machine load rather than this bench's own executors
+    start_load = round(os.getloadavg()[0], 2)
     # NOTE: a 48g heap was tried here ("headroom vs GC noise") and made
     # allocation-heavy queries ERRATIC instead: d4b measured 7/15/2 s
     # across three runs at 48g vs a stable ~3.4 s at the 16g default
@@ -340,6 +360,11 @@ def main() -> None:
         )
         assert len(line) <= 1024, f"detail part {part} exceeds 1 KB"
         print(line)
+    # Load honesty (round-8 VERDICT item 5): BENCH_r08 was captured
+    # in-suite (median 1.31x uniform inflation vs idle across 44
+    # common queries) and records aren't comparable across rounds if
+    # load varies — so the summary carries the 1-min loadavg at START
+    # of the run and a "loaded" flag when it exceeded ncpus/4.
     print(
         json.dumps(
             {
@@ -350,6 +375,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "read_path_sec": read_path,
                 "batch_job_sec": round(total - read_path, 3),
+                "load1": start_load,
+                "loaded": start_load > (os.cpu_count() or 1) / 4,
             }
         )
     )

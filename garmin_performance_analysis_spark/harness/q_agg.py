@@ -582,3 +582,76 @@ def a20_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("merged_within_5pct"),
     )
+
+
+@register(
+    "a21_hdr_quantile_sketch",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, CAST(FLOOR(ABS(value) * 1000.0 + 0.5) AS BIGINT) AS scaled
+  FROM events
+  WHERE CAST(FLOOR(ABS(value) * 1000.0 + 0.5) AS BIGINT) >= 1
+),
+b AS (
+  SELECT user_id, scaled,
+         CAST(POWER(2.0, GREATEST(LENGTH(bin(scaled)) - 5, 0)) AS BIGINT) AS p2
+  FROM pos
+),
+c AS (
+  SELECT user_id, scaled - (scaled & (p2 - 1)) AS bkey, COUNT(*) AS cnt
+  FROM b GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, bkey, cnt,
+         SUM(cnt) OVER (PARTITION BY user_id ORDER BY bkey) AS cum,
+         SUM(cnt) OVER (PARTITION BY user_id) AS n
+  FROM c
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       MIN(CASE WHEN cum >= FLOOR((50 * n + 99) / 100.0) THEN bkey END) / 1000.0 AS p50,
+       MIN(CASE WHEN cum >= FLOOR((95 * n + 99) / 100.0) THEN bkey END) / 1000.0 AS p95,
+       MIN(CASE WHEN cum >= FLOOR((99 * n + 99) / 100.0) THEN bkey END) / 1000.0 AS p99
+FROM w GROUP BY user_id
+""",
+    tags=("aggregate", "sketch"),
+)
+def a21_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch, HdrHistogram-style (public technique:
+    integer log2 octaves + 16 linear sub-buckets per octave — Gil
+    Tene's HdrHistogram layout; same family as DDSketch, Masson et al.
+    VLDB 2019, with base-2 integer bins instead of log-gamma float
+    bins).  Values quantize to millis (scaled = floor(|v|·1000+0.5)),
+    a bucket keeps the top 5 significant bits (bkey = scaled with the
+    low bits masked off), so relative bucket width ≤ 2^-4 = 6.25% and
+    EVERY step is integer arithmetic — no float-log bin boundaries to
+    flicker cross-engine (the reason this is hash-oracle-able at all;
+    length(bin(x)) is the integer log2 both engines share).
+
+    THE 100 TB quantile shape: the sketch is a (group, bucket) count
+    table bounded at ~16·64 rows per group regardless of input volume,
+    mergeable across partitions, files, and days by plain count
+    addition (property-tested in test_operators), and the quantile read is one
+    cumulative window over the tiny sketch.  Exact per-group
+    percentiles (a19) need a full sort of the group; this needs one
+    map-side-combinable groupBy.  p50/p95/p99 estimates are bucket
+    lower bounds — within 6.25% relative error of the true quantile
+    (property-tested against the exact percentile)."""
+    from ..operators.sketches import hdr_quantiles, hdr_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    scaled = F.floor(F.abs(F.col("value")) * 1000.0 + 0.5).cast("bigint")
+    pos = ev.select("user_id", scaled.alias("scaled")).filter(
+        F.col("scaled") >= 1
+    )
+    sketch = hdr_sketch(pos, ["user_id"], "scaled")
+    q = hdr_quantiles(sketch, ["user_id"], (50, 95, 99))
+    return q.select(
+        "user_id",
+        "n_values",
+        "n_buckets",
+        (F.col("p50_scaled") / 1000.0).alias("p50"),
+        (F.col("p95_scaled") / 1000.0).alias("p95"),
+        (F.col("p99_scaled") / 1000.0).alias("p99"),
+    )

@@ -538,3 +538,61 @@ def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, n_name string, n_regionkey bigint, frac double"
     )
     return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register(
+    "s9_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(o_orderpriority, '(pre-evolution)') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM unioned
+GROUP BY 1
+""",
+    tags=("source", "schema"),
+)
+def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the read path — the operational reality of
+    any 100 TB table that lives longer than its first schema: batch 1
+    is written WITHOUT ``o_orderpriority``, batch 2 (a later ingest)
+    adds the column, and a ``mergeSchema`` parquet read unifies both
+    under the superset schema with NULLs for pre-evolution rows.  The
+    aggregation groups those NULLs into an explicit
+    '(pre-evolution)' bucket, so the oracle (a UNION ALL with a typed
+    NULL column) pins both the NULL-fill semantics and the values.
+    Scale notes: mergeSchema reconciles FOOTERS (per-file, no data
+    scan) but is O(files) on the driver — production tables keep the
+    merged schema in a catalog instead and pass it explicitly; new
+    columns must be added nullable-at-end, never re-typed (parquet
+    has no in-place cast), which is exactly the shape this entry
+    exercises."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="s9_evolve_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(root + "/batch=1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(root + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/batch=1", root + "/batch=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -79,3 +79,130 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("user_id"),
         _r6(F.col("pagerank") * n_nodes).alias("pr_x_n"),
     )
+
+
+# Deterministic edge set for g2/g3: ~1% of events contribute THREE
+# edges (three affine generators) between nodes in a fixed 1009-slot
+# id space.  Small SFs leave the generators unsaturated -> many
+# components (the interesting case for CC); at saturation the graph
+# has average degree ~6, i.e. O(log n) diameter — the regime min-label
+# pointer jumping converges in a handful of rounds (an avg-degree-2
+# construction was tried first and produced a near-path graph whose
+# 100+ diameter made label propagation linear-round; long-chain graphs
+# belong to large-star/small-star, documented as the kernel boundary).
+# The bounded node space keeps the recursive-CTE oracle's transitive
+# closure at most 1009^2 pairs regardless of data volume.
+_G2_GENS = ((31, 7), (17, 3), (5, 11))
+_G2_EDGE_SQL = " UNION ALL ".join(
+    f"""
+  SELECT event_id % 1009 AS src, (event_id * {a} + {b}) % 1009 AS dst
+  FROM events
+  WHERE event_id % 97 = 0 AND event_id % 1009 <> (event_id * {a} + {b}) % 1009"""
+    for a, b in _G2_GENS
+)
+
+
+def _g2_raw_edges(ev: DataFrame) -> DataFrame:
+    """The Spark twin of ``_G2_EDGE_SQL``: three affine edge
+    generators over the filtered event stream."""
+    base = ev.filter(F.col("event_id") % 97 == 0).select("event_id")
+    fams = [
+        base.select(
+            (F.col("event_id") % 1009).alias("src"),
+            ((F.col("event_id") * a + b) % 1009).alias("dst"),
+        )
+        for a, b in _G2_GENS
+    ]
+    out = fams[0]
+    for f in fams[1:]:
+        out = out.unionByName(f)
+    return out.filter(F.col("src") != F.col("dst"))
+
+
+@register(
+    "g2_connected_components",
+    oracle=f"""
+WITH RECURSIVE raw AS ({_G2_EDGE_SQL}),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+    tags=("graph",),
+)
+def g2_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a FIRST-CLASS graph entry (the same
+    pointer-jumping min-label kernel the dedup pipeline uses
+    transitively in d5/v9 — ``pipelines/dedup.connected_components``,
+    O(log diameter) rounds, two node-keyed shuffles per round) over a
+    sparse deterministic event-derived graph.  The oracle is a
+    recursive-CTE transitive closure computing min-reachable-label —
+    a different algorithm arriving at the same unique fixpoint, which
+    is exactly what makes CC oracle-able: any correct implementation
+    agrees.  The node space is bounded (1009 slots) so the oracle's
+    closure is bounded at any SF; the Spark side's cost scales with
+    edges, not closure pairs — the 100 TB asymmetry that makes
+    pointer-jumping (not transitive closure) the production algorithm.
+    """
+    from ..pipelines.dedup import connected_components
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = _g2_raw_edges(ev)
+    cc = connected_components(raw, "src", "dst")
+    return cc.select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+@register(
+    "g3_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE raw AS ({_G2_EDGE_SQL}),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst, src FROM raw
+),
+sources AS (
+  SELECT DISTINCT src AS node FROM edges WHERE src % 101 = 0
+),
+walk AS (
+  SELECT node, 0 AS d FROM sources
+  UNION
+  SELECT e.dst AS node, w.d + 1 AS d
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 4
+)
+SELECT node, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY node
+""",
+    tags=("graph",),
+)
+def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance, bounded at 4 hops
+    (``operators/graph.bfs_hops``): sources are the ~1% of nodes with
+    id % 101 = 0, the answer is min-hops-to-any-source for every node
+    within reach.  Frontier expansion joins ONLY the newest ring each
+    round (not the whole visited set) — per round one node-keyed join
+    + one min-combine groupBy, fixed 4 rounds, lineage flattened per
+    round.  The oracle walks the same bounded fixpoint as a recursive
+    CTE over (node, depth) pairs; min() makes the fixpoint unique, so
+    the two algorithms must agree exactly.  The k-hop-neighborhood /
+    blast-radius primitive of any 100 TB graph feature pipeline."""
+    from ..operators.graph import bfs_hops
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = _g2_raw_edges(ev)
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sources = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node") % 101 == 0
+    )
+    out = bfs_hops(edges, sources, "src", "dst", "node", max_hops=4)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))

@@ -1044,3 +1044,98 @@ def w14_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@register(
+    "t16_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+s AS (
+  SELECT user_id, rn, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.rn, d.day, d.x,
+         0.5 * d.x + 0.5 * (s.l + s.b) AS l,
+         0.25 * ((0.5 * d.x + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b AS b
+  FROM s JOIN idx d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       FLOOR(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+       FLOOR(b * 1000000.0 + 0.5) / 1000000.0 AS trend
+FROM s
+""",
+    tags=("timeseries", "statefulness"),
+)
+def t16_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over each user's
+    daily mean — level + trend state, alpha=1/2, beta=1/4 (both
+    binary-exact, so the float recursion is bit-reproducible):
+    ``l_i = a*x_i + (1-a)*(l_{i-1}+b_{i-1})``,
+    ``b_i = B*(l_i - l_{i-1}) + (1-B)*b_{i-1}`` (Holt 1957 — public
+    textbook method).  Unlike the single-state EWMA (w12's closed
+    form, w15's block-carry), the COUPLED two-state recurrence has no
+    window-expressible closed form with exact dyadic scalings, so this
+    is the documented home of the grouped-map escape hatch:
+    ``applyInPandas`` per user key, each group a bounded
+    calendar-length series, state O(1), Arrow-batched — the same
+    shape ``applyInPandasWithState`` gives the streaming twin (i8).
+    The oracle runs the IDENTICAL recursion as a recursive CTE
+    stepping row_number-indexed daily rows; both engines execute the
+    same IEEE double expression tree, so outputs match bit-for-bit
+    before the shared floor-quantization (the r7 ROUND lesson).
+    Scale: one exchange on user_id, then embarrassingly parallel
+    per-key sequential scans — exactly how a 1000-executor cluster
+    runs per-entity state machines."""
+    import pandas as pd
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("x")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        l = b = None
+        for i, x in enumerate(xs):
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                l_new = 0.5 * float(x) + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                l = l_new
+            levels[i] = l
+            trends[i] = b
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"].map(lambda d: d.strftime("%Y-%m-%d")),
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    out = daily.groupBy("user_id").applyInPandas(
+        holt, "user_id long, day string, level double, trend double"
+    )
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return out.select(
+        "user_id", "day", q6(F.col("level")).alias("level"),
+        q6(F.col("trend")).alias("trend"),
+    )

@@ -63,3 +63,46 @@ def pagerank_fixed(
             (base + damping * F.coalesce(F.col("_in"), F.lit(0.0))).alias("_pr"),
         )
     return pr.select(F.col(node_col), F.col("_pr").alias("pagerank"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    bounded at ``max_hops`` (nodes further away are absent from the
+    output).  The bounded-frontier form of label propagation — the
+    building block for k-hop neighborhoods, blast-radius queries, and
+    graph-distance features at 100 TB.
+
+    Each round expands ONLY the current frontier (nodes whose distance
+    equals the round number minus one): one node-keyed join edge-list ×
+    frontier plus one min-combine groupBy — two shuffles per round,
+    both on the node key, so at scale both sides co-partition.  Rounds
+    are fixed (``max_hops``), lineage is flattened per round with
+    ``localCheckpoint`` (the iterative-DataFrame rule: an unflattened
+    loop grows the plan exponentially).  Deterministic: min() combine,
+    no RNG — a recursive-CTE SQL oracle walks the same fixpoint.
+    """
+    dist = sources.select(
+        F.col(node_col), F.lit(0).alias("hops")
+    ).distinct().localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("hops") == h - 1).select(
+            F.col(node_col).alias("_fnode")
+        )
+        reached = (
+            edges.join(frontier, edges[src_col] == F.col("_fnode"))
+            .select(F.col(dst_col).alias(node_col), F.lit(h).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy(node_col)
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

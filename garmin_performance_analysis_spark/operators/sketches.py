@@ -23,11 +23,12 @@ ANSI oracle rather than a tolerance check.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -83,4 +84,97 @@ def heavy_hitters_topk(
         exact.orderBy(F.desc("cnt"), F.asc("term"))
         .limit(k)
         .select("term", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketch (round 9): HdrHistogram-style bucketed
+# histogram (Gil Tene's public HdrHistogram layout — integer log2
+# octaves with linear sub-buckets; same mergeable-quantile family as
+# DDSketch, Masson et al. VLDB 2019).  Everything below is integer
+# arithmetic on a pre-quantized value, so the sketch is deterministic
+# and cross-engine exact — the property that lets the a21 catalog
+# entry carry a full hash oracle instead of an error-band verdict.
+#
+# The 100 TB contract: hdr_sketch reduces any volume to a bounded
+# (group, bucket) count table (~16*64 rows per group max), buckets
+# merge by count addition across partitions / files / days
+# (property-tested), and quantile reads are one cumulative window over
+# the tiny sketch.
+
+# top SUB_BITS+1 significant bits are kept: relative bucket width is
+# 2^-SUB_BITS (6.25% at 4) — the sketch's whole error budget
+SUB_BITS = 4
+
+
+def hdr_bucket(scaled: Column) -> Column:
+    """Bucket key for a positive integer column: the value with all
+    but its top ``SUB_BITS + 1`` significant bits masked off — i.e.
+    the lower bound of its HdrHistogram bucket.  Monotone in the
+    value, pure integer ops (``length(bin(x))`` is the integer log2
+    both Spark and DuckDB share), so identical cross-engine."""
+    p2 = F.pow(
+        F.lit(2.0),
+        F.greatest(F.length(F.bin(scaled)) - (SUB_BITS + 1), F.lit(0)),
+    ).cast("bigint")
+    return scaled - scaled.bitwiseAND(p2 - 1)
+
+
+def hdr_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    scaled_col: str,
+) -> DataFrame:
+    """Build the sketch: (group, bkey, cnt) counts over the bucketed
+    value.  One map-side-combinable groupBy — the only shuffle.
+    Sketches over disjoint slices merge with ``hdr_merge``."""
+    return (
+        df.select(*group_cols, hdr_bucket(F.col(scaled_col)).alias("bkey"))
+        .groupBy(*group_cols, "bkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built by ``hdr_sketch`` over disjoint inputs:
+    counts add per (group, bucket).  The algebraic property that makes
+    the sketch a rollup-table citizen at 100 TB (daily sketches merge
+    into monthly, per-file into per-partition, …)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    pcts: Sequence[int] = (50, 95, 99),
+) -> DataFrame:
+    """Read p-th percentile estimates (bucket lower bounds at rank
+    ceil(p·n/100), integer rank math so no float boundary to flicker)
+    from a sketch: one cumulative window per group over ≤ ~1k rows.
+    Returns group cols + n_values + n_buckets + one ``p{pct}_scaled``
+    column per requested percentile (still in the caller's scaled
+    integer domain)."""
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy(*group_cols).orderBy("bkey")
+    wn = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bkey",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+
+    def _est(pct: int) -> Column:
+        rank = F.floor((F.lit(pct) * F.col("n") + 99) / 100.0)
+        return F.min(F.when(F.col("cum") >= rank, F.col("bkey")))
+
+    return cum.groupBy(*group_cols).agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        *[_est(p).alias(f"p{p}_scaled") for p in pcts],
     )

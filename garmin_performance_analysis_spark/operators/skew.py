@@ -28,11 +28,27 @@ from pyspark.sql import functions as F
 
 # (partial_agg, final_agg) pairs per supported algebraic aggregate:
 # the final stage re-combines the per-bucket partials.
+# "count" is true COUNT(*) (rows per group, the input column is only a
+# placeholder) so it matches a plain-SQL COUNT(*) oracle even when the
+# column is nullable; "count_nonnull" is COUNT(col) semantics.
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
-    "count": (F.count, F.sum),
+    "count": (lambda _c: F.count(F.lit(1)), F.sum),
+    "count_nonnull": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
+}
+
+# Join types for which replicate-small-side salting is semantics-
+# preserving: every BIG row carries exactly one salt and the small side
+# is replicated across all salts, so big-driven joins are unchanged.
+# right/full_outer would emit every UNMATCHED small row once per salt
+# bucket — rejected rather than silently wrong.
+_SALTED_JOIN_TYPES = {
+    "inner",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti",
 }
 
 
@@ -46,9 +62,11 @@ def salted_aggregate(
     """Two-stage grouped aggregation for skewed keys.
 
     ``aggs`` maps output name -> (input column, fn) with fn in
-    {sum, count, min, max} (the algebraic aggregates that re-combine;
-    avg = sum/count composed by the caller — same decomposition Spark's
-    own partial aggregation uses).
+    {sum, count, count_nonnull, min, max} (the algebraic aggregates
+    that re-combine; avg = sum/count composed by the caller — same
+    decomposition Spark's own partial aggregation uses).  ``count`` is
+    COUNT(*) — the input column is ignored; use ``count_nonnull`` for
+    COUNT(col) semantics on a nullable column.
 
     Stage 1 groups by (keys + salt) — the hot key's rows spread over
     ``buckets`` reduce tasks; stage 2 groups the per-bucket partials by
@@ -84,7 +102,20 @@ def salted_join(
     not broadcastable: salt the big side, replicate the small side once
     per salt bucket, join on (keys + salt).  Output = plain join output
     (salt dropped).
+
+    ``how`` must be big-side-driven (inner / left / left_semi /
+    left_anti): the replicated small side makes right and full_outer
+    emit every unmatched small row ``buckets`` times, so those raise
+    ``ValueError`` instead of returning silently wrong results (use a
+    plain join, or swap the sides, for small-driven semantics).
     """
+    if how.lower().replace("_", "") not in {
+        t.replace("_", "") for t in _SALTED_JOIN_TYPES
+    }:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics; "
+            "supported: inner, left, left_semi, left_anti"
+        )
     b = big.withColumn("_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(buckets)))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

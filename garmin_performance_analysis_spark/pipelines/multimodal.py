@@ -722,7 +722,10 @@ def _jpeg_pixels_progressive(payload: bytes):
                                         mcu_y * vs + by, mcu_x * hs + bx
                                     ]
                                     if ah == 0:
-                                        s = br.read_huff(huff[(0, td)])
+                                        dctab = huff.get((0, td))
+                                        if dctab is None:
+                                            raise _JpegCorrupt
+                                        s = br.read_huff(dctab)
                                         diff = (
                                             _jpeg_extend(br.read_bits(s), s)
                                             if s
@@ -740,7 +743,10 @@ def _jpeg_pixels_progressive(payload: bytes):
                         coef = stores[ci][by, bx]
                         if ss == 0:
                             if ah == 0:
-                                s = br.read_huff(huff[(0, td)])
+                                dctab = huff.get((0, td))
+                                if dctab is None:
+                                    raise _JpegCorrupt
+                                s = br.read_huff(dctab)
                                 diff = (
                                     _jpeg_extend(br.read_bits(s), s) if s else 0
                                 )
@@ -1035,13 +1041,16 @@ def decode_pixels(payload: bytes, header=_UNSET):
       territory.
     - binary PPM/PGM: 1-byte samples for maxval ≤ 255, big-endian
       2-byte samples above (netpbm spec); channel order RGB.
-    - PNG: non-interlaced, bit depth 8 (all color types, palette via
-      PLTE) or 16 (non-palette), all five scanline filters, CRCs
-      verified — see ``_png_pixels``.
-    - JPEG: baseline/extended sequential (SOF0/SOF1), full Huffman
-      entropy decode with DRI/RSTn restart intervals, integer-ratio
-      chroma subsampling, YCbCr→RGB — see ``_jpeg_pixels``.
-      Progressive/arithmetic/12-bit return None (stub boundary).
+    - PNG: interlace 0 and Adam7, bit depth 8 (all color types,
+      palette via PLTE) or 16 (non-palette), all five scanline
+      filters, CRCs verified — see ``_png_pixels``.  Sub-byte-packed
+      images (bit depth 1/2/4) return None (stub boundary).
+    - JPEG: baseline/extended sequential (SOF0/SOF1) and progressive
+      (SOF2) with full Huffman entropy decode (spectral selection +
+      successive approximation), DRI/RSTn restart intervals,
+      integer-ratio chroma subsampling, YCbCr→RGB — see
+      ``_jpeg_pixels`` / ``_jpeg_pixels_progressive``.
+      Arithmetic-coded and 12-bit return None (stub boundary).
 
     Returns ``(pixel_mean, [channel_means...])`` — exact integer sums
     divided once in double, so the result is deterministic and

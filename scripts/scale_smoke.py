@@ -169,6 +169,21 @@ QUERIES = [
     # r8: RRF hybrid fusion (documents + embeddings; both rankings
     # k-bounded before the fuse, so only the input scans grow)
     "o8_rrf_hybrid",
+    # r9: graph family — the node space is BOUNDED (1009 slots) by
+    # design, so 10× events saturate the edge generators and the wall
+    # should flatten: cost scales with the edge scan, never with the
+    # closure (the claim under test)
+    "g2_connected_components",
+    "g3_bfs_hops",
+    # r9: HDR quantile sketch (events; 10× users → 10× bounded
+    # sketches, one map-side-combinable groupBy + tiny windows),
+    # z-order tile rollup (events; output fixed at 256 tiles),
+    # schema-evolution roundtrip (orders; two writes + merged read),
+    # Holt grouped-map smoothing (events; 10× independent user groups)
+    "a21_hdr_quantile_sketch",
+    "z1_zorder_layout",
+    "s9_schema_evolution",
+    "t16_holt_linear",
 ]
 
 

@@ -1344,6 +1344,26 @@ def test_jpeg_progressive_grayscale_sa_roundtrip(w, h, density, dri, seed):
     assert _jpeg_pixels_progressive(payload[: len(payload) * 2 // 3]) is None
 
 
+def test_jpeg_progressive_undefined_dc_table_returns_none():
+    """A progressive scan whose component references a DHT slot that
+    was never defined must fall back to opaque-media (None), not crash
+    the task with KeyError (round-8 ADVICE): patch the first SOS's
+    td/ta byte from 0x00 to 0x10 so the DC scan asks for undefined DC
+    table 1."""
+    quant = [1] * 64
+    payload = bytearray(
+        _build_progressive_jpeg(
+            8, 8, [_grid(_rand_blocks(np.random.RandomState(0), 1, 4), 1, 1)],
+            [(1, 1)], [quant], _GRAY_SA_SCRIPT,
+        )
+    )
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0 and payload[sos + 6] == 0x00
+    payload[sos + 6] = 0x10  # td=1: DC table 1 is never defined
+    assert _jpeg_pixels_progressive(bytes(payload)) is None
+    assert _jpeg_pixels(bytes(payload)) is None
+
+
 @given(
     w=st.integers(min_value=1, max_value=18),
     h=st.integers(min_value=1, max_value=18),
@@ -1457,6 +1477,11 @@ def test_png_adam7_interlaced_roundtrip(w, h, color_type, bitd, seed):
 # replicated salted join must equal their plain one-stage forms.
 
 
+def _f(x):
+    """float-or-None: SUM over an all-NULL group is NULL."""
+    return None if x is None else float(x)
+
+
 @given(
     n=st.integers(min_value=1, max_value=300),
     n_keys=st.integers(min_value=1, max_value=8),
@@ -1474,22 +1499,28 @@ def test_salted_aggregate_equals_plain_for_any_skew(
     )
 
     rng = np.random.RandomState(seed)
-    # zipf-ish skew: key 0 gets the lion's share
+    # zipf-ish skew: key 0 gets the lion's share; ~20% NULL v so the
+    # count-vs-count_nonnull split is actually exercised
     keys = rng.zipf(1.5, size=n) % n_keys
     rows = [
-        (int(k), int(i), float(rng.randint(-1000, 1000)) / 8)
+        (
+            int(k),
+            int(i),
+            None if rng.rand() < 0.2 else float(rng.randint(-1000, 1000)) / 8,
+        )
         for i, k in enumerate(keys)
     ]
     df = spark.createDataFrame(rows, "k long, id long, v double").withColumn(
         "vdec", F.col("v").cast("decimal(30,12)")
     )
     got = {
-        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        r["k"]: (r["n"], r["nv"], _f(r["s"]), r["lo"], r["hi"])
         for r in salted_aggregate(
             df,
             ["k"],
             {
-                "n": ("v", "count"),
+                "n": ("v", "count"),            # COUNT(*) — col ignored
+                "nv": ("v", "count_nonnull"),   # COUNT(v)
                 "s": ("vdec", "sum"),
                 "lo": ("v", "min"),
                 "hi": ("v", "max"),
@@ -1499,10 +1530,11 @@ def test_salted_aggregate_equals_plain_for_any_skew(
         ).collect()
     }
     want = {
-        r["k"]: (r["n"], float(r["s"]), r["lo"], r["hi"])
+        r["k"]: (r["n"], r["nv"], _f(r["s"]), r["lo"], r["hi"])
         for r in df.groupBy("k")
         .agg(
-            F.count("v").alias("n"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("nv"),
             F.sum("vdec").alias("s"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
@@ -1516,7 +1548,7 @@ def test_salted_aggregate_equals_plain_for_any_skew(
     n=st.integers(min_value=1, max_value=300),
     n_dim=st.integers(min_value=1, max_value=12),
     buckets=st.sampled_from([1, 3, 16]),
-    how=st.sampled_from(["inner", "left"]),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
     seed=st.integers(min_value=0, max_value=10_000),
 )
 @settings(max_examples=12, deadline=None)
@@ -1528,7 +1560,8 @@ def test_salted_join_equals_plain_for_any_skew(
     from garmin_performance_analysis_spark.operators.skew import salted_join
 
     rng = np.random.RandomState(seed)
-    # hot key 0 + keys that MISS the dim (exercise inner drops / left nulls)
+    # hot key 0 + keys that MISS the dim (exercise inner drops / left
+    # nulls / semi keeps / anti keeps)
     keys = [0 if rng.rand() < 0.6 else int(rng.randint(0, n_dim + 3)) for _ in range(n)]
     big = spark.createDataFrame(
         [(k, i) for i, k in enumerate(keys)], "k long, id long"
@@ -1536,11 +1569,29 @@ def test_salted_join_equals_plain_for_any_skew(
     small = spark.createDataFrame(
         [(k, f"d{k}") for k in range(n_dim)], "k long, name string"
     )
+    # semi/anti joins emit only big's columns
+    cols = ("k", "id") if how in ("left_semi", "left_anti") else ("k", "id", "name")
     got = sorted(
-        (r["k"], r["id"], r["name"])
+        tuple(r[c] for c in cols)
         for r in salted_join(big, small, ["k"], buckets=buckets, how=how).collect()
     )
     want = sorted(
-        (r["k"], r["id"], r["name"]) for r in big.join(small, "k", how).collect()
+        tuple(r[c] for c in cols) for r in big.join(small, "k", how).collect()
     )
     assert got == want
+
+
+def test_salted_join_rejects_small_side_driven_types(spark):
+    """right/full_outer would duplicate every unmatched small row once
+    per salt bucket — salted_join must refuse them loudly (round-8
+    VERDICT item 2), not return silently wrong results."""
+    import pytest as _pytest
+
+    from garmin_performance_analysis_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, id long")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    for how in ("right", "rightouter", "right_outer", "full", "outer",
+                "full_outer", "fullouter"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, ["k"], buckets=4, how=how)
