@@ -205,6 +205,10 @@ HEADLINE = [
     "z1_zorder_layout",
     "s9_schema_evolution",
     "t16_holt_linear",
+    # r9: trigram-backoff scoring is a corpus LM batch job like x14;
+    # nDCG eval is a k-bounded serving read like o8
+    "x17_trigram_backoff",
+    "o9_ndcg_eval",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -214,6 +218,7 @@ HEADLINE = [
 BATCH_JOBS = {
     "g2_connected_components",
     "g3_bfs_hops",
+    "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",
     "v4_srp_lsh_pairs",

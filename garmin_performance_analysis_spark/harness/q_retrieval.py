@@ -1335,3 +1335,198 @@ def o8_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lex_rank",
         "sem_rank",
     )
+
+
+@register(
+    "x17_trigram_backoff",
+    oracle="""
+WITH lm AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+held AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+lmt AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM lm
+),
+lm_tris AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2,
+         w[CAST(i AS INTEGER) + 2] AS w3
+  FROM lmt, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+),
+c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM lm_tris GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM lm_tris GROUP BY 1, 2),
+lm_pairs AS (
+  SELECT w[CAST(i AS INTEGER)] AS w2, w[CAST(i AS INTEGER) + 1] AS w3
+  FROM lmt, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+),
+c23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM lm_pairs GROUP BY 1, 2),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM lm_pairs GROUP BY 1),
+lm_toks AS (SELECT unnest(w) AS w FROM lmt),
+c3 AS (SELECT w AS w3, COUNT(*) AS c3 FROM lm_toks GROUP BY 1),
+nv AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT w) AS v FROM lm_toks),
+ht AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM held
+),
+h_tris AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2,
+         w[CAST(i AS INTEGER) + 2] AS w3
+  FROM ht, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+),
+pf AS (
+  SELECT doc_id, w1, w2, w3, COUNT(*) AS pf FROM h_tris GROUP BY 1, 2, 3, 4
+),
+j AS (
+  SELECT pf.*, c123.c123, c12.c12, c23.c23, c2.c2, c3.c3, nv.n_tok, nv.v,
+         CASE WHEN c123.c123 IS NOT NULL THEN c123.c123 / c12.c12
+              WHEN c23.c23 IS NOT NULL THEN 0.4 * (c23.c23 / c2.c2)
+              ELSE 0.16 * ((COALESCE(c3.c3, 0) + 0.5)
+                           / (nv.n_tok + 0.5 * nv.v)) END AS s
+  FROM pf
+  LEFT JOIN c123 USING (w1, w2, w3)
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c23 USING (w2, w3)
+  LEFT JOIN c2 USING (w2)
+  LEFT JOIN c3 USING (w3)
+  CROSS JOIN nv
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(pf) AS BIGINT) AS n_trigrams,
+         CAST(SUM(CASE WHEN c123 IS NULL THEN pf ELSE 0 END) AS BIGINT)
+           AS n_backed_off,
+         ROUND(CAST(SUM(CAST(pf * ln(s) AS DECIMAL(30,12))) AS DOUBLE)
+               / SUM(pf), 6) AS avg_logscore
+  FROM j GROUP BY doc_id
+)
+SELECT * FROM scored
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+FROM held WHERE doc_id NOT IN (SELECT doc_id FROM scored)
+""",
+    tags=("text", "lm"),
+)
+def x17_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring of HELD-OUT documents
+    (doc_id % 5 = 0) under a frozen LM counted from the other 80% —
+    ``pipelines/text.trigram_backoff_scores`` (Brants et al. 2007;
+    the split is what makes the backoff chain live: a corpus scored
+    under its own counts never backs off).  n_backed_off counts the
+    trigram instances that fell through to the bigram/unigram levels
+    — the novelty signal a data-curation pipeline thresholds on.
+    Extends the unigram (x10) / bigram (x14) LM family with the
+    scheme actually used at web scale because it needs only counts."""
+    from ..pipelines.text import trigram_backoff_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    return trigram_backoff_scores(lm, held, "doc_id", "text")
+
+
+def _o9_oracle() -> str:
+    from .q_pipeline import _cos_expr
+
+    cos = _cos_expr("e.embedding", "q.qe")
+    return f"""
+WITH {_bm25_ctes()},
+lex AS (SELECT doc_id AS id, rk FROM ranked WHERE rk <= 10),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem_ranked AS (
+  SELECT e.vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY {cos} DESC, e.vec_id ASC) AS sem_rank
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+gold AS (SELECT id, 11 - sem_rank AS rel FROM sem_ranked WHERE sem_rank <= 10),
+dcg_t AS (
+  SELECT SUM(CAST(COALESCE(g.rel, 0) / ln(l.rk + 1.0) * ln(2.0)
+             AS DECIMAL(30,12))) AS dcg,
+         COUNT(g.id) AS n_overlap
+  FROM lex l LEFT JOIN gold g ON l.id = g.id
+),
+idcg_t AS (
+  SELECT SUM(CAST(rel / ln(12.0 - rel) * ln(2.0) AS DECIMAL(30,12))) AS idcg
+  FROM gold
+)
+SELECT CAST(10 AS INTEGER) AS k,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+       ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+FROM dcg_t CROSS JOIN idcg_t
+"""
+
+
+@register(
+    "o9_ndcg_eval",
+    oracle=_o9_oracle(),
+    tags=("retrieval", "evaluation"),
+)
+def o9_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation as a first-class pipeline operator:
+    nDCG@10 (Järvelin & Kekäläinen 2002 — the standard graded-
+    relevance metric) of the x7 BM25 lexical ranking against
+    relevance grades derived from the exact-cosine semantic ranking
+    (rel = 11 − sem_rank for the semantic top-10, 0 otherwise) — i.e.
+    "how well does lexical search recover what embedding search would
+    return", the lexical/semantic agreement audit run before shipping
+    a hybrid retriever (o8).  DCG terms use rel/log2(rank+1) written
+    as rel·ln2/ln(rank+1) so both engines share one expression tree;
+    per-term DECIMAL casts make the 10-term sums order-independent.
+    Both rankings are k-bounded before the metric, so the eval layer
+    is O(k) at any corpus size — evaluation must never cost more than
+    retrieval.  IDCG comes from the gold grades themselves (for the
+    rank-derived gold, grade at ideal position i is 11−i, so
+    ln(12−rel) = ln(i+1))."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=10
+    ).select(F.col("doc_id").alias("id"), F.col("rk").cast("int").alias("rk"))
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    cos = similarity._dot("embedding", "_q") / (
+        similarity._norm("embedding") * similarity._norm("_q")
+    )
+    sem10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("cosine", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    w_sem = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    gold = sem10.withColumn("sem_rank", F.row_number().over(w_sem)).select(
+        F.col("vec_id").alias("id"), (11 - F.col("sem_rank")).alias("rel")
+    )
+    ln2 = F.log(F.lit(2.0))
+    joined = lex.join(gold, "id", "left")
+    dcg_t = joined.agg(
+        F.sum(
+            (
+                F.coalesce(F.col("rel"), F.lit(0))
+                / F.log(F.col("rk") + 1.0)
+                * ln2
+            ).cast("decimal(30,12)")
+        ).alias("dcg"),
+        F.count("rel").alias("n_overlap"),
+    )
+    idcg_t = gold.agg(
+        F.sum(
+            (F.col("rel") / F.log(12.0 - F.col("rel")) * ln2).cast(
+                "decimal(30,12)"
+            )
+        ).alias("idcg")
+    )
+    return dcg_t.crossJoin(idcg_t).select(
+        F.lit(10).cast("int").alias("k"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        _r6(F.col("dcg").cast("double")).alias("dcg"),
+        _r6(F.col("idcg").cast("double")).alias("idcg"),
+        _r6(F.col("dcg").cast("double") / F.col("idcg").cast("double")).alias(
+            "ndcg"
+        ),
+    )

@@ -16,8 +16,10 @@ YCbCr→RGB), and PROGRESSIVE Huffman JPEG as well
 (``_jpeg_pixels_progressive``: multi-scan spectral selection +
 successive approximation, EOB runs, per-scan restart intervals).
 Adam7-interlaced PNG de-interlaces for real too
-(``_png_deinterlace``).  Only the remaining genuinely codec-bound
-shapes (arithmetic-coded or 12-bit JPEG, sub-byte-packed PNG,
+(``_png_deinterlace``), and sub-byte-packed PNG (bit depth 1/2/4,
+grayscale + palette, both interlace modes) unpacks for real
+(``_png_unpack_bits``).  Only the remaining genuinely codec-bound
+shapes (arithmetic-coded or 12-bit JPEG,
 compressed audio, video containers) stay stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
@@ -586,6 +588,13 @@ def _jpeg_pixels_progressive(payload: bytes):
     stores = None  # per-comp (bh_pad, bw_pad, 64) int32 zigzag coefs
     geom = None
     saw_scan = False
+    # EOI is REQUIRED for progressive: a stream truncated at a scan
+    # boundary is still syntactically decodable (progressive rendering
+    # is the format's point) but silently under-refined — a
+    # determinism hazard in a fingerprinting pipeline, so incomplete
+    # streams reject instead (hypothesis-found: a 2/3-truncated file
+    # whose cut landed between scans decoded "successfully")
+    saw_eoi = False
     pos = 2
     n = len(payload)
     try:
@@ -599,6 +608,7 @@ def _jpeg_pixels_progressive(payload: bytes):
             code = payload[pos]
             pos += 1
             if code == 0xD9:  # EOI
+                saw_eoi = True
                 break
             if code == 0x01 or 0xD0 <= code <= 0xD8:
                 continue
@@ -770,7 +780,7 @@ def _jpeg_pixels_progressive(payload: bytes):
                 pos = end_pos
                 continue
             pos += seg_len
-        if frame is None or stores is None or not saw_scan:
+        if frame is None or stores is None or not saw_scan or not saw_eoi:
             return None
         fh, fw, comps = frame
         hmax, vmax, mx, my = geom
@@ -879,16 +889,62 @@ def _png_deinterlace(raw: bytes, w: int, h: int, fbpp: int):
     return full.reshape(h, w * fbpp)
 
 
+def _png_unpack_bits(rows, w: int, bitd: int):
+    """Unpack sub-byte-packed PNG samples: ``rows`` is the unfiltered
+    (h, stride) byte raster, samples are ``bitd`` bits each, MSB-first
+    within a byte, rows padded to a byte boundary (PNG spec §7.2).
+    Returns an (h, w) int64 sample array."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, : w * bitd]
+    per = bits.reshape(rows.shape[0], w, bitd).astype(np.int64)
+    weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.int64)
+    return (per * weights).sum(axis=2)
+
+
+def _png_deinterlace_subbyte(raw: bytes, w: int, h: int, bitd: int):
+    """Adam7 reconstruction for sub-byte bit depths: each pass packs
+    its OWN scanlines to a byte boundary (pass width, not image
+    width), filters run at byte granularity with bpp=1.  Returns the
+    de-interlaced (h, w) int64 SAMPLE grid (already unpacked) or None
+    on a length/filter mismatch."""
+    import numpy as np
+
+    full = np.zeros((h, w), dtype=np.int64)
+    off = 0
+    for ox, oy, sx, sy in _ADAM7:
+        pw = 0 if w <= ox else -(-(w - ox) // sx)
+        ph = 0 if h <= oy else -(-(h - oy) // sy)
+        if pw == 0 or ph == 0:
+            continue
+        stride_p = -(-(pw * bitd) // 8)
+        need = ph * (1 + stride_p)
+        chunk = raw[off : off + need]
+        if len(chunk) != need:
+            return None
+        off += need
+        rows_p = _png_unfilter(chunk, ph, stride_p, 1)
+        if rows_p is None:
+            return None
+        full[oy::sy, ox::sx] = _png_unpack_bits(rows_p, pw, bitd)
+    if off != len(raw):
+        return None
+    return full
+
+
 def _png_pixels(payload: bytes):
     """REAL PNG pixel decode with the stdlib only: chunk walk →
     zlib-inflate the IDAT stream → per-row filter reconstruction →
     (for palette images) PLTE lookup.  Supports bit depth 8 (all
-    color types) and 16 (non-palette), interlace 0 and Adam7
-    (``_png_deinterlace``); sub-byte-packed images (bit depth 1/2/4)
-    return None — the remaining honest boundary.  Means are exact
-    integer sums divided once in double, matching the BMP/netpbm
-    paths.  CRCs are verified (zlib.crc32) so corrupt payloads fall
-    back to opaque-media instead of decoding garbage."""
+    color types), 16 (non-palette), AND the sub-byte packed depths
+    1/2/4 (grayscale + palette, the only sub-byte types the spec
+    allows — §11.2.2), interlace 0 and Adam7 for all of them
+    (``_png_deinterlace`` / ``_png_deinterlace_subbyte``).  Sub-byte
+    grayscale means are over RAW storage samples (0..2^bitd−1, the
+    16-bit-path convention).  Means are exact integer sums divided
+    once in double, matching the BMP/netpbm paths.  CRCs are verified
+    (zlib.crc32) so corrupt payloads fall back to opaque-media
+    instead of decoding garbage."""
     import struct
     import zlib
 
@@ -926,17 +982,42 @@ def _png_pixels(payload: bytes):
         or channels is None
         or not idat
         or interlace not in (0, 1)
-        or bitd not in (8, 16)
-        or (color == 3 and bitd != 8)
+        or bitd not in (1, 2, 4, 8, 16)
+        or (color == 3 and bitd == 16)
+        # sub-byte packing is only legal for grayscale and palette
+        # (PNG spec §11.2.2); anything else is a corrupt header
+        or (bitd < 8 and color not in (0, 3))
     ):
         return None
-    sample_bytes = bitd // 8
-    fbpp = channels * sample_bytes
-    stride = w * fbpp
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    n_px = w * h
+    if bitd < 8:  # sub-byte packed: filters at byte level, bpp = 1
+        if interlace == 1:
+            grid = _png_deinterlace_subbyte(raw, w, h, bitd)
+        else:
+            stride = -(-(w * bitd) // 8)
+            if len(raw) != h * (1 + stride):
+                return None
+            rows = _png_unfilter(raw, h, stride, 1)
+            grid = None if rows is None else _png_unpack_bits(rows, w, bitd)
+        if grid is None:
+            return None
+        if color == 3:
+            if plte is None or grid.max() >= len(plte):
+                return None
+            samples = plte[grid.reshape(-1)]  # (n_px, 3) int64
+        else:
+            samples = grid.reshape(n_px, 1)
+        ch_sums = samples.sum(axis=0)
+        n_ch = samples.shape[1]
+        means = [float(s) / n_px for s in ch_sums]
+        return (float(ch_sums.sum()) / (n_px * n_ch), means)
+    sample_bytes = bitd // 8
+    fbpp = channels * sample_bytes
+    stride = w * fbpp
     if interlace == 1:  # Adam7: seven filtered sub-images, scattered
         rows = _png_deinterlace(raw, w, h, fbpp)
     else:
@@ -945,7 +1026,6 @@ def _png_pixels(payload: bytes):
         rows = _png_unfilter(raw, h, stride, fbpp)
     if rows is None:
         return None
-    n_px = w * h
     if color == 3:  # palette: indices → RGB triples
         if plte is None:
             return None
@@ -1041,10 +1121,11 @@ def decode_pixels(payload: bytes, header=_UNSET):
       territory.
     - binary PPM/PGM: 1-byte samples for maxval ≤ 255, big-endian
       2-byte samples above (netpbm spec); channel order RGB.
-    - PNG: interlace 0 and Adam7, bit depth 8 (all color types,
-      palette via PLTE) or 16 (non-palette), all five scanline
-      filters, CRCs verified — see ``_png_pixels``.  Sub-byte-packed
-      images (bit depth 1/2/4) return None (stub boundary).
+    - PNG: interlace 0 and Adam7, bit depths 1/2/4 (grayscale +
+      palette, sub-byte unpacking) and 8 (all color types, palette
+      via PLTE) and 16 (non-palette), all five scanline filters,
+      CRCs verified — see ``_png_pixels``.  Sub-byte grayscale means
+      are over RAW storage samples (0..2^bitd−1).
     - JPEG: baseline/extended sequential (SOF0/SOF1) and progressive
       (SOF2) with full Huffman entropy decode (spectral selection +
       successive approximation), DRI/RSTn restart intervals,
@@ -1126,7 +1207,7 @@ def decode_image_stub(payload: bytes) -> dict:
     """Integration point for a real codec-library decoder.
 
     STUB for the shapes ``decode_pixels`` doesn't cover in-repo
-    (arithmetic-coded/12-bit JPEG, sub-byte-packed PNG,
+    (arithmetic-coded/12-bit JPEG,
     compressed audio, video containers): those need PIL/libvips/
     ffmpeg, not present in this container.  On a production cluster,
     replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))``

@@ -548,3 +548,147 @@ def dsir_importance(
             ).alias("avg_log_ratio"),
         )
     )
+
+
+def trigram_backoff_scores(
+    lm_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 —
+    the counting scheme built for trillion-token corpora precisely
+    because it needs NO discounting math, only raw counts): score each
+    ``score_df`` document under a FROZEN LM counted from ``lm_df``:
+
+        S(w3 | w1 w2) = c123/c12                   if the trigram is in the LM
+                      = 0.4 * c23/c2               else if the bigram is
+                      = 0.16 * (c3 + 0.5)/(N + V/2)  else (Lidstone floor,
+                                                    so OOV words score
+                                                    finite, never ln 0)
+
+    The split matters: scoring a corpus under its OWN counts never
+    backs off (every observed trigram has c123 >= 1), so the held-out
+    frame is what exercises the backoff chain — the production shape
+    anyway (incoming batches scored under yesterday's LM).
+
+    Plan for 100 TB: trigram/bigram/unigram formation is IN-ROW
+    (slice+zip — zero shuffle, no window/self-join); the LM is three
+    count tables built by map-side-combinable groupBys; scoring joins
+    the per-(doc, trigram) frequencies against the three LM tables on
+    their n-gram keys (AQE skew-join covers hot n-grams — the x14
+    precedent); N and V ride a broadcast 1-row aggregate.  Per-doc
+    sums go through DECIMAL(30,12) (registry convention).
+
+    Output: (doc_id, n_trigrams, n_backed_off, avg_logscore) —
+    avg_logscore rounded 6dp, NULL (with n_trigrams = 0) for docs
+    under 3 tokens.
+    """
+    from ..harness.registry import dec_sum
+
+    def tri_frame(df: DataFrame) -> DataFrame:
+        toks = F.filter(_words(text_col), lambda x: x != "")
+        n = F.size(toks)
+        arr = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - 2, F.lit(0))).alias("w1"),
+            F.slice(toks, 2, F.greatest(n - 2, F.lit(0))).alias("w2"),
+            F.slice(toks, 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
+        )
+        return (
+            spread_for_compute(df, id_col)
+            .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("t"))
+            .select(
+                "doc_id",
+                F.col("t.w1").alias("w1"),
+                F.col("t.w2").alias("w2"),
+                F.col("t.w3").alias("w3"),
+            )
+        )
+
+    lm_tris = tri_frame(lm_df)
+    c123 = lm_tris.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123")
+    )
+    c12 = lm_tris.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # bigram/unigram tables over ALL adjacent pairs / tokens of the LM
+    # corpus (not just trigram-interior ones) — the standard backoff
+    # denominators
+    lm_toks = spread_for_compute(lm_df, id_col).select(
+        F.explode(F.filter(_words(text_col), lambda x: x != "")).alias("w")
+    )
+    c3 = lm_toks.groupBy(F.col("w").alias("w3")).agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    lm_pairs = (
+        spread_for_compute(lm_df, id_col)
+        .select(F.filter(_words(text_col), lambda x: x != "").alias("ws"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(
+                        F.col("ws"),
+                        1,
+                        F.greatest(F.size("ws") - 1, F.lit(0)),
+                    ).alias("w2"),
+                    F.slice(
+                        F.col("ws"),
+                        2,
+                        F.greatest(F.size("ws") - 1, F.lit(0)),
+                    ).alias("w3"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
+    )
+    c23 = lm_pairs.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    c2 = lm_pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    nv = lm_toks.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("w").alias("v"),
+    )
+
+    pf = tri_frame(score_df).groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("pf")
+    )
+    joined = (
+        pf.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    score = F.when(
+        F.col("c123").isNotNull(), F.col("c123") / F.col("c12")
+    ).otherwise(
+        F.when(
+            F.col("c23").isNotNull(), 0.4 * (F.col("c23") / F.col("c2"))
+        ).otherwise(
+            0.16
+            * ((F.coalesce(F.col("c3"), F.lit(0)) + 0.5)
+               / (F.col("n_tok") + 0.5 * F.col("v")))
+        )
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.sum("pf").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("c123").isNull(), F.col("pf")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_backed_off"),
+        F.round(
+            dec_sum(F.col("pf") * F.log(score), scale=12, precision=30)
+            / F.sum("pf"),
+            6,
+        ).alias("avg_logscore"),
+    )
+    empties = (
+        spread_for_compute(score_df, id_col)
+        .select(F.col(id_col).alias("doc_id"))
+        .join(scored.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_trigrams"),
+            F.lit(0).cast("bigint").alias("n_backed_off"),
+            F.lit(None).cast("double").alias("avg_logscore"),
+        )
+    )
+    return scored.unionByName(empties)

@@ -184,6 +184,12 @@ QUERIES = [
     "z1_zorder_layout",
     "s9_schema_evolution",
     "t16_holt_linear",
+    # r9: trigram backoff (documents; three LM count shuffles + the
+    # n-gram-keyed scoring joins — the x14 shape one level up) and
+    # nDCG eval (documents + embeddings; both rankings k-bounded, so
+    # only the input scans grow)
+    "x17_trigram_backoff",
+    "o9_ndcg_eval",
 ]
 
 

@@ -813,3 +813,41 @@ def test_doc_chunks_windows_and_remainder(spark):
         prep.doc_chunks(df, window=4, stride=5)
     with pytest.raises(ValueError):
         prep.doc_chunks(df, window=0, stride=0)
+
+
+def test_trigram_backoff_levels_on_constructed_corpus(spark):
+    """All three stupid-backoff levels pinned by hand: trigram hit
+    (c123/c12), bigram backoff (0.4*c23/c2), unigram/OOV floor
+    (0.16*(c3+0.5)/(N+V/2)) — plus the <3-token NULL contract."""
+    import math
+
+    from garmin_performance_analysis_spark.pipelines.text import (
+        trigram_backoff_scores,
+    )
+
+    lm = spark.createDataFrame([(1, "a b c a b d")], "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(10, "a b c z b d q"), (11, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in trigram_backoff_scores(lm, held, "doc_id", "text").collect()
+    }
+    # LM: tokens N=6, V=4 (a,b,c,d); trigrams abc,bca,cab,abd;
+    # pairs ab,bc,ca,ab,bd; c12(a,b)=2 (trigram-context count)
+    floor_oov = 0.16 * 0.5 / (6 + 0.5 * 4)          # z / q unseen
+    floor_b = 0.16 * (2 + 0.5) / (6 + 0.5 * 4)      # b seen twice
+    expect = [
+        1 / 2,          # (a,b,c): trigram hit, c123=1, c12=2
+        floor_oov,      # (b,c,z): no (c,z) bigram, z OOV
+        floor_b,        # (c,z,b): no (z,b) bigram, unigram b
+        0.4 * (1 / 2),  # (z,b,d): bigram (b,d) c23=1, c2(b)=2
+        floor_oov,      # (b,d,q): no (d,q) bigram, q OOV
+    ]
+    want = sum(math.log(s) for s in expect) / len(expect)
+    r = rows[10]
+    assert r["n_trigrams"] == 5
+    assert r["n_backed_off"] == 4
+    assert abs(r["avg_logscore"] - round(want, 6)) < 1e-9
+    assert rows[11]["n_trigrams"] == 0
+    assert rows[11]["avg_logscore"] is None

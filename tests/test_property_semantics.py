@@ -1595,3 +1595,88 @@ def test_salted_join_rejects_small_side_driven_types(spark):
                 "full_outer", "fullouter"):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(big, small, ["k"], buckets=4, how=how)
+
+
+def _pack_subbyte_rows(samples: np.ndarray, bitd: int) -> np.ndarray:
+    """Pack an (h, w) sample grid into PNG sub-byte scanline bytes:
+    MSB-first within a byte, each row padded to a byte boundary."""
+    h, w = samples.shape
+    shifts = np.arange(bitd - 1, -1, -1)
+    bits = ((samples[:, :, None] >> shifts) & 1).reshape(h, w * bitd)
+    return np.packbits(bits.astype(np.uint8), axis=1)
+
+
+def _build_png_subbyte(samples: np.ndarray, bitd: int, color_type: int,
+                       filters, plte=None, interlace: int = 0) -> bytes:
+    """PNG builder for bit depths 1/2/4 (grayscale or palette):
+    per-(pass-)row sub-byte packing, then the byte-level filter
+    transform with bpp=1, exactly per spec §7.2/§4.5.4."""
+    h, w = samples.shape
+    if interlace == 0:
+        packed = _pack_subbyte_rows(samples, bitd)
+        out = _filter_png_rows(packed, 1, filters)
+    else:
+        out = bytearray()
+        for ox, oy, sx, sy in _ADAM7_TEST:
+            sub = samples[oy::sy, ox::sx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _filter_png_rows(_pack_subbyte_rows(sub, bitd), 1, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitd, color_type, 0, 0, interlace)
+    png = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(out))
+    png += _chunk(b"IDAT", comp[: len(comp) // 2])
+    png += _chunk(b"IDAT", comp[len(comp) // 2 :])
+    png += _chunk(b"IEND", b"")
+    return png
+
+
+@given(
+    w=st.integers(min_value=1, max_value=25),
+    h=st.integers(min_value=1, max_value=25),
+    bitd=st.sampled_from([1, 2, 4]),
+    color_type=st.sampled_from([0, 3]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_subbyte_pixel_roundtrip(w, h, bitd, color_type, interlace, seed):
+    """Sub-byte-packed PNG (bit depth 1/2/4, grayscale + palette,
+    interlace 0 + Adam7): the decoder must reproduce exact channel
+    means computed from the reference sample grid — closes the r8
+    documented decode boundary."""
+    from garmin_performance_analysis_spark.pipelines.multimodal import (
+        _png_pixels,
+        parse_image_header,
+    )
+
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(0, 1 << bitd, size=(h, w)).astype(np.int64)
+    filters = [int(rng.randint(0, 5)) for _ in range(max(h, 1))]
+    plte = None
+    if color_type == 3:
+        plte = rng.randint(0, 256, size=(1 << bitd, 3)).astype(np.uint8)
+    payload = _build_png_subbyte(
+        samples, bitd, color_type, filters, plte=plte, interlace=interlace
+    )
+    hdr = parse_image_header(payload)
+    assert hdr is not None and hdr[1] == w and hdr[2] == h
+    got = _png_pixels(payload)
+    assert got is not None, "sub-byte PNG must decode"
+    got_mean, got_means = got
+    n_px = w * h
+    if color_type == 3:
+        rgb = plte.astype(np.int64)[samples.reshape(-1)]
+        want_means = [float(rgb[:, c].sum()) / n_px for c in range(3)]
+        want_mean = float(rgb.sum()) / (n_px * 3)
+    else:
+        want_means = [float(samples.sum()) / n_px]
+        want_mean = want_means[0]
+    assert got_means == want_means
+    assert got_mean == want_mean
+    # truncating INTO the chunk stream must reject, not decode garbage
+    # (dropping only the IEND tail is tolerated by design — the data
+    # chunks are complete and CRC-verified)
+    assert _png_pixels(payload[: len(payload) // 2]) is None
