@@ -209,6 +209,16 @@ HEADLINE = [
     # nDCG eval is a k-bounded serving read like o8
     "x17_trigram_backoff",
     "o9_ndcg_eval",
+    # r9 cont.: triangle counting is a graph batch job; the count-min
+    # point-query and temperature-mix report are read-shaped aggs; the
+    # sliding distinct-user count is a read-shaped dedupe+explode agg;
+    # the partition-pruned scan is a read once the layout exists
+    # (written on first call, memoized — the j15 convention)
+    "g4_triangle_count",
+    "a22_countmin_sketch",
+    "c16_temperature_mix",
+    "w16_sliding_distinct_users",
+    "s10_partition_pruned_scan",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -218,6 +228,7 @@ HEADLINE = [
 BATCH_JOBS = {
     "g2_connected_components",
     "g3_bfs_hops",
+    "g4_triangle_count",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -655,3 +655,81 @@ def a21_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p95_scaled") / 1000.0).alias("p95"),
         (F.col("p99_scaled") / 1000.0).alias("p99"),
     )
+
+
+def _a22_oracle() -> str:
+    from .q_pipeline import _hex_horner
+
+    # row j's position = the j-th 8-hex slice of ONE md5 per term
+    # (mirrors operators/sketches.cms_positions)
+    slices = ", ".join(
+        f"({_hex_horner('d', 1 + 8 * j, 8)}) % 1024 AS pos{j}" for j in range(4)
+    )
+    pos_union = " UNION ALL ".join(
+        f"SELECT {j} AS j, pos{j} AS pos FROM hpos" for j in range(4)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT term, cnt, {j} AS j, pos{j} AS pos FROM tpos"
+        for j in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+top AS (SELECT term, cnt FROM cnt ORDER BY cnt DESC, term LIMIT 20),
+hpos AS (
+  SELECT {slices} FROM (SELECT md5('cms|' || term) AS d FROM toks)
+),
+cells AS (
+  SELECT j, pos, COUNT(*) AS c FROM ({pos_union}) GROUP BY 1, 2
+),
+tpos AS (
+  SELECT term, cnt, {slices}
+  FROM (SELECT term, cnt, md5('cms|' || term) AS d FROM top)
+),
+probe AS ({probe_union})
+SELECT p.term,
+       CAST(p.cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_est,
+       MIN(COALESCE(c.c, 0)) >= p.cnt AS never_undercounts
+FROM probe p LEFT JOIN cells c ON p.j = c.j AND p.pos = c.pos
+GROUP BY p.term, p.cnt
+"""
+
+
+@register(
+    "a22_countmin_sketch",
+    oracle=_a22_oracle(),
+    tags=("sketch", "text"),
+)
+def a22_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (``operators/sketches.cms_sketch``/``cms_estimate``, Cormode &
+    Muthukrishnan 2005) — the FREQUENCY member of the mergeable-sketch
+    suite (a20 HLL distinct, a21 HDR quantiles, d9 Bloom membership,
+    x15 Misra-Gries top-k): the corpus token stream reduces to a 4×1024
+    cell table through one map-side-combinable groupBy, cells merge by
+    addition, and the exact top-20 terms (x15's two-pass operator
+    supplies truth) are point-queried against it.  md5-derandomized
+    row hashes make the sketch deterministic, so the oracle replays
+    the identical construction and the ESTIMATES hash-match — not just
+    an error-band verdict; the CMS one-sided guarantee (est ≥ true,
+    never undercounts) is pinned per term in-band."""
+    from ..operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    sketch = sketches.cms_sketch(terms, "term", depth=4, width=1024)
+    top = sketches.heavy_hitters_topk(terms, "term", k=20, width=4096)
+    est = sketches.cms_estimate(
+        sketch, top.select("term"), "term", depth=4, width=1024
+    )
+    return top.join(est, "term").select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("cnt")).alias("never_undercounts"),
+    )

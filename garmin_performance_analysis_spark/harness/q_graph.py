@@ -163,6 +163,52 @@ def g2_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g4_triangle_count",
+    oracle=f"""
+WITH raw AS ({_G2_EDGE_SQL}),
+und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+cnt AS (SELECT node, COUNT(*) AS n FROM corners GROUP BY 1),
+nodes AS (SELECT u AS node FROM und UNION SELECT v FROM und)
+SELECT n.node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN cnt c ON n.node = c.node
+""",
+    tags=("graph",),
+)
+def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the g2 generator graph —
+    the clustering-coefficient / community-density primitive
+    (``operators/graph.triangle_participation``).  Compact-forward
+    enumeration: orient edges low→high, wedge-join on the middle
+    node, close against the oriented list — each triangle counted
+    exactly once by construction, three node-keyed equi-joins and
+    zero post-dedup (the Suri-Vassilvitskii MR shape; the
+    degree-orientation knob for power-law graphs is documented on the
+    operator).  The oracle states the identical joins in SQL — exact
+    integer counts, trivially hash-checkable, zero-participation
+    nodes pinned present."""
+    from ..operators.graph import triangle_participation
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = _g2_raw_edges(ev)
+    return triangle_participation(raw, "src", "dst")
+
+
+@register(
     "g3_bfs_hops",
     oracle=f"""
 WITH RECURSIVE raw AS ({_G2_EDGE_SQL}),

@@ -89,3 +89,72 @@ def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+_S10_MEMO: dict = {}
+
+
+@register(
+    "s10_partition_pruned_scan",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(22,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+GROUP BY 1, 2
+""",
+    tags=("source", "layout"),
+)
+def s10_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-PRUNED read — the single
+    biggest scan lever at 100 TB: events land once as
+    ``partitionBy(day)`` parquet (the ingest-time layout cost, paid
+    once like j15's bucketing), and a one-week query never opens the
+    other partitions' files at all — pruning happens in the catalog
+    against directory names, BEFORE any I/O, so the scan cost tracks
+    the filter's selectivity instead of the table size.  The filter
+    sits on the partition column itself (``d``), which is what makes
+    it a PartitionFilter instead of a pushed data filter;
+    ``tests/test_plan_shapes.py`` gates both the plan's
+    PartitionFilters clause and the pruned ``inputFiles()`` set.  The
+    layout is memoized per (applicationId, sf_dir) — table names
+    include the app id so concurrent sessions cannot race (the j15
+    convention)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    path = _S10_MEMO.get(key)
+    if path is None:
+        digest = hashlib.md5(f"{app_id}:{sf_dir}".encode()).hexdigest()[:8]
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_s10")
+        os.makedirs(root, exist_ok=True)
+        # reclaim layouts from dead sessions (>1h cannot be live)
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if _time.time() - os.path.getmtime(full) > 3600:
+                shutil.rmtree(full, ignore_errors=True)
+        path = os.path.join(root, digest)
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        ev.withColumn(
+            "d", F.date_format("ts", "yyyy-MM-dd")
+        ).write.partitionBy("d").parquet(path)
+        _S10_MEMO[key] = path
+    pruned = spark.read.parquet(path).filter(
+        (F.col("d") >= "2024-01-10") & (F.col("d") <= "2024-01-16")
+    )
+    return pruned.groupBy(
+        F.col("d").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )

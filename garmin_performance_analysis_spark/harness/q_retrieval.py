@@ -1530,3 +1530,58 @@ def o9_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+@register(
+    "c16_temperature_mix",
+    oracle="""
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total,
+         CAST(SUM(CAST(POWER(n_docs, 0.3) AS DECIMAL(38,18))) AS DOUBLE)
+           AS w_total
+  FROM per
+)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(n_docs * 1.0 / n_total, 6) AS raw_share,
+       ROUND(POWER(n_docs, 0.3) / w_total, 6) AS temp_share,
+       ROUND(POWER(n_docs, 0.3) / w_total * n_total / n_docs, 6) AS epochs
+FROM per, tot
+""",
+    tags=("prep", "curation"),
+)
+def c16_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights for multi-stratum training
+    corpora (the mT5/XLM-R upsampling rule, Xue et al. 2021 §3.1:
+    sample stratum i with p_i ∝ n_i^α, α = 0.3): per (lang, source)
+    stratum the raw share, the temperature share, and the effective
+    epochs the stratum is repeated for under a one-epoch total budget
+    (= temp_share · N / n_i — the >1 values on small strata are
+    exactly the upsampling the rule exists to produce, the <1 on the
+    head the downsampling).  Shape: one keyed agg over the corpus +
+    a broadcast 1-row total — the stratum table is group-cardinality,
+    never row-cardinality, so the report costs one scan at any
+    volume.  w-sums pass through DECIMAL(38,18) so the normalizer is
+    shuffle-order-independent (registry convention); POWER is the
+    same libm double in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs").cast("double"), 0.3)
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(w.cast("decimal(38,18)")).cast("double").alias("w_total"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        _r6(F.col("n_docs") / F.col("n_total")).alias("raw_share"),
+        _r6(w / F.col("w_total")).alias("temp_share"),
+        _r6(w / F.col("w_total") * F.col("n_total") / F.col("n_docs")).alias(
+            "epochs"
+        ),
+    )

@@ -257,3 +257,52 @@ def o4_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20, 40
     )
     return out.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "w16_sliding_distinct_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT strftime(g.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+FROM days g
+JOIN ud u ON u.d BETWEEN g.d - 6 AND g.d
+GROUP BY g.d
+""",
+    tags=("window", "rolling"),
+)
+def w16_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per observed day — the
+    rolling-engagement metric COUNT(DISTINCT) over a window frame
+    cannot express (distinct does not decompose over frames, and
+    per-day set-union windows hold unbounded state).  The scale shape
+    is dedupe-then-bounded-explode: reduce the stream to distinct
+    (user, day) pairs (one keyed agg — the only row-cardinality
+    shuffle), fan each pair out to the ≤7 trailing days it keeps the
+    user active for (constant 7× blowup of the ALREADY-deduped pairs,
+    independent of event volume), and count distinct users per target
+    day.  The final distinct is per-day bounded (≤ active users), and
+    no global window appears — a grid semi-join keeps only observed
+    days, mirroring the oracle's range join exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("gday"),
+    )
+    return (
+        contrib.join(days.select(F.col("d").alias("gday")), "gday")
+        .groupBy("gday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users_7d"))
+        .select(
+            F.date_format("gday", "yyyy-MM-dd").alias("day"), "n_users_7d"
+        )
+    )

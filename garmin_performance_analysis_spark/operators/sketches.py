@@ -147,6 +147,101 @@ def hdr_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications"), the
+# FREQUENCY member of the mergeable-sketch suite (HLL = a20 distinct,
+# HDR = a21 quantiles, Bloom = d9 membership, Misra-Gries = x15 topk).
+# md5-derandomized row hashes (the repo's convention, same shape as
+# pipelines/dedup.bloom_contamination_stats) make the sketch — and
+# therefore its overestimates — fully deterministic and reproducible
+# in any engine, so a catalog entry can hash-check the ESTIMATES, not
+# just an error-band verdict.
+#
+# The 100 TB contract: any token volume reduces to a depth×width cell
+# table (CMS_DEPTH*CMS_WIDTH rows max) via ONE map-side-combinable
+# groupBy; cells merge across partitions/files/days by count addition;
+# point queries are a k-row probe join.  Guarantee: est ≥ true always
+# (never undercounts), est ≤ true + εN with ε = e/width at the usual
+# failure bound δ = e^-depth.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_positions(term: Column, depth: int, width: int) -> Column:
+    """All ``depth`` cell indices for ``term`` from ONE md5: row j's
+    position is the j-th 8-hex-digit slice of md5('cms|' || term)
+    taken as a 32-bit integer mod ``width``.  One hash per term (the
+    first measurement paid depth md5s per token — 4× the kernel cost
+    of the build scan for nothing: digest slices are as independent
+    as separately-seeded hashes for cell assignment), deterministic,
+    engine-portable (DuckDB mirrors the slices with md5 + Horner hex
+    expansions).  depth ≤ 4 (md5 has 32 hex digits)."""
+    if depth > 4:
+        raise ValueError("cms digest slicing supports depth <= 4")
+    d = F.md5(F.concat(F.lit("cms|"), term))
+    return F.array(
+        *[
+            F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast("bigint")
+            % width
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    term_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch over one pass of ``term_col``: (j, pos, cnt)
+    cell counts, ≤ depth×width rows regardless of input volume.  The
+    posexplode multiplies the stream ``depth``× BEFORE the groupBy,
+    but partial aggregation combines map-side into ≤ depth×width cells
+    per task, so the single shuffle moves only bounded summaries —
+    the same sketch-not-stream shuffle shape as hdr_sketch."""
+    return (
+        df.select(
+            F.posexplode(
+                cms_positions(F.col(term_col), depth, width)
+            ).alias("j", "pos")
+        )
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query ``probes``' terms against a sketch built with the
+    same (depth, width): est(term) = min over rows j of the cell at
+    pos_j(term); a missing cell reads as 0 (the term never occurred).
+    Probe terms explode ``depth``× and broadcast-join the (tiny) cell
+    table — O(k·depth) work however large the sketched stream was."""
+    ppos = probes.select(
+        F.col(term_col).alias("term"),
+        F.posexplode(cms_positions(F.col(term_col), depth, width)).alias(
+            "j", "pos"
+        ),
+    )
+    return (
+        ppos.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+    )
+
+
 def hdr_quantiles(
     sketch: DataFrame,
     group_cols: Sequence[str],

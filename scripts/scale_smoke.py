@@ -190,6 +190,20 @@ QUERIES = [
     # only the input scans grow)
     "x17_trigram_backoff",
     "o9_ndcg_eval",
+    # r9 cont.: triangle counting (bounded 1009-node space like g2 —
+    # 10× events saturate the generators, wall should flatten);
+    # count-min sketch (documents; cells capped at 4×1024 whatever the
+    # token volume — the build scan is the only thing that grows);
+    # temperature mix (documents; one keyed agg, stratum-cardinality
+    # output); sliding distinct users (events; the explode is 7× the
+    # DEDUPED user-day pairs, not the event stream); partition-pruned
+    # scan (events; the pruned week is a fixed fraction of the month,
+    # so the read grows with the slice, the layout write with volume)
+    "g4_triangle_count",
+    "a22_countmin_sketch",
+    "c16_temperature_mix",
+    "w16_sliding_distinct_users",
+    "s10_partition_pruned_scan",
 ]
 
 

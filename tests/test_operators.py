@@ -1089,3 +1089,135 @@ def test_holt_linear_constant_series_is_flat(spark):
             b = 0.25 * (ln - l) + 0.75 * b
             l = ln
     assert l == 42.5 and b == 0.0
+
+
+def test_triangle_participation_constructed_graph(spark):
+    """Two triangles sharing node 3/5 chains, plus a triangle-free
+    tail; duplicate and reversed edges must not double-count."""
+    from garmin_performance_analysis_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),          # triangle {1,2,3}
+            (3, 1),                          # duplicate
+            (1, 3),                          # reversed duplicate
+            (3, 4), (4, 5), (5, 3),          # triangle {3,4,5}
+            (5, 6),                          # tail — no triangle
+            (6, 6),                          # self-loop — dropped
+        ],
+        "src int, dst int",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_participation(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 0}
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    """CMS one-sided error: est >= true for every term, and with a
+    width far above the distinct-term count every estimate is exact
+    (no collisions to absorb)."""
+    from garmin_performance_analysis_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(f"t{i % 13}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "term string")
+    truth = {t: sum(1 for r in rows if r[0] == t) for t in {r[0] for r in rows}}
+    probes = spark.createDataFrame([(t,) for t in truth], "term string")
+
+    wide = cms_estimate(cms_sketch(df, "term", depth=4, width=4096),
+                        probes, "term", depth=4, width=4096)
+    for r in wide.collect():
+        assert r["cms_est"] == truth[r["term"]]
+
+    narrow = cms_estimate(cms_sketch(df, "term", depth=2, width=4),
+                          probes, "term", depth=2, width=4)
+    for r in narrow.collect():
+        assert r["cms_est"] >= truth[r["term"]]
+
+
+def test_cms_sketches_merge_by_cell_addition(spark):
+    """Mergeability — the 100 TB property: the sketch of a union equals
+    the cell-wise sum of the parts' sketches."""
+    from garmin_performance_analysis_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(100)], "term string")
+    b = spark.createDataFrame([(f"a{i % 5}",) for i in range(80)], "term string")
+    whole = cms_sketch(a.unionByName(b), "term", depth=3, width=64)
+    merged = (
+        cms_sketch(a, "term", depth=3, width=64)
+        .unionByName(cms_sketch(b, "term", depth=3, width=64))
+        .groupBy("j", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = whole.join(merged, ["j", "pos"], "full") \
+        .filter(
+            F.coalesce(whole["cnt"], F.lit(0)) != F.coalesce(merged["cnt"], F.lit(0))
+        )
+    assert diff.count() == 0
+
+
+def test_temperature_mix_upsamples_tail_downsamples_head(spark):
+    """α<1 temperature scaling must boost small strata above one
+    effective epoch and pull the head below — and shares must sum
+    to 1 on both scales."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    import math
+
+    from conftest import SF_SMOKE
+
+    rows = CATALOG["c16_temperature_mix"].fn(spark, SF_SMOKE).collect()
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    n_total = sum(r["n_docs"] for r in rows)
+    w_total = sum(math.pow(r["n_docs"], 0.3) for r in rows)
+    for r in rows:
+        want = math.pow(r["n_docs"], 0.3) / w_total * n_total / r["n_docs"]
+        assert abs(r["epochs"] - want) < 1e-4
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    assert smallest["epochs"] > largest["epochs"]
+
+
+def test_sliding_distinct_window_boundaries(spark):
+    """A user active on day 1 counts for days 1..7 and is gone on day
+    8; multiple events on one day count once."""
+    import datetime as dt
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness import q_window
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 100, base),                              # u100 day 1, twice
+        (2, 100, base + dt.timedelta(hours=1)),
+        (3, 200, base + dt.timedelta(days=6)),       # u200 day 7
+        (4, 300, base + dt.timedelta(days=7)),       # u300 day 8
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "gday"
+        ),
+    )
+    out = (
+        contrib.join(days.select(F.col("d").alias("gday")), "gday")
+        .groupBy("gday")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    got = {str(r["gday"]): r["n"] for r in out.collect()}
+    # observed days: Mar 1 (u100), Mar 7 (u200 + u100 still in window),
+    # Mar 8 (u300 + u200; u100 aged out)
+    assert got == {"2024-03-01": 1, "2024-03-07": 2, "2024-03-08": 2}

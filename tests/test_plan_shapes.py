@@ -237,3 +237,32 @@ def test_no_global_windows_anywhere_in_catalog(spark):
         if bad:
             offenders[name] = bad[0][:120]
     assert not offenders, f"global windows in: {offenders}"
+
+
+def test_s10_scan_is_partition_pruned(spark):
+    """The week filter must become PartitionFilters (pruned against
+    directory names before any I/O), not a data filter evaluated per
+    row — the mechanism the entry exists to demonstrate."""
+    df = CATALOG["s10_partition_pruned_scan"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "scan lost its PartitionFilters clause"
+    assert ">= 2024-01-10" in pf[0] and "<= 2024-01-16" in pf[0]
+
+
+def test_a22_cms_shuffle_carries_cells_not_stream(spark):
+    """The sketch build's only row-cardinality shuffle is the token
+    dedup inside the probe's exact recount; the CMS groupBy itself
+    must partially aggregate map-side (HashAggregate below the
+    exchange) so the wire carries ≤ depth×width cells per task."""
+    from garmin_performance_analysis_spark.operators import sketches
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    sk = sketches.cms_sketch(terms, "term")
+    plan = checks.formatted_plan(sk)
+    assert plan.count("Exchange (") == 1
+    # partial aggregation below the exchange = map-side combine
+    assert "partial_count" in plan
