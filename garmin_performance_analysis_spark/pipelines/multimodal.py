@@ -19,8 +19,11 @@ Adam7-interlaced PNG de-interlaces for real too
 (``_png_deinterlace``), and sub-byte-packed PNG (bit depth 1/2/4,
 grayscale + palette, both interlace modes) unpacks for real
 (``_png_unpack_bits``).  Only the remaining genuinely codec-bound
-shapes (arithmetic-coded or 12-bit JPEG,
-compressed audio, video containers) stay stubbed:
+12-bit extended-sequential JPEG (SOF1, 16-bit quant tables)
+decodes through the same path with the level shift / clip widened to
+the 2^(P-1) center.  Only the remaining genuinely codec-bound shapes
+(arithmetic-coded JPEG, compressed audio, video containers) stay
+stubbed:
 ``decode_image_stub`` raises ``NotImplementedError`` to mark the
 integration point for a real codec (PIL/ffmpeg on a production
 cluster, shipped to executors via ``spark.archives``).
@@ -294,7 +297,9 @@ def _jpeg_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decode with stdlib + numpy only —
     closes the last ``NotImplementedError`` decode boundary for the
     dominant sequential-DCT class (VERDICT r6 item 7, matching the PNG
-    precedent): marker walk → DQT/DHT/SOF0/SOS parse → canonical
+    precedent), including 12-bit extended sequential (SOF1 + 16-bit
+    DQT, samples in the native 0..4095 domain): marker walk →
+    DQT/DHT/SOF0/SOF1/SOS parse → canonical
     Huffman entropy decode (FF00 unstuffing, DRI/RSTn restart
     intervals, DC predictors per component) → dequantize → de-zigzag →
     separable float IDCT + level shift → per-component crop/upsample
@@ -302,7 +307,7 @@ def _jpeg_pixels(payload: bytes):
     3-component scans (ITU T.871 constants).  Returns
     ``(pixel_mean, [channel_means...])`` like the BMP/PPM/PNG paths,
     or None for the remaining codec-bound shapes (arithmetic coding,
-    12-bit precision, hierarchical, CMYK) — the documented
+    hierarchical, CMYK) — the documented
     ``decode_image_stub`` boundary.  Progressive (SOF2, Huffman)
     streams dispatch to ``_jpeg_pixels_progressive``."""
     import struct
@@ -336,18 +341,24 @@ def _jpeg_pixels(payload: bytes):
             if seg_len < 2 or pos + seg_len > n:
                 return None
             data = payload[pos + 2 : pos + seg_len]
-            if code == 0xDB:  # DQT: one or more tables
+            if code == 0xDB:  # DQT: one or more tables (8- or 16-bit)
                 i = 0
                 while i < len(data):
                     pq, tq = data[i] >> 4, data[i] & 0x0F
-                    if pq != 0:  # 16-bit tables: extended, unsupported
+                    if pq > 1:
                         return None
-                    if i + 65 > len(data):
+                    width = 2 if pq else 1
+                    if i + 1 + 64 * width > len(data):
                         return None
-                    qt[tq] = np.frombuffer(
-                        data, np.uint8, 64, i + 1
-                    ).astype(np.float64)
-                    i += 65
+                    if pq:  # 16-bit entries (12-bit precision frames)
+                        qt[tq] = np.frombuffer(
+                            data, ">u2", 64, i + 1
+                        ).astype(np.float64)
+                    else:
+                        qt[tq] = np.frombuffer(
+                            data, np.uint8, 64, i + 1
+                        ).astype(np.float64)
+                    i += 1 + 64 * width
             elif code == 0xC4:  # DHT: one or more tables
                 i = 0
                 while i + 17 <= len(data):
@@ -369,13 +380,16 @@ def _jpeg_pixels(payload: bytes):
                     int.from_bytes(data[3:5], "big"),
                     data[5],
                 )
-                if prec != 8 or nc not in (1, 3) or fw == 0 or fh == 0:
-                    return None  # 12-bit / CMYK: stub boundary
+                # baseline (SOF0) is 8-bit by spec; extended sequential
+                # (SOF1) adds the 12-bit sample class (T.81 Table B.2)
+                ok_prec = (8,) if code == 0xC0 else (8, 12)
+                if prec not in ok_prec or nc not in (1, 3) or fw == 0 or fh == 0:
+                    return None  # CMYK / nonstandard precision boundary
                 comps = []
                 for c in range(nc):
                     cid, hv, tqi = data[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, tqi))
-                frame = (fh, fw, comps)
+                frame = (fh, fw, comps, prec)
             elif code == 0xC2:  # progressive (Huffman): own scan loop
                 return _jpeg_pixels_progressive(payload)
             elif code in _JPEG_SOF_MARKERS:
@@ -401,7 +415,8 @@ def _jpeg_pixels(payload: bytes):
 
         segments, _ = _jpeg_split_entropy(payload, spos)
 
-        fh, fw, comps = frame
+        fh, fw, comps, prec = frame
+        center = float(1 << (prec - 1))
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         if hmax == 0 or vmax == 0:
@@ -443,22 +458,27 @@ def _jpeg_pixels(payload: bytes):
                         block = np.zeros(64, dtype=np.float64)
                         block[_JPEG_ZIGZAG] = deq
                         block = block.reshape(8, 8)
-                        px = idctm @ block @ idctm.T + 128.0
+                        px = idctm @ block @ idctm.T + center
                         y0 = (mcu_y * vs + by) * 8
                         x0 = (mcu_x * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
     except (_JpegCorrupt, struct.error, IndexError):
         return None
 
-    return _jpeg_compose(fh, fw, comps, planes, hmax, vmax)
+    return _jpeg_compose(fh, fw, comps, planes, hmax, vmax, prec)
 
 
-def _jpeg_compose(fh, fw, comps, planes, hmax, vmax):
+def _jpeg_compose(fh, fw, comps, planes, hmax, vmax, prec=8):
     """Shared decode tail (baseline + progressive): per-component crop
     to true dims, integer-ratio upsample to the full frame, YCbCr→RGB
-    for 3-component frames, round/clip, channel means."""
+    for 3-component frames, round/clip, channel means.  Samples stay
+    in the frame's NATIVE domain (0..255 at 8-bit, 0..4095 at 12-bit)
+    — T.871's color constants are precision-agnostic around the
+    2^(P-1) center."""
     import numpy as np
 
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     full = []
     for ci, (_cid, hs, vs, _tq) in enumerate(comps):
         cw = -(-fw * hs // hmax)
@@ -467,14 +487,14 @@ def _jpeg_compose(fh, fw, comps, planes, hmax, vmax):
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:fh, :fw])
     if len(full) == 1:
-        samples = np.clip(np.round(full[0]), 0, 255).astype(np.int64)[..., None]
+        samples = np.clip(np.round(full[0]), 0, maxval).astype(np.int64)[..., None]
     else:
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
         samples = np.stack(
-            [np.clip(np.round(c), 0, 255).astype(np.int64) for c in (r, g, b)],
+            [np.clip(np.round(c), 0, maxval).astype(np.int64) for c in (r, g, b)],
             axis=-1,
         )
     n_px = fh * fw
@@ -574,7 +594,8 @@ def _jpeg_pixels_progressive(payload: bytes):
     coefficient store dequantizes and IDCTs exactly like the baseline
     path (shared ``_jpeg_compose`` tail).  Returns
     ``(pixel_mean, [channel_means...])`` or None for streams outside
-    the supported class (12-bit, CMYK, arithmetic)."""
+    the supported class (12-bit progressive, CMYK, arithmetic —
+    12-bit is closed for SEQUENTIAL frames, see ``_jpeg_pixels``)."""
     import struct
 
     import numpy as np
@@ -1131,7 +1152,8 @@ def decode_pixels(payload: bytes, header=_UNSET):
       successive approximation), DRI/RSTn restart intervals,
       integer-ratio chroma subsampling, YCbCr→RGB — see
       ``_jpeg_pixels`` / ``_jpeg_pixels_progressive``.
-      Arithmetic-coded and 12-bit return None (stub boundary).
+      12-bit extended sequential (SOF1) decodes in its native
+      0..4095 domain.  Arithmetic-coded returns None (stub boundary).
 
     Returns ``(pixel_mean, [channel_means...])`` — exact integer sums
     divided once in double, so the result is deterministic and
@@ -1207,7 +1229,7 @@ def decode_image_stub(payload: bytes) -> dict:
     """Integration point for a real codec-library decoder.
 
     STUB for the shapes ``decode_pixels`` doesn't cover in-repo
-    (arithmetic-coded/12-bit JPEG,
+    (arithmetic-coded JPEG,
     compressed audio, video containers): those need PIL/libvips/
     ffmpeg, not present in this container.  On a production cluster,
     replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))``

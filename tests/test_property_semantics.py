@@ -779,7 +779,7 @@ class _JBitWriter:
 # every AC (run,size) symbol plus EOB/ZRL at length 8.  Deliberately
 # NOT the T.81 example tables, so nothing about the decoder's table
 # builder is assumed beyond canonical-code semantics.
-_DC_SYMS = list(range(12))
+_DC_SYMS = list(range(16))  # categories 12-15 only occur at 12-bit
 _AC_SYMS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ] + [
@@ -841,18 +841,29 @@ def _encode_block(bw, coefs, pred):
     return dc
 
 
-def _build_jpeg(w, h, comp_blocks, samplings, quants, dri=0):
+def _build_jpeg(w, h, comp_blocks, samplings, quants, dri=0, precision=8):
     """comp_blocks[ci]: list of 64-int zigzag blocks in MCU scan order;
-    samplings[ci] = (hs, vs); quants[ci] = 64 ints (zigzag)."""
+    samplings[ci] = (hs, vs); quants[ci] = 64 ints (zigzag).
+    precision=12 emits the extended-sequential class: SOF1 marker and
+    16-bit DQT entries (Pq=1)."""
     nc = len(comp_blocks)
     out = bytearray(b"\xff\xd8")
     for qi, q in enumerate(quants):
-        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([qi]) + bytes(q)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+        if precision == 12:
+            out += (
+                b"\xff\xdb"
+                + struct.pack(">H", 2 + 1 + 128)
+                + bytes([0x10 | qi])
+                + struct.pack(">64H", *q)
+            )
+        else:
+            out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([qi]) + bytes(q)
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         hs, vs = samplings[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, ci if ci < len(quants) else 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    marker = b"\xff\xc1" if precision == 12 else b"\xff\xc0"
+    out += marker + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht(0x00, _DC_SYMS, 5) + _dht(0x10, _AC_SYMS, 8)
     if dri:
         out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
@@ -886,7 +897,7 @@ def _build_jpeg(w, h, comp_blocks, samplings, quants, dri=0):
     return bytes(out)
 
 
-def _ref_idct(coefs_zz, quant_zz):
+def _ref_idct(coefs_zz, quant_zz, center=128.0):
     """Independent 4-loop IDCT reconstruction of one block (T.81 A.3.3
     stated directly), on dequantized de-zigzagged coefficients."""
     blk = np.zeros((8, 8))
@@ -905,13 +916,15 @@ def _ref_idct(coefs_zz, quant_zz):
                         * np.cos((2 * x + 1) * u * np.pi / 16)
                         * np.cos((2 * y + 1) * v * np.pi / 16)
                     )
-            out[x][y] = acc / 4 + 128.0
+            out[x][y] = acc / 4 + center
     return out
 
 
-def _ref_decode(w, h, comp_blocks, samplings, quants):
+def _ref_decode(w, h, comp_blocks, samplings, quants, prec=8):
     """Independent full-frame reconstruction: blocks → planes → crop →
     nearest upsample → (YCbCr→RGB) → round/clip → channel means."""
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
     mx = -(-w // (8 * hmax))
@@ -928,7 +941,7 @@ def _ref_decode(w, h, comp_blocks, samplings, quants):
                     plane[
                         (mcu_y * vs + by) * 8 : (mcu_y * vs + by) * 8 + 8,
                         (mcu_x * hs + bx) * 8 : (mcu_x * hs + bx) * 8 + 8,
-                    ] = _ref_idct(next(it), quants[ci])
+                    ] = _ref_idct(next(it), quants[ci], center)
         cw = -(-w * hs // hmax)
         ch = -(-h * vs // vmax)
         p = plane[:ch, :cw]
@@ -939,15 +952,15 @@ def _ref_decode(w, h, comp_blocks, samplings, quants):
     else:
         y, cb, cr = full
         chans = [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
+            y + 1.402 * (cr - center),
+            y - 0.344136 * (cb - center) - 0.714136 * (cr - center),
+            y + 1.772 * (cb - center),
         ]
     # reject draws whose float pixels sit on a rounding knife-edge —
     # there the two independent IDCTs may legally round apart
     for c in chans:
         assume(float(np.min(np.abs(np.mod(c, 1.0) - 0.5))) > 1e-6)
-    ints = [np.clip(np.round(c), 0, 255).astype(np.int64) for c in chans]
+    ints = [np.clip(np.round(c), 0, maxval).astype(np.int64) for c in chans]
     n_px = w * h
     means = [float(c.sum()) / n_px for c in ints]
     total = sum(float(c.sum()) for c in ints)
@@ -1034,6 +1047,89 @@ def test_jpeg_unsupported_shapes_fall_back_to_header_only():
     prog = b"\xff\xd8" + sof2 + b"\xff\xd9"
     assert parse_image_header(prog) == ("jpeg", 5, 4, 1)
     assert _jpeg_pixels(prog) is None
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    density=st.integers(min_value=0, max_value=10),
+    dri=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_12bit_grayscale_entropy_roundtrip(w, h, density, dri, seed):
+    """12-bit extended sequential (SOF1 + 16-bit DQT): samples decode
+    in the native 0..4095 domain with the level shift at 2048 — against
+    the independent reconstruction.  Exercises DC categories >11 and
+    quant entries >255, both unreachable at 8-bit."""
+    rng = np.random.RandomState(seed)
+    quant = [1] + [rng.randint(1, 400) for _ in range(63)]
+    n_blocks = (-(-w // 8)) * (-(-h // 8))
+    blocks = []
+    for _ in range(n_blocks):
+        coefs = np.zeros(64, dtype=np.int64)
+        coefs[0] = rng.randint(-6000, 6001)  # DC diff category up to 13
+        for _ in range(rng.randint(0, density + 1)):
+            coefs[rng.randint(1, 64)] = rng.randint(-900, 901)
+        blocks.append(coefs)
+    payload = _build_jpeg(w, h, [blocks], [(1, 1)], [quant], dri=dri,
+                          precision=12)
+    assert parse_image_header(payload) == ("jpeg", w, h, 1)
+    want_means, want_mean = _ref_decode(w, h, [blocks], [(1, 1)], [quant],
+                                        prec=12)
+    got = decode_pixels(payload)
+    assert got is not None, "12-bit sequential JPEG must decode"
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_12bit_color_roundtrip(w, h, seed):
+    """12-bit 4:4:4 color: YCbCr→RGB around the 2048 center."""
+    rng = np.random.RandomState(seed)
+    quants = [[1] + [rng.randint(1, 300) for _ in range(63)] for _ in range(3)]
+    samplings = [(1, 1), (1, 1), (1, 1)]
+    n_blocks = (-(-w // 8)) * (-(-h // 8))
+    comp_blocks = []
+    for _ in range(3):
+        blocks = []
+        for _ in range(n_blocks):
+            coefs = np.zeros(64, dtype=np.int64)
+            coefs[0] = rng.randint(-4000, 4001)
+            for _ in range(rng.randint(0, 5)):
+                coefs[rng.randint(1, 64)] = rng.randint(-500, 501)
+            blocks.append(coefs)
+        comp_blocks.append(blocks)
+    payload = _build_jpeg(w, h, comp_blocks, samplings, quants, precision=12)
+    assert parse_image_header(payload) == ("jpeg", w, h, 3)
+    want_means, want_mean = _ref_decode(w, h, comp_blocks, samplings, quants,
+                                        prec=12)
+    got = decode_pixels(payload)
+    assert got is not None
+    got_mean, got_means = got
+    assert got_means == want_means
+    assert got_mean == want_mean
+
+
+def test_jpeg_12bit_under_sof0_rejects():
+    """Baseline (SOF0) is 8-bit by spec (T.81 Table B.2): a 12-bit
+    precision byte under SOF0 must reject, not decode."""
+    quant = [1] * 64
+    blocks = [np.zeros(64, dtype=np.int64)]
+    payload = _build_jpeg(8, 8, [blocks[0:1]], [(1, 1)], [quant],
+                          precision=12)
+    # rewrite the SOF1 marker to SOF0, keeping the 12-bit precision byte
+    bad = payload.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    assert _jpeg_pixels(bad) is None
+    # and the untouched SOF1 stream decodes (mid-gray frame, mean 2048)
+    got = decode_pixels(payload)
+    assert got is not None and got[0] == 2048.0
 
 
 # ---------------------------------------------------------------------------
