@@ -219,6 +219,9 @@ HEADLINE = [
     "c16_temperature_mix",
     "w16_sliding_distinct_users",
     "s10_partition_pruned_scan",
+    # r9: the left-outer stream join replay is a streaming batch job
+    # like i4 (4 state stores x partitions x runs)
+    "i9_stream_outer_join_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -293,6 +296,8 @@ BATCH_JOBS = {
     "d9_bloom_decontaminate",
     # r8: streaming stateful replay job
     "i8_stream_runs_replay",
+    # r9: left-outer stream join replay job
+    "i9_stream_outer_join_replay",
 }
 
 

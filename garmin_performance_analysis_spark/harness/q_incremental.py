@@ -762,3 +762,117 @@ def i8_stream_runs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island_end",
         "island_rows",
     )
+
+
+def _i9_oracle() -> str:
+    """i4's pinned inner-bag arithmetic plus the OUTER emission rule
+    (probed empirically at the boundary — see ``streaming/replay.
+    stream_join_replay`` docstring and ``tests/test_streaming.py::
+    test_stream_outer_join_null_pad_semantics``): a surviving left row
+    null-pads iff it has no partner in the total bag AND its retention
+    bound ``l.us + gap`` falls STRICTLY below the final global
+    watermark; matched rows never null-pad; held rows never emit."""
+    gap, wm = _I4_GAP_US, _I4_WM_US
+    return f"""
+WITH e AS (SELECT epoch_us(ts) AS us, user_id, event_id FROM events),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid,
+             (MAX(us) - MIN(us)) // 4 AS tail FROM e),
+b1l AS (SELECT e.* FROM e, m WHERE event_id % 2 = 0 AND us <= mid),
+b1r AS (SELECT e.* FROM e, m WHERE event_id % 2 = 1 AND us <= mid),
+wm AS (SELECT (LEAST((SELECT MAX(us) FROM b1l) // 1000,
+                     (SELECT MAX(us) FROM b1r) // 1000)
+               - {wm // 1000}) * 1000 AS wm1),
+l2 AS (
+  SELECT e.* FROM e, m WHERE event_id % 2 = 0 AND us > mid
+  UNION ALL
+  SELECT b1l.* FROM b1l, m WHERE us > mid - tail
+),
+r2 AS (
+  SELECT e.* FROM e, m WHERE event_id % 2 = 1 AND us > mid
+  UNION ALL
+  SELECT b1r.* FROM b1r, m WHERE us > mid - tail
+),
+lall AS (SELECT * FROM b1l
+         UNION ALL
+         SELECT l2.us, l2.user_id, l2.event_id FROM l2, wm WHERE us > wm1),
+rall AS (SELECT * FROM b1r
+         UNION ALL
+         SELECT r2.us, r2.user_id, r2.event_id FROM r2, wm WHERE us > wm1),
+wm2 AS (
+  SELECT (LEAST(GREATEST((SELECT MAX(us) FROM b1l),
+                         (SELECT MAX(us) FROM l2)),
+                GREATEST((SELECT MAX(us) FROM b1r),
+                         (SELECT MAX(us) FROM r2))) // 1000
+          - {wm // 1000}) * 1000 AS w2
+)
+SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+       r.us - l.us AS gap_us
+FROM lall l JOIN rall r
+  ON l.user_id = r.user_id
+ AND r.us >= l.us AND r.us <= l.us + {gap}
+UNION ALL
+SELECT l.user_id, l.event_id AS l_event_id,
+       CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS BIGINT) AS gap_us
+FROM lall l, wm2
+WHERE l.us + {gap} < wm2.w2
+  AND NOT EXISTS (
+    SELECT 1 FROM rall r
+    WHERE r.user_id = l.user_id
+      AND r.us >= l.us AND r.us <= l.us + {gap}
+  )
+"""
+
+
+@register(
+    "i9_stream_outer_join_replay",
+    oracle=_i9_oracle(),
+    tags=("streaming", "join"),
+)
+def i9_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of a STREAM-STREAM **LEFT OUTER** join — i4's
+    attribution scenario with the semantics only an outer stream join
+    has: an unmatched left row must eventually emit null-padded, but
+    only once the watermark PROVES no future partner can arrive
+    (``l_ts + gap`` strictly below the global watermark — the state
+    eviction point), and a row that ever matched is consumed silently.
+    This is the hardest emission contract in the stream-join family —
+    too early a null-pad fabricates a non-match that a late partner
+    would contradict; the watermark is exactly what makes the negative
+    answer safe to publish.  Null-pads land in the run whose own data
+    advanced the watermark past the bound (``AvailableNow`` ends with
+    a cleanup micro-batch — probed), so the two data runs need no
+    drain.  Scale shape identical to i4: state bounded by
+    watermark + gap both sides, join-key-hash shuffle.  The oracle is
+    i4's pinned inner bag plus the null-pad set stated declaratively."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    tail = (bounds["tmax"] - bounds["tmin"]) // 4
+    evl = ev.filter(F.col("event_id") % 2 == 0)
+    evr = ev.filter(F.col("event_id") % 2 == 1)
+    b1l = evl.filter(us <= mid)
+    b1r = evr.filter(us <= mid)
+    b2l = evl.filter(us > mid).unionByName(b1l.filter(us > mid - tail))
+    b2r = evr.filter(us > mid).unionByName(b1r.filter(us > mid - tail))
+    work = tempfile.mkdtemp(prefix="i9_stream_outer_join_")
+    try:
+        from ..streaming.replay import stream_join_replay
+
+        out = stream_join_replay(
+            spark, [b1l, b2l], [b1r, b2r], work,
+            key_col="user_id", ts_col="ts",
+            max_gap_sec=_I4_GAP_US // 1_000_000,
+            watermark_sec=_I4_WM_US // 1_000_000,
+            join_type="leftOuter",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out.select(
+        F.col("k").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )

@@ -132,6 +132,7 @@ def stream_join_replay(
     max_gap_sec: int = 600,
     watermark_sec: int = 120,
     shuffle_partitions: int | None = 8,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Deterministic replay of a STREAM-STREAM inner join — the
     attribution join (right events joined to the left event they
@@ -159,6 +160,25 @@ def stream_join_replay(
     as Spark tracks it, and advances only between runs (each batch is
     one file = one micro-batch).  Inner join emits nothing on the
     no-data drain, so none is run.
+
+    ``join_type="leftOuter"`` exercises the OUTER emission rules on
+    top (probed empirically, mirrored by the i9 oracle; an
+    ``AvailableNow`` run finishes with a cleanup micro-batch that
+    applies the watermark its own data advanced, so eviction emissions
+    land in the same run and no explicit drain is needed):
+
+    - a left state row evicted UNMATCHED emits once, null-padded, on
+      the run where ``l_ts + max_gap`` falls STRICTLY below the global
+      watermark (bound exactly AT the watermark holds — probed at the
+      boundary);
+    - a left row that ever emitted a match is consumed silently at
+      eviction — matches and null-pads are mutually exclusive per
+      state row;
+    - redelivered duplicate left rows are independent state rows: each
+      unmatched one null-pads once;
+    - left rows still in state when the replay ends (bound at or above
+      the final watermark) emit nothing — exactly as a live stream
+      would hold them.
 
     Scale shape: state is bounded by watermark + gap on both sides;
     the shuffle is the join-key hash, identical to the batch twin
@@ -221,7 +241,7 @@ def stream_join_replay(
                 F.col("r_ts")
                 <= F.col("l_ts") + F.expr(f"interval {max_gap_sec} seconds")
             ),
-            "inner",
+            join_type,
         ).drop("r_k")
         q = (
             joined.writeStream.format("parquet")

@@ -204,6 +204,10 @@ QUERIES = [
     "c16_temperature_mix",
     "w16_sliding_distinct_users",
     "s10_partition_pruned_scan",
+    # r9: left-outer stream join replay (events; state bounded by
+    # watermark + gap both sides like i4 — the fixed state-store setup
+    # dominates at replay scale, so the wall should be near-flat)
+    "i9_stream_outer_join_replay",
 ]
 
 

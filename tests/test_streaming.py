@@ -427,6 +427,48 @@ def test_stream_join_replay_watermark_semantics(spark, tmp_path):
     ]
 
 
+def test_stream_outer_join_null_pad_semantics(spark, tmp_path):
+    """Pins the empirically-probed LEFT OUTER emission rules the i9
+    oracle encodes (watermark 10 s, gap 20 s — wm after run 2 =
+    min(70, 60) - 10 = 50): an unmatched left row null-pads exactly
+    when its bound ``l_ts + gap`` is STRICTLY below the watermark (LB
+    at bound 25 emits; LC at bound 50 == wm holds); duplicates
+    null-pad independently; a matched row is consumed silently at
+    eviction (LA, bound 20 < 50, matched in run 1 — no null-pad);
+    late left input at or below the restored watermark is dropped and
+    never null-pads (LE); rows whose bound is at or above the final
+    watermark emit nothing (LC, LD)."""
+    import datetime
+
+    from garmin_performance_analysis_spark.streaming.replay import (
+        stream_join_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [
+                (k, t0 + datetime.timedelta(seconds=s), tag)
+                for k, s, tag in rows
+            ],
+            "user_id long, ts timestamp, tag string",
+        )
+
+    b1_l = df([(1, 0, "LA"), (2, 5, "LB1"), (2, 5, "LB2"), (3, 30, "LC")])
+    b1_r = df([(1, 10, "RA")])
+    b2_l = df([(4, 70, "LD"),
+               (5, 0, "LE")])   # 0 <= wm1 (0): late input, dropped
+    b2_r = df([(9, 60, "RY")])
+    out = stream_join_replay(
+        spark, [b1_l, b2_l], [b1_r, b2_r], str(tmp_path / "i9"),
+        key_col="user_id", ts_col="ts", max_gap_sec=20, watermark_sec=10,
+        join_type="leftOuter",
+    )
+    rows = sorted((r["l_tag"], r["r_tag"]) for r in out.collect())
+    assert rows == [("LA", "RA"), ("LB1", None), ("LB2", None)]
+
+
 def test_stream_dedup_replay_watermark_semantics(spark, tmp_path):
     """Pins the dropDuplicatesWithinWatermark boundary rules the i5
     oracle encodes, at the exact boundaries (probed, then frozen
