@@ -220,8 +220,10 @@ HEADLINE = [
     "w16_sliding_distinct_users",
     "s10_partition_pruned_scan",
     # r9: the left-outer stream join replay is a streaming batch job
-    # like i4 (4 state stores x partitions x runs)
+    # like i4 (4 state stores x partitions x runs); Holt-Winters is a
+    # keyed grouped-map pass like t16
     "i9_stream_outer_join_replay",
+    "t17_holt_winters",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1139,3 +1139,118 @@ def t16_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day", q6(F.col("level")).alias("level"),
         q6(F.col("trend")).alias("trend"),
     )
+
+
+@register(
+    "t17_holt_winters",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+s AS (
+  SELECT user_id, rn, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b,
+         [CAST(0.0 AS DOUBLE),0.0,0.0,0.0,0.0,0.0,0.0] AS sl
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT d.user_id, d.rn, d.day, d.x,
+         0.5 * (d.x - s.sl[((d.rn - 1) % 7) + 1]) + 0.5 * (s.l + s.b),
+         0.25 * ((0.5 * (d.x - s.sl[((d.rn - 1) % 7) + 1])
+                  + 0.5 * (s.l + s.b)) - s.l) + 0.75 * s.b,
+         list_transform(s.sl, (v, i) -> CASE
+           WHEN i = ((d.rn - 1) % 7) + 1
+           THEN 0.25 * (d.x - (0.5 * (d.x - s.sl[((d.rn - 1) % 7) + 1])
+                              + 0.5 * (s.l + s.b))) + 0.75 * v
+           ELSE v END)
+  FROM s JOIN idx d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       FLOOR(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+       FLOOR(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       FLOOR(sl[((rn - 1) % 7) + 1] * 1000000.0 + 0.5) / 1000000.0
+         AS seasonal
+FROM s
+""",
+    tags=("timeseries", "statefulness"),
+)
+def t17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per user —
+    t16's coupled level+trend state plus a 7-SLOT SEASONAL vector
+    (slot = row index mod 7; position-based season keeps the recursion
+    well-defined over gapped daily grids), all dyadic scalings
+    (alpha=1/2, beta=gamma=1/4) so the float recursion is
+    bit-reproducible:
+    ``l_i = a*(x_i - s_old) + (1-a)*(l+b)``,
+    ``b_i = B*(l_i - l) + (1-B)*b``,
+    ``s_i = G*(x_i - l_i) + (1-G)*s_old`` (Winters 1960 — public
+    textbook method; init l=x_1, b=0, s=zeros).  Three coupled states
+    with a vector component is even further from window-expressible
+    than t16, so it shares the grouped-map escape hatch:
+    ``applyInPandas`` per user, O(period) state, Arrow-batched.  The
+    oracle carries the seasonal vector as a LIST column through a
+    recursive CTE (indexed ``list_transform`` updates one slot per
+    step) — the identical IEEE expression tree, matching bit-for-bit
+    before the shared floor-quantization.  Scale: one user_id
+    exchange, then embarrassingly parallel per-key sequential scans."""
+    import pandas as pd
+
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("x")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        levels = [0.0] * len(xs)
+        trends = [0.0] * len(xs)
+        seasonals = [0.0] * len(xs)
+        l = b = None
+        sl = [0.0] * 7
+        for i, x in enumerate(xs):
+            slot = i % 7
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                s_old = sl[slot]
+                l_new = 0.5 * (float(x) - s_old) + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                sl[slot] = 0.25 * (float(x) - l_new) + 0.75 * s_old
+                l = l_new
+            levels[i] = l
+            trends[i] = b
+            seasonals[i] = sl[slot]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"].map(lambda d: d.strftime("%Y-%m-%d")),
+                "level": levels,
+                "trend": trends,
+                "seasonal": seasonals,
+            }
+        )
+
+    out = daily.groupBy("user_id").applyInPandas(
+        hw,
+        "user_id long, day string, level double, trend double, "
+        "seasonal double",
+    )
+
+    def q6(c):
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
+    return out.select(
+        "user_id",
+        "day",
+        q6(F.col("level")).alias("level"),
+        q6(F.col("trend")).alias("trend"),
+        q6(F.col("seasonal")).alias("seasonal"),
+    )

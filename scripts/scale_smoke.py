@@ -208,6 +208,9 @@ QUERIES = [
     # watermark + gap both sides like i4 — the fixed state-store setup
     # dominates at replay scale, so the wall should be near-flat)
     "i9_stream_outer_join_replay",
+    # r9: Holt-Winters grouped-map (events; 10× independent user
+    # groups like t16 — one exchange, then parallel per-key scans)
+    "t17_holt_winters",
 ]
 
 

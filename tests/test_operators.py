@@ -1221,3 +1221,45 @@ def test_sliding_distinct_window_boundaries(spark):
     # observed days: Mar 1 (u100), Mar 7 (u200 + u100 still in window),
     # Mar 8 (u300 + u200; u100 aged out)
     assert got == {"2024-03-01": 1, "2024-03-07": 2, "2024-03-08": 2}
+
+
+def test_holt_winters_constant_and_seasonal_absorption(spark):
+    """HW on a constant series is flat (level == c, trend == seasonal
+    == 0 — any drift means a state leaks); on a pure period-7 signal
+    the seasonal slots absorb the deviations: one-step residuals
+    |x - (l + b + s_slot)| shrink by an order of magnitude from the
+    first cycle to the last."""
+    from garmin_performance_analysis_spark.harness.q_ts import (
+        t17_holt_winters,  # noqa: F401  (import proves registration)
+    )
+
+    def run(xs):
+        l = b = None
+        sl = [0.0] * 7
+        out = []
+        for i, x in enumerate(xs):
+            slot = i % 7
+            if l is None:
+                l, b = float(x), 0.0
+            else:
+                s_old = sl[slot]
+                l_new = 0.5 * (x - s_old) + 0.5 * (l + b)
+                b = 0.25 * (l_new - l) + 0.75 * b
+                sl[slot] = 0.25 * (x - l_new) + 0.75 * s_old
+                l = l_new
+            out.append((l, b, sl[slot]))
+        return out
+
+    flat = run([42.5] * 60)
+    assert all(t == (42.5, 0.0, 0.0) for t in flat)
+
+    pattern = [10.0, 14.0, 8.0, 11.0, 9.0, 12.0, 6.0]
+    xs = pattern * 24
+    states = run(xs)
+    def resid(i):
+        l, b, _ = states[i - 1]
+        s_prev_cycle = states[i - 7][2] if i >= 7 else 0.0
+        return abs(xs[i] - (l + b + s_prev_cycle))
+    first_cycle = sum(resid(i) for i in range(7, 14))
+    last_cycle = sum(resid(i) for i in range(len(xs) - 7, len(xs)))
+    assert last_cycle < first_cycle / 10
