@@ -224,6 +224,8 @@ HEADLINE = [
     # keyed grouped-map pass like t16
     "i9_stream_outer_join_replay",
     "t17_holt_winters",
+    # r9: k-core peeling is a graph batch job like g2/g3
+    "g5_kcore",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -234,6 +236,7 @@ BATCH_JOBS = {
     "g2_connected_components",
     "g3_bfs_hops",
     "g4_triangle_count",
+    "g5_kcore",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

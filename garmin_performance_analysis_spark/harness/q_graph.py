@@ -252,3 +252,80 @@ def g3_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_hops(edges, sources, "src", "dst", "node", max_hops=4)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# Denser edge set for g5 (~8% of events × three generators): the
+# 3-core must be non-trivial at the driver's sf0.01 (the g2 set peels
+# to empty there), and the peel must CONVERGE within the fixed rounds
+# at every test SF — measured: sf0.001 empties in 3 rounds, sf0.01
+# reaches its 873-node fixpoint in 6, sf0.1 is saturated (fixpoint in
+# 1).  rounds=6 covers all three.
+_G5_EDGE_SQL = " UNION ALL ".join(
+    f"""
+  SELECT event_id % 1009 AS src, (event_id * {a} + {b}) % 1009 AS dst
+  FROM events
+  WHERE event_id % 13 = 0 AND event_id % 1009 <> (event_id * {a} + {b}) % 1009"""
+    for a, b in _G2_GENS
+)
+
+_G5_K, _G5_ROUNDS = 3, 6
+
+
+def _g5_oracle() -> str:
+    rounds = "".join(
+        f""",
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1})
+  GROUP BY 1
+),
+k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {_G5_K}),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN k{i} a ON e.u = a.node
+  JOIN k{i} b ON e.v = b.node
+)"""
+        for i in range(1, _G5_ROUNDS + 1)
+    )
+    last = f"e{_G5_ROUNDS}"
+    return f"""
+WITH raw AS ({_G5_EDGE_SQL}),
+e0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst GROUP BY 1, 2
+){rounds}
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+  SELECT u AS node FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY node
+"""
+
+
+@register("g5_kcore", oracle=_g5_oracle(), tags=("graph",))
+def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the dense generator graph via bounded-round peeling
+    (``operators/graph.kcore_peel``): drop degree<3 nodes and their
+    edges, recompute, repeat 6 rounds — enough for the fixpoint at
+    every test SF (measured; the unit test pins a constructed graph's
+    known core and the no-op peel of an already-core graph).  The
+    k-core is the canonical density filter of large-graph curation
+    (spam/bot subgraph isolation, community seeding); uniqueness of
+    the core (Seidman 1983) plus FIXED rounds make the operator
+    exactly oracle-able — the oracle unrolls the identical 6 peels as
+    CTE rounds (the g1 unrolled-power-iteration convention).  Scale
+    shape per round: one degree agg + two node-keyed semi-joins,
+    lineage flattened per round."""
+    from ..operators.graph import kcore_peel
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 13 == 0).select("event_id")
+    fams = [
+        base.select(
+            (F.col("event_id") % 1009).alias("src"),
+            ((F.col("event_id") * a + b) % 1009).alias("dst"),
+        )
+        for a, b in _G2_GENS
+    ]
+    raw = fams[0]
+    for f in fams[1:]:
+        raw = raw.unionByName(f)
+    return kcore_peel(raw, k=_G5_K, rounds=_G5_ROUNDS)

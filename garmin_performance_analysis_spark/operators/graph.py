@@ -165,3 +165,64 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected simple graph:
+    each round drops every node whose CURRENT degree is below ``k``
+    and the edges touching it, then recomputes degrees.  After enough
+    rounds the survivor set is THE k-core (the unique maximal subgraph
+    with min degree ≥ k — Seidman 1983; uniqueness is what makes the
+    operator oracle-able).  Rounds are FIXED, not run-to-fixpoint, so
+    both engines compute the identical bounded peel whether or not it
+    has converged — callers that need the true core assert convergence
+    (see ``tests/test_operators.py``: round R equals round R-1 on the
+    catalog graph).
+
+    Scale shape per round: one degree aggregation + two semi-joins on
+    node keys (edges × survivor set, both endpoints) — the
+    peeling-by-rounds form of distributed k-core (the O(rounds) upper
+    bound is the graph's degeneracy ordering depth, small for the
+    bounded-degree catalog graph; production power-law graphs take
+    O(log n) rounds in practice).  Lineage flattens per round with
+    ``localCheckpoint`` (the iterative-DataFrame rule).
+
+    Output: (node, core_deg) for every node surviving round
+    ``rounds``, with its degree inside the surviving subgraph.
+    """
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )

@@ -211,6 +211,10 @@ QUERIES = [
     # r9: Holt-Winters grouped-map (events; 10× independent user
     # groups like t16 — one exchange, then parallel per-key scans)
     "t17_holt_winters",
+    # r9: k-core peeling (bounded 1009-node space; 10× saturates the
+    # dense generator so the peel converges in ROUND 1 — wall should
+    # flatten like g2/g4)
+    "g5_kcore",
 ]
 
 

@@ -1263,3 +1263,29 @@ def test_holt_winters_constant_and_seasonal_absorption(spark):
     first_cycle = sum(resid(i) for i in range(7, 14))
     last_cycle = sum(resid(i) for i in range(len(xs) - 7, len(xs)))
     assert last_cycle < first_cycle / 10
+
+
+def test_kcore_peel_constructed_graph(spark):
+    """K4 {1,2,3,4} with a pendant path 4-5-6 and a triangle {7,8,9}:
+    the 3-core is exactly the K4 (each corner deg 3 inside); the
+    triangle (deg 2 each) and path peel away.  A second peel of the
+    result is a no-op (fixpoint), and k=2 keeps the triangle too."""
+    from garmin_performance_analysis_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+         (4, 5), (5, 6),                                   # pendant path
+         (7, 8), (8, 9), (9, 7),                           # triangle
+         (2, 1)],                                          # dup reversed
+        "src int, dst int",
+    )
+    core3 = {
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(edges, k=3, rounds=4).collect()
+    }
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core2 = {
+        r["node"]: r["core_deg"]
+        for r in kcore_peel(edges, k=2, rounds=4).collect()
+    }
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
