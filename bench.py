@@ -226,6 +226,10 @@ HEADLINE = [
     "t17_holt_winters",
     # r9: k-core peeling is a graph batch job like g2/g3
     "g5_kcore",
+    # r9: Heaps-law fit is a corpus batch pass (term-keyed agg + two
+    # distributed prefix sums); keyset pagination is a serving read
+    "x18_heaps_law",
+    "o10_keyset_pagination",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -237,6 +241,7 @@ BATCH_JOBS = {
     "g3_bfs_hops",
     "g4_triangle_count",
     "g5_kcore",
+    "x18_heaps_law",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -1585,3 +1585,103 @@ def c16_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs"
         ),
     )
+
+
+@register(
+    "x18_heaps_law",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1),
+first_seen AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+new_terms AS (SELECT fd AS doc_id, COUNT(*) AS n_new FROM first_seen GROUP BY 1),
+pts0 AS (
+  SELECT p.doc_id,
+         SUM(p.n_toks) OVER (ORDER BY p.doc_id) AS cum_toks,
+         SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id) AS cum_vocab
+  FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id
+),
+pts AS (
+  SELECT ln(cum_toks) AS x, ln(cum_vocab) AS y
+  FROM pts0 WHERE cum_toks > 0 AND cum_vocab > 0
+),
+fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS log_k,
+       ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+             6) AS k_coeff
+FROM fit
+""",
+    tags=("text", "profiling"),
+)
+def x18_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth fit over the corpus in ingest order
+    (Heaps 1978: V(n) ≈ K·n^β — the curve that says how fast the
+    vocabulary, and with it every term-keyed structure in the
+    pipeline, grows with the token stream; β drift is a cheap corpus
+    health signal).  Shape: per-term first-seen doc (one term-keyed
+    agg), per-doc new-term counts, then BOTH running totals through
+    ``operators/windows.global_prefix_sum`` — the two-phase
+    distributed prefix sum, because ``SUM() OVER (ORDER BY doc_id)``
+    with no partition is the one-task scale-killer the plan gate bans
+    — and a closed-form log-log OLS over the (ln tokens, ln vocab)
+    points with DECIMAL-exact sums.  The oracle states the same
+    program with DuckDB's (fine at oracle scale) global windows."""
+    from ..operators.windows import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    joined = per_doc.join(new_terms, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    c1 = global_prefix_sum(joined, "doc_id", "n_toks", "cum_toks")
+    c2 = global_prefix_sum(c1, "doc_id", "n_new", "cum_vocab")
+    pts = c2.filter(
+        (F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)
+    ).select(
+        F.log(F.col("cum_toks").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    beta = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    log_k = (sy - beta * sx) / n
+    return fit.select(
+        n.cast("bigint").alias("n_points"),
+        _r6(beta).alias("beta"),
+        _r6(log_k).alias("log_k"),
+        _r6(F.exp(log_k)).alias("k_coeff"),
+    )

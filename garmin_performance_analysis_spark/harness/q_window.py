@@ -306,3 +306,58 @@ def w16_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("gday", "yyyy-MM-dd").alias("day"), "n_users_7d"
         )
     )
+
+
+@register(
+    "o10_keyset_pagination",
+    oracle="""
+WITH anchor AS (
+  SELECT o_totalprice AS ap, o_orderkey AS ak
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 1 OFFSET 39
+)
+SELECT o_orderkey, o_totalprice
+FROM orders, anchor
+WHERE o_totalprice < ap OR (o_totalprice = ap AND o_orderkey > ak)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""",
+    tags=("topk", "pagination"),
+)
+def o10_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET pagination — the page o4 fetches with LIMIT/OFFSET,
+    fetched the way deep pagination must work at 100 TB: OFFSET N
+    sorts and discards N rows on EVERY page (page 10⁶ costs 2·10⁷
+    rows), while the keyset form turns the page boundary into a
+    sargable predicate ``(price, key) < (anchor)`` on the composite
+    sort key, so each page is a filter (pushable to the scan, prunable
+    against file stats on a price-sorted layout) + top-k
+    (TakeOrderedAndProject, no global sort).  The anchor here is the
+    last row of page 2, acquired via a k-bounded top-40 (in production
+    the client carries it); the result is IDENTICAL to o4's page —
+    same answer, scalable plan — because the (price DESC, key ASC)
+    order is total.  The oracle states the same keyset predicate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    anchor = (
+        orders.orderBy(*order_cols)
+        .limit(40)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak")
+        )
+    )
+    page = orders.join(F.broadcast(anchor)).filter(
+        (F.col("o_totalprice") < F.col("ap"))
+        | (
+            (F.col("o_totalprice") == F.col("ap"))
+            & (F.col("o_orderkey") > F.col("ak"))
+        )
+    )
+    return page.orderBy(*order_cols).limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )

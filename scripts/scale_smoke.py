@@ -215,6 +215,11 @@ QUERIES = [
     # dense generator so the peel converges in ROUND 1 — wall should
     # flatten like g2/g4)
     "g5_kcore",
+    # r9: Heaps fit (documents; the prefix sums are over PER-DOC rows,
+    # the heavy shuffle is the term-keyed first-seen agg — linear);
+    # keyset page (orders; filter + top-k, output fixed at 20)
+    "x18_heaps_law",
+    "o10_keyset_pagination",
 ]
 
 

@@ -266,3 +266,13 @@ def test_a22_cms_shuffle_carries_cells_not_stream(spark):
     assert plan.count("Exchange (") == 1
     # partial aggregation below the exchange = map-side combine
     assert "partial_count" in plan
+
+
+def test_o10_keyset_page_never_global_sorts(spark):
+    """Keyset pagination must plan as filter + TakeOrderedAndProject —
+    a global Sort node would mean the 'scalable pagination' entry is
+    secretly sorting the table like OFFSET does."""
+    df = CATALOG["o10_keyset_pagination"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort (") == 0
