@@ -230,6 +230,8 @@ HEADLINE = [
     # distributed prefix sums); keyset pagination is a serving read
     "x18_heaps_law",
     "o10_keyset_pagination",
+    # r9: PERMISSIVE JSON classification is a read-shaped in-row pass
+    "s11_corrupt_tolerant_json",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -596,3 +596,84 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "s11_corrupt_tolerant_json",
+    oracle="""
+WITH raw AS (
+  SELECT event_id,
+         '{"id": ' || event_id || ', "type": "' || event_type
+           || '", "k": ' || json_extract_string(props, '$.k') || '}' AS line
+  FROM events
+),
+cor AS (
+  SELECT event_id,
+         CASE WHEN event_id % 37 = 0
+              THEN substr(line, 1, length(line) - 3)
+              ELSE line END AS line
+  FROM raw
+)
+SELECT event_id,
+       json_valid(line) AS parsed_ok,
+       CASE WHEN json_valid(line)
+            THEN CAST(json_extract(line, '$.k') AS BIGINT) END AS k,
+       CASE WHEN json_valid(line)
+            THEN json_extract_string(line, '$.type') END AS type_parsed
+FROM cor
+""",
+    tags=("source", "json"),
+)
+def s11_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON ingestion — the semantics a 100 TB feed
+    needs when 0.01% of lines are truncated by upstream crashes: the
+    job must NOT die (FAILFAST) and must NOT silently drop rows
+    (DROPMALFORMED); every line lands, malformed ones carry their raw
+    text in ``columnNameOfCorruptRecord`` and NULL data fields, so the
+    bad-line rate is auditable downstream.  The corpus is assembled
+    in-engine (the s1 convention): one JSON record per event, with a
+    deterministic ~3% truncated before the closing brace (always
+    malformed — both engines agree a brace-less object is invalid).
+    The entry returns the row-level classification + extracted fields;
+    a flipped corrupt flag, a field extracted from a truncated line,
+    or a dropped row all hash-mismatch."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('", "k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    cor = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 37 == 0,
+            F.expr(
+                "substring({0}, 1, length({0}) - 3)".format(
+                    "concat('{\"id\": ', cast(event_id as string), "
+                    "', \"type\": \"', event_type, '\", \"k\": ', "
+                    "get_json_object(props, '$.k'), '}')"
+                )
+            ),
+        )
+        .otherwise(line)
+        .alias("line"),
+    )
+    parsed = cor.select(
+        "event_id",
+        F.from_json(
+            "line",
+            "id long, type string, k long, _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    )
+    ok = F.col("p._corrupt_record").isNull()
+    return parsed.select(
+        "event_id",
+        ok.alias("parsed_ok"),
+        F.when(ok, F.col("p.k")).alias("k"),
+        F.when(ok, F.col("p.type")).alias("type_parsed"),
+    )

@@ -220,6 +220,9 @@ QUERIES = [
     # keyset page (orders; filter + top-k, output fixed at 20)
     "x18_heaps_law",
     "o10_keyset_pagination",
+    # r9: PERMISSIVE JSON parse (events; pure in-row assemble + parse,
+    # zero shuffles — wall tracks the scan)
+    "s11_corrupt_tolerant_json",
 ]
 
 

@@ -57,7 +57,11 @@ def test_strict_mode_full_precision():
 def test_every_query_returns_rows_at_sf001(spark):
     """Degenerate (0-row) results make the oracle check vacuous; each
     query should exercise real data at the smallest SF."""
-    empty_ok = set()
+    # g5: the 3-core of the generator graph is GENUINELY empty at
+    # sf0.001 (measured: the peel empties in 3 rounds; at the driver's
+    # sf0.01 the core is 873 nodes, so the driver row is non-vacuous).
+    # An empty result here is the correct answer, oracle-confirmed.
+    empty_ok = {"g5_kcore"}
     for name, spec in CATALOG.items():
         n = spec.fn(spark, SF_SMOKE).count()
         if n == 0 and name not in empty_ok:
