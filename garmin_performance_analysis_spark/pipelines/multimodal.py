@@ -18,7 +18,9 @@ successive approximation, EOB runs, per-scan restart intervals).
 Adam7-interlaced PNG de-interlaces for real too
 (``_png_deinterlace``), and sub-byte-packed PNG (bit depth 1/2/4,
 grayscale + palette, both interlace modes) unpacks for real
-(``_png_unpack_bits``).  Only the remaining genuinely codec-bound
+(``_png_unpack_bits``).  GIF (87a/89a) decodes for real as well —
+LZW decompression with variable-width codes, CLEAR resets and 4-pass
+interlace (``_gif_pixels``/``_gif_lzw_decode``).  Only the remaining genuinely codec-bound
 12-bit extended-sequential JPEG (SOF1, 16-bit quant tables)
 decodes through the same path with the level shift / clip widened to
 the 2^(P-1) center.  Only the remaining genuinely codec-bound shapes
@@ -94,6 +96,14 @@ def parse_image_header(payload: bytes):
                 and 0 < height <= 1_000_000
             ):
                 return ("png", width, height, channels)
+    # --- GIF (Logical Screen Descriptor) ----------------------------
+    # Magic "GIF87a"/"GIF89a" never occurs at offset 0 of prose text
+    # followed by a plausible LSD by accident at these bounds.
+    if len(payload) >= 13 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        if 0 < width <= 1_000_000 and 0 < height <= 1_000_000:
+            return ("gif", width, height, 3)
     # --- JPEG (SOFn frame header) -----------------------------------
     # Magic FF D8 FF contains 0xFF bytes text cannot hold, so JPEG can
     # never false-positive on a text corpus.  Header-level metadata
@@ -1154,6 +1164,10 @@ def decode_pixels(payload: bytes, header=_UNSET):
       ``_jpeg_pixels`` / ``_jpeg_pixels_progressive``.
       12-bit extended sequential (SOF1) decodes in its native
       0..4095 domain.  Arithmetic-coded returns None (stub boundary).
+    - GIF: 87a/89a, LZW decompression (variable-width codes, CLEAR
+      resets, deferred clear), global + local color tables, 4-pass
+      interlace, extensions skipped — see ``_gif_pixels``.  First
+      full-screen frame only; composited partial frames return None.
 
     Returns ``(pixel_mean, [channel_means...])`` — exact integer sums
     divided once in double, so the result is deterministic and
@@ -1191,6 +1205,8 @@ def decode_pixels(payload: bytes, header=_UNSET):
         return _png_pixels(payload)
     if hdr[0] == "jpeg":
         return _jpeg_pixels(payload)
+    if hdr[0] == "gif":
+        return _gif_pixels(payload)
     if hdr[0] != "bmp":
         return None
     w, h = hdr[1], hdr[2]
@@ -1211,6 +1227,179 @@ def decode_pixels(payload: bytes, header=_UNSET):
     n_px = w * h
     means = [float(s) / n_px for s in ch_sums]
     return (float(ch_sums.sum()) / (n_px * bpx), means)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int):
+    """GIF-variant LZW decompression (GIF89a Appendix F): variable-
+    width codes packed LSB-first, dictionary growing to 4096 entries,
+    CLEAR resets, late width change (width grows when the table
+    REACHES 2^width — the giflib convention every GIF writer pairs
+    with), deferred-clear tolerated (table full, no growth past 12
+    bits, decoding continues without new entries).  Returns exactly
+    ``n_expected`` index bytes or None (truncated stream, code past
+    the table, over-long output — corrupt, caller falls back)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK: the code being defined
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            return None
+    if len(out) != n_expected:
+        return None
+    return bytes(out)
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """GIF 4-pass row interlace (rows 0%8, 4%8, 2%4, 1%2) back to
+    sequential order."""
+    order = [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    out: list = [b""] * h
+    for src, dst in enumerate(order):
+        out[dst] = idx[src * w : (src + 1) * w]
+    return b"".join(out)
+
+
+def _gif_pixels(payload: bytes):
+    """REAL GIF pixel decode with stdlib + numpy only: Logical Screen
+    Descriptor → global/local color table → block walk (extensions
+    skipped by sub-block length, 87a and 89a) → first image
+    descriptor → LZW decompression (``_gif_lzw_decode``) → optional
+    4-pass de-interlace → palette lookup → RGB channel means, exact
+    integer sums like every other decode path.  Returns
+    ``(pixel_mean, [r_mean, g_mean, b_mean])`` or None outside the
+    supported class.  Documented boundaries: only the FIRST frame of
+    an animation is decoded, and it must cover the full logical
+    screen at (0,0) — composited partial frames are
+    ``decode_image_stub`` territory; GCE transparency does not affect
+    means (the transparent index still maps through the palette)."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    try:
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = payload[pos : pos + 3 * n]
+            if len(gct) < 3 * n:
+                return None
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer before any image
+                return None
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while True:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                    if pos > len(payload):
+                        return None
+                continue
+            if block != 0x2C:
+                return None
+            left = int.from_bytes(payload[pos : pos + 2], "little")
+            top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+            iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+            ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+            iflags = payload[pos + 8]
+            pos += 9
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                if len(pal) < 3 * n:
+                    return None
+                pos += 3 * n
+            if pal is None or iw == 0 or ih == 0:
+                return None
+            if (left, top, iw, ih) != (0, 0, sw, sh):
+                return None  # partial/composited frame: stub boundary
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                return None
+            data = bytearray()
+            while True:
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += payload[pos : pos + sz]
+                pos += sz
+                if pos > len(payload):
+                    return None
+            idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            if idx is None:
+                return None
+            if iflags & 0x40:
+                idx = _gif_deinterlace(idx, iw, ih)
+            n_pal = len(pal) // 3
+            arr = np.frombuffer(idx, np.uint8).astype(np.int64)
+            if int(arr.max(initial=0)) >= n_pal:
+                return None
+            p = (
+                np.frombuffer(pal[: 3 * n_pal], np.uint8)
+                .reshape(n_pal, 3)
+                .astype(np.int64)
+            )
+            rgb = p[arr]
+            ch_sums = rgb.sum(axis=0)
+            n_px = iw * ih
+            means = [float(s) / n_px for s in ch_sums]
+            return (float(ch_sums.sum()) / (n_px * 3), means)
+    except IndexError:
+        return None
+    return None
 
 
 def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

@@ -1776,3 +1776,167 @@ def test_png_subbyte_pixel_roundtrip(w, h, bitd, color_type, interlace, seed):
     # (dropping only the IEND tail is tolerated by design — the data
     # chunks are complete and CRC-verified)
     assert _png_pixels(payload[: len(payload) // 2]) is None
+
+
+# --- GIF: build real LZW streams test-side, decode with the module ---
+# The encoder is an independent implementation of GIF89a Appendix F
+# (dictionary LZW + late width change); the bit widths are produced by
+# REPLAYING the decoder-side table-growth rule over the emitted code
+# sequence, so a rule mismatch between the two sides shows up as a
+# roundtrip failure instead of silently passing.
+
+from garmin_performance_analysis_spark.pipelines.multimodal import (
+    _gif_pixels,
+)
+
+
+def _gif_lzw_encode(indices, mcs):
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    codes = [clear]
+    prefix = (indices[0],)
+    for px in indices[1:]:
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        codes.append(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:  # table full: emit CLEAR, start over
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        prefix = (px,)
+    codes.append(table[prefix])
+    codes.append(eoi)
+    # bit-pack at the width the DECODER expects at each position
+    out = bytearray()
+    acc = nbits = 0
+    width, table_len, have_prev = mcs + 1, clear + 2, False
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width, table_len, have_prev = mcs + 1, clear + 2, False
+        elif code == eoi:
+            pass
+        elif not have_prev:
+            have_prev = True
+        elif table_len < 4096:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _build_gif(w, h, palette, indices, *, local_table=False,
+               interlace=False, with_gce=False, version=b"GIF89a"):
+    n_pal = len(palette)
+    mcs = max(2, (n_pal - 1).bit_length())
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    pal_bytes = b"".join(bytes(c) for c in palette)
+    pal_bytes += b"\x00" * (3 * ((2 << (pal_bits - 1)) - n_pal))
+    out = bytearray(version)
+    out += struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])  # no GCT
+    else:
+        out += bytes([0x80 | (pal_bits - 1), 0, 0])
+        out += pal_bytes
+    if with_gce:  # 89a graphic control extension, should be skipped
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    if interlace:
+        rows = [indices[r * w:(r + 1) * w] for r in range(h)]
+        order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(s, h, st)]
+        stream = [px for r in order for px in rows[r]]
+    else:
+        stream = list(indices)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x80 | 0x40 | (pal_bits - 1)) if (local_table and interlace)
+                  else (0x80 | (pal_bits - 1)) if local_table
+                  else 0x40 if interlace else 0x00])
+    if local_table:
+        out += pal_bytes
+    out += bytes([mcs])
+    lzw = _gif_lzw_encode(stream, mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=20),
+    n_pal=st.integers(min_value=4, max_value=256),
+    local_table=st.booleans(),
+    interlace=st.booleans(),
+    with_gce=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=50, deadline=None)
+def test_gif_lzw_roundtrip(w, h, n_pal, local_table, interlace, with_gce,
+                           seed):
+    """decode_pixels on a constructed GIF must reproduce the palette
+    means an independent reconstruction computes from the raw indices
+    — across GCT/LCT, interlace, 89a extensions, and palette sizes
+    from 4 to 256 (code widths 3..9)."""
+    rng = np.random.RandomState(seed)
+    palette = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(n_pal)]
+    indices = [int(v) for v in rng.randint(0, n_pal, w * h)]
+    payload = _build_gif(w, h, palette, indices, local_table=local_table,
+                         interlace=interlace, with_gce=with_gce)
+    assert parse_image_header(payload) == ("gif", w, h, 3)
+    pal = np.array(palette, dtype=np.int64)
+    rgb = pal[np.array(indices)]
+    n_px = w * h
+    want_means = [float(s) / n_px for s in rgb.sum(axis=0)]
+    want_mean = float(rgb.sum()) / (n_px * 3)
+    got = _gif_pixels(payload)
+    assert got is not None, "constructed GIF must decode"
+    assert got[1] == want_means
+    assert got[0] == want_mean
+    # truncating the LZW stream mid-way must reject, not decode noise
+    assert _gif_pixels(payload[: len(payload) * 2 // 3]) is None
+
+
+def test_gif_dictionary_overflow_clear_reset():
+    """A raster with enough distinct phrases to fill the 4096-entry
+    table forces the encoder's CLEAR-reset path and the decoder's
+    width climb to 12 bits — the roundtrip must stay exact."""
+    rng = np.random.RandomState(7)
+    w, h, n_pal = 120, 80, 256
+    palette = [tuple(int(v) for v in rng.randint(0, 256, 3))
+               for _ in range(n_pal)]
+    indices = [int(v) for v in rng.randint(0, n_pal, w * h)]
+    payload = _build_gif(w, h, palette, indices)
+    pal = np.array(palette, dtype=np.int64)
+    rgb = pal[np.array(indices)]
+    got = _gif_pixels(payload)
+    assert got is not None
+    assert got[1] == [float(s) / (w * h) for s in rgb.sum(axis=0)]
+
+
+def test_gif_unsupported_shapes_fall_back():
+    """Partial frames (not covering the logical screen) and missing
+    color tables return None; the header still parses."""
+    palette = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    full = _build_gif(5, 4, palette, [1] * 20)
+    # shrink the image descriptor's width: partial frame
+    partial = bytearray(full)
+    desc = full.index(b"\x2c")
+    partial[desc + 5:desc + 7] = struct.pack("<H", 4)
+    assert _gif_pixels(bytes(partial)) is None
+    assert parse_image_header(full) == ("gif", 5, 4, 3)
