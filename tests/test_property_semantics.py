@@ -1940,3 +1940,82 @@ def test_gif_unsupported_shapes_fall_back():
     partial[desc + 5:desc + 7] = struct.pack("<H", 4)
     assert _gif_pixels(bytes(partial)) is None
     assert parse_image_header(full) == ("gif", 5, 4, 3)
+
+
+# --- graph family: random graphs vs pure-Python brute force ----------
+
+
+@given(
+    n_nodes=st.integers(min_value=2, max_value=10),
+    n_edges=st.integers(min_value=1, max_value=25),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_triangle_participation_matches_bruteforce(spark, n_nodes, n_edges,
+                                                   seed):
+    """Compact-forward enumeration vs the O(n^3) triple scan on random
+    multigraphs (duplicates + both orientations + self-loops drawn
+    freely)."""
+    from garmin_performance_analysis_spark.operators.graph import (
+        triangle_participation,
+    )
+
+    rng = np.random.RandomState(seed)
+    raw = [(int(rng.randint(n_nodes)), int(rng.randint(n_nodes)))
+           for _ in range(n_edges)]
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    want = {v: 0 for v in nodes}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes[nodes.index(b) + 1:]:
+                if ({tuple(sorted((a, b))), tuple(sorted((b, c))),
+                     tuple(sorted((a, c)))} <= und):
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+    if not und:
+        return
+    df = spark.createDataFrame(raw, "src int, dst int")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_participation(df).collect()}
+    assert got == want
+
+
+@given(
+    n_nodes=st.integers(min_value=2, max_value=10),
+    n_edges=st.integers(min_value=1, max_value=25),
+    k=st.integers(min_value=2, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_kcore_matches_bruteforce_fixpoint(spark, n_nodes, n_edges, k, seed):
+    """Bounded-round peeling with rounds >= node count must equal the
+    run-to-fixpoint Python peel (rounds can never exceed nodes)."""
+    from garmin_performance_analysis_spark.operators.graph import kcore_peel
+
+    rng = np.random.RandomState(seed)
+    raw = [(int(rng.randint(n_nodes)), int(rng.randint(n_nodes)))
+           for _ in range(n_edges)]
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    if not und:
+        return
+    E = set(und)
+    while True:
+        deg: dict = {}
+        for u, v in E:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if E2 == E:
+            break
+        E = E2
+    want: dict = {}
+    for u, v in E:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(raw, "src int, dst int")
+    got = {r["node"]: r["core_deg"]
+           for r in kcore_peel(df, k=k, rounds=n_nodes).collect()}
+    assert got == want
