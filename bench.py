@@ -244,6 +244,9 @@ BATCH_JOBS = {
     "g4_triangle_count",
     "g5_kcore",
     "x18_heaps_law",
+    # a22 is TWO corpus token passes (CMS build + the x15 exact-top-k
+    # probe) — batch like x15 itself, not a read
+    "a22_countmin_sketch",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

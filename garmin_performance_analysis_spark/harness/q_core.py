@@ -647,19 +647,13 @@ def s11_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k"),
         F.lit("}"),
     )
-    cor = ev.select(
+    cor = ev.withColumn("_line", line).select(
         "event_id",
         F.when(
             F.col("event_id") % 37 == 0,
-            F.expr(
-                "substring({0}, 1, length({0}) - 3)".format(
-                    "concat('{\"id\": ', cast(event_id as string), "
-                    "', \"type\": \"', event_type, '\", \"k\": ', "
-                    "get_json_object(props, '$.k'), '}')"
-                )
-            ),
+            F.expr("substring(_line, 1, length(_line) - 3)"),
         )
-        .otherwise(line)
+        .otherwise(F.col("_line"))
         .alias("line"),
     )
     parsed = cor.select(
