@@ -232,6 +232,9 @@ HEADLINE = [
     "o10_keyset_pagination",
     # r9: PERMISSIVE JSON classification is a read-shaped in-row pass
     "s11_corrupt_tolerant_json",
+    # r9: Theil-Sen is a robust-fit batch job like m5c (bounded
+    # per-group pairwise join + distributed medians)
+    "m16_theil_sen",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -244,6 +247,7 @@ BATCH_JOBS = {
     "g4_triangle_count",
     "g5_kcore",
     "x18_heaps_law",
+    "m16_theil_sen",
     # a22 is TWO corpus token passes (CMS build + the x15 exact-top-k
     # probe) — batch like x15 itself, not a read
     "a22_countmin_sketch",

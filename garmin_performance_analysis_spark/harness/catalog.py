@@ -438,7 +438,7 @@ def _rotate_for_round9() -> None:
 
 _rotate_for_round9()
 
-# ROUND-10 PLAN (standing rule): the NINETEEN round-9 additions
+# ROUND-10 PLAN (standing rule): the TWENTY round-9 additions
 # registered PAST this window and must be fronted in the round-10
 # rotation — g2_connected_components, g3_bfs_hops,
 # a21_hdr_quantile_sketch, z1_zorder_layout, s9_schema_evolution,
@@ -446,8 +446,8 @@ _rotate_for_round9()
 # g4_triangle_count, a22_countmin_sketch, c16_temperature_mix,
 # w16_sliding_distinct_users, s10_partition_pruned_scan,
 # i9_stream_outer_join_replay, t17_holt_winters, g5_kcore,
-# x18_heaps_law, o10_keyset_pagination, s11_corrupt_tolerant_json —
-# plus
+# x18_heaps_law, o10_keyset_pagination, s11_corrupt_tolerant_json,
+# m16_theil_sen — plus
 # anything CORRECTNESS_r09 flags, padded with the stalest names by
 # latest-driver-row round (the remaining r6 block: a12/a14/a7/c10/c7/
 # c8/c9/d10/d8/d9[hr_eff]/e2-e7/j2/m10/m11/m2/m4/m9/mm4/mm5/o5/s5/

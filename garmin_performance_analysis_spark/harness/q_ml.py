@@ -256,3 +256,72 @@ def m13_weighted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("similarity_score")).alias("similarity_score"),
         )
     )
+
+
+@register(
+    "m16_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', day) AS t, x FROM daily
+),
+pairs AS (
+  SELECT a.user_id, (b.x - a.x) / (b.t - a.t) AS slope
+  FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.t > a.t
+),
+sm AS (
+  SELECT user_id, MEDIAN(slope) AS ts_slope, COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1
+),
+ic AS (
+  SELECT p.user_id, MEDIAN(p.x - sm.ts_slope * p.t) AS ts_intercept
+  FROM pts p JOIN sm ON p.user_id = sm.user_id GROUP BY p.user_id
+),
+nd AS (SELECT user_id, COUNT(*) AS n_points FROM pts GROUP BY 1)
+SELECT nd.user_id, CAST(nd.n_points AS BIGINT) AS n_points,
+       CAST(sm.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(sm.ts_slope, 6) AS ts_slope,
+       ROUND(ic.ts_intercept, 6) AS ts_intercept
+FROM nd JOIN sm ON nd.user_id = sm.user_id
+JOIN ic ON nd.user_id = ic.user_id
+""",
+    tags=("ml", "robust"),
+)
+def m16_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user over the daily-mean series
+    (``operators/regression.theil_sen_by_group``) — the median-of-
+    pairwise-slopes estimator (29% breakdown) that completes the
+    robust family next to Huber-IRLS (m5c) and the OLS fits (m1/m4):
+    one corrupted day can drag OLS arbitrarily, Theil-Sen shrugs.
+    The pairwise join is quadratic IN THE GROUP and the group is
+    calendar-bounded (≤31 daily rows here; a production window is
+    similarly capped), so the estimator is linear in #users; both
+    medians run through the distributed histogram median, never a
+    one-task percentile buffer.  Slope values are the identical IEEE
+    division in both engines, and MEDIAN's even-count midpoint
+    average is the same two-sided rule — exact hash parity after 6dp
+    rounding."""
+    from ..operators.regression import theil_sen_by_group
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("x")
+    )
+    pts = daily.select(
+        "user_id",
+        F.datediff("day", F.lit("2024-01-01")).cast("int").alias("t"),
+        "x",
+    )
+    out = theil_sen_by_group(pts, ["user_id"], "t", "x")
+    return out.select(
+        "user_id",
+        "n_points",
+        "n_pairs",
+        _r6(F.col("ts_slope")).alias("ts_slope"),
+        _r6(F.col("ts_intercept")).alias("ts_intercept"),
+    )

@@ -160,3 +160,63 @@ def linregress_scipy_by_group(
         return pd.DataFrame([row])
 
     return df.groupBy(*group_cols).applyInPandas(fit, schema=out_schema)
+
+
+def theil_sen_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust slope per group (Theil 1950 / Sen 1968 — the
+    median of all pairwise slopes, 29% breakdown point vs OLS's 0%),
+    with the matching intercept ``median(y - slope·x)``.
+
+    Scale contract: the pairwise self-join is quadratic IN THE GROUP,
+    so callers must feed groups whose size is structurally bounded (a
+    calendar window, a capped series) — the estimator is then linear
+    in #groups with a bounded constant, and the medians run through
+    the distributed histogram median (``operators/stats.
+    grouped_median``), never a one-task percentile buffer.  Ties in x
+    are dropped pairwise (slope undefined), the standard convention.
+    Groups with fewer than 2 distinct x values produce no row.
+
+    Output: group cols + n_points, n_pairs, ts_slope, ts_intercept.
+    """
+    from .stats import grouped_median
+
+    a = df.select(
+        *group_cols, F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya")
+    )
+    b = df.select(
+        *group_cols, F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb")
+    )
+    pairs = a.join(b, list(group_cols)).filter(F.col("_xb") > F.col("_xa"))
+    slopes = pairs.select(
+        *group_cols,
+        ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))).alias(
+            "slope"
+        ),
+    )
+    n_pairs = slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    sm = grouped_median(slopes, group_cols, ["slope"]).withColumnRenamed(
+        "slope_median", "ts_slope"
+    )
+    resid = df.join(sm, list(group_cols)).select(
+        *group_cols,
+        (F.col(y_col) - F.col("ts_slope") * F.col(x_col)).alias("r"),
+    )
+    ic = grouped_median(resid, group_cols, ["r"]).withColumnRenamed(
+        "r_median", "ts_intercept"
+    )
+    n_points = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return (
+        n_points.join(n_pairs, list(group_cols))
+        .join(sm, list(group_cols))
+        .join(ic, list(group_cols))
+        .select(*group_cols, "n_points", "n_pairs", "ts_slope", "ts_intercept")
+    )

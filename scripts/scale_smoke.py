@@ -223,6 +223,9 @@ QUERIES = [
     # r9: PERMISSIVE JSON parse (events; pure in-row assemble + parse,
     # zero shuffles — wall tracks the scan)
     "s11_corrupt_tolerant_json",
+    # r9: Theil-Sen (events; pairwise join quadratic IN THE GROUP but
+    # the group is calendar-bounded, so 10× users = 10× groups, linear)
+    "m16_theil_sen",
 ]
 
 

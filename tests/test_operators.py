@@ -1289,3 +1289,31 @@ def test_kcore_peel_constructed_graph(spark):
         for r in kcore_peel(edges, k=2, rounds=4).collect()
     }
     assert core2 == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
+
+
+def test_theil_sen_shrugs_outlier_and_matches_bruteforce(spark):
+    """One corrupted point drags OLS far off the true slope 2.0 but
+    moves Theil-Sen barely; and the estimator equals the literal
+    median-of-pairwise-slopes computed in Python."""
+    import statistics
+
+    from garmin_performance_analysis_spark.operators.regression import (
+        linregress_by_group,
+        theil_sen_by_group,
+    )
+
+    pts = [(1, float(i), 2.0 * i + 1.0) for i in range(12)]
+    pts[6] = (1, 6.0, 500.0)  # the outlier
+    df = spark.createDataFrame(pts, "g long, x double, y double")
+    ts = theil_sen_by_group(df, ["g"], "x", "y").collect()[0]
+    ols = linregress_by_group(df, ["g"], "x", "y").collect()[0]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (_, x1, y1) in enumerate(pts)
+        for (_, x2, y2) in pts[i + 1:]
+        if x2 != x1
+    ]
+    assert ts["ts_slope"] == statistics.median(slopes)
+    assert abs(ts["ts_slope"] - 2.0) < 0.5
+    assert abs(ols["slope"] - 2.0) > 1.0  # OLS got dragged 3x+ further
+    assert ts["n_pairs"] == len(slopes)
