@@ -8,8 +8,9 @@ raster (stride-aware uncompressed BMP at 8/24/32 bpp, 1- and 2-byte
 netpbm samples, and full PNG via stdlib zlib — chunk walk, CRC check,
 filter reconstruction, PLTE palette lookup) with pure ``struct``/numpy
 arithmetic.  ``parse_audio_header`` / ``decode_audio_samples`` do the
-same for RIFF/WAVE PCM audio (chunk walk + 8/16/24/32-bit sample
-decode, stdlib ``struct``/numpy only).  Baseline sequential JPEG is
+same for RIFF/WAVE audio: linear PCM (8/16/24/32-bit) AND the G.711
+companded pair (A-law/mu-law, format tags 6/7, canonical integer
+expansion) — stdlib ``struct``/numpy only.  Baseline sequential JPEG is
 decoded for real too (``_jpeg_pixels``: Huffman entropy decode with
 restart intervals, dequant, zigzag, float IDCT, chroma upsampling,
 YCbCr→RGB), and PROGRESSIVE Huffman JPEG as well
@@ -1590,9 +1591,14 @@ def parse_audio_header(payload: bytes):
     ``decode_image_stub`` integration point).
 
     Text-corpus safety mirrors ``parse_image_header``'s BMP argument: a
-    match requires the ``fmt `` chunk to declare audio format 1 as
-    little-endian ``0x01 0x00`` — the NUL byte never occurs in text, so
-    a document corpus cannot false-positive.
+    match requires the ``fmt `` chunk to declare audio format 1/6/7 as
+    a little-endian 16-bit tag whose high byte is NUL — NUL never
+    occurs in text, so a document corpus cannot false-positive.
+
+    Accepted formats: 1 (linear PCM, 8/16/24/32-bit) and the G.711
+    companded pair 6 (A-law) / 7 (mu-law), both 8-bit single-byte
+    samples (ITU-T G.711 — table-expandable with pure integer math,
+    no codec library).  The returned tuple ends with the format tag.
     """
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
@@ -1610,9 +1616,10 @@ def parse_audio_header(payload: bytes):
             sample_rate = int.from_bytes(body[4:8], "little")
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            ok_pcm = audio_format == 1 and bits in (8, 16, 24, 32)
+            ok_g711 = audio_format in (6, 7) and bits == 8
             if (
-                audio_format != 1
-                or bits not in (8, 16, 24, 32)
+                not (ok_pcm or ok_g711)
                 or n_channels == 0
                 or sample_rate == 0
                 or block_align != n_channels * (bits // 8)
@@ -1623,10 +1630,40 @@ def parse_audio_header(payload: bytes):
             if fmt_info is None:
                 return None
             data_off = pos + 8
-            return fmt_info + (data_off, min(csize, len(payload) - data_off))
+            return fmt_info + (
+                data_off,
+                min(csize, len(payload) - data_off),
+                audio_format,
+            )
         # RIFF chunks are 2-byte aligned: odd sizes carry a pad byte
         pos += 8 + csize + (csize & 1)
     return None
+
+
+def _g711_table(audio_format: int):
+    """256-entry G.711 expansion table (ITU-T G.711): the canonical
+    CCITT integer A-law / mu-law to 13/14-bit linear decode, built
+    once per call site with pure integer math."""
+    import numpy as np
+
+    out = np.empty(256, dtype=np.int32)
+    for code in range(256):
+        if audio_format == 6:  # A-law
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[code] = t if a & 0x80 else -t
+        else:  # mu-law
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            out[code] = (0x84 - t) if u & 0x80 else (t - 0x84)
+    return out
 
 
 def decode_audio_samples(payload: bytes, header=_UNSET):
@@ -1640,8 +1677,14 @@ def decode_audio_samples(payload: bytes, header=_UNSET):
     trailing partial frame (data size not a multiple of the block align)
     is discarded, matching every mainstream decoder.
 
+    G.711 companded formats (A-law tag 6, mu-law tag 7) expand to
+    their 13/14-bit linear amplitudes first (ITU-T G.711 via the
+    canonical CCITT integer expansion, vectorized as a 256-entry
+    table) — statistics are then over the LINEAR domain, comparable
+    with the PCM paths.
+
     Returns ``(n_frames, duration_s, amp_mean, amp_rms, channel_means)``
-    or ``None`` when the payload is not PCM WAV.
+    or ``None`` when the payload is not a supported WAV.
     """
     import numpy as np
 
@@ -1649,14 +1692,17 @@ def decode_audio_samples(payload: bytes, header=_UNSET):
         header = parse_audio_header(payload)
     if header is None:
         return None
-    n_channels, sample_rate, bits, data_off, data_size = header
+    n_channels, sample_rate, bits, data_off, data_size, audio_format = header
     block = n_channels * (bits // 8)
     n_frames = data_size // block
     duration = n_frames / sample_rate
     if n_frames == 0:
         return (0, 0.0, None, None, None)
     raw = payload[data_off : data_off + n_frames * block]
-    if bits == 8:
+    if audio_format in (6, 7):
+        lut = _g711_table(audio_format)
+        x = lut[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
+    elif bits == 8:
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
     elif bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64)

@@ -644,9 +644,10 @@ def test_wav_decode_matches_stdlib_writer(n_channels, sampwidth, rate, n_frames,
 
     hdr = parse_audio_header(payload)
     assert hdr is not None
-    got_ch, got_rate, got_bits, data_off, data_size = hdr
+    got_ch, got_rate, got_bits, data_off, data_size, got_fmt = hdr
     assert (got_ch, got_rate, got_bits) == (n_channels, rate, bits)
     assert data_size == n_frames * n_channels * sampwidth
+    assert got_fmt == 1
 
     dec = decode_audio_samples(payload, header=hdr)
     assert dec is not None
@@ -2019,3 +2020,65 @@ def test_kcore_matches_bruteforce_fixpoint(spark, n_nodes, n_edges, k, seed):
     got = {r["node"]: r["core_deg"]
            for r in kcore_peel(df, k=k, rounds=n_nodes).collect()}
     assert got == want
+
+
+def _ref_g711(code, alaw):
+    """Independent scalar G.711 expansion in quantizer-midpoint form
+    (mag = step-midpoint of the segment, stated algebraically rather
+    than via the module's CCITT bias-shift sequence)."""
+    if alaw:
+        a = code ^ 0x55
+        seg = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if seg == 0:
+            mag = 8 * (2 * mant + 1)
+        else:
+            mag = (8 * (2 * mant + 33)) << (seg - 1)
+        return mag if a & 0x80 else -mag
+    u = (~code) & 0xFF
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = 4 * ((2 * mant + 33) * (1 << seg) - 33)
+    return -mag if u & 0x80 else mag
+
+
+def _build_g711_wav(codes, n_channels, rate, alaw):
+    fmt_tag = 6 if alaw else 7
+    data = bytes(codes)
+    fmt = struct.pack("<HHIIHH", fmt_tag, n_channels, rate,
+                      rate * n_channels, n_channels, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+@given(
+    n_frames=st.integers(min_value=0, max_value=200),
+    n_channels=st.integers(min_value=1, max_value=3),
+    alaw=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_g711_wav_decode_matches_reference(n_frames, n_channels, alaw, seed):
+    """A-law/mu-law WAVs (format tags 6/7) decode through the G.711
+    expansion: header reports the tag, and the linear-domain stats
+    equal an independent midpoint-form expansion of the same codes."""
+    rng = np.random.RandomState(seed)
+    codes = [int(v) for v in rng.randint(0, 256, n_frames * n_channels)]
+    payload = _build_g711_wav(codes, n_channels, 8000, alaw)
+    hdr = parse_audio_header(payload)
+    assert hdr is not None
+    assert hdr[0] == n_channels and hdr[2] == 8
+    assert hdr[5] == (6 if alaw else 7)
+    dec = decode_audio_samples(payload, header=hdr)
+    assert dec is not None
+    nf, dur, amp_mean, amp_rms, ch_means = dec
+    assert nf == n_frames
+    if n_frames == 0:
+        assert amp_mean is None
+        return
+    ref = np.array([_ref_g711(c, alaw) for c in codes],
+                   dtype=np.float64).reshape(n_frames, n_channels)
+    assert ch_means == [float(m) for m in ref.mean(axis=0)]
+    assert amp_mean == float(ref.mean())
+    assert amp_rms == float(np.sqrt((ref ** 2).mean()))
