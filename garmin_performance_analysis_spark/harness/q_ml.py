@@ -270,22 +270,26 @@ pts AS (
   SELECT user_id, datediff('day', DATE '2024-01-01', day) AS t, x FROM daily
 ),
 pairs AS (
-  SELECT a.user_id, (b.x - a.x) / (b.t - a.t) AS slope
+  SELECT a.user_id,
+         FLOOR((b.x - a.x) / (b.t - a.t) * 100000000.0 + 0.5) AS slope
   FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.t > a.t
 ),
 sm AS (
-  SELECT user_id, MEDIAN(slope) AS ts_slope, COUNT(*) AS n_pairs
+  SELECT user_id, MEDIAN(slope) / 100000000.0 AS ts_slope,
+         COUNT(*) AS n_pairs
   FROM pairs GROUP BY 1
 ),
 ic AS (
-  SELECT p.user_id, MEDIAN(p.x - sm.ts_slope * p.t) AS ts_intercept
+  SELECT p.user_id,
+         MEDIAN(FLOOR((p.x - sm.ts_slope * p.t) * 100000000.0 + 0.5))
+           / 100000000.0 AS ts_intercept
   FROM pts p JOIN sm ON p.user_id = sm.user_id GROUP BY p.user_id
 ),
 nd AS (SELECT user_id, COUNT(*) AS n_points FROM pts GROUP BY 1)
 SELECT nd.user_id, CAST(nd.n_points AS BIGINT) AS n_points,
        CAST(sm.n_pairs AS BIGINT) AS n_pairs,
-       ROUND(sm.ts_slope, 6) AS ts_slope,
-       ROUND(ic.ts_intercept, 6) AS ts_intercept
+       FLOOR(sm.ts_slope * 1000000.0 + 0.5) / 1000000.0 AS ts_slope,
+       FLOOR(ic.ts_intercept * 1000000.0 + 0.5) / 1000000.0 AS ts_intercept
 FROM nd JOIN sm ON nd.user_id = sm.user_id
 JOIN ic ON nd.user_id = ic.user_id
 """,
@@ -317,11 +321,20 @@ def m16_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", F.lit("2024-01-01")).cast("int").alias("t"),
         "x",
     )
-    out = theil_sen_by_group(pts, ["user_id"], "t", "x")
+    out = theil_sen_by_group(pts, ["user_id"], "t", "x", median_scale=8)
+
+    def q6(c):
+        # floor-quantization, not ROUND: the 1e-8 median grid puts
+        # midpoints EXACTLY on 6dp half-way points, where the engines'
+        # ROUND rules legally disagree (measured: 3 of 1500 groups at
+        # sf0.1); floor(x*1e6+0.5) is the identical op both sides (the
+        # t16/w12 convention)
+        return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
+
     return out.select(
         "user_id",
         "n_points",
         "n_pairs",
-        _r6(F.col("ts_slope")).alias("ts_slope"),
-        _r6(F.col("ts_intercept")).alias("ts_intercept"),
+        q6(F.col("ts_slope")).alias("ts_slope"),
+        q6(F.col("ts_intercept")).alias("ts_intercept"),
     )
