@@ -801,15 +801,72 @@ ORDER BY doc_id
 """
 
 
-@register("x12_bpe_merges", oracle=None, tags=("text", "rows-only"))
+def _x12_oracle(n_merges: int = 20, top_v: int = 2000) -> str:
+    """The trainer's 20 rounds UNROLLED as materialized CTE rounds —
+    the entry that was rows-only for eight rounds becomes fully
+    hash-oracled: per round, pair counts over the vocab's symbol
+    strings, the (weight DESC, lhs, rhs) argmax, and the merge applied
+    via the x13 boundary-safe replace encoding
+    ('|a||b|' -> '|ab|' — left-to-right non-overlap, the exact 'aaa'
+    semantics of the trainer's fold).  Every CTE is MATERIALIZED (the
+    g5 lesson: each round references its predecessor multiple times,
+    and default inlining re-expands the corpus scan exponentially)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        rounds.append(f""",
+sy{r} AS MATERIALIZED (
+  SELECT freq, string_split(trim(s, '|'), '||') AS syms FROM {prev}
+),
+p{r} AS MATERIALIZED (
+  SELECT p['lhs'] AS lhs, p['rhs'] AS rhs, SUM(freq) AS w FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(syms) - 1),
+             i -> {{'lhs': syms[i], 'rhs': syms[i + 1]}})) AS p
+    FROM sy{r} WHERE len(syms) >= 2)
+  GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT lhs, rhs, w FROM p{r} ORDER BY w DESC, lhs ASC, rhs ASC LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s,
+                 '|' || (SELECT lhs FROM m{r}) || '||' || (SELECT rhs FROM m{r}) || '|',
+                 '|' || (SELECT lhs || rhs FROM m{r}) || '|') AS s
+  FROM {prev}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged, w FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH v0 AS MATERIALIZED (
+  SELECT word, freq,
+         '|' || array_to_string(string_split(word, ''), '||') || '|' AS s
+  FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS word
+      FROM documents)
+    GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT {top_v})
+){"".join(rounds)}
+SELECT CAST(rank AS INT) AS rank, lhs, rhs, merged,
+       CAST(w AS BIGINT) AS pair_weight
+FROM ({finals}) ORDER BY rank
+"""
+
+
+@register("x12_bpe_merges", oracle=_x12_oracle(), tags=("text",))
 def x12_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training: 20 merges learned from the
     corpus (one scan -> top-2000 word-frequency table; per-merge
-    iterations touch only the compact vocab).  Iterative with a
-    data-dependent argmax each round -> no single-statement SQL
-    oracle; the correctness contract is ``tests/test_bpe.py``'s exact
-    match against a transparent Python mirror, plus determinism across
-    partitionings."""
+    iterations touch only the compact vocab).  Oracle-checked since
+    round 9: the iterative argmax IS expressible by unrolling the
+    fixed 20 rounds as materialized CTEs (``_x12_oracle`` — the same
+    unroll convention as g1's power iterations and g5's peels), so
+    the last rows-only entry of the catalog carries a full hash
+    oracle; ``tests/test_bpe.py``'s transparent Python mirror remains
+    the unit-level contract."""
     from ..pipelines import bpe
 
     docs = load_table(spark, sf_dir, "documents")

@@ -27,8 +27,10 @@ merges embed safely in SQL expressions; argmax ties break on
 the standard BPE merge-application order.  The trainer is therefore
 reproducible bit-for-bit across runs and engines — pinned by a
 property test against a transparent Python mirror
-(``tests/test_bpe.py``), the honest check for an iterative algorithm
-no single SQL statement expresses.
+(``tests/test_bpe.py``); since round 9 the catalog entry ALSO
+carries a full hash oracle — the fixed 20 argmax rounds unroll as
+materialized CTEs (``harness/q_retrieval._x12_oracle``), the same
+convention as the g1 power iterations and g5 peels.
 """
 
 from __future__ import annotations
