@@ -447,7 +447,9 @@ _rotate_for_round9()
 # w16_sliding_distinct_users, s10_partition_pruned_scan,
 # i9_stream_outer_join_replay, t17_holt_winters, g5_kcore,
 # x18_heaps_law, o10_keyset_pagination, s11_corrupt_tolerant_json,
-# m16_theil_sen — plus
+# m16_theil_sen — PLUS the oracle-CHANGED x12_bpe_merges (rows-only →
+# full 20-round unrolled hash oracle, the mm3 re-front convention) —
+# plus
 # anything CORRECTNESS_r09 flags, padded with the stalest names by
 # latest-driver-row round (the remaining r6 block: a12/a14/a7/c10/c7/
 # c8/c9/d10/d8/d9[hr_eff]/e2-e7/j2/m10/m11/m2/m4/m9/mm4/mm5/o5/s5/
