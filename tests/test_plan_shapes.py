@@ -276,3 +276,19 @@ def test_o10_keyset_page_never_global_sorts(spark):
     plan = checks.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Sort (") == 0
+
+
+def test_j16_prune_is_chained_broadcast_semis_no_extra_exchange(spark):
+    """The Bloom prune must run as three LeftSemi broadcast joins in
+    front of the real join — no explode, and no exchange beyond the
+    final aggregate's (the dim join itself broadcasts here)."""
+    df = CATALOG["j16_bloom_pruned_join"].fn(spark, SF_SMOKE)
+    plan = checks.formatted_plan(df)
+    assert plan.count("LeftSemi") >= 3
+    assert "Generate" not in plan  # no explode in the prune
+    # the only NON-broadcast exchange is the final aggregate's: the
+    # fact pipeline is scan -> 3 semi filters -> join with no shuffle
+    real_exchanges = plan.count("Exchange (") - plan.count(
+        "BroadcastExchange ("
+    )
+    assert real_exchanges == 1
