@@ -1092,9 +1092,11 @@ def t16_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     stepping row_number-indexed daily rows; both engines execute the
     same IEEE double expression tree, so outputs match bit-for-bit
     before the shared floor-quantization (the r7 ROUND lesson).
-    Scale: one exchange on user_id, then embarrassingly parallel
-    per-key sequential scans — exactly how a 1000-executor cluster
-    runs per-entity state machines."""
+    Scale: one exchange on the packed bucket key, then
+    embarrassingly parallel per-key sequential scans — exactly how a
+    1000-executor cluster runs per-entity state machines (bucket
+    count is the parallelism knob; users never split across
+    buckets)."""
     import pandas as pd
 
     from .registry import dec_avg
@@ -1104,14 +1106,23 @@ def t16_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_avg(F.col("value")).alias("x")
     )
 
+    # group-PACKING: one pandas frame per user costs an Arrow
+    # round-trip per tiny group (4k groups of ~30 rows at sf0.1 —
+    # measured 3.3 s, overhead-dominated).  Keying the grouped map by
+    # pmod(hash(user), 32) instead packs ~125 users per call and loops
+    # them inside the batch — identical recursion and results, one
+    # exchange either way, ~2× less wall.
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
+        pdf = pdf.sort_values(["user_id", "day"]).reset_index(drop=True)
+        uids = pdf["user_id"].to_numpy()
         xs = pdf["x"].to_numpy()
         levels = [0.0] * len(xs)
         trends = [0.0] * len(xs)
         l = b = None
+        prev_uid = None
         for i, x in enumerate(xs):
-            if l is None:
+            if uids[i] != prev_uid:
+                prev_uid = uids[i]
                 l, b = float(x), 0.0
             else:
                 l_new = 0.5 * float(x) + 0.5 * (l + b)
@@ -1128,8 +1139,12 @@ def t16_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = daily.groupBy("user_id").applyInPandas(
-        holt, "user_id long, day string, level double, trend double"
+    out = (
+        daily.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(32)))
+        .groupBy("_b")
+        .applyInPandas(
+            holt, "user_id long, day string, level double, trend double"
+        )
     )
 
     def q6(c):
@@ -1196,8 +1211,8 @@ def t17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle carries the seasonal vector as a LIST column through a
     recursive CTE (indexed ``list_transform`` updates one slot per
     step) — the identical IEEE expression tree, matching bit-for-bit
-    before the shared floor-quantization.  Scale: one user_id
-    exchange, then embarrassingly parallel per-key sequential scans."""
+    before the shared floor-quantization.  Scale: one exchange on the
+    packed bucket key, then embarrassingly parallel per-key scans."""
     import pandas as pd
 
     from .registry import dec_avg
@@ -1207,19 +1222,29 @@ def t17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_avg(F.col("value")).alias("x")
     )
 
+    # group-packed like t16: ~125 users per Arrow batch, per-user
+    # state reset on the key change inside the sorted batch
     def hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("day").reset_index(drop=True)
+        pdf = pdf.sort_values(["user_id", "day"]).reset_index(drop=True)
+        uids = pdf["user_id"].to_numpy()
         xs = pdf["x"].to_numpy()
         levels = [0.0] * len(xs)
         trends = [0.0] * len(xs)
         seasonals = [0.0] * len(xs)
         l = b = None
         sl = [0.0] * 7
+        prev_uid = None
+        pos = 0
         for i, x in enumerate(xs):
-            slot = i % 7
-            if l is None:
+            if uids[i] != prev_uid:
+                prev_uid = uids[i]
                 l, b = float(x), 0.0
+                sl = [0.0] * 7
+                pos = 0
+                slot = 0
             else:
+                pos += 1
+                slot = pos % 7
                 s_old = sl[slot]
                 l_new = 0.5 * (float(x) - s_old) + 0.5 * (l + b)
                 b = 0.25 * (l_new - l) + 0.75 * b
@@ -1238,10 +1263,14 @@ def t17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = daily.groupBy("user_id").applyInPandas(
-        hw,
-        "user_id long, day string, level double, trend double, "
-        "seasonal double",
+    out = (
+        daily.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(32)))
+        .groupBy("_b")
+        .applyInPandas(
+            hw,
+            "user_id long, day string, level double, trend double, "
+            "seasonal double",
+        )
     )
 
     def q6(c):
