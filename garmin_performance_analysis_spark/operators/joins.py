@@ -478,36 +478,30 @@ def bloom_semi_prune(
 
     Returns ``fact`` filtered to rows whose key hits all positions.
     """
+    if k_hashes > 4:
+        raise ValueError("bloom_semi_prune digest slicing supports k <= 4")
     fact_key_col = fact_key_col or key_col
+
+    # ONE md5 per row with the k positions sliced from the digest (the
+    # a22/cms_positions lesson: per-row hash count is the kernel cost
+    # of the big-side scan; digest slices are as independent as
+    # separately-seeded hashes for cell assignment)
+    def _pos(col, j):
+        d = F.md5(F.concat(F.lit("bp|"), col.cast("string")))
+        return (
+            F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast("bigint")
+            % m_bits
+        )
+
     pos_tables = []
     for j in range(k_hashes):
-        def _pos(col, _j=j):
-            return (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("bj"),
-                                F.lit(str(_j)),
-                                F.lit("|"),
-                                col.cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % m_bits
-            )
         # no distinct: a semi join ignores duplicate positions, and
         # skipping it keeps the build side exchange-free (the dedup
         # would cost one shuffle per hash row for zero semantic gain)
         pos_tables.append(
-            keys.select(_pos(F.col(key_col)).alias(f"_bp{j}"))
+            keys.select(_pos(F.col(key_col), j).alias(f"_bp{j}"))
         )
-        fact = fact.withColumn(f"_fp{j}", _pos(F.col(fact_key_col)))
+        fact = fact.withColumn(f"_fp{j}", _pos(F.col(fact_key_col), j))
     for j, pt in enumerate(pos_tables):
         fact = fact.join(
             F.broadcast(pt),
