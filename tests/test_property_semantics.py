@@ -2082,3 +2082,43 @@ def test_g711_wav_decode_matches_reference(n_frames, n_channels, alaw, seed):
     assert ch_means == [float(m) for m in ref.mean(axis=0)]
     assert amp_mean == float(ref.mean())
     assert amp_rms == float(np.sqrt((ref ** 2).mean()))
+
+
+@given(
+    n_fact=st.integers(min_value=0, max_value=300),
+    key_space=st.integers(min_value=1, max_value=50),
+    n_keys=st.integers(min_value=0, max_value=10),
+    m_bits=st.sampled_from([8, 64, 1 << 12, 1 << 20]),
+    k_hashes=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_semi_prune_no_fn_for_any_params(spark, n_fact, key_space,
+                                               n_keys, m_bits, k_hashes,
+                                               seed):
+    """The no-false-negatives invariant must hold for ANY (m_bits,
+    k_hashes, key distribution): prune-then-exact-join equals the
+    plain join exactly, including empty sides and saturated filters."""
+    from garmin_performance_analysis_spark.operators.joins import (
+        bloom_semi_prune,
+    )
+
+    rng = np.random.RandomState(seed)
+    fact = spark.createDataFrame(
+        [(int(rng.randint(key_space)), i) for i in range(n_fact)]
+        or [(0, 0)],
+        "k long, v long",
+    )
+    if n_fact == 0:
+        fact = fact.filter("v < 0")  # truly empty, schema kept
+    keys = spark.createDataFrame(
+        [(int(rng.randint(key_space)),) for _ in range(n_keys)] or [(0,)],
+        "k long",
+    )
+    if n_keys == 0:
+        keys = keys.filter("k < 0")
+    pruned = bloom_semi_prune(fact, keys, "k", m_bits=m_bits,
+                              k_hashes=k_hashes)
+    got = sorted((r["k"], r["v"]) for r in pruned.join(keys.distinct(), "k").collect())
+    want = sorted((r["k"], r["v"]) for r in fact.join(keys.distinct(), "k").collect())
+    assert got == want
