@@ -236,8 +236,10 @@ HEADLINE = [
     # per-group pairwise join + distributed medians)
     "m16_theil_sen",
     # r9: the Bloom-pruned selective join is a read-shaped query (the
-    # prune is a broadcast pipeline stage in front of the join)
+    # prune is a broadcast pipeline stage in front of the join); the
+    # HLL audience overlap is a read-shaped two-scan sketch agg
     "j16_bloom_pruned_join",
+    "a23_hll_audience_overlap",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -438,7 +438,7 @@ def _rotate_for_round9() -> None:
 
 _rotate_for_round9()
 
-# ROUND-10 PLAN (standing rule): the TWENTY-ONE round-9 additions
+# ROUND-10 PLAN (standing rule): the TWENTY-TWO round-9 additions
 # registered PAST this window and must be fronted in the round-10
 # rotation — g2_connected_components, g3_bfs_hops,
 # a21_hdr_quantile_sketch, z1_zorder_layout, s9_schema_evolution,
@@ -447,7 +447,8 @@ _rotate_for_round9()
 # w16_sliding_distinct_users, s10_partition_pruned_scan,
 # i9_stream_outer_join_replay, t17_holt_winters, g5_kcore,
 # x18_heaps_law, o10_keyset_pagination, s11_corrupt_tolerant_json,
-# m16_theil_sen, j16_bloom_pruned_join — PLUS the oracle-CHANGED
+# m16_theil_sen, j16_bloom_pruned_join, a23_hll_audience_overlap —
+# PLUS the oracle-CHANGED
 # x12_bpe_merges (rows-only →
 # full 20-round unrolled hash oracle, the mm3 re-front convention) —
 # plus

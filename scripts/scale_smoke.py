@@ -230,6 +230,9 @@ QUERIES = [
     # broadcast grows with the DIM subset, the fact never shuffles
     # before the prune — wall should track the two scans)
     "j16_bloom_pruned_join",
+    # r9: HLL audience overlap (events; sketches are bounded artifacts,
+    # wall tracks the two filtered scans)
+    "a23_hll_audience_overlap",
 ]
 
 
