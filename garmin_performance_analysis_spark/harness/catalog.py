@@ -458,3 +458,59 @@ _rotate_for_round9()
 # t5_recommendations/t5_severity_clusters/t6_interval_fatigue/
 # t6_work_recovery/t7/t8/w3/w7/w9/x10/x11/x12/x13 minus any r9
 # re-covers — then r7).
+
+# ---------------------------------------------------------------------------
+# Round-10 catalog rotation — executes the plan above verbatim.
+#
+# CORRECTNESS_r09 flagged nothing (50/50 PASS incl. hash), so the window
+# is: the 23 entries with NO driver row per the GENERATED staleness
+# report (`python scripts/check_parity.py --staleness`, new this round)
+# — the 22 round-9 additions plus x12_bpe_merges, whose only prior row
+# (r6) was no_oracle and whose oracle was upgraded to the full 20-round
+# hash form in r9 — then the first 27 (sorted) of the 39-entry r6-stale
+# block to pad to exactly 50.  The remaining 12 r6 names (t5_recs,
+# t5_sev, t6_fatigue, t6_work, t7, t8, w3, w7, w9, x10, x11, x13) are
+# the stalest survivors and pad round 11.  After this window lands,
+# every one of the 210 pre-r10 entries has a driver row and zero are
+# rows-only.
+_R10_FRONT = [
+    # no driver row yet (generated staleness report, "never" group)
+    "a21_hdr_quantile_sketch", "a22_countmin_sketch",
+    "a23_hll_audience_overlap", "c16_temperature_mix",
+    "g2_connected_components", "g3_bfs_hops", "g4_triangle_count",
+    "g5_kcore", "i9_stream_outer_join_replay", "j16_bloom_pruned_join",
+    "m16_theil_sen", "o10_keyset_pagination", "o9_ndcg_eval",
+    "s10_partition_pruned_scan", "s11_corrupt_tolerant_json",
+    "s9_schema_evolution", "t16_holt_linear", "t17_holt_winters",
+    "w16_sliding_distinct_users", "x12_bpe_merges",
+    "x17_trigram_backoff", "x18_heaps_law", "z1_zorder_layout",
+    # r6-stale pad: first 27 of the 39-name r6 block, sorted
+    "a12_group_collect", "a14_weekly_median_delta",
+    "a7_zone_distribution", "c10_leakage_safe_split",
+    "c7_sequence_packing", "c8_shard_assignment",
+    "c9_webdataset_roundtrip", "d10_performance_trends",
+    "d8_form_efficiency", "d9_hr_efficiency", "e2_cadence_rating",
+    "e3_power_efficiency", "e4_terrain_type", "e5_environmental",
+    "e6_role_phase", "e7_pace_cumulative", "j2_filtered_dim_join",
+    "m10_fitness_curve", "m11_race_prediction", "m2_loo_fragility",
+    "m4_ols_vif", "m9_critical_speed", "mm4_audio_decode",
+    "mm5_frame_sample", "o3_top5_by_abs_z", "o5_tiebreak_ranking",
+    "s5_export_roundtrip",
+]
+
+
+def _rotate_for_round10() -> None:
+    front = list(_R10_FRONT)
+    assert len(front) == 50, f"round-10 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-10 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-10 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round10()

@@ -2,15 +2,23 @@
 """Run every catalog query against its DuckDB oracle and report parity.
 
 Usage: python scripts/check_parity.py [--strict] [sf_dir] [name_filter]
+       python scripts/check_parity.py --staleness
 
 --strict uses the driver-faithful comparator: dtype-sensitive cells
 (int64 271 != float64 271.0) and full-precision floats — the mode that
 would have caught the round-4 e7/d10/t8 oracle-typing failures.
+
+--staleness reads CORRECTNESS_r*.json and prints, per catalog entry,
+the latest round with a driver row (or "never"), grouped stalest-first —
+the generated source of truth for each round's rotation pad.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 import time
 
@@ -24,7 +32,45 @@ from garmin_performance_analysis_spark.harness.compare import (
 from garmin_performance_analysis_spark.session import get_spark
 
 
+def staleness_report() -> int:
+    """Per catalog entry: latest round with a driver correctness row.
+
+    Groups entries stalest-first so a rotation pad can cite this output
+    instead of hand-tracked history.  An entry "passes" in a round only
+    if rows+schema matched (hash too when present); errored rows do not
+    count as coverage.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            ok = bool(row.get("rows_match")) and bool(row.get("schema_match"))
+            if ok and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    by_round: dict[int, list[str]] = {}
+    for name in CATALOG:
+        by_round.setdefault(latest.get(name, 0), []).append(name)
+    for rnd in sorted(by_round):
+        names = sorted(by_round[rnd])
+        label = "never" if rnd == 0 else f"r{rnd}"
+        print(f"{label} ({len(names)}):")
+        for n in names:
+            print(f"  {n}")
+    orphans = sorted(set(latest) - set(CATALOG))
+    if orphans:
+        print(f"driver rows for names no longer in catalog ({len(orphans)}): {orphans}")
+    return 0
+
+
 def main() -> int:
+    if "--staleness" in sys.argv[1:]:
+        return staleness_report()
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
