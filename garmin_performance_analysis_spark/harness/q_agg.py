@@ -766,9 +766,11 @@ def a23_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     audience-overlap recipe).  The comparable outputs are exact
     (sizes, union, intersection — the oracle recomputes them from
     scratch); the IE estimate reduces to a pinned verdict column
-    (within ±10% of the exact intersection — small audiences sit in
-    HLL's near-exact sparse regime, measured far inside the band at
-    every SF), the a20/a9b pattern.  At scale each audience sketch is
+    (within max(10% of the exact intersection, 5% of the union) — the
+    floor acknowledges that IE error scales with the union cardinality
+    while the intersection can be arbitrarily small; the tested
+    audiences sit in HLL's near-exact sparse regime, measured far
+    inside the band at every SF), the a20/a9b pattern.  At scale each audience sketch is
     a bounded artifact maintained incrementally; overlap queries
     against any OTHER audience cost a sketch merge, never a re-scan."""
     ev = load_table(spark, sf_dir, "events")
@@ -820,9 +822,19 @@ def a23_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_b").cast("bigint").alias("exact_b"),
         F.col("exact_union").cast("bigint").alias("exact_union"),
         F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+        # IE error scales with the UNION cardinalities (each HLL carries
+        # ~1.6% relative stderr at the default lgConfigK=12, and three
+        # estimates stack), while the intersection can be arbitrarily
+        # small — so the band is relative to the intersection but
+        # floored at 5% of the union: a barely-overlapping regime
+        # cannot hard-fail the entry when the engine is correct.
         F.when(
             F.abs(ie - F.col("exact_intersection"))
-            <= 0.1 * F.greatest(F.col("exact_intersection"), F.lit(1)),
+            <= F.greatest(
+                0.1 * F.col("exact_intersection"),
+                0.05 * F.col("exact_union"),
+                F.lit(1.0),
+            ),
             1,
         )
         .otherwise(0)

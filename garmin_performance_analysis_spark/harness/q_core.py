@@ -604,7 +604,8 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH raw AS (
   SELECT event_id,
          '{"id": ' || event_id || ', "type": "' || event_type
-           || '", "k": ' || json_extract_string(props, '$.k') || '}' AS line
+           || '", "k": ' || COALESCE(json_extract_string(props, '$.k'), 'null')
+           || '}' AS line
   FROM events
 ),
 cor AS (
@@ -644,7 +645,10 @@ def s11_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(', "type": "'),
         F.col("event_type"),
         F.lit('", "k": '),
-        F.get_json_object("props", "$.k"),
+        # a row whose props lacks '$.k' must not NULL the whole line
+        # (that would flip parsed_ok semantics between engines);
+        # 'null' is valid JSON, so the line stays parseable with k NULL
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
         F.lit("}"),
     )
     cor = ev.withColumn("_line", line).select(

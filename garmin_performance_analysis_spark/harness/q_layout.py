@@ -131,6 +131,16 @@ def s10_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     path = _S10_MEMO.get(key)
+    if path is not None:
+        # Refresh mtime on every memoized reuse so a session alive for
+        # longer than the 1h reclaim horizon cannot have its live
+        # layout deleted by a newer concurrent session's reclaim pass;
+        # if the layout is already gone anyway, rebuild it.
+        try:
+            os.utime(path)
+        except OSError:
+            path = None
+            _S10_MEMO.pop(key, None)
     if path is None:
         digest = hashlib.md5(f"{app_id}:{sf_dir}".encode()).hexdigest()[:8]
         root = os.path.join(tempfile.gettempdir(), "spark_graft_s10")

@@ -480,6 +480,12 @@ def bloom_semi_prune(
     """
     if k_hashes > 4:
         raise ValueError("bloom_semi_prune digest slicing supports k <= 4")
+    if m_bits < 1:
+        # `% m_bits` with a non-positive modulus yields NULL (non-ANSI
+        # mode), so every semi join would miss and the fact would be
+        # silently pruned to empty — a false-negative result that
+        # violates the documented no-FN invariant.  Fail loudly instead.
+        raise ValueError(f"bloom_semi_prune requires m_bits >= 1, got {m_bits}")
     fact_key_col = fact_key_col or key_col
 
     # ONE md5 per row with the k positions sliced from the digest (the

@@ -1342,3 +1342,23 @@ def test_bloom_semi_prune_no_false_negatives_and_prunes(spark):
     # yields exactly the true result
     sat = bloom_semi_prune(fact, keys, "k", m_bits=16)
     assert sat.join(keys, "k").count() == true_matches.count()
+
+
+def test_bloom_semi_prune_rejects_bad_params(spark):
+    """m_bits < 1 would make `% m_bits` NULL out every position and
+    silently prune the fact to empty — a no-FN violation; both domain
+    guards must fail loudly instead."""
+    import pytest as _pytest
+
+    from garmin_performance_analysis_spark.operators.joins import (
+        bloom_semi_prune,
+    )
+
+    fact = spark.createDataFrame([(1, 1)], "k long, v long")
+    keys = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_semi_prune(fact, keys, "k", m_bits=0)
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_semi_prune(fact, keys, "k", m_bits=-8)
+    with _pytest.raises(ValueError, match="k <= 4"):
+        bloom_semi_prune(fact, keys, "k", k_hashes=5)
