@@ -392,7 +392,17 @@ def main() -> None:
     # parseable, keyed by part number), and the LAST stdout line is a
     # compact (<200 byte) summary that survives any tail capture and
     # still parses as the one-JSON-line contract.
-    names = list(timings)
+    # Ordering (round-9 VERDICT item 2): the driver's bounded tail kept
+    # only the LAST parts in r9, so the detail for this round's fronted
+    # entries must sit CLOSEST to the summary line.  The catalog's
+    # first-50 window IS the current round's fronted set (the rotation
+    # puts it there), so print non-window queries first and window
+    # queries last — whatever the tail truncates, every fronted entry's
+    # number survives.
+    window = set(list(CATALOG)[:50])
+    names = [n for n in timings if n not in window] + [
+        n for n in timings if n in window
+    ]
     chunk = 15
     n_parts = (len(names) + chunk - 1) // chunk
     for part, start in enumerate(range(0, len(names), chunk), start=1):
