@@ -240,6 +240,14 @@ HEADLINE = [
     # HLL audience overlap is a read-shaped two-scan sketch agg
     "j16_bloom_pruned_join",
     "a23_hll_audience_overlap",
+    # r10: KS drift test and PSI report are read-shaped stat queries
+    # (value-keyed agg + bounded prefix sums / lang×bin agg); token
+    # entropy is a two-keyed-agg corpus pass (batch, like x9); the
+    # prefix-dim rerank is an ANN serving read like v6
+    "a24_ks_two_sample",
+    "c17_psi_drift",
+    "x19_token_entropy",
+    "v11_prefix_dim_rerank",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -256,6 +264,8 @@ BATCH_JOBS = {
     # a22 is TWO corpus token passes (CMS build + the x15 exact-top-k
     # probe) — batch like x15 itself, not a read
     "a22_countmin_sketch",
+    # x19 is a full-corpus explode + two keyed aggs, batch like x9
+    "x19_token_entropy",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -840,3 +840,87 @@ def a23_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ie_within_10pct"),
     )
+
+
+@register(
+    "a24_ks_two_sample",
+    oracle="""
+WITH s AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+),
+pts AS (
+  SELECT v, SUM(is_a) AS ca_i, SUM(1 - is_a) AS cb_i FROM s GROUP BY v
+),
+tot AS (SELECT SUM(ca_i) AS na, SUM(cb_i) AS nb FROM pts),
+cdf AS (
+  SELECT SUM(ca_i) OVER (ORDER BY v) AS ca,
+         SUM(cb_i) OVER (ORDER BY v) AS cb
+  FROM pts
+),
+d AS (
+  SELECT MAX(ABS(ca * 1.0 / na - cb * 1.0 / nb)) AS ks FROM cdf, tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ks, 6) AS ks_d,
+       CAST(CASE WHEN ks > 1.358 * sqrt((na + nb) * 1.0 / (na * nb))
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM d, tot
+""",
+    tags=("agg", "stats"),
+)
+def a24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the `value`
+    distributions of two event populations (purchase vs click) — the
+    standard nonparametric drift test a feature store runs between
+    cohorts, with the alpha=0.05 large-sample rejection verdict
+    (c(0.05) = 1.358, Smirnov's asymptotic critical value).
+
+    KS is an ORDERED statistic — D = max over the merged sample of
+    |F_a(x) - F_b(x)| — and the naive formulation is a global
+    ORDER BY window, the canonical 100 TB scale-killer.  Shape here:
+    collapse ties first (groupBy value — cardinality = distinct
+    points, not rows), then run BOTH samples' ECDF counters through
+    ONE two-phase distributed prefix sum
+    (``operators/windows.global_prefix_sum`` multi-column form: one
+    range exchange, per-partition running sums, a bounded
+    #partitions-row offsets frame broadcast back), and take the max —
+    no single-task window anywhere.  Evaluating D only at observed
+    points is exact: the ECDF difference is piecewise constant and
+    changes only there.  Counts are integers and the ratio doubles
+    divide identical integers in both engines, so the statistic
+    hash-matches at 6dp; the verdict compares against the same libm
+    sqrt expression on both sides."""
+    from ..operators.windows import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"),
+        F.sum(1 - F.col("is_a")).alias("cb_i"),
+    )
+    cdf = global_prefix_sum(pts, "v", ["ca_i", "cb_i"], ["ca", "cb"])
+    tot = pts.agg(F.sum("ca_i").alias("na"), F.sum("cb_i").alias("nb"))
+    d = (
+        cdf.join(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * 1.0 / F.col("na") - F.col("cb") * 1.0 / F.col("nb"))
+            ).alias("ks")
+        )
+    )
+    crit = 1.358 * F.sqrt((F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb")))
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        _r6(F.col("ks")).alias("ks_d"),
+        F.when(F.col("ks") > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+    )

@@ -1714,8 +1714,11 @@ def x18_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
     )
-    c1 = global_prefix_sum(joined, "doc_id", "n_toks", "cum_toks")
-    c2 = global_prefix_sum(c1, "doc_id", "n_new", "cum_vocab")
+    # one multi-column call: both running totals share a single range
+    # exchange + offsets frame (was two stacked calls = two exchanges)
+    c2 = global_prefix_sum(
+        joined, "doc_id", ["n_toks", "n_new"], ["cum_toks", "cum_vocab"]
+    )
     pts = c2.filter(
         (F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)
     ).select(
@@ -1741,4 +1744,229 @@ def x18_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(beta).alias("beta"),
         _r6(log_k).alias("log_k"),
         _r6(F.exp(log_k)).alias("k_coeff"),
+    )
+
+
+@register(
+    "c17_psi_drift",
+    oracle="""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+         LEAST(CAST(FLOOR(n_chars / 64.0) AS BIGINT), 9) AS bin
+  FROM documents
+),
+per AS (
+  SELECT lang, bin, SUM(is_a) AS na_bin, SUM(1 - is_a) AS nb_bin
+  FROM b GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(na_bin) AS na, SUM(nb_bin) AS nb FROM per GROUP BY 1),
+terms AS (
+  SELECT per.lang, tot.na, tot.nb,
+         (GREATEST(na_bin * 1.0 / na, 1e-6) - GREATEST(nb_bin * 1.0 / nb, 1e-6))
+           * ln(GREATEST(na_bin * 1.0 / na, 1e-6)
+                / GREATEST(nb_bin * 1.0 / nb, 1e-6)) AS term
+  FROM per JOIN tot USING (lang)
+),
+agg AS (
+  SELECT lang, na, nb,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT lang, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM agg
+""",
+    tags=("curation", "profiling"),
+)
+def c17_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots, per
+    language — the distribution-drift report a recurring training-data
+    build runs before accepting a new crawl (PSI is the credit-risk
+    industry's standard drift score; <0.1 stable, 0.1-0.25 moderate,
+    >0.25 shifted).  Snapshots are the deterministic doc_id-parity
+    halves (the c2 derandomization convention); the monitored feature
+    is document length bucketed into ten fixed 64-char bins, shares
+    floored at 1e-6 so an empty bin contributes a finite penalty
+    instead of an infinity.
+
+    Shape for 100 TB: ONE corpus scan into a (lang × bin) keyed agg —
+    group-cardinality from there on (≤ 10 bins/lang), so the drift
+    report costs the same as a histogram regardless of volume, and
+    snapshot-vs-snapshot comparisons over STORED per-bin counts are
+    pure small-frame algebra (the sketch-rollup position: keep the
+    binned counts, not the rows).  PSI terms pass through
+    DECIMAL(38,18) so the per-lang sum is shuffle-order-independent;
+    the verdict compares the ROUNDED psi, so both engines band
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).cast("int").alias("is_a"),
+        F.least(F.floor(F.col("n_chars") / 64.0), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    per = b.groupBy("lang", "bin").agg(
+        F.sum("is_a").alias("na_bin"),
+        F.sum(1 - F.col("is_a")).alias("nb_bin"),
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("na_bin").alias("na"), F.sum("nb_bin").alias("nb")
+    )
+    pa = F.greatest(F.col("na_bin") * 1.0 / F.col("na"), F.lit(1e-6))
+    pb = F.greatest(F.col("nb_bin") * 1.0 / F.col("nb"), F.lit(1e-6))
+    term = (pa - pb) * F.log(pa / pb)
+    agg = (
+        per.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "na", "nb")
+        .agg(
+            _r6(
+                F.sum(term.cast("decimal(38,18)")).cast("double")
+            ).alias("psi")
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "x19_token_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM tc GROUP BY 1
+),
+ent AS (
+  SELECT doc_id, n_tokens, n_types,
+         ROUND((ln(n_tokens) - s / n_tokens) / ln(2), 6) AS entropy_bits,
+         CASE WHEN n_types > 1
+              THEN ROUND((ln(n_tokens) - s / n_tokens) / ln(n_types), 6)
+              ELSE 0.0 END AS norm_entropy
+  FROM per
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types, entropy_bits, norm_entropy,
+       CAST(CASE WHEN norm_entropy < 0.8 THEN 1 ELSE 0 END AS INTEGER)
+         AS low_diversity
+FROM ent
+""",
+    tags=("text", "quality"),
+)
+def x19_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the
+    information-theoretic gibberish/repetition score LLM corpus
+    filters run alongside the rule-based x1/x8 signals (low normalized
+    entropy = a few tokens dominate = boilerplate or keyword-stuffed
+    spam; CCNet and Gopher both gate on distributional signals of
+    this family).  Emits bits-entropy, entropy normalized by the
+    maximum for the doc's type count (H / log2 n_types, in [0,1]),
+    and the <0.8 low-diversity flag.
+
+    Shape: explode → (doc, term) count agg → per-doc agg, using the
+    factored identity H = ln n − (Σ c·ln c)/n so entropy falls out of
+    ONE pass over the counts with no per-term share division; both
+    keyed shuffles combine map-side.  The Σ c·ln c sum rides
+    DECIMAL(38,18) (shuffle-order-independent), and the flag compares
+    the ROUNDED normalized entropy so both engines band identically.
+    At 100 TB this is in-row + two keyed aggs — embarrassingly
+    parallel, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") * F.log("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s"),
+    )
+    h_nats = F.log(F.col("n_tokens")) - F.col("s") / F.col("n_tokens")
+    norm = F.when(
+        F.col("n_types") > 1, _r6(h_nats / F.log(F.col("n_types")))
+    ).otherwise(F.lit(0.0))
+    ent = per.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        _r6(h_nats / F.log(F.lit(2.0))).alias("entropy_bits"),
+        norm.alias("norm_entropy"),
+    )
+    return ent.withColumn(
+        "low_diversity",
+        F.when(F.col("norm_entropy") < 0.8, 1).otherwise(0).cast("int"),
+    )
+
+
+def _v11_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+    def cos(a: str, b: str, n: int) -> str:
+        d = dot.format(a=a, b=b, n=n)
+        na = "sqrt(" + dot.format(a=a, b=a, n=n) + ")"
+        nb = "sqrt(" + dot.format(a=b, b=b, n=n) + ")"
+        return f"({d}) / ({na} * {nb})"
+
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qe,
+         {cos('e.embedding', 'q.qe', 16)} AS p_cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY p_cosine DESC, e.vec_id ASC
+  LIMIT 50
+),
+rer AS (
+  SELECT vec_id, p_cosine, {cos('embedding', 'qe', 64)} AS cosine FROM cand
+),
+ranked AS (
+  SELECT vec_id, ROUND(p_cosine, 6) AS p_cosine, ROUND(cosine, 6) AS cosine,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM rer
+)
+SELECT * FROM ranked WHERE rk <= 10
+"""
+
+
+@register("v11_prefix_dim_rerank", oracle=_v11_oracle(), tags=("similarity",))
+def v11_prefix_dim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension top-10: shortlist by cosine
+    over the first 16 of 64 dims (a 4× first-pass scan cut — with the
+    prefix stored as its own column, column pruning makes it literal),
+    exact full-dim re-rank of the 50-deep shortlist
+    (``pipelines/similarity.prefix_rerank_topk``; Kusupati et al.
+    2022).  Completes the quantization-family ANN set: v6 shrinks the
+    VALUE width (int8), v8 the codebook (PQ), v11 the DIMENSION count
+    — all deterministic exact arithmetic, so like v6/v8 this variant
+    carries a full value-hash oracle rather than a recall verdict."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.prefix_rerank_topk(
+        emb, "vec_id", "embedding", query_id=0, k=10, shortlist=50, prefix_dims=16
+    )
+    return out.select(
+        "vec_id",
+        _r6(F.col("p_cosine")).alias("p_cosine"),
+        _r6(F.col("cosine")).alias("cosine"),
+        "rk",
     )

@@ -277,8 +277,8 @@ def downsample(
 def global_prefix_sum(
     df: DataFrame,
     order_col,
-    value_col: str,
-    out_col: str = "cum_sum",
+    value_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "cum_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Global running sum ordered by ``order_col`` WITHOUT a
@@ -329,13 +329,25 @@ def global_prefix_sum(
     part = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
         eager=False
     )
+    # Multi-column form: several running sums share ONE range exchange,
+    # one local window, and one broadcast offsets frame (a second
+    # global_prefix_sum call would pay the range repartition + cache
+    # again for no reason — e.g. the KS statistic needs both samples'
+    # ECDFs over the same value ordering).
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(value_cols) == len(out_cols), "one out_col per value_col"
     wlocal = (
         Window.partitionBy("_pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_local_cum", F.sum(F.col(value_col)).over(wlocal))
-    totals = local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
+    local = part
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(f"_local_cum{i}", F.sum(F.col(vc)).over(wlocal))
+    totals = part.groupBy("_pid").agg(
+        *[F.sum(F.col(vc)).alias(f"_ptotal{i}") for i, vc in enumerate(value_cols)]
+    )
     # bounded: one row per input partition, never per input row
     woff = (
         Window.partitionBy(bounded_partition_key("_pid"))
@@ -343,13 +355,21 @@ def global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_ptotal").over(woff), F.lit(0)).alias("_offset")
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_ptotal{i}").over(woff), F.lit(0)).alias(
+                f"_offset{i}"
+            )
+            for i in range(len(value_cols))
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
-        .drop("_pid", "_local_cum", "_offset")
-    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"_local_cum{i}") + F.col(f"_offset{i}"))
+    drop = ["_pid"] + [f"_local_cum{i}" for i in range(len(value_cols))] + [
+        f"_offset{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)
 
 
 def scd2_intervals(

