@@ -329,3 +329,71 @@ def g5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in fams[1:]:
         raw = raw.unionByName(f)
     return kcore_peel(raw, k=_G5_K, rounds=_G5_ROUNDS)
+
+
+_G6_ROUNDS = 4
+
+
+def _g6_oracle() -> str:
+    rounds = "".join(
+        f""",
+n{i} AS MATERIALIZED (
+  SELECT e.src AS node, l.label
+  FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+),
+c{i} AS MATERIALIZED (
+  SELECT node, label, COUNT(*) AS c FROM n{i} GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM c{i}) WHERE rk = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN p{i} p ON p.node = l.node
+)"""
+        for i in range(1, _G6_ROUNDS + 1)
+    )
+    return f"""
+WITH raw AS ({_G2_EDGE_SQL}),
+edges AS (
+  SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes){rounds}
+SELECT node, CAST(label AS BIGINT) AS label FROM l{_G6_ROUNDS}
+"""
+
+
+@register("g6_label_propagation", oracle=_g6_oracle(), tags=("graph",))
+def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (``operators/graph.label_propagation``; Raghavan et al. 2007, the
+    near-linear-time community baseline — GraphFrames ships the same
+    synchronous variant) over the symmetrized sparse g2 graph, 4
+    fixed rounds, ties to the SMALLEST label (the determinism knob:
+    classic LPA tie-breaks randomly; a fixed order changes nothing
+    structural and makes the entry value-hash-able).  Fixed rounds,
+    not convergence: synchronous LPA can 2-cycle on bipartite
+    structures, so production caps iterations — and the cap is also
+    what keeps the oracle an unrolled finite program (MATERIALIZED
+    CTE rounds, the g5 convention).  Completes the graph family's
+    curation set: g2 groups by CONNECTIVITY (any path merges), LPA by
+    DENSITY of neighborhood agreement — the distinction that matters
+    when near-dup clusters chain through weak links.  Scale shape per
+    round: one node-keyed join + one (node,label) agg + one per-node
+    argmax window — all exchanges hash the node key, lineage
+    flattened per round; O(edges) per round, never closure-sized."""
+    from ..operators.graph import label_propagation
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = _g2_raw_edges(ev)
+    edges = raw.unionByName(
+        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return label_propagation(edges, rounds=_G6_ROUNDS).select(
+        "node", F.col("label").cast("bigint").alias("label")
+    )

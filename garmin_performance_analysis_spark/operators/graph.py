@@ -226,3 +226,72 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the near-linear-time community baseline; GraphFrames
+    ships the same synchronous variant as ``labelPropagation``): every
+    node starts as its own label, and each round every node adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label — the determinism knob that makes the operator
+    value-reproducible (the classic formulation breaks ties randomly;
+    any fixed total order works and changes nothing structural).
+
+    Edges are treated as DIRECTED here; symmetrize upstream for the
+    undirected form.  Rounds are FIXED, not run to convergence:
+    synchronous LPA can 2-cycle on bipartite structures, so production
+    deployments cap rounds (GraphFrames requires maxIter) — and a
+    fixed round count is also what keeps the SQL oracle an unrolled
+    finite program.
+
+    Per round: one node-keyed join (edge list × labels), one
+    (node, label) count agg, one per-node argmax window — three
+    exchanges all hashed on the node key, so at scale they
+    co-partition; lineage is flattened per round with
+    ``localCheckpoint`` (the iterative-DataFrame rule).  Nodes with no
+    in-edges keep their previous label.
+
+    Output: (node, label) after ``rounds`` synchronous updates.
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "_ln"),
+            F.col(dst_col) == F.col("_ln"),
+        ).select(F.col(src_col).alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        best = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("node", "label")
+        )
+        # nodes with no in-edges keep their current label
+        labels = (
+            labels.join(best.withColumnRenamed("label", "_new"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
