@@ -248,6 +248,8 @@ HEADLINE = [
     "c17_psi_drift",
     "x19_token_entropy",
     "v11_prefix_dim_rerank",
+    # r10: LPA communities is a graph batch job like g2/g5
+    "g6_label_propagation",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -259,6 +261,7 @@ BATCH_JOBS = {
     "g3_bfs_hops",
     "g4_triangle_count",
     "g5_kcore",
+    "g6_label_propagation",
     "x18_heaps_law",
     "m16_theil_sen",
     # a22 is TWO corpus token passes (CMS build + the x15 exact-top-k

@@ -254,8 +254,10 @@ def label_propagation(
     (node, label) count agg, one per-node argmax window — three
     exchanges all hashed on the node key, so at scale they
     co-partition; lineage is flattened per round with
-    ``localCheckpoint`` (the iterative-DataFrame rule).  Nodes with no
-    in-edges keep their previous label.
+    ``localCheckpoint`` (the iterative-DataFrame rule).  A node adopts
+    labels from its OUT-neighbors (src collects dst labels); a node
+    with no out-edges keeps its previous label.  Symmetrized input
+    makes both statements the undirected neighbor rule.
 
     Output: (node, label) after ``rounds`` synchronous updates.
     """

@@ -1418,16 +1418,32 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 def decode_image_stub(payload: bytes) -> dict:
     """Integration point for a real codec-library decoder.
 
-    STUB for the shapes ``decode_pixels`` doesn't cover in-repo
-    (arithmetic-coded JPEG,
-    compressed audio, video containers): those need PIL/libvips/
-    ffmpeg, not present in this container.  On a production cluster,
-    replace the body with e.g. ``PIL.Image.open(io.BytesIO(payload))``
-    and return width/height/mode."""
-    raise NotImplementedError(
-        "media decode requires an image library; use decode_features for "
-        "the deterministic fake path"
-    )
+    When PIL is importable the body is REAL: it decodes the payload
+    and returns ``{fmt, width, height, mode}`` — the drop-in for the
+    shapes ``decode_pixels`` doesn't cover in-repo (arithmetic-coded
+    JPEG, compressed audio, video containers; libvips/ffmpeg are the
+    analogous hooks for the latter two).  In this container PIL is
+    absent, so the call raises ``NotImplementedError`` and the
+    exercising test skips (``tests/test_multimodal.py``,
+    skipped-if-absent) — the Spark-side plumbing (schema,
+    partitioning, Arrow batch shape) is tested against the in-repo
+    decoders either way."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires an image library; use decode_features "
+            "for the in-repo decoder path"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    return {
+        "fmt": (img.format or "").lower(),
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+    }
 
 
 def decode_features(binary_df: DataFrame) -> DataFrame:

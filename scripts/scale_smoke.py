@@ -233,6 +233,18 @@ QUERIES = [
     # r9: HLL audience overlap (events; sketches are bounded artifacts,
     # wall tracks the two filtered scans)
     "a23_hll_audience_overlap",
+    # r10: KS drift (events; ties collapse to distinct value points —
+    # the prefix-sum input grows sublinearly as replicas re-hit the
+    # same value grid); PSI (documents; lang×bin agg — bounded output);
+    # token entropy (documents; explode + two keyed aggs, linear);
+    # prefix-dim rerank (embeddings; first pass scans 16/64 dims of
+    # the grown corpus, shortlist fixed at 50); LPA communities
+    # (events; bounded 1009-node space like g2 — wall should flatten)
+    "a24_ks_two_sample",
+    "c17_psi_drift",
+    "x19_token_entropy",
+    "v11_prefix_dim_rerank",
+    "g6_label_propagation",
 ]
 
 

@@ -1493,3 +1493,45 @@ def test_prefix_rerank_full_shortlist_is_exact(spark):
     assert [r["vec_id"] for r in got_rows] == [r["vec_id"] for r in exact]
     for g, e in zip(got_rows, exact):
         assert abs(g["cosine"] - e["cosine"]) < 1e-12
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: after a few
+    synchronous rounds with min-label tiebreak, each clique converges
+    to its own minimum node id; the bridge must NOT merge them (the
+    density-vs-connectivity distinction vs connected components)."""
+    from garmin_performance_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    edges_list = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13])
+    # one weak bridge
+    edges_list += [(3, 10), (10, 3)]
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert all(out[n] == 0 for n in (0, 1, 2, 3))
+    assert all(out[n] == 10 for n in (10, 11, 12, 13))
+
+
+def test_label_propagation_sink_node_keeps_label(spark):
+    """Directed semantics: a node adopts its OUT-neighbors' labels, so
+    a sink (no out-edges) keeps its own label and its predecessors
+    converge onto it."""
+    from garmin_performance_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # 5 -> 6 only: node 6 is a sink and keeps label 6; node 5 adopts 6
+    edges = spark.createDataFrame([(5, 6)], "src long, dst long")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert out[6] == 6
+    assert out[5] == 6

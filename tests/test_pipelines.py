@@ -851,3 +851,26 @@ def test_trigram_backoff_levels_on_constructed_corpus(spark):
     assert abs(r["avg_logscore"] - round(want, 6)) < 1e-9
     assert rows[11]["n_trigrams"] == 0
     assert rows[11]["avg_logscore"] is None
+
+
+def test_decode_image_stub_pil_integration():
+    """Exercises the codec-library integration point when PIL is
+    importable (skipped in containers without it): the PIL decode of a
+    repo-built BMP must agree with parse_image_header on format and
+    dimensions.  When PIL is absent, the stub must raise the
+    documented NotImplementedError instead of failing obscurely."""
+    import pytest
+
+    payload = _bmp_with_raster(
+        2, 2, [bytes(range(1, 7)) + b"\x00\x00", bytes(range(7, 13)) + b"\x00\x00"]
+    )
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_stub(payload)
+        pytest.skip("PIL not installed; stub raise-path verified")
+    out = multimodal.decode_image_stub(payload)
+    hdr = multimodal.parse_image_header(payload)
+    assert out["fmt"] == hdr[0] == "bmp"
+    assert (out["width"], out["height"]) == (hdr[1], hdr[2]) == (2, 2)
