@@ -250,6 +250,12 @@ HEADLINE = [
     "v11_prefix_dim_rerank",
     # r10: LPA communities is a graph batch job like g2/g5
     "g6_label_propagation",
+    # r10: Zipf fit is a corpus batch pass (vocab agg + prefix-sum
+    # rank) like x18; weighted median and rolling correlation are
+    # read-shaped keyed-window stat queries
+    "x21_zipf_fit",
+    "a25_weighted_median",
+    "w18_rolling_corr",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -267,8 +273,10 @@ BATCH_JOBS = {
     # a22 is TWO corpus token passes (CMS build + the x15 exact-top-k
     # probe) — batch like x15 itself, not a read
     "a22_countmin_sketch",
-    # x19 is a full-corpus explode + two keyed aggs, batch like x9
+    # x19 is a full-corpus explode + two keyed aggs, batch like x9;
+    # x21 is a corpus vocab pass + distributed rank, batch like x18
     "x19_token_entropy",
+    "x21_zipf_fit",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -924,3 +924,63 @@ def a24_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("ks")).alias("ks_d"),
         F.when(F.col("ks") > crit, 1).otherwise(0).cast("int").alias("reject_05"),
     )
+
+
+@register(
+    "a25_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS x,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS wt
+  FROM lineitem
+),
+per AS (
+  SELECT flag, x, SUM(wt) AS w, COUNT(*) AS n FROM w GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, x, n,
+         SUM(w) OVER (PARTITION BY flag ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM per
+),
+med AS (
+  SELECT flag, MIN(x) AS wmedian FROM c WHERE cum * 2 >= tot GROUP BY flag
+),
+totals AS (
+  SELECT flag, CAST(SUM(n) AS BIGINT) AS n_rows,
+         ROUND(SUM(w) / 100.0, 6) AS total_weight
+  FROM per GROUP BY flag
+)
+SELECT m.flag AS l_returnflag, m.wmedian, t.n_rows, t.total_weight
+FROM med m JOIN totals t ON m.flag = t.flag
+""",
+    tags=("agg", "stats"),
+)
+def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (``operators/stats.weighted_median``) — the robust center the
+    plain median family can't express when observations carry unequal
+    mass (here: price weighted by quantity; in a corpus pipeline:
+    token-weighted quality medians).  The lower-median crossing test
+    `2·cum >= tot` runs on 2-dp weights scaled to integers (the ls_sum
+    fixed-point convention), so the cumulative comparison is exact
+    integer arithmetic on BOTH engines — no float accumulation, no
+    last-ulp median knife-edge (SCALING.md round-9 lessons).  Shape:
+    duplicate values collapse in one keyed agg BEFORE the per-group
+    ordered window (partitioned, never global), then a min-combine on
+    the crossing rows — three exchanges, all on the group key."""
+    from ..operators import stats as _st
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("wt"),
+    )
+    out = _st.weighted_median(li, ["l_returnflag"], "l_extendedprice", "wt")
+    return out.select(
+        "l_returnflag",
+        "wmedian",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        _r6(F.col("total_weight") / 100.0).alias("total_weight"),
+    )

@@ -1970,3 +1970,81 @@ def v11_prefix_dim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("cosine")).alias("cosine"),
         "rk",
     )
+
+
+@register(
+    "x21_zipf_fit",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+ctf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1),
+ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS rk FROM ctf
+),
+pts AS (SELECT ln(rk) AS x, ln(tf) AS y FROM ranked),
+fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS log_c
+FROM fit
+""",
+    tags=("text", "profiling"),
+)
+def x21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary (Zipf 1949:
+    f(r) ≈ C·r^s, s ≈ −1 for natural language — the slope is the
+    companion corpus-health signal to x18's Heaps β, and a slope far
+    from −1 flags templated/machine-generated text; the two exponents
+    are analytically linked, β ≈ −1/s).  Rank is an ORDERED global
+    statistic, so the naive ROW_NUMBER over the vocabulary is a
+    one-task window; here rank comes from
+    ``operators/windows.global_prefix_sum`` counting ones over the
+    composite (tf DESC, term ASC) order — the same two-phase range
+    exchange x18 and a24 ride, vocab-sized input (already sublinear
+    in the corpus by x18's own fit), then the closed-form log-log OLS
+    with DECIMAL-exact sums.  The oracle states the identical program
+    with DuckDB's (fine at oracle scale) global window."""
+    from ..operators.windows import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = global_prefix_sum(
+        ctf.withColumn("_one", F.lit(1)),
+        [F.desc("tf"), F.asc("term")],
+        "_one",
+        "rk",
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,18)")).cast("double")
+
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return fit.select(
+        n.cast("bigint").alias("n_terms"),
+        _r6(slope).alias("zipf_slope"),
+        _r6((sy - slope * sx) / n).alias("log_c"),
+    )

