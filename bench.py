@@ -256,6 +256,9 @@ HEADLINE = [
     "x21_zipf_fit",
     "a25_weighted_median",
     "w18_rolling_corr",
+    # r10: image aHash near-dup is a corpus batch pass (assemble +
+    # decode + banded pair join), batch like d4b
+    "mm6_image_ahash_neardup",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -274,9 +277,11 @@ BATCH_JOBS = {
     # probe) — batch like x15 itself, not a read
     "a22_countmin_sketch",
     # x19 is a full-corpus explode + two keyed aggs, batch like x9;
-    # x21 is a corpus vocab pass + distributed rank, batch like x18
+    # x21 is a corpus vocab pass + distributed rank, batch like x18;
+    # mm6 is a corpus assemble+decode+banded-join pass, batch like d4b
     "x19_token_entropy",
     "x21_zipf_fit",
+    "mm6_image_ahash_neardup",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

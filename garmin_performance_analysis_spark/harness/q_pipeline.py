@@ -1433,3 +1433,134 @@ def d8_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size_b").cast("bigint").alias("size_b"),
         _r6(F.col("containment")).alias("containment"),
     )
+
+
+@register(
+    "mm6_image_ahash_neardup",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         16 + (doc_id // 4) % 17 AS w,
+         16 + (doc_id // 4) % 13 AS h,
+         (doc_id // 4 * 37) % 256 AS base,
+         9 + 23 * ((doc_id // 4) % 11) AS fy,
+         7 + 19 * ((doc_id // 4) % 7) AS fx,
+         (doc_id % 4) * 11 AS delta
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, x.x, y.y,
+         ((base + fy * y.y + fx * x.x
+           + CASE WHEN y.y < 4 THEN delta ELSE 0 END) % 256) * 3 AS lum
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) AS x,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) AS y
+),
+boxed AS (
+  SELECT doc_id, (y * 8 // h) * 8 + (x * 8 // w) AS k,
+         SUM(lum) AS bsum, COUNT(*) AS bn
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(bsum) AS tsum, SUM(bn) AS tn FROM boxed GROUP BY 1),
+fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN bsum * tn > tsum * bn THEN '1' ELSE '0' END,
+                    '' ORDER BY k) AS ah
+  FROM boxed JOIN tot USING (doc_id) GROUP BY doc_id
+),
+blk AS (
+  SELECT doc_id, ah, b.block_idx, substr(ah, b.start_pos + 1, 16) AS block
+  FROM fp, (VALUES (0, 0), (1, 16), (2, 32), (3, 48)) AS b(block_idx, start_pos)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ah AS ah_a, b.ah AS ah_b
+  FROM blk a JOIN blk b
+    ON b.block_idx = a.block_idx AND b.block = a.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM (
+  SELECT doc_a, doc_b,
+         len(list_filter(generate_series(0, 63),
+             i -> substr(ah_a, i + 1, 1) <> substr(ah_b, i + 1, 1))) AS hamming
+  FROM cand)
+WHERE hamming <= 3
+""",
+    tags=("multimodal", "dedup"),
+)
+def mm6_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs: REAL BMP payloads are
+    assembled in-engine (family-keyed gradient rasters — doc_id//4
+    fixes dims/base/wrap-frequencies, doc_id%4 perturbs the top rows,
+    so each 4-doc family forms a tight near-dup cluster while
+    cross-family images are visually distinct), decoded by the Arrow
+    aHash kernel (``pipelines/multimodal.ahash64_bits`` — 8×8 box
+    means over luminance, exact integer threshold, bottom-up row flip
+    honored), and paired by the SAME rotate-and-block Hamming
+    machinery text SimHash uses (``dedup.simhash_near_pairs``,
+    Hamming ≤ 3, recall 1.0 by pigeonhole).  That reuse is the point:
+    a 100 TB multimodal pipeline keeps ONE near-dup index for every
+    modality — image fingerprints are just another 64-bit column.
+    The oracle never sees a payload: it computes the identical
+    fingerprint ARITHMETICALLY from the raster formula (the mm3
+    convention), so a kernel that misreads the stride, skips the
+    bottom-up flip, or breaks the exact threshold hash-mismatches.
+    Scale shape: payload assembly + decode are in-row Arrow batches;
+    the pair stage is d4b's banded equi-join — no O(N²) anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    fam = F.col("doc_id").cast("bigint") / 4
+    d = docs.select(
+        "doc_id",
+        (16 + F.floor(fam) % 17).cast("int").alias("_w"),
+        (16 + F.floor(fam) % 13).cast("int").alias("_h"),
+        (F.floor(fam) * 37 % 256).cast("int").alias("_base"),
+        (9 + 23 * (F.floor(fam) % 11)).cast("int").alias("_fy"),
+        (7 + 19 * (F.floor(fam) % 7)).cast("int").alias("_fx"),
+        ((F.col("doc_id") % 4) * 11).cast("int").alias("_delta"),
+    ).withColumn("_stride", (F.floor((F.col("_w") * 3 + 3) / 4) * 4).cast("int"))
+
+    def _le32_lit(n: int) -> str:
+        return n.to_bytes(4, "little").hex().upper()
+
+    # little-endian u32 hex of a column value <= 65535
+    def _le16le(col):
+        return F.concat(
+            F.lpad(F.hex(F.pmod(col, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(F.floor(col / 256).cast("int")), 2, "0"),
+            F.lit("0000"),
+        )
+
+    raster_hex = F.expr(
+        "array_join(transform(sequence(0, _h - 1), r -> concat("
+        "  array_join(transform(sequence(0, _w - 1), x ->"
+        "    repeat(lpad(hex((_base + _fy * (_h - 1 - r) + _fx * x"
+        "      + IF(_h - 1 - r < 4, _delta, 0)) % 256), 2, '0'), 3)"
+        "  ), ''),"
+        "  repeat('00', _stride - _w * 3)"
+        ")), '')"
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),
+        _le16le(F.col("_stride") * F.col("_h") + 54),
+        F.lit("00000000"),
+        F.lit(_le32_lit(54)),
+        F.lit(_le32_lit(40)),
+        _le16le(F.col("_w")),
+        _le16le(F.col("_h")),
+        F.lit("0100"),
+        F.lit("1800"),
+        F.lit(_le32_lit(0)),
+        _le16le(F.col("_stride") * F.col("_h")),
+        F.lit(_le32_lit(2835)),
+        F.lit(_le32_lit(2835)),
+        F.lit(_le32_lit(0)),
+        F.lit(_le32_lit(0)),
+        raster_hex,
+    )
+    payloads = d.select("doc_id", F.unhex(bmp_hex).alias("payload"))
+    fps = multimodal.image_ahash64(payloads).select(
+        "doc_id", F.col("ahash64").alias("simhash64")
+    )
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

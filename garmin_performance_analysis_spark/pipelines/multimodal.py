@@ -1785,3 +1785,89 @@ def decode_audio_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+def ahash64_bits(payload: bytes) -> "str | None":
+    """64-bit perceptual average-hash (aHash) of a decodable
+    uncompressed BMP raster — the classic image near-dup fingerprint
+    (box-downsample to 8×8, threshold each cell against the global
+    mean; the scheme pHash/dHash libraries ship as `average_hash`).
+
+    Spatial orientation is honored: positive-height BMPs store rows
+    BOTTOM-UP, so stored rows are flipped to top-down before boxing —
+    an orientation bug would silently pair images with their mirrors.
+    Box k (row-major, k = by·8+bx) covers pixels with ``x·8//w == bx``
+    and ``y·8//h == by``; the threshold test is the exact integer
+    cross-multiplication ``box_sum · n_total > total_sum · n_box`` —
+    no float means, so the fingerprint is bit-reproducible in ANY
+    engine including the SQL oracle.  Luminance is the per-pixel
+    channel SUM (scale-invariant for thresholding; exact int).
+
+    Returns a 64-char '0'/'1' string (position k = box k), the same
+    shape ``dedup.simhash_near_pairs`` consumes — the multimodal
+    family plugs straight into the text dedup machinery.  None for
+    payloads that are not uncompressed 8/24/32-bpp BMPs.
+    """
+    import numpy as np
+
+    hdr = parse_image_header(payload)
+    if hdr is None or hdr[0] != "bmp":
+        return None
+    w, h = hdr[1], hdr[2]
+    if w < 8 or h < 8:
+        return None
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    offset = int.from_bytes(payload[10:14], "little")
+    if compression != 0 or bpp not in (8, 24, 32):
+        return None
+    bpx = bpp // 8
+    stride = ((w * bpx + 3) // 4) * 4
+    if offset + stride * h > len(payload) or offset < 54:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    # stored bottom-up -> spatial top-down
+    lum = (
+        rows[::-1, : w * bpx]
+        .reshape(h, w, bpx)
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    k = ys[:, None] * 8 + xs[None, :]
+    box_sums = np.bincount(k.ravel(), weights=lum.ravel(), minlength=64).astype(
+        np.int64
+    )
+    box_counts = np.bincount(k.ravel(), minlength=64).astype(np.int64)
+    total, n = int(lum.sum()), int(h * w)
+    return "".join(
+        "1" if int(box_sums[i]) * n > total * int(box_counts[i]) else "0"
+        for i in range(64)
+    )
+
+
+def image_ahash64(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched aHash fingerprinting over binary payloads
+    (``mapInPandas``, the decode_features shape): one 64-char bit
+    string per DECODABLE image; non-image payloads drop.  The output
+    feeds ``dedup.simhash_near_pairs`` unchanged — perceptual image
+    dedup rides the same rotate-and-block Hamming machinery as text
+    SimHash, which is exactly how a 100 TB multimodal pipeline keeps
+    ONE near-dup index implementation for every modality."""
+    from ..plans.layout import spread_for_compute
+
+    binary_df = spread_for_compute(binary_df, "doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                ahash64_bits(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], "ahash64": hashes})
+            yield out[out["ahash64"].notna()]
+
+    return binary_df.mapInPandas(extract, "doc_id long, ahash64 string")

@@ -252,6 +252,11 @@ QUERIES = [
     "x21_zipf_fit",
     "a25_weighted_median",
     "w18_rolling_corr",
+    # r10 cont.: image aHash near-dup (documents; assembly+decode are
+    # in-row Arrow batches, pairing is the d4b banded equi-join —
+    # replicas share the doc_id%4 family structure shifted by id, so
+    # true pairs stay within a replica and scale linearly)
+    "mm6_image_ahash_neardup",
 ]
 
 

@@ -874,3 +874,72 @@ def test_decode_image_stub_pil_integration():
     hdr = multimodal.parse_image_header(payload)
     assert out["fmt"] == hdr[0] == "bmp"
     assert (out["width"], out["height"]) == (hdr[1], hdr[2]) == (2, 2)
+
+
+def test_ahash64_bits_known_image():
+    """aHash on a constructed 8x8 24bpp BMP with a half-dark half-
+    bright raster: the bright half's boxes must be 1, the dark half's
+    0; and the bottom-up storage flip must place the BRIGHT stored
+    rows (written FIRST = bottom of the image) in the LOWER spatial
+    half (bit positions 32..63)."""
+    rows = []
+    # stored rows 0-3 = spatial BOTTOM rows: bright (200)
+    for _ in range(4):
+        rows.append(bytes([200] * 24))  # 8 px * 3 ch, stride 24 (no pad)
+    # stored rows 4-7 = spatial TOP rows: dark (10)
+    for _ in range(4):
+        rows.append(bytes([10] * 24))
+    payload = _bmp_with_raster(8, 8, rows)
+    bits = multimodal.ahash64_bits(payload)
+    assert bits is not None and len(bits) == 64
+    assert bits[:32] == "0" * 32   # spatial top = dark
+    assert bits[32:] == "1" * 32   # spatial bottom = bright
+
+
+def test_ahash64_bits_rejects_non_images():
+    assert multimodal.ahash64_bits(b"not an image") is None
+    assert multimodal.ahash64_bits(b"") is None
+    # too small to box (w < 8)
+    small = _bmp_with_raster(2, 2, [b"\x01\x02\x03\x04\x05\x06\x00\x00"] * 2)
+    assert multimodal.ahash64_bits(small) is None
+
+
+def test_image_ahash64_pairs_with_simhash_machinery(spark):
+    """The aHash output feeds dedup.simhash_near_pairs unchanged:
+    two near-identical images pair at small Hamming, a structurally
+    different third does not."""
+    from garmin_performance_analysis_spark.pipelines.dedup import (
+        simhash_near_pairs,
+    )
+    from garmin_performance_analysis_spark.pipelines.multimodal import (
+        image_ahash64,
+    )
+
+    def grad_bmp(w, h, base, step):
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = []
+        for r in range(h):
+            y = h - 1 - r
+            rb = bytes(
+                b
+                for x in range(w)
+                for b in [(base + step * y + 5 * x) % 256] * 3
+            )
+            rows.append(rb + b"\x00" * (stride - w * 3))
+        return _bmp_with_raster(w, h, rows)
+
+    payloads = [
+        (1, bytearray(grad_bmp(16, 16, 10, 40))),
+        (2, bytearray(grad_bmp(16, 16, 13, 40))),   # tiny base shift
+        (3, bytearray(grad_bmp(16, 16, 10, 3))),    # different structure
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    fps = image_ahash64(df).select(
+        "doc_id", F.col("ahash64").alias("simhash64")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(fps, max_hamming=6).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
