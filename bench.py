@@ -257,8 +257,10 @@ HEADLINE = [
     "a25_weighted_median",
     "w18_rolling_corr",
     # r10: image aHash near-dup is a corpus batch pass (assemble +
-    # decode + banded pair join), batch like d4b
+    # decode + banded pair join), batch like d4b; the cluster-safe
+    # split composes the d3 pair graph + CC rounds, batch like d5
     "mm6_image_ahash_neardup",
+    "c18_cluster_safe_split",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -282,6 +284,7 @@ BATCH_JOBS = {
     "x19_token_entropy",
     "x21_zipf_fit",
     "mm6_image_ahash_neardup",
+    "c18_cluster_safe_split",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -1564,3 +1564,97 @@ def mm6_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+def _c18_oracle() -> str:
+    horner = _hex_horner("h", 1, 15)
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+clustered AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+hashed AS (
+  SELECT doc_id, cluster_id,
+         md5('csplit|' || CAST(cluster_id AS VARCHAR)) AS h
+  FROM clustered
+),
+bucketed AS (
+  SELECT doc_id, cluster_id, {horner} % 100 AS split_bucket FROM hashed
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(split_bucket AS BIGINT) AS split_bucket,
+       CASE WHEN split_bucket < 90 THEN 'train'
+            WHEN split_bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+@register(
+    "c18_cluster_safe_split",
+    oracle=_c18_oracle(),
+    tags=("prep", "curation", "dedup"),
+)
+def c18_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the NEAR-DUP CLUSTER id — the
+    full version of what c10's fingerprint split approximates (its
+    docstring calls the fingerprint "the cheap single-pass stand-in
+    for a full near-dup cluster id"; this entry is that cluster id):
+    d3's MinHash-LSH pair graph connects into components
+    (``dedup.connected_components``, pointer-jumping min-label), and
+    the 90/5/5 bucket hashes the CLUSTER id — so not just exact/
+    shuffled duplicates but every LSH-detectable near-duplicate lands
+    on the same side of the split by construction.  This is the
+    dedup→split composition an LLM eval actually needs: c10 can still
+    leak a paraphrased near-dup across train/test; cluster-keyed
+    assignment cannot (for any pair the pair stage catches).  Bucket
+    arithmetic is the same md5 low-60-bit Horner-portable scheme as
+    c10/c2.  Scale shape: the pair graph + O(log diameter) CC rounds
+    dominate (both already measured for d3/d5); the split itself is
+    one in-row hash — no extra exchange beyond the cluster join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    clustered = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("csplit|"), F.col("cluster_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return clustered.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        bucket.alias("split_bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

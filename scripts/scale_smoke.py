@@ -257,6 +257,9 @@ QUERIES = [
     # replicas share the doc_id%4 family structure shifted by id, so
     # true pairs stay within a replica and scale linearly)
     "mm6_image_ahash_neardup",
+    # r10 cont.: cluster-safe split (documents; d3 pair graph + CC
+    # rounds dominate — both already measured; the split is in-row)
+    "c18_cluster_safe_split",
 ]
 
 

@@ -943,3 +943,24 @@ def test_image_ahash64_pairs_with_simhash_machinery(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """The invariant the entry exists for: every doc in a near-dup
+    cluster gets the SAME split — checked on the real catalog entry at
+    sf0.001 by grouping its output on cluster_id."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    out = CATALOG["c18_cluster_safe_split"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and the split is non-degenerate: all three buckets appear
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
