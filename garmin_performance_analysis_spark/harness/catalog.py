@@ -514,3 +514,18 @@ def _rotate_for_round10() -> None:
 
 
 _rotate_for_round10()
+
+# ROUND-11 PLAN (standing rule): the TEN round-10 additions registered
+# PAST this window and must be fronted in the round-11 rotation —
+# a24_ks_two_sample, c17_psi_drift, x19_token_entropy,
+# v11_prefix_dim_rerank, g6_label_propagation, x21_zipf_fit,
+# a25_weighted_median, w18_rolling_corr, mm6_image_ahash_neardup,
+# c18_cluster_safe_split — plus anything CORRECTNESS_r10 flags, padded
+# with the stalest names per the GENERATED staleness report
+# (`python scripts/check_parity.py --staleness`): first the 12
+# remaining r6 names (t5_recommendations, t5_severity_clusters,
+# t6_interval_fatigue, t6_work_recovery, t7_range_resolution_stats,
+# t8_material_event_rates, w3_latest_record, w7_baseline_band,
+# w9_durability_decoupling, x10_unigram_logprob,
+# x11_boilerplate_segments, x13_bpe_token_counts), then 28 of the
+# r7 block to pad to exactly 50.
