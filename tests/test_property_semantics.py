@@ -2122,3 +2122,71 @@ def test_bloom_semi_prune_no_fn_for_any_params(spark, n_fact, key_space,
     got = sorted((r["k"], r["v"]) for r in pruned.join(keys.distinct(), "k").collect())
     want = sorted((r["k"], r["v"]) for r in fact.join(keys.distinct(), "k").collect())
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_weighted_median_matches_bruteforce(spark, n, seed):
+    """For any positive integer weights and arbitrary values, the
+    operator's lower weighted median must equal the brute-force
+    expansion (repeat each value weight times, take the element at
+    ceil(W/2) in sorted order)."""
+    from garmin_performance_analysis_spark.operators.stats import (
+        weighted_median,
+    )
+
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(-50, 50, size=n).astype(float)
+    wts = rng.randint(1, 6, size=n)
+    rows = [("g", float(v), int(w)) for v, w in zip(vals, wts)]
+    df = spark.createDataFrame(rows, "g string, x double, wt long")
+    got = weighted_median(df, ["g"], "x", "wt").collect()[0]
+    expanded = np.sort(np.repeat(vals, wts))
+    want = float(expanded[(len(expanded) + 1) // 2 - 1])
+    assert got["wmedian"] == want, (n, seed, got["wmedian"], want)
+    assert got["total_weight"] == int(wts.sum())
+
+
+@given(
+    w=st.integers(min_value=8, max_value=20),
+    h=st.integers(min_value=8, max_value=20),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_ahash64_matches_pure_python_reference(w, h, seed):
+    """The numpy aHash kernel must equal a dumb double-loop reference
+    (spatial top-down orientation, floor box boundaries, exact integer
+    threshold) for any raster and any non-multiple-of-8 dims."""
+    from garmin_performance_analysis_spark.pipelines.multimodal import (
+        ahash64_bits,
+    )
+    from tests.test_pipelines import _bmp_with_raster
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3))
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(h):
+        y = h - 1 - r  # stored bottom-up
+        rb = bytes(int(b) for x in range(w) for b in px[y, x])
+        rows.append(rb + b"\x00" * (stride - w * 3))
+    got = ahash64_bits(_bmp_with_raster(w, h, rows))
+    lum = px.sum(axis=2)
+    total, npx = int(lum.sum()), w * h
+    bits = []
+    for k in range(64):
+        by, bx = k // 8, k % 8
+        s = c = 0
+        for y in range(h):
+            if (y * 8) // h != by:
+                continue
+            for x in range(w):
+                if (x * 8) // w != bx:
+                    continue
+                s += int(lum[y, x])
+                c += 1
+        bits.append("1" if s * npx > total * c else "0")
+    assert got == "".join(bits), (w, h, seed)
