@@ -258,9 +258,11 @@ HEADLINE = [
     "w18_rolling_corr",
     # r10: image aHash near-dup is a corpus batch pass (assemble +
     # decode + banded pair join), batch like d4b; the cluster-safe
-    # split composes the d3 pair graph + CC rounds, batch like d5
+    # split composes the d3 pair graph + CC rounds, batch like d5;
+    # the ORC roundtrip is a sink+source read row like s8
     "mm6_image_ahash_neardup",
     "c18_cluster_safe_split",
+    "s12_orc_roundtrip",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -675,3 +675,45 @@ def s11_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("p.k")).alias("k"),
         F.when(ok, F.col("p.type")).alias("type_parsed"),
     )
+
+
+@register(
+    "s12_orc_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY 1
+""",
+    tags=("source", "sink"),
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source with predicate pushdown — the OTHER columnar
+    lake format (Spark ships native ORC read/write; Hive-era tables
+    still arrive as ORC): write orders to ORC, read it back with a
+    selective price filter, and aggregate.  Unlike the CSV edge
+    format (s8), ORC carries column statistics and supports pushdown
+    — ``tests/test_plan_shapes.py`` gates that the read-back scan
+    shows a PushedFilters entry, so the roundtrip proves the format
+    keeps its scan-pruning power, not just its bytes.  The oracle is
+    the plain parquet-side query; a type lost in translation, a
+    dropped row, or a filter applied post-scan to different effect
+    all hash-mismatch.  Scale note: the write is repartitioned into
+    multiple files so the read-back scan parallelizes — an ORC sink
+    that funnels into one file serializes every downstream scan."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="s12_orc_") + "/orders_orc"
+    orders.repartition(4).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("o_totalprice") > 150000.0)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+        .cast("double")
+        .alias("total"),
+    )

@@ -292,3 +292,11 @@ def test_j16_prune_is_chained_broadcast_semis_no_extra_exchange(spark):
         "BroadcastExchange ("
     )
     assert real_exchanges == 1
+
+
+def test_s12_orc_readback_pushes_filter(spark):
+    """The ORC roundtrip's point is that the format keeps scan-pruning
+    power: the read-back plan must show a pushed price filter on the
+    ORC scan (CSV, by contrast, cannot push anything)."""
+    df = CATALOG["s12_orc_roundtrip"].fn(spark, SF_SMOKE)
+    assert checks.has_pushed_filters(df)
