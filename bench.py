@@ -263,6 +263,9 @@ HEADLINE = [
     "mm6_image_ahash_neardup",
     "c18_cluster_safe_split",
     "s12_orc_roundtrip",
+    # r10: the stream-static enrichment replay is a streaming batch
+    # job like i3/i4 (two AvailableNow runs over a shared checkpoint)
+    "i10_stream_static_enrich_replay",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -287,6 +290,7 @@ BATCH_JOBS = {
     "x21_zipf_fit",
     "mm6_image_ahash_neardup",
     "c18_cluster_safe_split",
+    "i10_stream_static_enrich_replay",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -876,3 +876,117 @@ def i9_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
     )
+
+
+def _i10_oracle() -> str:
+    """i3's two-run watermark replay composed with a plain static-dim
+    join: stream-static adds NO state, so the late-drop and
+    finalization rules are identical — only the aggregation key comes
+    from the joined dim, and rows without a dim match drop (inner).
+
+    ONE pinned twist (probed empirically, see the entry docstring):
+    because the dim is DEFINED by ``user_id % 3 = 0``, Catalyst infers
+    that predicate onto the stream side of the inner join and pushes
+    it BELOW the EventTimeWatermark node — so only predicate-passing
+    rows advance the watermark.  Both run watermarks are therefore
+    computed over the ``user_id % 3 = 0`` subset, not all arrivals."""
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id, value FROM events
+),
+dim AS (
+  SELECT DISTINCT user_id, 't' || CAST(user_id % 4 AS VARCHAR) AS tier
+  FROM events WHERE user_id % 3 = 0
+),
+m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+b1 AS (SELECT e.* FROM e, m WHERE us <= mid),
+b2 AS (
+  SELECT e.* FROM e, m WHERE us > mid
+  UNION ALL
+  SELECT b1.* FROM b1, m WHERE us > mid - {_I3_LATE_US}
+),
+wm AS (
+  SELECT ((SELECT MAX(us) FROM b1 WHERE user_id % 3 = 0) // 1000
+          - {_I3_WM_US // 1000}) * 1000 AS wm1,
+         ((SELECT MAX(us) FROM e WHERE user_id % 3 = 0) // 1000
+          - {_I3_WM_US // 1000}) * 1000 AS wm2
+),
+kept AS (
+  SELECT * FROM b1
+  UNION ALL
+  SELECT b2.us, b2.user_id, b2.value FROM b2, wm
+  WHERE ((us // {_I3_WIN_US}) + 1) * {_I3_WIN_US} > wm1
+),
+agg AS (
+  SELECT (us // {_I3_WIN_US}) * {_I3_WIN_US} AS ws_us, d.tier AS key,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 6)
+           AS value_sum
+  FROM kept JOIN dim d USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT make_timestamp(ws_us) AS window_start, key, CAST(n AS BIGINT) AS n,
+       value_sum
+FROM agg, wm WHERE ws_us + {_I3_WIN_US} <= wm2
+"""
+
+
+@register(
+    "i10_stream_static_enrich_replay",
+    oracle=_i10_oracle(),
+    tags=("streaming", "join"),
+)
+def i10_stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run replay of the STREAM-STATIC enrichment join
+    (``streaming/replay.stream_static_enrich_replay``): file stream →
+    watermark → broadcast INNER join against a static user→tier dim
+    (only every third user is in the dim, so unmatched rows really
+    drop) → 5-min tumbling window per tier → append sink.
+    Stream-static is its own Structured Streaming feature — the
+    static side is snapshot-joined per micro-batch with NO state and
+    no watermark requirement — and because it adds no state, i3's
+    empirically-pinned late-drop/finalization arithmetic composes
+    with a plain SQL dim join, giving this entry a full hash oracle.
+    Batch split mirrors i3 (first half / rest + 3-minute redelivery:
+    at-least-once upstream double-counts in open windows, drops into
+    finalized ones).
+
+    ONE probed, pinned twist (query-progress evidence in
+    ``tests/test_streaming.py::test_stream_static_inferred_filter_watermark``):
+    the dim is DEFINED by ``user_id % 3 = 0``, so Catalyst's
+    constraint propagation infers that predicate onto the STREAM side
+    of the inner join and pushes it below the EventTimeWatermark
+    node — only predicate-passing rows advance the watermark.  The
+    oracle computes both run watermarks over that subset.  This is a
+    real 100 TB operational gotcha worth pinning: derive your
+    enrichment dim from a predicate and your watermark now stalls
+    whenever the MATCHED traffic stalls, even while unmatched events
+    pour in."""
+    from ..streaming.replay import stream_static_enrich_replay
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    dim = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.concat(F.lit("t"), (F.col("user_id") % 4).cast("string"))
+        )
+    )
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("tmin"), F.max(us).alias("tmax")).first()
+    mid = (bounds["tmin"] + bounds["tmax"]) // 2
+    b1 = ev.filter(us <= mid)
+    b2 = ev.filter(us > mid).unionByName(b1.filter(us > mid - _I3_LATE_US))
+    work = tempfile.mkdtemp(prefix="i10_stream_static_")
+    try:
+        out = stream_static_enrich_replay(
+            spark, [b1, b2], dim, work,
+            ts_col="ts", join_col="user_id", key_col="tier",
+            value_col="value",
+            window_sec=_I3_WIN_US // 1_000_000,
+            watermark_sec=_I3_WM_US // 1_000_000,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

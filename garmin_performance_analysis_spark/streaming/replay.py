@@ -488,3 +488,87 @@ def stream_stateful_runs_replay(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
+
+
+def stream_static_enrich_replay(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    dim: DataFrame,
+    work_dir: str,
+    *,
+    ts_col: str = "ts",
+    join_col: str = "user_id",
+    key_col: str = "tier",
+    value_col: str = "value",
+    window_sec: int = 300,
+    watermark_sec: int = 120,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Replay ``batches`` through a STREAM-STATIC enrichment pipeline:
+    file stream → watermark → INNER join against the static ``dim``
+    (broadcast — the canonical streaming enrichment: no state, no
+    watermark needed on the static side, unmatched stream rows drop)
+    → tumbling windowed aggregate per enriched key → append-mode
+    parquet sink, one AvailableNow run per batch over a shared
+    checkpoint.
+
+    Stream-static is its OWN Structured Streaming feature, distinct
+    from the stream-stream joins (i4/i9): the static side is re-read
+    per micro-batch (a snapshot join — at scale, a slowly-changing dim
+    is re-broadcast per trigger, which is exactly the production
+    behavior this replay pins), and because the join adds no state,
+    the watermark/window finalization arithmetic is identical to the
+    plain windowed aggregation — which is what makes the i3-style SQL
+    oracle composable with a plain dim join.
+
+    Aggregates mirror ``windowed_stats_replay`` (DECIMAL sums).
+    """
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    os.makedirs(src, exist_ok=True)
+    schema = batches[0].schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark(ts_col, f"{watermark_sec} seconds")
+            .join(F.broadcast(dim), join_col)
+            .groupBy(
+                F.window(F.col(ts_col), f"{window_sec} seconds").alias("win"),
+                F.col(key_col).alias("key"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(value_col).cast("decimal(30,12)")).alias("vsum"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            run_once()
+        # drain run: emit windows the final watermark advance finalized
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    sink = spark.read.parquet(out)
+    return sink.select(
+        F.col("win.start").alias("window_start"),
+        F.col("key"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("vsum").cast("double"), 6).alias("value_sum"),
+    )

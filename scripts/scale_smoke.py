@@ -260,6 +260,9 @@ QUERIES = [
     # r10 cont.: cluster-safe split (documents; d3 pair graph + CC
     # rounds dominate — both already measured; the split is in-row)
     "c18_cluster_safe_split",
+    # r10 cont.: stream-static enrichment replay (events; the
+    # state-store fixed cost dominates like i3/i9 — wall near-flat)
+    "i10_stream_static_enrich_replay",
 ]
 
 

@@ -572,3 +572,46 @@ def test_stream_session_replay_watermark_semantics(spark, tmp_path):
     )
     # FB absent: its tentative end hit the watermark exactly
     assert not any(k == "FB" for k, *_ in got)
+
+
+def test_stream_static_inferred_filter_watermark(spark, tmp_path):
+    """Pins the i10 oracle's one twist: when the static dim is DEFINED
+    by a predicate (user_id % 3 = 0 here, reduced to user_id = 3),
+    Catalyst infers that predicate onto the stream side of the inner
+    join and pushes it below the EventTimeWatermark node, so ONLY
+    predicate-passing rows advance the watermark.  Scenario: a matched
+    event at t=1000 and an unmatched event at t=5000 arrive; if
+    unmatched rows advanced the watermark, window [900,1200) would
+    finalize (wm 4880); under the inferred-filter semantics the
+    watermark stays at 880 and the window is held."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from garmin_performance_analysis_spark.streaming.replay import (
+        stream_static_enrich_replay,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "sec long, user_id long, value double"
+        ).select(F.timestamp_seconds("sec").alias("ts"), "user_id", "value")
+
+    base = spark.createDataFrame(
+        [(3, "a"), (7, "b"), (11, "c")], "user_id long, tier string"
+    )
+    # dim DEFINED by a predicate -> constraint inference kicks in
+    dim = base.filter(F.col("user_id") == 3)
+    b1 = df([(100, 3, 1.0), (400, 3, 2.0)])
+    b2 = df([(1000, 3, 4.0), (5000, 7, 5.0)])
+    work = str(tmp_path / "i10probe")
+    os.makedirs(work)
+    out = stream_static_enrich_replay(
+        spark, [b1, b2], dim, work,
+        window_sec=300, watermark_sec=120,
+    )
+    starts = sorted(r["window_start"].strftime("%H:%M:%S") for r in out.collect())
+    # windows [0,300) and [300,600) finalized by the MATCHED event at
+    # t=1000 (wm 880); [900,1200) held because the unmatched t=5000
+    # row never advances the watermark under the inferred filter
+    assert starts == ["00:00:00", "00:05:00"], starts
