@@ -264,8 +264,10 @@ HEADLINE = [
     "c18_cluster_safe_split",
     "s12_orc_roundtrip",
     # r10: the stream-static enrichment replay is a streaming batch
-    # job like i3/i4 (two AvailableNow runs over a shared checkpoint)
+    # job like i3/i4 (two AvailableNow runs over a shared checkpoint);
+    # KWIC snippets are a serving read like o7/o8 (k-bounded join)
     "i10_stream_static_enrich_replay",
+    "o12_kwic_snippets",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -2048,3 +2048,76 @@ def x21_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(slope).alias("zipf_slope"),
         _r6((sy - slope * sx) / n).alias("log_c"),
     )
+
+
+def _o12_oracle() -> str:
+    first_pos = "COALESCE(" + ", ".join(
+        f"NULLIF(list_position(w, '{t}'), 0)" for t in _BM25_TERMS
+    ) + ")"
+    matched = "CASE " + " ".join(
+        f"WHEN list_position(w, '{t}') > 0 THEN '{t}'" for t in _BM25_TERMS
+    ) + " END"
+    return f"""
+WITH {_bm25_ctes()},
+hits AS (
+  SELECT r.doc_id, r.rk, r.score,
+         string_split(lower(d.text), ' ') AS w
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+  WHERE r.rk <= 10
+),
+snip AS (
+  SELECT doc_id, rk, score,
+         {matched} AS matched_term,
+         GREATEST({first_pos} - 4, 1) AS s
+         , w
+  FROM hits
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, score, matched_term,
+       array_to_string(w[s:s + 8], ' ') AS snippet
+FROM snip
+"""
+
+
+@register(
+    "o12_kwic_snippets",
+    oracle=_o12_oracle(),
+    tags=("retrieval", "serving"),
+)
+def o12_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for the BM25 top-10 — the search
+    SERVING step after ranking (x7 scores, o12 renders): for each hit,
+    a 9-token window centered on the first occurrence of the
+    highest-priority query term present (query-term order is the
+    priority), clipped at document edges.  Snippet extraction is pure
+    in-row array arithmetic (split, array_position, slice,
+    array_join) over a k-BOUNDED join back to the text column — at
+    100 TB the ranking pass never carries full text; only the 10
+    winning docs' text is fetched, which is exactly how a serving
+    tier separates index from store.  The oracle shares x7's BM25
+    CTEs verbatim (the o8 convention: ranking rules can never drift
+    between the search entries) and value-checks the rendered snippet
+    itself, so an off-by-one in the window, a wrong clip at the doc
+    edge, or a term-priority swap all hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    top = retrieval.bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=10
+    )
+    j = top.join(docs.select("doc_id", "text"), "doc_id")
+    w = F.split(F.lower(F.col("text")), " ")
+    first_pos = F.coalesce(
+        *[F.nullif(F.array_position(w, t), F.lit(0)) for t in _BM25_TERMS]
+    )
+    matched = F.coalesce(
+        *[
+            F.when(F.array_position(w, t) > 0, F.lit(t))
+            for t in _BM25_TERMS
+        ]
+    )
+    start = F.greatest(first_pos - 4, F.lit(1)).cast("int")
+    return j.select(
+        "doc_id",
+        F.col("rk").cast("bigint").alias("rk"),
+        "score",
+        matched.alias("matched_term"),
+        F.array_join(F.slice(w, start, 9), " ").alias("snippet"),
+    )

@@ -263,6 +263,9 @@ QUERIES = [
     # r10 cont.: stream-static enrichment replay (events; the
     # state-store fixed cost dominates like i3/i9 — wall near-flat)
     "i10_stream_static_enrich_replay",
+    # r10 cont.: KWIC snippets (documents; ranking scan grows, the
+    # snippet join is k-bounded at 10 rows)
+    "o12_kwic_snippets",
 ]
 
 
