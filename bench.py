@@ -268,6 +268,10 @@ HEADLINE = [
     # KWIC snippets are a serving read like o7/o8 (k-bounded join)
     "i10_stream_static_enrich_replay",
     "o12_kwic_snippets",
+    # r10: chi-square drift is a read-shaped category agg; the audio
+    # near-dup is a corpus batch pass like mm6/d4b
+    "a27_chi_square_drift",
+    "mm7_audio_energyhash_neardup",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -293,6 +297,7 @@ BATCH_JOBS = {
     "mm6_image_ahash_neardup",
     "c18_cluster_safe_split",
     "i10_stream_static_enrich_replay",
+    "mm7_audio_energyhash_neardup",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

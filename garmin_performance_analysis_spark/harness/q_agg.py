@@ -984,3 +984,93 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         _r6(F.col("total_weight") / 100.0).alias("total_weight"),
     )
+
+
+@register(
+    "a27_chi_square_drift",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+per AS (
+  SELECT event_type, SUM(is_a) AS na_c, SUM(1 - is_a) AS nb_c FROM s GROUP BY 1
+),
+tot AS (
+  SELECT SUM(na_c) AS na, SUM(nb_c) AS nb, COUNT(*) AS k FROM per
+),
+terms AS (
+  SELECT per.event_type, tot.na, tot.nb, tot.k,
+         POWER(na_c - (na_c + nb_c) * na * 1.0 / (na + nb), 2)
+           / ((na_c + nb_c) * na * 1.0 / (na + nb))
+         + POWER(nb_c - (na_c + nb_c) * nb * 1.0 / (na + nb), 2)
+           / ((na_c + nb_c) * nb * 1.0 / (na + nb)) AS term
+  FROM per, tot
+),
+agg AS (
+  SELECT na, nb, k,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6) AS chi2
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(k - 1 AS BIGINT) AS dof, chi2,
+       CAST(CASE WHEN k = 5 AND chi2 > 9.487729036781154
+                 THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+FROM agg
+""",
+    tags=("agg", "stats"),
+)
+def a27_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square two-sample homogeneity test on the
+    event-type CATEGORY distribution between the deterministic
+    event_id-parity halves — the categorical member of the drift
+    family (c17 PSI on binned continuous shares, a24 KS on a
+    continuous CDF, a27 chi² on categories: together the standard
+    snapshot-acceptance battery).  Expected counts are the classic
+    row-total × column-total / N contingency form; the α=0.05 verdict
+    compares against the df=4 critical value 9.4877 (pinned to this
+    corpus's five event types — dof is emitted so a k≠5 regime reads
+    as unverdicted rather than silently mis-thresholded).
+
+    Shape for 100 TB: ONE keyed agg to category-cardinality, then
+    pure small-frame algebra — same cost class as a histogram; the
+    chi² terms pass through DECIMAL(38,18) so the k-term sum is
+    shuffle-order-independent, and all inputs to the doubles are
+    exact integers so both engines compute identical terms."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", (F.col("event_id") % 2 == 0).cast("int").alias("is_a")
+    )
+    per = s.groupBy("event_type").agg(
+        F.sum("is_a").alias("na_c"), F.sum(1 - F.col("is_a")).alias("nb_c")
+    )
+    tot = per.agg(
+        F.sum("na_c").alias("na"),
+        F.sum("nb_c").alias("nb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    n = F.col("na") + F.col("nb")
+    row = F.col("na_c") + F.col("nb_c")
+    ea = row * F.col("na") * 1.0 / n
+    eb = row * F.col("nb") * 1.0 / n
+    term = F.pow(F.col("na_c") - ea, 2) / ea + F.pow(F.col("nb_c") - eb, 2) / eb
+    agg = (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb", "k")
+        .agg(
+            _r6(F.sum(term.cast("decimal(38,18)")).cast("double")).alias("chi2")
+        )
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        "chi2",
+        F.when(
+            (F.col("k") == 5) & (F.col("chi2") > 9.487729036781154), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_05"),
+    )

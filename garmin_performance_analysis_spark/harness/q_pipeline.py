@@ -1658,3 +1658,130 @@ def c18_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _mm7_oracle() -> str:
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         128 + (doc_id // 4) % 64 AS nf,
+         (doc_id // 4 * 53) % 256 AS base,
+         5 + 17 * ((doc_id // 4) % 13) AS fv,
+         (doc_id % 4) * 13 AS delta
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, nf, t.t,
+         ((base + fv * t.t + CASE WHEN t.t < 8 THEN delta ELSE 0 END) % 256)
+           - 128 AS a
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS t) AS t
+),
+sliced AS (
+  SELECT doc_id, nf, (t * 64 // nf) AS k, SUM(a * a) AS se, COUNT(*) AS sn
+  FROM samp GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(se) AS te, SUM(sn) AS n FROM sliced GROUP BY 1),
+fp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN se * n > te * sn THEN '1' ELSE '0' END,
+                    '' ORDER BY k) AS eh
+  FROM sliced JOIN tot USING (doc_id) GROUP BY doc_id
+),
+blk AS (
+  SELECT doc_id, eh, b.block_idx, substr(eh, b.start_pos + 1, 16) AS block
+  FROM fp, (VALUES (0, 0), (1, 16), (2, 32), (3, 48)) AS b(block_idx, start_pos)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.eh AS eh_a, b.eh AS eh_b
+  FROM blk a JOIN blk b
+    ON b.block_idx = a.block_idx AND b.block = a.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM (
+  SELECT doc_a, doc_b,
+         len(list_filter(generate_series(0, 63),
+             i -> substr(eh_a, i + 1, 1) <> substr(eh_b, i + 1, 1))) AS hamming
+  FROM cand)
+WHERE hamming <= 3
+"""
+
+
+@register(
+    "mm7_audio_energyhash_neardup",
+    oracle=_mm7_oracle(),
+    tags=("multimodal", "dedup"),
+)
+def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs via energy-envelope fingerprinting —
+    the third modality on the ONE near-dup index: real 8-bit mono PCM
+    WAV payloads assembled in-engine (family-keyed sweep signals —
+    doc_id//4 fixes length/phase/frequency, doc_id%4 perturbs the
+    first 8 samples), decoded by the Arrow kernel
+    (``pipelines/multimodal.audio_energyhash64`` — 64 equal time
+    slices, exact integer energy threshold), and paired by the SAME
+    rotate-and-block Hamming machinery as text SimHash (d4) and image
+    aHash (mm6).  With this entry the multimodal family demonstrates
+    the 100 TB design claim end-to-end: every modality reduces to a
+    64-bit fingerprint column and ONE banded equi-join
+    implementation does near-dup for all of them.  The oracle
+    computes the fingerprint arithmetically from the sample formula
+    (the mm3/mm6 convention) — a kernel that misreads the data-chunk
+    offset, forgets the 8-bit unsigned→signed shift, or breaks the
+    exact threshold hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    fam = F.floor(F.col("doc_id") / 4)
+    d = docs.select(
+        "doc_id",
+        (128 + fam % 64).cast("int").alias("_nf"),
+        (fam * 53 % 256).cast("int").alias("_base"),
+        (5 + 17 * (fam % 13)).cast("int").alias("_fv"),
+        ((F.col("doc_id") % 4) * 13).cast("int").alias("_delta"),
+    )
+
+    def _le_lit(n: int, width: int) -> str:
+        return n.to_bytes(width, "little").hex().upper()
+
+    def _le_col(col, width: int):
+        parts = []
+        for i in range(width):
+            parts.append(
+                F.lpad(
+                    F.hex(
+                        F.pmod(F.floor(col / (256 ** i)).cast("long"), F.lit(256))
+                    ),
+                    2,
+                    "0",
+                )
+            )
+        return F.concat(*parts)
+
+    data_hex = F.expr(
+        "array_join(transform(sequence(0, _nf - 1), t ->"
+        " lpad(hex((_base + _fv * t + IF(t < 8, _delta, 0)) % 256), 2, '0')"
+        "), '')"
+    )
+    # canonical 44-byte PCM header: mono, 8 kHz, 8-bit, block align 1
+    wav_hex = F.concat(
+        F.lit("52494646"),                     # 'RIFF'
+        _le_col(F.col("_nf") + 36, 4),
+        F.lit("57415645"),                     # 'WAVE'
+        F.lit("666D7420"),                     # 'fmt '
+        F.lit("10000000"),                     # fmt chunk size 16
+        F.lit("0100"),                         # PCM
+        F.lit(_le_lit(1, 2)),                  # mono
+        F.lit(_le_lit(8000, 4)),               # sample rate
+        F.lit(_le_lit(8000, 4)),               # byte rate (block 1)
+        F.lit(_le_lit(1, 2)),                  # block align
+        F.lit(_le_lit(8, 2)),                  # bits
+        F.lit("64617461"),                     # 'data'
+        _le_col(F.col("_nf"), 4),
+        data_hex,
+    )
+    payloads = d.select("doc_id", F.unhex(wav_hex).alias("payload"))
+    fps = multimodal.audio_energyhash(payloads).select(
+        "doc_id", F.col("ehash64").alias("simhash64")
+    )
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

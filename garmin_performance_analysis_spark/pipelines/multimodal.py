@@ -1871,3 +1871,67 @@ def image_ahash64(binary_df: DataFrame) -> DataFrame:
             yield out[out["ahash64"].notna()]
 
     return binary_df.mapInPandas(extract, "doc_id long, ahash64 string")
+
+
+def audio_energyhash64(payload: bytes) -> "str | None":
+    """64-bit energy-envelope fingerprint of a PCM WAV — the audio
+    analog of ``ahash64_bits`` (and of Shazam-style constellation
+    hashing reduced to its simplest robust form): the signed-amplitude
+    ENERGY in each of 64 equal time slices is thresholded against the
+    track's mean energy, exact integer cross-multiplication
+    (``slice_energy · n_samples > total_energy · slice_samples``) —
+    bit-reproducible in any engine including the SQL oracle.  Slice k
+    covers samples with ``t·64//n == k``.
+
+    8-bit (unsigned, silence=128) and 16-bit (signed LE) MONO PCM are
+    supported — the uncompressed shapes the in-repo decoder owns;
+    companded/compressed audio is decode_image_stub territory.
+    Returns a 64-char '0'/'1' string consumable by
+    ``dedup.simhash_near_pairs`` — the same near-dup index machinery
+    as text SimHash and image aHash.  None for unsupported payloads.
+    """
+    import numpy as np
+
+    hdr = parse_audio_header(payload)
+    if hdr is None:
+        return None
+    n_channels, _rate, bits, data_off, data_size, audio_format = hdr
+    if audio_format != 1 or n_channels != 1 or bits not in (8, 16):
+        return None
+    block = bits // 8
+    n = data_size // block
+    if n < 64:
+        return None
+    raw = payload[data_off : data_off + n * block]
+    if bits == 8:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    e = a * a
+    k = (np.arange(n) * 64) // n
+    ss = np.bincount(k, weights=e, minlength=64).astype(np.int64)
+    sc = np.bincount(k, minlength=64).astype(np.int64)
+    total = int(e.sum())
+    return "".join(
+        "1" if int(ss[i]) * n > total * int(sc[i]) else "0" for i in range(64)
+    )
+
+
+def audio_energyhash(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio fingerprinting (the image_ahash64 shape):
+    one 64-char bit string per decodable mono PCM payload; undecodable
+    rows drop."""
+    from ..plans.layout import spread_for_compute
+
+    binary_df = spread_for_compute(binary_df, "doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                audio_energyhash64(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], "ehash64": hashes})
+            yield out[out["ehash64"].notna()]
+
+    return binary_df.mapInPandas(extract, "doc_id long, ehash64 string")

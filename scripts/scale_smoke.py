@@ -266,6 +266,9 @@ QUERIES = [
     # r10 cont.: KWIC snippets (documents; ranking scan grows, the
     # snippet join is k-bounded at 10 rows)
     "o12_kwic_snippets",
+    # r10 cont.: audio near-dup (documents; same shape as mm6 — linear
+    # assemble+decode, banded pair join)
+    "mm7_audio_energyhash_neardup",
 ]
 
 

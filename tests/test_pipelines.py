@@ -964,3 +964,24 @@ def test_cluster_safe_split_no_straddle(spark):
     # and the split is non-degenerate: all three buckets appear
     splits = {r["split"] for r in out.select("split").distinct().collect()}
     assert splits == {"train", "val", "test"}
+
+
+def test_audio_energyhash_known_signal():
+    """A half-silent, half-loud 8-bit mono WAV: the loud half's slices
+    must be 1, the silent half's 0; and the unsigned->signed shift
+    must make 128 exact silence (energy 0)."""
+    import struct
+
+    n = 128
+    data = bytes([128] * (n // 2)) + bytes([228] * (n // 2))
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", n) + data
+    )
+    bits = multimodal.audio_energyhash64(payload)
+    assert bits is not None
+    assert bits[:32] == "0" * 32
+    assert bits[32:] == "1" * 32
+    # non-audio payloads and compressed formats return None
+    assert multimodal.audio_energyhash64(b"not a wav") is None
