@@ -1665,7 +1665,7 @@ def _mm7_oracle() -> str:
 WITH dims AS (
   SELECT doc_id,
          128 + (doc_id // 4) % 64 AS nf,
-         (doc_id // 4 * 53) % 256 AS base,
+         ((doc_id // 4 * 53) + (doc_id // 4) % 101) % 256 AS base,
          5 + 17 * ((doc_id // 4) % 13) AS fv,
          (doc_id % 4) * 13 AS delta
   FROM documents
@@ -1733,7 +1733,10 @@ def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         (128 + fam % 64).cast("int").alias("_nf"),
-        (fam * 53 % 256).cast("int").alias("_base"),
+        # the % 101 phase pushes the family parameter-tuple period to
+        # lcm(64, 13, 256, 101) > 330k families, so corpus replication
+        # (scale_smoke) cannot mint identical cross-replica families
+        ((fam * 53 + fam % 101) % 256).cast("int").alias("_base"),
         (5 + 17 * (fam % 13)).cast("int").alias("_fv"),
         ((F.col("doc_id") % 4) * 13).cast("int").alias("_delta"),
     )
