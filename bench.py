@@ -272,6 +272,10 @@ HEADLINE = [
     # near-dup is a corpus batch pass like mm6/d4b
     "a27_chi_square_drift",
     "mm7_audio_energyhash_neardup",
+    # r10: higher moments are a read-shaped one-pass agg; Mann-Kendall
+    # is a robust-fit batch job like m16 (bounded per-group pair join)
+    "a28_higher_moments",
+    "t18_mann_kendall",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -298,6 +302,7 @@ BATCH_JOBS = {
     "c18_cluster_safe_split",
     "i10_stream_static_enrich_replay",
     "mm7_audio_energyhash_neardup",
+    "t18_mann_kendall",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -515,14 +515,15 @@ def _rotate_for_round10() -> None:
 
 _rotate_for_round10()
 
-# ROUND-11 PLAN (standing rule): the FIFTEEN round-10 additions
+# ROUND-11 PLAN (standing rule): the SEVENTEEN round-10 additions
 # registered PAST this window and must be fronted in the round-11
 # rotation — a24_ks_two_sample, c17_psi_drift, x19_token_entropy,
 # v11_prefix_dim_rerank, g6_label_propagation, x21_zipf_fit,
 # a25_weighted_median, w18_rolling_corr, mm6_image_ahash_neardup,
 # c18_cluster_safe_split, s12_orc_roundtrip,
 # i10_stream_static_enrich_replay, o12_kwic_snippets,
-# a27_chi_square_drift, mm7_audio_energyhash_neardup — plus anything
+# a27_chi_square_drift, mm7_audio_energyhash_neardup,
+# a28_higher_moments, t18_mann_kendall — plus anything
 # CORRECTNESS_r10 flags, padded
 # with the stalest names per the GENERATED staleness report
 # (`python scripts/check_parity.py --staleness`): first the 12

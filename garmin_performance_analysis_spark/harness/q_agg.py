@@ -1074,3 +1074,79 @@ def a27_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("reject_05"),
     )
+
+
+@register(
+    "a28_higher_moments",
+    oracle="""
+WITH sums AS (
+  SELECT event_type, COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,12))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,12))) AS DOUBLE) AS s4
+  FROM events GROUP BY 1
+),
+cm AS (
+  SELECT event_type, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * POWER(s1 / n, 2) * (s2 / n)
+           - 3 * POWER(s1 / n, 4) AS m4
+  FROM sums
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(mu, 6) AS mean,
+       ROUND(CASE WHEN m2 > 0 THEN m3 / POWER(m2, 1.5) END, 6) AS skewness,
+       ROUND(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6)
+         AS excess_kurtosis
+FROM cm
+""",
+    tags=("agg", "stats"),
+)
+def a28_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skewness and excess kurtosis — the 3rd/4th-moment
+    completion of the profiling family (a1/a9 stop at mean/stddev;
+    tail shape is what length/score distributions actually get gated
+    on in corpus QA).  Population central moments come from the
+    classic raw-power-sum identities (m3 = S3/n − 3μS2/n + 2μ³ etc.)
+    over ONE keyed agg — four DECIMAL(38,12) sums, map-side
+    combinable, shuffle-order-independent, so both engines derive the
+    identical doubles and the outputs hash at 6dp (value ≤ ~561 here
+    → value⁴ ≤ 1e11; DECIMAL(38,12) holds the sums to ~1e14 rows per
+    group).  One-pass moment collection is THE 100 TB shape — a
+    two-pass centered computation would re-scan the corpus; the
+    numerical-cancellation caveat of raw sums is bounded because the
+    grid is 2-dp fixed-point and the sums are exact DECIMAL, so
+    cancellation error enters only in the final double arithmetic,
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    sums = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum(v).alias("s1"),
+        dsum(v * v).alias("s2"),
+        dsum(v * v * v).alias("s3"),
+        dsum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * F.pow(mu, 2) * (F.col("s2") / n)
+        - 3 * F.pow(mu, 4)
+    )
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        _r6(mu).alias("mean"),
+        _r6(F.when(m2 > 0, m3 / F.pow(m2, 1.5))).alias("skewness"),
+        _r6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("excess_kurtosis"),
+    )

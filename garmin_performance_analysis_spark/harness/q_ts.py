@@ -1295,3 +1295,129 @@ def t17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("trend")).alias("trend"),
         q6(F.col("seasonal")).alias("seasonal"),
     )
+
+
+@register(
+    "t18_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id, SIGN(b.x - a.x) AS sg
+  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day < b.day
+),
+s AS (SELECT user_id, CAST(SUM(CAST(sg AS BIGINT)) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1),
+nn AS (SELECT user_id, COUNT(*) AS n FROM daily GROUP BY 1),
+tg AS (SELECT user_id, x, COUNT(*) AS c FROM daily GROUP BY 1, 2),
+ties AS (SELECT user_id, SUM(c * (c - 1) * (2 * c + 5)) AS tt FROM tg GROUP BY 1),
+v AS (
+  SELECT nn.user_id, nn.n, s.s_stat,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0 AS var_s
+  FROM nn JOIN s ON s.user_id = nn.user_id
+  JOIN ties ON ties.user_id = nn.user_id
+),
+z AS (
+  SELECT user_id, CAST(n AS BIGINT) AS n_days, s_stat,
+         ROUND(var_s, 6) AS var_s,
+         ROUND(CASE WHEN var_s > 0 AND s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN var_s > 0 AND s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    WHEN var_s > 0 THEN 0.0 END, 6) AS z
+  FROM v
+)
+SELECT user_id, n_days, s_stat, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            WHEN z IS NULL THEN NULL
+            ELSE 'none' END AS trend
+FROM z
+""",
+    tags=("timeseries", "stats"),
+)
+def t18_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per user over the daily
+    series — the significance HALF of the robust-trend kit whose
+    magnitude half is m16's Theil-Sen (the two are the textbook
+    pairing: MK says WHETHER a monotone trend exists, Theil-Sen says
+    how steep): S = Σ sign(x_j − x_i) over day-ordered pairs, the
+    tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18, the
+    continuity-corrected z, and the |z| > 1.96 verdict.
+
+    Scale shape is m16's argument verbatim: the pairwise join is
+    quadratic IN THE GROUP but the group is calendar-bounded (≤31
+    daily rows per user), so 10× users = 10× bounded groups — linear;
+    S and the tie term are exact INTEGER statistics (sign sums over
+    identical doubles both engines derive from DECIMAL-exact daily
+    means), so the entry hash-matches without any median machinery.
+    The verdict compares the ROUNDED z so both engines band
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
+            / F.count("value")
+        ).alias("x")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.signum(F.col("b.x") - F.col("a.x")).alias("sg"),
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.sum(F.col("sg").cast("bigint")).alias("s_stat")
+    )
+    nn = daily.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("user_id", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tt")
+        )
+    )
+    v = (
+        nn.join(s, "user_id")
+        .join(ties, "user_id")
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_days"),
+            "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tt")
+                )
+                / 18.0
+            ).alias("_var"),
+        )
+    )
+    z = F.when(
+        (F.col("_var") > 0) & (F.col("s_stat") > 0),
+        (F.col("s_stat") - 1) / F.sqrt(F.col("_var")),
+    ).when(
+        (F.col("_var") > 0) & (F.col("s_stat") < 0),
+        (F.col("s_stat") + 1) / F.sqrt(F.col("_var")),
+    ).when(F.col("_var") > 0, F.lit(0.0))
+    out = v.select(
+        "user_id",
+        "n_days",
+        "s_stat",
+        _r6(F.col("_var")).alias("var_s"),
+        _r6(z).alias("z"),
+    )
+    return out.withColumn(
+        "trend",
+        F.when(F.col("z") > 1.96, "increasing")
+        .when(F.col("z") < -1.96, "decreasing")
+        .when(F.col("z").isNotNull(), "none"),
+    )

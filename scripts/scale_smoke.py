@@ -269,6 +269,10 @@ QUERIES = [
     # r10 cont.: audio near-dup (documents; same shape as mm6 — linear
     # assemble+decode, banded pair join)
     "mm7_audio_energyhash_neardup",
+    # r10 cont.: higher moments (events; one keyed agg — flat) and
+    # Mann-Kendall (events; m16's calendar-bounded pair-join shape)
+    "a28_higher_moments",
+    "t18_mann_kendall",
 ]
 
 

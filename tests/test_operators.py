@@ -1583,3 +1583,38 @@ def test_zipf_fit_exact_power_law(spark):
     )
     assert abs(slope - (-1.0)) < 1e-12
     assert math.isfinite(slope)
+
+
+def test_mann_kendall_monotone_and_tied(spark):
+    """A strictly increasing daily series must yield S = n(n-1)/2 and
+    an 'increasing' verdict; an all-tied series has var_s = 0 and a
+    NULL (unverdicted) z."""
+    import datetime as dt
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    import os, tempfile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: strictly increasing over 10 days; user 2: constant
+    for d in range(10):
+        ts = base + dt.timedelta(days=d)
+        rows.append((eid, ts, 1, "a", float(d + 1), "{}")); eid += 1
+        rows.append((eid, ts, 2, "a", 5.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in CATALOG["t18_mann_kendall"].fn(spark, d).collect()
+        }
+    assert out[1]["s_stat"] == 45  # 10*9/2
+    assert out[1]["trend"] == "increasing"
+    assert out[2]["s_stat"] == 0
+    assert out[2]["var_s"] == 0.0
+    assert out[2]["z"] is None and out[2]["trend"] is None
