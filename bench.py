@@ -273,9 +273,11 @@ HEADLINE = [
     "a27_chi_square_drift",
     "mm7_audio_energyhash_neardup",
     # r10: higher moments are a read-shaped one-pass agg; Mann-Kendall
-    # is a robust-fit batch job like m16 (bounded per-group pair join)
+    # is a robust-fit batch job like m16 (bounded per-group pair join);
+    # the langid eval is a corpus batch pass like x2 itself
     "a28_higher_moments",
     "t18_mann_kendall",
+    "x23_langid_eval",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -303,6 +305,7 @@ BATCH_JOBS = {
     "i10_stream_static_enrich_replay",
     "mm7_audio_energyhash_neardup",
     "t18_mann_kendall",
+    "x23_langid_eval",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

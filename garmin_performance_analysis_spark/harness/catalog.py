@@ -515,7 +515,7 @@ def _rotate_for_round10() -> None:
 
 _rotate_for_round10()
 
-# ROUND-11 PLAN (standing rule): the SEVENTEEN round-10 additions
+# ROUND-11 PLAN (standing rule): the EIGHTEEN round-10 additions
 # registered PAST this window and must be fronted in the round-11
 # rotation — a24_ks_two_sample, c17_psi_drift, x19_token_entropy,
 # v11_prefix_dim_rerank, g6_label_propagation, x21_zipf_fit,
@@ -523,7 +523,8 @@ _rotate_for_round10()
 # c18_cluster_safe_split, s12_orc_roundtrip,
 # i10_stream_static_enrich_replay, o12_kwic_snippets,
 # a27_chi_square_drift, mm7_audio_energyhash_neardup,
-# a28_higher_moments, t18_mann_kendall — plus anything
+# a28_higher_moments, t18_mann_kendall, x23_langid_eval — EIGHTEEN
+# total — plus anything
 # CORRECTNESS_r10 flags, padded
 # with the stalest names per the GENERATED staleness report
 # (`python scripts/check_parity.py --staleness`): first the 12

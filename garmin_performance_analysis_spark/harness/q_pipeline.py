@@ -1788,3 +1788,120 @@ def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+def _x23_oracle() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '),"
+            f" x -> x IN ({marker_in}))) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} AND {best} > 0"
+            f" THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+j AS (SELECT doc_id, lang AS true_lang, {pred} AS predicted_lang FROM s),
+per_true AS (
+  SELECT true_lang AS cls, COUNT(*) AS support,
+         SUM(CASE WHEN predicted_lang = true_lang THEN 1 ELSE 0 END) AS tp
+  FROM j GROUP BY 1
+),
+per_pred AS (
+  SELECT predicted_lang AS cls, COUNT(*) AS predicted_n FROM j GROUP BY 1
+),
+cls AS (
+  SELECT COALESCE(t.cls, p.cls) AS cls,
+         COALESCE(t.support, 0) AS support, COALESCE(t.tp, 0) AS tp,
+         COALESCE(p.predicted_n, 0) AS predicted_n
+  FROM per_true t FULL OUTER JOIN per_pred p ON t.cls = p.cls
+),
+m AS (
+  SELECT cls, CAST(support AS BIGINT) AS support, CAST(tp AS BIGINT) AS tp,
+         CAST(predicted_n AS BIGINT) AS predicted_n,
+         CASE WHEN predicted_n > 0
+              THEN ROUND(tp * 1.0 / predicted_n, 6) END AS precision_,
+         CASE WHEN support > 0 THEN ROUND(tp * 1.0 / support, 6) END AS recall_
+  FROM cls
+)
+SELECT cls, support, tp, predicted_n,
+       precision_ AS precision, recall_ AS recall,
+       CASE WHEN precision_ > 0 OR recall_ > 0
+            THEN ROUND(2 * COALESCE(precision_, 0) * COALESCE(recall_, 0)
+                       / (COALESCE(precision_, 0) + COALESCE(recall_, 0)), 6)
+       END AS f1
+FROM m
+"""
+
+
+@register(
+    "x23_langid_eval",
+    oracle=_x23_oracle(),
+    tags=("text", "eval"),
+)
+def x23_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-quality evaluation of the x2 language-ID model
+    against the corpus's ground-truth ``lang`` labels — the
+    classification member of the eval-operator family (o9 evaluates
+    RANKINGS with nDCG; x23 evaluates a CLASSIFIER with per-class
+    precision / recall / F1 + support).  A filter model is only as
+    good as its measured confusion, and this audit is what decides
+    whether a langid gate is safe to apply at corpus scale.  The
+    class axis is the UNION of true and predicted labels (a full
+    outer join — 'unknown' appears only as a prediction and still
+    gets a precision row).  Shape: the in-row scorer + two
+    class-cardinality keyed aggs + a class-cardinality outer join —
+    one corpus scan total, metric arithmetic on exact integers so
+    every ratio hash-matches at 6dp (the F1 on ROUNDED P/R so both
+    engines band identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    j = pred.join(
+        docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    )
+    per_true = j.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(
+            (F.col("predicted_lang") == F.col("true_lang")).cast("long")
+        ).alias("tp"),
+    )
+    per_pred = j.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("predicted_n")
+    )
+    cls = (
+        per_true.join(per_pred, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("predicted_n"), F.lit(0)).alias("predicted_n"),
+        )
+    )
+    prec = F.when(
+        F.col("predicted_n") > 0,
+        _r6(F.col("tp") * 1.0 / F.col("predicted_n")),
+    )
+    rec = F.when(F.col("support") > 0, _r6(F.col("tp") * 1.0 / F.col("support")))
+    m = cls.select(
+        "cls",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("predicted_n").cast("bigint").alias("predicted_n"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    p0 = F.coalesce(F.col("precision"), F.lit(0.0))
+    r0 = F.coalesce(F.col("recall"), F.lit(0.0))
+    return m.withColumn(
+        "f1",
+        F.when((p0 > 0) | (r0 > 0), _r6(2 * p0 * r0 / (p0 + r0))),
+    )

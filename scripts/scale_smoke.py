@@ -273,6 +273,8 @@ QUERIES = [
     # Mann-Kendall (events; m16's calendar-bounded pair-join shape)
     "a28_higher_moments",
     "t18_mann_kendall",
+    # r10 cont.: langid eval (documents; in-row scorer + class aggs)
+    "x23_langid_eval",
 ]
 
 
