@@ -429,9 +429,20 @@ def main() -> None:
         clear_persisted(spark)
 
     total = round(sum(timings.values()), 3)
-    read_path = round(
-        sum(v for k, v in timings.items() if k not in BATCH_JOBS), 3
-    )
+    read_times = sorted(v for k, v in timings.items() if k not in BATCH_JOBS)
+    read_path = round(sum(read_times), 3)
+    # Per-query budget compliance (round-10 VERDICT item 2): the
+    # reference's 300 ms budget is PER READ (tests/performance/
+    # test_phase_analyst_performance.py:41-92), so grading the MEAN of
+    # an ever-growing read list against it punishes catalog growth —
+    # every new entry pays Spark's ~0.2-0.3 s fixed local[32] overhead
+    # regardless of plan quality.  Report the compliance split and the
+    # p50/p90 read wall next to the average.
+    def _pctl(sorted_vals: list, q: float) -> float:
+        i = max(0, min(len(sorted_vals) - 1, round(q * (len(sorted_vals) - 1))))
+        return round(sorted_vals[i], 3)
+
+    reads_within = sum(1 for v in read_times if v <= 0.3)
     # The driver captures only a bounded tail of stdout; BENCH_r06 was
     # lost because the single ~4 KB JSON line (74 per-query timings)
     # outgrew that window and the FRONT of the line — including the
@@ -480,6 +491,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "read_path_sec": read_path,
                 "batch_job_sec": round(total - read_path, 3),
+                "reads_within_300ms": f"{reads_within}/{len(read_times)}",
+                "read_p50_sec": _pctl(read_times, 0.5),
+                "read_p90_sec": _pctl(read_times, 0.9),
                 "load1": start_load,
                 "loaded": start_load > (os.cpu_count() or 1) / 4,
             }

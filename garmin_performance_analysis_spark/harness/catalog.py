@@ -534,3 +534,58 @@ _rotate_for_round10()
 # w9_durability_decoupling, x10_unigram_logprob,
 # x11_boilerplate_segments, x13_bpe_token_counts), then 28 of the
 # r7 block to pad to exactly 50.
+
+# ---------------------------------------------------------------------------
+# Round-11 catalog rotation — executes the plan above verbatim.
+#
+# CORRECTNESS_r10 flagged nothing (50/50 PASS incl. hash), so the window
+# is: the 18 entries with NO driver row per the GENERATED staleness
+# report (`python scripts/check_parity.py --staleness`) — the 18
+# round-10 additions — then the 12 remaining r6-stale names, then the
+# first 20 (sorted) of the 48-entry r7-stale block to pad to exactly 50.
+# (The plan comment above says "28 of the r7 block"; that was a
+# miscount — 18 + 12 leaves room for exactly 20.)  The remaining 28 r7
+# names are the stalest survivors and pad round 12.  After this window
+# lands, every one of the 228 catalog entries has a driver row.
+_R11_FRONT = [
+    # no driver row yet (generated staleness report, "never" group)
+    "a24_ks_two_sample", "a25_weighted_median", "a27_chi_square_drift",
+    "a28_higher_moments", "c17_psi_drift", "c18_cluster_safe_split",
+    "g6_label_propagation", "i10_stream_static_enrich_replay",
+    "mm6_image_ahash_neardup", "mm7_audio_energyhash_neardup",
+    "o12_kwic_snippets", "s12_orc_roundtrip", "t18_mann_kendall",
+    "v11_prefix_dim_rerank", "w18_rolling_corr", "x19_token_entropy",
+    "x21_zipf_fit", "x23_langid_eval",
+    # the 12 remaining r6-stale names (latest driver row = r6)
+    "t5_recommendations", "t5_severity_clusters", "t6_interval_fatigue",
+    "t6_work_recovery", "t7_range_resolution_stats",
+    "t8_material_event_rates", "w3_latest_record", "w7_baseline_band",
+    "w9_durability_decoupling", "x10_unigram_logprob",
+    "x11_boilerplate_segments", "x13_bpe_token_counts",
+    # r7-stale pad: first 20 of the 48-name r7 block, sorted
+    "a11_weighted_avg", "a13_distribution", "a2_time_range_stats",
+    "a4_daily_rollup", "a5_monthly_volume", "a5_weekly_volume",
+    "a6_conditional_halves", "a8_count_distinct", "a9b_profile_approx",
+    "c11_doc_chunks", "c12_quality_budget_select", "c13_per_group_sample",
+    "c14_top_p_select", "d2b_jaccard_capped_shingles",
+    "d7_segment_dedup_rewrite", "i2_incremental_lsh_replay",
+    "i3_stream_window_replay", "i4_stream_join_replay", "j10_cdc_apply",
+    "j11_snapshot_diff",
+]
+
+
+def _rotate_for_round11() -> None:
+    front = list(_R11_FRONT)
+    assert len(front) == 50, f"round-11 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-11 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-11 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round11()

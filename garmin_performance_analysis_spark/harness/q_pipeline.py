@@ -1727,7 +1727,21 @@ def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the fingerprint arithmetically from the sample formula
     (the mm3/mm6 convention) — a kernel that misreads the data-chunk
     offset, forgets the 8-bit unsigned→signed shift, or breaks the
-    exact threshold hash-mismatches."""
+    exact threshold hash-mismatches.
+
+    ``SPARK_GRAFT_MM7_SLICES`` (default 64, the t16 pack-knob
+    convention) sets the envelope resolution; ``max_hamming`` scales
+    proportionally (3 per 64 bits).  NON-default values change the
+    RESULT by design — a coarse 64-bit envelope saturates when the
+    corpus has more distinct tracks than 2^64 effective envelope
+    states (output then grows superlinearly with corpus size;
+    SCALING.md mm7 rows) — so the oracle holds at the default only
+    and scale experiments set the env var (scripts/scale_smoke.py
+    does this for the resolution row)."""
+    import os as _os
+
+    n_slices = int(_os.environ.get("SPARK_GRAFT_MM7_SLICES", "64"))
+    max_ham = 3 * n_slices // 64
     docs = load_table(spark, sf_dir, "documents")
     fam = F.floor(F.col("doc_id") / 4)
     d = docs.select(
@@ -1781,10 +1795,10 @@ def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_hex,
     )
     payloads = d.select("doc_id", F.unhex(wav_hex).alias("payload"))
-    fps = multimodal.audio_energyhash(payloads).select(
+    fps = multimodal.audio_energyhash(payloads, n_slices=n_slices).select(
         "doc_id", F.col("ehash64").alias("simhash64")
     )
-    pairs = dedup.simhash_near_pairs(fps, max_hamming=3)
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=max_ham, n_bits=n_slices)
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )

@@ -336,7 +336,11 @@ def global_prefix_sum(
     # ECDFs over the same value ordering).
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
-    assert len(value_cols) == len(out_cols), "one out_col per value_col"
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"one out_col per value_col: got {len(value_cols)} value_cols "
+            f"and {len(out_cols)} out_cols"
+        )
     wlocal = (
         Window.partitionBy("_pid")
         .orderBy(*order_exprs)

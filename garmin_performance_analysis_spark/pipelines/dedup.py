@@ -264,22 +264,30 @@ def simhash_blocks(max_hamming: int, n_bits: int = 64) -> list[tuple[int, int]]:
     return out
 
 
-def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, n_bits: int = 64
+) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance via the FULL
-    rotate-and-block scheme: the 64-bit fingerprint splits into
-    ``max_hamming + 1`` blocks; candidates equi-join on
+    rotate-and-block scheme: the ``n_bits``-bit fingerprint splits
+    into ``max_hamming + 1`` blocks; candidates equi-join on
     (block_index, block_bits) — every true pair within ``max_hamming``
     shares at least one exact block (see ``simhash_blocks``), so this
     never misses, and the join stays a bucketed equi-join (no O(N²)
     cross product).  Candidates found in several blocks are de-duped
     before the exact Hamming verify.
 
+    ``n_bits`` (default 64) must match the fingerprint column's bit
+    width — wider fingerprints (e.g. a 128-slice audio envelope) use
+    the SAME index machinery with proportionally wider blocks, which
+    is how a saturating modality buys resolution without a new index
+    implementation.
+
     At 100 TB each block-join is an ordinary shuffle on a short string
     key; hot blocks (e.g. all-zeros fingerprints from empty docs) are
     the skew risk — AQE skew-join handles moderate cases, and a
     frequency cap on pathological blocks mirrors ``d2b``'s shingle cap
     if needed."""
-    blocks = simhash_blocks(max_hamming)
+    blocks = simhash_blocks(max_hamming, n_bits)
     exploded = fingerprints.select(
         "doc_id",
         "simhash64",
@@ -308,18 +316,23 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
         )
         .distinct()
     )
-    # Primitive Hamming: bit-string halves → BIGINT via conv(,2,10),
-    # XOR, bit_count — stays in whole-stage codegen.  The previous
-    # per-position lambda (filter over sequence(0,63)) ran INTERPRETED
-    # per candidate row, and the verify step dominates when blocking
-    # yields many candidates (dup-heavy corpora).  Halves because
-    # conv() of a full 64-bit string can overflow signed BIGINT.
-    def _half(col, start):
+    # Primitive Hamming: 32-bit bit-string chunks → BIGINT via
+    # conv(,2,10), XOR, bit_count — stays in whole-stage codegen.  The
+    # previous per-position lambda (filter over sequence(0,63)) ran
+    # INTERPRETED per candidate row, and the verify step dominates when
+    # blocking yields many candidates (dup-heavy corpora).  32-bit
+    # chunks because conv() of a full 64-bit string can overflow signed
+    # BIGINT; a trailing partial chunk (n_bits % 32) convs fine as a
+    # shorter string.
+    def _chunk(col, start):
         return F.expr(f"CAST(conv(substr({col}, {start}, 32), 2, 10) AS BIGINT)")
 
-    ham = F.bit_count(_half("sh_a", 1).bitwiseXOR(_half("sh_b", 1))) + F.bit_count(
-        _half("sh_a", 33).bitwiseXOR(_half("sh_b", 33))
+    chunk_starts = list(range(1, n_bits + 1, 32))
+    ham = F.bit_count(
+        _chunk("sh_a", chunk_starts[0]).bitwiseXOR(_chunk("sh_b", chunk_starts[0]))
     )
+    for s in chunk_starts[1:]:
+        ham = ham + F.bit_count(_chunk("sh_a", s).bitwiseXOR(_chunk("sh_b", s)))
     return (
         cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)

@@ -1793,9 +1793,10 @@ def ahash64_bits(payload: bytes) -> "str | None":
     (box-downsample to 8×8, threshold each cell against the global
     mean; the scheme pHash/dHash libraries ship as `average_hash`).
 
-    Spatial orientation is honored: positive-height BMPs store rows
-    BOTTOM-UP, so stored rows are flipped to top-down before boxing —
-    an orientation bug would silently pair images with their mirrors.
+    Spatial orientation is honored: positive-biHeight BMPs store rows
+    BOTTOM-UP, so stored rows are flipped to top-down before boxing;
+    negative-biHeight (top-down DIB) rasters are used as stored — an
+    orientation bug would silently pair images with their mirrors.
     Box k (row-major, k = by·8+bx) covers pixels with ``x·8//w == bx``
     and ``y·8//h == by``; the threshold test is the exact integer
     cross-multiplication ``box_sum · n_total > total_sum · n_box`` —
@@ -1828,9 +1829,14 @@ def ahash64_bits(payload: bytes) -> "str | None":
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=offset
     ).reshape(h, stride)
-    # stored bottom-up -> spatial top-down
+    # biHeight is SIGNED: positive = rows stored bottom-up (flip to
+    # spatial top-down), negative = already top-down (no flip) — a
+    # top-down DIB flipped anyway would fingerprint as its mirror.
+    signed_h = int.from_bytes(payload[22:26], "little", signed=True)
+    if signed_h > 0:
+        rows = rows[::-1]
     lum = (
-        rows[::-1, : w * bpx]
+        rows[:, : w * bpx]
         .reshape(h, w, bpx)
         .astype(np.int64)
         .sum(axis=2)
@@ -1873,20 +1879,28 @@ def image_ahash64(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(extract, "doc_id long, ahash64 string")
 
 
-def audio_energyhash64(payload: bytes) -> "str | None":
-    """64-bit energy-envelope fingerprint of a PCM WAV — the audio
-    analog of ``ahash64_bits`` (and of Shazam-style constellation
-    hashing reduced to its simplest robust form): the signed-amplitude
-    ENERGY in each of 64 equal time slices is thresholded against the
-    track's mean energy, exact integer cross-multiplication
+def audio_energyhash64(payload: bytes, n_slices: int = 64) -> "str | None":
+    """Energy-envelope fingerprint of a PCM WAV — the audio analog of
+    ``ahash64_bits`` (and of Shazam-style constellation hashing
+    reduced to its simplest robust form): the signed-amplitude ENERGY
+    in each of ``n_slices`` equal time slices is thresholded against
+    the track's mean energy, exact integer cross-multiplication
     (``slice_energy · n_samples > total_energy · slice_samples``) —
     bit-reproducible in any engine including the SQL oracle.  Slice k
-    covers samples with ``t·64//n == k``.
+    covers samples with ``t·n_slices//n == k``.
+
+    ``n_slices`` (default 64) is the envelope-RESOLUTION knob: a
+    coarse 64-bit envelope saturates on corpora with more distinct
+    tracks than its similarity space distinguishes (near-dup output
+    then grows superlinearly); doubling the slice count squares the
+    space at linear kernel cost.  Non-default values pair with
+    ``simhash_near_pairs(..., n_bits=n_slices)`` and a proportionally
+    scaled ``max_hamming``.
 
     8-bit (unsigned, silence=128) and 16-bit (signed LE) MONO PCM are
     supported — the uncompressed shapes the in-repo decoder owns;
     companded/compressed audio is decode_image_stub territory.
-    Returns a 64-char '0'/'1' string consumable by
+    Returns an ``n_slices``-char '0'/'1' string consumable by
     ``dedup.simhash_near_pairs`` — the same near-dup index machinery
     as text SimHash and image aHash.  None for unsupported payloads.
     """
@@ -1900,7 +1914,7 @@ def audio_energyhash64(payload: bytes) -> "str | None":
         return None
     block = bits // 8
     n = data_size // block
-    if n < 64:
+    if n < n_slices:
         return None
     raw = payload[data_off : data_off + n * block]
     if bits == 8:
@@ -1908,19 +1922,21 @@ def audio_energyhash64(payload: bytes) -> "str | None":
     else:
         a = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     e = a * a
-    k = (np.arange(n) * 64) // n
-    ss = np.bincount(k, weights=e, minlength=64).astype(np.int64)
-    sc = np.bincount(k, minlength=64).astype(np.int64)
+    k = (np.arange(n) * n_slices) // n
+    ss = np.bincount(k, weights=e, minlength=n_slices).astype(np.int64)
+    sc = np.bincount(k, minlength=n_slices).astype(np.int64)
     total = int(e.sum())
     return "".join(
-        "1" if int(ss[i]) * n > total * int(sc[i]) else "0" for i in range(64)
+        "1" if int(ss[i]) * n > total * int(sc[i]) else "0"
+        for i in range(n_slices)
     )
 
 
-def audio_energyhash(binary_df: DataFrame) -> DataFrame:
+def audio_energyhash(binary_df: DataFrame, n_slices: int = 64) -> DataFrame:
     """Arrow-batched audio fingerprinting (the image_ahash64 shape):
-    one 64-char bit string per decodable mono PCM payload; undecodable
-    rows drop."""
+    one ``n_slices``-char bit string per decodable mono PCM payload;
+    undecodable rows drop.  ``n_slices`` is the envelope-resolution
+    knob (see ``audio_energyhash64``)."""
     from ..plans.layout import spread_for_compute
 
     binary_df = spread_for_compute(binary_df, "doc_id")
@@ -1928,7 +1944,9 @@ def audio_energyhash(binary_df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = [
-                audio_energyhash64(bytes(p) if p is not None else b"")
+                audio_energyhash64(
+                    bytes(p) if p is not None else b"", n_slices=n_slices
+                )
                 for p in pdf["payload"]
             ]
             out = pd.DataFrame({"doc_id": pdf["doc_id"], "ehash64": hashes})

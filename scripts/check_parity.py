@@ -50,7 +50,11 @@ def staleness_report() -> int:
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
-            ok = bool(row.get("rows_match")) and bool(row.get("schema_match"))
+            ok = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+            )
             if ok and rnd > latest.get(name, -1):
                 latest[name] = rnd
     by_round: dict[int, list[str]] = {}
@@ -73,13 +77,21 @@ def main() -> int:
         return staleness_report()
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv[1:]
+    window = 0  # 0 = no limit; --window N sweeps the first N entries
+    if "--window" in argv:
+        i = argv.index("--window")
+        window = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
     name_filter = argv[1] if len(argv) > 1 else ""
     spark = get_spark("parity-check")
     con = duckdb_connection(sf_dir)
     failures = 0
     n_run = 0
-    for name, spec in CATALOG.items():
+    items = list(CATALOG.items())
+    if window:
+        items = items[:window]
+    for name, spec in items:
         if name_filter and name_filter not in name:
             continue
         n_run += 1

@@ -62,6 +62,68 @@ def test_simhash_near_pairs_find_planted_dups(spark, sf_dir):
     assert len(exact_pairs & near_pairs) >= 1
 
 
+def test_simhash_near_pairs_wide_fingerprints(spark):
+    """n_bits=128 (the mm7 resolution knob's index side): recall stays
+    total vs brute force on 128-bit fingerprints, including distances
+    that span the 32-bit Hamming chunks and the scaled max_hamming=6."""
+    import random
+
+    rng = random.Random(11)
+    base = [rng.choice("01") for _ in range(128)]
+
+    def flip(bits, k):
+        out = list(bits)
+        for i in rng.sample(range(128), k):
+            out[i] = "1" if out[i] == "0" else "0"
+        return out
+
+    rows = []
+    for doc_id in range(30):
+        k = rng.choice([0, 1, 3, 6, 7, 12, 40, 64])
+        rows.append((doc_id, "".join(flip(base, k))))
+    fps = spark.createDataFrame(rows, "doc_id long, simhash64 string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            fps, max_hamming=6, n_bits=128
+        ).collect()
+    }
+    want = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            h = sum(a != b for a, b in zip(rows[i][1], rows[j][1]))
+            if h <= 6:
+                want[(i, j)] = h
+    assert got == want
+
+
+def test_audio_energyhash_slice_knob():
+    """The n_slices knob: 128-slice fingerprints are 128 chars, the
+    default is unchanged at 64, and a track shorter than n_slices
+    declines instead of emitting a degenerate envelope."""
+    import struct
+
+    from garmin_performance_analysis_spark.pipelines import multimodal
+
+    def wav(n):
+        data = bytes((50 + (7 * t) % 200) % 256 for t in range(n))
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n) + data
+        )
+
+    assert len(multimodal.audio_energyhash64(wav(160))) == 64
+    assert len(multimodal.audio_energyhash64(wav(160), n_slices=128)) == 128
+    assert multimodal.audio_energyhash64(wav(100), n_slices=128) is None
+    # widening the envelope REFINES it: the 64-slice bits are a coarse
+    # view of the same energy series, so two tracks identical at 128
+    # slices are identical at 64 (sanity on the resolution claim)
+    assert multimodal.audio_energyhash64(wav(160)) == multimodal.audio_energyhash64(
+        wav(160), n_slices=64
+    )
+
+
 def test_simhash_rotate_and_block_recall_is_total(spark):
     """Pigeonhole guarantee: EVERY pair within max_hamming is found —
     recall 1.0 vs the brute-force O(N²) Hamming join."""
@@ -894,6 +956,25 @@ def test_ahash64_bits_known_image():
     assert bits is not None and len(bits) == 64
     assert bits[:32] == "0" * 32   # spatial top = dark
     assert bits[32:] == "1" * 32   # spatial bottom = bright
+
+
+def test_ahash64_bits_top_down_bmp_orientation():
+    """Negative biHeight = top-down DIB (Windows writers): rows are
+    stored in SPATIAL order already, so the bottom-up flip must be
+    skipped — a top-down image and its bottom-up twin (same spatial
+    raster) must fingerprint IDENTICALLY, not as vertical mirrors."""
+    import struct
+
+    bright, dark = bytes([200] * 24), bytes([10] * 24)
+    # bottom-up storage: bright rows written first => spatial bottom
+    bottom_up = _bmp_with_raster(8, 8, [bright] * 4 + [dark] * 4)
+    # top-down storage of the SAME spatial image: dark (top) first
+    top_down = bytearray(_bmp_with_raster(8, 8, [dark] * 4 + [bright] * 4))
+    top_down[22:26] = struct.pack("<i", -8)
+    bits_bu = multimodal.ahash64_bits(bytes(bottom_up))
+    bits_td = multimodal.ahash64_bits(bytes(top_down))
+    assert bits_bu == bits_td
+    assert bits_td[:32] == "0" * 32 and bits_td[32:] == "1" * 32
 
 
 def test_ahash64_bits_rejects_non_images():
