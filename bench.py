@@ -278,6 +278,9 @@ HEADLINE = [
     "a28_higher_moments",
     "t18_mann_kendall",
     "x23_langid_eval",
+    # r11: confidence-calibration eval (reliability bins + ECE) is a
+    # corpus batch pass like x23 (one scan into a 10-row bin agg)
+    "x24_calibration_ece",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -306,6 +309,7 @@ BATCH_JOBS = {
     "mm7_audio_energyhash_neardup",
     "t18_mann_kendall",
     "x23_langid_eval",
+    "x24_calibration_ece",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

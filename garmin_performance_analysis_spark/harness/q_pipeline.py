@@ -1927,3 +1927,131 @@ def x23_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f1",
         F.when((p0 > 0) | (r0 > 0), _r6(2 * p0 * r0 / (p0 + r0))),
     )
+
+
+def _x24_oracle() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"CAST(len(list_filter(string_split(lower(text), ' '),"
+            f" x -> x IN ({marker_in}))) AS BIGINT) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    total = " + ".join(f"score_{lang}" for lang in langs)
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} AND {best} > 0"
+            f" THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+sc AS (
+  SELECT lang, {best} AS best, {total} AS total, {pred} AS predicted
+  FROM s
+),
+f AS (
+  SELECT LEAST(CAST(((best + 1) * 10) // (total + {len(langs)}) AS BIGINT),
+               CAST(9 AS BIGINT)) AS bin,
+         ROUND((best + 1) * 1.0 / (total + {len(langs)}), 6) AS conf,
+         CASE WHEN predicted = lang THEN 1 ELSE 0 END AS ok
+  FROM sc WHERE total > 0
+),
+b AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ok) AS BIGINT) AS n_correct,
+         ROUND(CAST(SUM(CAST(conf AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_conf,
+         ROUND(SUM(ok) * 1.0 / COUNT(*), 6) AS accuracy
+  FROM f GROUP BY 1
+),
+g AS (
+  SELECT bin, n, n_correct, avg_conf, accuracy,
+         ROUND(ABS(avg_conf - accuracy), 6) AS gap
+  FROM b
+),
+e AS (SELECT ROUND(SUM(n * gap) / SUM(n), 6) AS ece FROM g)
+SELECT bin, n, n_correct, avg_conf, accuracy, gap, e.ece AS ece
+FROM g, e
+"""
+
+
+@register(
+    "x24_calibration_ece",
+    oracle=_x24_oracle(),
+    tags=("text", "eval"),
+)
+def x24_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-calibration evaluation of the x2 language-ID model —
+    the CALIBRATION member of the eval-operator family (o9 evaluates
+    rankings with nDCG, x23 a classifier's confusion, x24 whether the
+    model's CONFIDENCE means what it says): a reliability diagram
+    (10 fixed confidence bins) plus Expected Calibration Error
+    (Naeini et al. 2015's binned ECE, the standard score), against
+    the corpus's ground-truth ``lang`` labels.  This is the audit
+    that decides whether a score THRESHOLD transfers to a new crawl:
+    a filter gate at confidence 0.8 only drops what it claims if the
+    0.8 bin's accuracy is ~0.8.
+
+    Confidence is the classifier's Laplace-smoothed posterior
+    ``(best + 1) / (total + n_classes)`` over scored docs (total > 0
+    — the 'unknown' prediction has no confidence to calibrate).  The
+    smoothing is what makes the diagram informative: the RAW evidence
+    share collapses to 1.0 for almost every doc (marker sets barely
+    overlap across languages, so best == total), whereas the
+    posterior weights evidence STRENGTH — one marker hit is weak
+    evidence (conf 2/6), twenty concordant hits are strong (21/25).
+    Bin assignment is EXACT integer arithmetic
+    (``(best+1)*10 div (total+5)``, capped at bin 9) — no float
+    boundary can disagree between engines; per-bin mean confidence
+    passes through DECIMAL(18,6) sums (the dec_avg convention) and
+    accuracy is an integer ratio, so every output hash-matches at
+    6dp.  ECE weights the ROUNDED per-bin gaps by exact bin counts
+    (≤10 exact-at-1e-6 terms — the double sum is exact), broadcast
+    back onto every bin row.
+
+    Shape for 100 TB: one corpus scan into a 10-row bin agg — the
+    report costs a histogram regardless of volume, and the bin
+    counts are mergeable across shards/snapshots (the c17 position:
+    store binned counts, not rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.language_id(docs, "doc_id", "text")
+    langs = list(text.LANG_MARKERS)
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    total = None
+    for lang in langs:
+        c = F.col(f"score_{lang}")
+        total = c if total is None else total + c
+    t = j.select(
+        best.cast("long").alias("best"),
+        total.cast("long").alias("total"),
+        (F.col("predicted_lang") == F.col("lang")).cast("long").alias("ok"),
+    ).filter(F.col("total") > 0)
+    k = len(langs)
+    binned = t.select(
+        F.least(
+            F.expr(f"(best + 1) * 10 DIV (total + {k})").cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        F.round((F.col("best") + 1) / (F.col("total") + k), 6).alias("conf"),
+        "ok",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        _r6(
+            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_conf"),
+        _r6(F.sum("ok") * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+    )
+    g = b.withColumn("gap", _r6(F.abs(F.col("avg_conf") - F.col("accuracy"))))
+    e = g.agg(_r6(F.sum(F.col("n") * F.col("gap")) / F.sum("n")).alias("ece"))
+    # bounded cross join: 10 bin rows x a broadcast 1-row scalar
+    return g.crossJoin(F.broadcast(e)).select(
+        "bin", "n", "n_correct", "avg_conf", "accuracy", "gap", "ece"
+    )

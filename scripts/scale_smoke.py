@@ -275,6 +275,9 @@ QUERIES = [
     "t18_mann_kendall",
     # r10 cont.: langid eval (documents; in-row scorer + class aggs)
     "x23_langid_eval",
+    # r11: calibration eval (documents; in-row scorer + 10-row bin agg
+    # — the x23 shape, output fixed at the bin count)
+    "x24_calibration_ece",
 ]
 
 

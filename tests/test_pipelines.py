@@ -124,6 +124,33 @@ def test_audio_energyhash_slice_knob():
     )
 
 
+def test_x24_calibration_ece_internal_consistency(spark, sf_dir):
+    """The reliability report must be self-consistent: bin counts sum
+    to the scored-doc count, each gap is the rounded |conf - acc| of
+    its own row, and the broadcast ECE equals the count-weighted gap
+    mean recomputed from the rows themselves."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    rows = CATALOG["x24_calibration_ece"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_mod.language_id(docs, "doc_id", "text")
+    langs = list(text_mod.LANG_MARKERS)
+    n_scored = scored.filter(
+        sum(F.col(f"score_{lang}") for lang in langs) > 0
+    ).count()
+    assert sum(r["n"] for r in rows) == n_scored
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["n_correct"] <= r["n"]
+        assert abs(r["gap"] - round(abs(r["avg_conf"] - r["accuracy"]), 6)) < 1e-9
+    want_ece = round(
+        sum(r["n"] * r["gap"] for r in rows) / sum(r["n"] for r in rows), 6
+    )
+    assert all(abs(r["ece"] - want_ece) < 1e-9 for r in rows)
+
+
 def test_mm7_resolution_env_knob(spark, sf_dir):
     """SPARK_GRAFT_MM7_SLICES / _MAX_HAMMING rewire the mm7 entry:
     at 128/h4 the pipeline still runs end-to-end and finds the planted
