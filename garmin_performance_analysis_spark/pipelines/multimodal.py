@@ -1841,6 +1841,19 @@ def ahash64_bits(payload: bytes) -> "str | None":
         .astype(np.int64)
         .sum(axis=2)
     )
+    return _ahash_from_lum(lum)
+
+
+def _ahash_from_lum(lum) -> str:
+    """The aHash box-threshold core over a spatial top-down luminance
+    grid (h×w int array): 8×8 floor-boundary boxes, exact integer
+    cross-multiplication threshold.  Shared by the in-repo BMP kernel
+    and the PIL-decoded integration path so both produce IDENTICAL
+    fingerprints for the same pixels — value-checked in
+    ``tests/test_pipelines.py`` (PIL-gated)."""
+    import numpy as np
+
+    h, w = lum.shape
     ys = (np.arange(h) * 8) // h
     xs = (np.arange(w) * 8) // w
     k = ys[:, None] * 8 + xs[None, :]
@@ -1853,6 +1866,37 @@ def ahash64_bits(payload: bytes) -> "str | None":
         "1" if int(box_sums[i]) * n > total * int(box_counts[i]) else "0"
         for i in range(64)
     )
+
+
+def ahash64_bits_via_pil(payload: bytes) -> "str | None":
+    """aHash of ANY PIL-decodable image — the value-checked side of
+    the codec integration point (``decode_image_stub`` territory):
+    PIL supplies the raster (converted to RGB, spatial top-down by
+    construction), the SAME ``_ahash_from_lum`` core supplies the
+    fingerprint, so a PNG/JPEG decoded here and its uncompressed BMP
+    twin decoded by the in-repo kernel pair at Hamming 0.  Luminance
+    is the per-pixel channel sum, matching ``ahash64_bits``.  Raises
+    NotImplementedError when PIL is absent (this container), None for
+    undecodable payloads or rasters too small to box."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PIL-backed aHash requires Pillow; use ahash64_bits for the "
+            "in-repo BMP decoder path"
+        ) from exc
+    import numpy as np
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+    except Exception:  # noqa: BLE001 - undecodable payload declines
+        return None
+    if img.width < 8 or img.height < 8:
+        return None
+    lum = np.asarray(img, dtype=np.int64).sum(axis=2)
+    return _ahash_from_lum(lum)
 
 
 def image_ahash64(binary_df: DataFrame) -> DataFrame:

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Run every catalog query against its DuckDB oracle and report parity.
 
-Usage: python scripts/check_parity.py [--strict] [sf_dir] [name_filter]
+Usage: python scripts/check_parity.py [--strict] [--window N]
+           [--stalest N] [sf_dir] [name_filter]
        python scripts/check_parity.py --staleness
 
 --strict uses the driver-faithful comparator: dtype-sensitive cells
@@ -11,6 +12,11 @@ would have caught the round-4 e7/d10/t8 oracle-typing failures.
 --staleness reads CORRECTNESS_r*.json and prints, per catalog entry,
 the latest round with a driver row (or "never"), grouped stalest-first —
 the generated source of truth for each round's rotation pad.
+
+--stalest N sweeps the N entries with the OLDEST driver evidence that
+are NOT in the current 50-entry window (the window re-proves itself
+this round) — the per-round re-soak that caps evidence age when the
+catalog outgrows the window (VERDICT r10 item 4).
 """
 
 from __future__ import annotations
@@ -32,14 +38,9 @@ from garmin_performance_analysis_spark.harness.compare import (
 from garmin_performance_analysis_spark.session import get_spark
 
 
-def staleness_report() -> int:
-    """Per catalog entry: latest round with a driver correctness row.
-
-    Groups entries stalest-first so a rotation pad can cite this output
-    instead of hand-tracked history.  An entry "passes" in a round only
-    if rows+schema matched (hash too when present); errored rows do not
-    count as coverage.
-    """
+def _latest_driver_rounds() -> dict[str, int]:
+    """name -> latest round with a PASSING driver row (rows+schema,
+    hash too when present); errored rows do not count as coverage."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
@@ -57,6 +58,16 @@ def staleness_report() -> int:
             )
             if ok and rnd > latest.get(name, -1):
                 latest[name] = rnd
+    return latest
+
+
+def staleness_report() -> int:
+    """Per catalog entry: latest round with a driver correctness row.
+
+    Groups entries stalest-first so a rotation pad can cite this output
+    instead of hand-tracked history.
+    """
+    latest = _latest_driver_rounds()
     by_round: dict[int, list[str]] = {}
     for name in CATALOG:
         by_round.setdefault(latest.get(name, 0), []).append(name)
@@ -82,6 +93,11 @@ def main() -> int:
         i = argv.index("--window")
         window = int(argv[i + 1])
         del argv[i : i + 2]
+    stalest = 0  # --stalest N sweeps the N oldest-evidence non-window entries
+    if "--stalest" in argv:
+        i = argv.index("--stalest")
+        stalest = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
     name_filter = argv[1] if len(argv) > 1 else ""
     spark = get_spark("parity-check")
@@ -91,6 +107,17 @@ def main() -> int:
     items = list(CATALOG.items())
     if window:
         items = items[:window]
+    elif stalest:
+        latest = _latest_driver_rounds()
+        in_window = set(list(CATALOG)[:50])
+        candidates = sorted(
+            (n for n in CATALOG if n not in in_window),
+            key=lambda n: (latest.get(n, 0), n),
+        )[:stalest]
+        picked = set(candidates)
+        items = [(n, s) for n, s in items if n in picked]
+        print(f"re-soaking the {len(items)} stalest non-window entries: "
+              f"{[n for n, _ in items]}")
     for name, spec in items:
         if name_filter and name_filter not in name:
             continue
