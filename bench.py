@@ -281,6 +281,9 @@ HEADLINE = [
     # r11: confidence-calibration eval (reliability bins + ECE) is a
     # corpus batch pass like x23 (one scan into a 10-row bin agg)
     "x24_calibration_ece",
+    # r11: AUC discrimination eval is a corpus batch pass (one scan
+    # into a score histogram + tiny prefix sum)
+    "x25_auc_discrimination",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -310,6 +313,7 @@ BATCH_JOBS = {
     "t18_mann_kendall",
     "x23_langid_eval",
     "x24_calibration_ece",
+    "x25_auc_discrimination",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -278,6 +278,9 @@ QUERIES = [
     # r11: calibration eval (documents; in-row scorer + 10-row bin agg
     # — the x23 shape, output fixed at the bin count)
     "x24_calibration_ece",
+    # r11: AUC eval (documents; in-row scorer -> score histogram ->
+    # prefix sum over score-cardinality rows; output one row)
+    "x25_auc_discrimination",
 ]
 
 

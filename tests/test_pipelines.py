@@ -151,6 +151,32 @@ def test_x24_calibration_ece_internal_consistency(spark, sf_dir):
     assert all(abs(r["ece"] - want_ece) < 1e-9 for r in rows)
 
 
+def test_x25_auc_matches_bruteforce_pair_counting(spark, sf_dir):
+    """AUC from the histogram U-statistic must equal the brute-force
+    definition — P(random positive outranks random negative, ties
+    half credit) — computed by enumerating all pos x neg pairs from
+    the same (score, label) data the entry derives."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.pipelines import text as text_mod
+
+    row = CATALOG["x25_auc_discrimination"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_mod.language_id(docs, "doc_id", "text").select(
+        "doc_id", "score_en"
+    )
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    pos = sorted(r["score_en"] for r in lab if r["lang"] == "en")
+    neg = sorted(r["score_en"] for r in lab if r["lang"] != "en")
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    u2 = 0
+    for p in pos:  # brute force is fine at sf0.001
+        for q in neg:
+            u2 += 2 if p > q else (1 if p == q else 0)
+    assert row["u_times2"] == u2
+    assert abs(row["auc"] - round(u2 / (2 * len(pos) * len(neg)), 6)) < 1e-9
+    assert abs(row["gini"] - round(u2 / (len(pos) * len(neg)) - 1, 6)) < 1e-9
+
+
 def test_mm7_resolution_env_knob(spark, sf_dir):
     """SPARK_GRAFT_MM7_SLICES / _MAX_HAMMING rewire the mm7 entry:
     at 128/h4 the pipeline still runs end-to-end and finds the planted
