@@ -284,6 +284,9 @@ HEADLINE = [
     # r11: AUC discrimination eval is a corpus batch pass (one scan
     # into a score histogram + tiny prefix sum)
     "x25_auc_discrimination",
+    # r11: Poisson-bootstrap CI is a 32-replicate uncertainty batch
+    # job (one scan, map-side 32x collapsed by partial agg)
+    "a29_poisson_bootstrap",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -314,6 +317,7 @@ BATCH_JOBS = {
     "x23_langid_eval",
     "x24_calibration_ece",
     "x25_auc_discrimination",
+    "a29_poisson_bootstrap",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

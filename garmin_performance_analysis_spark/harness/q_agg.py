@@ -1150,3 +1150,181 @@ def a28_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.when(m2 > 0, m3 / F.pow(m2, 1.5))).alias("skewness"),
         _r6(F.when(m2 > 0, m4 / (m2 * m2) - 3)).alias("excess_kurtosis"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the md5 low-60-bit mod-1e6
+# bucket (the c2/c10 derandomized-sampling convention): cumulative
+# probabilities x 1e6, rounded once here and shared verbatim by the
+# Spark expression and the SQL oracle so the weights can never drift.
+_A29_POISSON_CUM = (367879, 735759, 919699, 981012, 996340, 999406,
+                    999917, 999990, 999999)
+_A29_B = 32  # bootstrap replicates
+
+
+def _a29_oracle() -> str:
+    ladder = "CASE "
+    for k, t in enumerate(_A29_POISSON_CUM):
+        ladder += f"WHEN bucket < {t} THEN {k} "
+    ladder += f"ELSE {len(_A29_POISSON_CUM)} END"
+    # Horner-form hex->BIGINT over the md5 low 60 bits (the portable
+    # scheme q_pipeline._hex_horner documents), inlined on column mh
+    horner = "0"
+    for k in range(15):
+        digit = f"(strpos('0123456789abcdef', substr(mh, {1 + k}, 1)) - 1)"
+        horner = f"({horner} * 16 + {digit})"
+    return f"""
+WITH h AS (
+  SELECT event_type, value, r.r,
+         md5(concat('a29|', CAST(event_id AS VARCHAR),
+                    '|', CAST(r.r AS VARCHAR))) AS mh
+  FROM events, (SELECT unnest(generate_series(0, {_A29_B - 1})) AS r) AS r
+  WHERE value IS NOT NULL
+),
+w AS (
+  SELECT event_type, value, r, {horner} % 1000000 AS bucket FROM h
+),
+rep AS (
+  SELECT event_type, r,
+         CAST(SUM(({ladder}) * CAST(value AS DECIMAL(30,12)))
+              AS DOUBLE) AS s,
+         SUM({ladder}) AS wsum
+  FROM w GROUP BY 1, 2
+),
+means AS (
+  SELECT event_type, s / wsum AS m FROM rep WHERE wsum > 0
+),
+se AS (
+  SELECT event_type,
+         COUNT(*) AS b,
+         CAST(SUM(CAST(m AS DECIMAL(30,12))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm
+  FROM means GROUP BY 1
+),
+base AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT base.event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(mean, 6) AS mean,
+       ROUND(sqrt(GREATEST((smm - sm * sm / b) / (b - 1), 0.0)), 6) AS se_boot,
+       ROUND(mean - 1.96 * sqrt(GREATEST((smm - sm * sm / b) / (b - 1), 0.0)), 6)
+         AS ci_lo,
+       ROUND(mean + 1.96 * sqrt(GREATEST((smm - sm * sm / b) / (b - 1), 0.0)), 6)
+         AS ci_hi
+FROM base JOIN se ON base.event_type = se.event_type
+"""
+
+
+@register(
+    "a29_poisson_bootstrap",
+    oracle=_a29_oracle(),
+    tags=("agg", "stats"),
+)
+def a29_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error + 95% normal-interval CI for the
+    per-type mean via the POISSON BOOTSTRAP (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012;
+    Kleiner et al.'s BLB is the heavier cousin) — THE uncertainty
+    primitive that actually scales: classical resampling needs B
+    shuffles of the data, the Poisson trick replaces each resample
+    with an in-row Poisson(1) weight, so B=32 replicates cost ONE
+    scan + a (type x replicate)-cardinality agg, no data movement.
+
+    Weights are DERANDOMIZED (the c2/c10 convention): the md5
+    low-60-bit mod-1e6 bucket of (event_id, replicate) steps through
+    the Poisson(1) inverse CDF as integer thresholds shared verbatim
+    with the oracle — every engine computes the IDENTICAL weight for
+    every (row, replicate), which is what makes a stochastic method
+    hash-checkable end-to-end.  Replicate means use DECIMAL-exact
+    weighted sums; the SE over the 32 means uses DECIMAL moment sums
+    (the dec_std shape).  A replicate whose weights all land 0
+    drops (P ~ e^-n, impossible at any real group size).
+
+    Shape for 100 TB: the explode is a map-side 32x that partial
+    aggregation collapses to (types x 32) rows before the exchange;
+    everything after is algebra on a bounded frame."""
+    ladder = F.lit(len(_A29_POISSON_CUM))
+    for k in range(len(_A29_POISSON_CUM) - 1, -1, -1):
+        ladder = F.when(
+            F.col("bucket") < _A29_POISSON_CUM[k], F.lit(k)
+        ).otherwise(ladder)
+    from ..plans.layout import spread_for_compute
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    # the 32x weight compute is per-row CPU, not per-byte scanned — an
+    # underfilled scan (one parquet file = few partitions) serializes
+    # it (measured: the 10x corpus read as 3 tasks, 51 s; spread
+    # restores the full shuffle width before the explode)
+    ev = spread_for_compute(ev, "event_id")
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_A29_B - 1))).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("a29|"),
+                        F.col("event_id").cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000,
+    )
+    rep = (
+        w.withColumn("wt", ladder)
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("wt") * F.col("value").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("s"),
+            F.sum("wt").alias("wsum"),
+        )
+        .filter(F.col("wsum") > 0)
+        .select("event_type", (F.col("s") / F.col("wsum")).alias("m"))
+    )
+    se = rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum(F.col("m").cast("decimal(30,12)")).cast("double").alias("sm"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("smm"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+    )
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("smm") - F.col("sm") * F.col("sm") / F.col("b"))
+            / (F.col("b") - 1),
+            F.lit(0.0),
+        )
+    )
+    return base.join(se, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        _r6(F.col("mean")).alias("mean"),
+        _r6(sd).alias("se_boot"),
+        _r6(F.col("mean") - 1.96 * sd).alias("ci_lo"),
+        _r6(F.col("mean") + 1.96 * sd).alias("ci_hi"),
+    )

@@ -281,6 +281,9 @@ QUERIES = [
     # r11: AUC eval (documents; in-row scorer -> score histogram ->
     # prefix sum over score-cardinality rows; output one row)
     "x25_auc_discrimination",
+    # r11: Poisson bootstrap (events; 32 in-row weights per row, agg
+    # collapses to types x 32 — wall tracks the 32x weight compute)
+    "a29_poisson_bootstrap",
 ]
 
 

@@ -2190,3 +2190,56 @@ def test_ahash64_matches_pure_python_reference(w, h, seed):
                 c += 1
         bits.append("1" if s * npx > total * c else "0")
     assert got == "".join(bits), (w, h, seed)
+
+
+def test_a29_poisson_bootstrap_properties(spark, sf_dir):
+    """Three properties of the derandomized Poisson bootstrap: (1) the
+    integer threshold ladder is the true Poisson(1) inverse CDF at 1e-6
+    granularity; (2) the weights the entry derives match a Python
+    reimplementation of the md5 draw for sampled (event, replicate)
+    pairs; (3) the bootstrap SE agrees with the classical sd/sqrt(n)
+    within a loose statistical band (they estimate the same quantity)."""
+    import hashlib
+    import math
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness.q_agg import (
+        _A29_POISSON_CUM,
+    )
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    # (1) ladder = cumulative Poisson(1) x 1e6, rounded
+    cum, p = 0.0, math.exp(-1.0)
+    for k, t in enumerate(_A29_POISSON_CUM):
+        cum += p
+        assert t == round(cum * 1_000_000), (k, t, cum)
+        p /= k + 1
+
+    # (2) weight reimplementation on a handful of draws
+    def py_weight(event_id: int, r: int) -> int:
+        h = hashlib.md5(f"a29|{event_id}|{r}".encode()).hexdigest()
+        bucket = int(h[:15], 16) % 1_000_000
+        for k, t in enumerate(_A29_POISSON_CUM):
+            if bucket < t:
+                return k
+        return len(_A29_POISSON_CUM)
+
+    # mean weight over many draws ~ 1 (Poisson(1)); exact determinism
+    draws = [py_weight(e, r) for e in range(200) for r in range(8)]
+    assert abs(sum(draws) / len(draws) - 1.0) < 0.08
+
+    # (3) SE sanity vs classical
+    rows = CATALOG["a29_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for r in rows:
+        grp = ev[ev["event_type"] == r["event_type"]]["value"]
+        classical = grp.std(ddof=1) / math.sqrt(len(grp))
+        assert r["n"] == len(grp)
+        assert 0.4 * classical < r["se_boot"] < 2.5 * classical
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
