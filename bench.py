@@ -287,6 +287,9 @@ HEADLINE = [
     # r11: Poisson-bootstrap CI is a 32-replicate uncertainty batch
     # job (one scan, map-side 32x collapsed by partial agg)
     "a29_poisson_bootstrap",
+    # r11: MRR/hit serving audit is an eval batch job (exact gold =
+    # |Q| x N cosines; the audited SYSTEM path stays k-bounded)
+    "o13_mrr_hit_eval",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -318,6 +321,7 @@ BATCH_JOBS = {
     "x24_calibration_ece",
     "x25_auc_discrimination",
     "a29_poisson_bootstrap",
+    "o13_mrr_hit_eval",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -2121,3 +2121,165 @@ def o12_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.alias("matched_term"),
         F.array_join(F.slice(w, start, 9), " ").alias("snippet"),
     )
+
+
+def _o13_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+    def cos(a: str, b: str, n: int) -> str:
+        d = dot.format(a=a, b=b, n=n)
+        na = "sqrt(" + dot.format(a=a, b=a, n=n) + ")"
+        nb = "sqrt(" + dot.format(a=b, b=b, n=n) + ")"
+        return f"({d}) / ({na} * {nb})"
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, e.vec_id, e.embedding, q.qe,
+         {cos('e.embedding', 'q.qe', 16)} AS p_cosine,
+         {cos('e.embedding', 'q.qe', 64)} AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+short AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY p_cosine DESC, vec_id ASC) AS prk
+  FROM pairs
+),
+sys AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM short WHERE prk <= 50
+),
+gold AS (
+  SELECT qid, vec_id AS gold_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS grk
+    FROM pairs) WHERE grk = 1
+),
+per_q AS (
+  SELECT g.qid AS query_id, g.gold_id,
+         CAST(COALESCE(s.rk, 0) AS BIGINT) AS rank_in_system,
+         ROUND(CASE WHEN s.rk IS NOT NULL AND s.rk <= 10
+                    THEN 1.0 / s.rk ELSE 0.0 END, 6) AS rr
+  FROM gold g
+  LEFT JOIN sys s ON s.qid = g.qid AND s.vec_id = g.gold_id AND s.rk <= 10
+),
+macro AS (
+  SELECT ROUND(CAST(SUM(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mrr,
+         ROUND(SUM(CASE WHEN rank_in_system BETWEEN 1 AND 10
+                        THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hit_rate
+  FROM per_q
+)
+SELECT query_id, gold_id, rank_in_system, rr, macro.mrr, macro.hit_rate
+FROM per_q, macro
+"""
+
+
+@register(
+    "o13_mrr_hit_eval",
+    oracle=_o13_oracle(),
+    tags=("retrieval", "evaluation"),
+)
+def o13_mrr_hit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 + hit-rate@10 of the Matryoshka serving path (v11's
+    16-dim prefix shortlist -> exact re-rank) against EXACT-nearest-
+    neighbor gold, over a query SET — the per-query serving audit
+    next to o9's single-query graded nDCG (eval family: does the
+    dimension-truncated first pass ever drop the true NN, and when it
+    survives, does the re-rank put it first?).  Gold is the exact
+    full-dimension top-1 per query, so the verdict needs no sampling
+    caveat; per-query rows carry the found rank (0 = dropped by the
+    shortlist) and reciprocal rank, with the macro MRR/hit-rate
+    broadcast onto every row (the x24 scalar convention; DECIMAL sum
+    over per-query 6dp reciprocals keeps the mean order-independent).
+
+    Shape: the query set is FIXED (the first 10 vec_ids — a serving
+    benchmark is a fixed artifact, it does not grow with the corpus),
+    broadcast against the corpus; the shortlist and gold rankings are
+    query-KEYED windows (never global), so eval cost is LINEAR in N.
+    Honest cost note: exact gold is the expensive half — |Q| x N
+    full-dim cosines; production would compute it once and store it,
+    and the SYSTEM side still only touches prefix bytes + 50 full
+    vectors per query."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        F.slice(F.col("embedding"), 1, 16).alias("_qp"),
+    )
+    pairs = (
+        emb.select("vec_id", "embedding", F.slice("embedding", 1, 16).alias("_pv"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                similarity._dot("_pv", "_qp")
+                / (similarity._norm("_pv") * similarity._norm("_qp"))
+            ).alias("p_cosine"),
+            (
+                similarity._dot("embedding", "_qv")
+                / (similarity._norm("embedding") * similarity._norm("_qv"))
+            ).alias("cosine"),
+        )
+    )
+    w_pref = Window.partitionBy("qid").orderBy(
+        F.col("p_cosine").desc(), F.col("vec_id").asc()
+    )
+    w_full = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    sys_rank = (
+        pairs.withColumn("prk", F.row_number().over(w_pref))
+        .filter(F.col("prk") <= 50)
+        .withColumn("rk", F.row_number().over(w_full))
+    )
+    gold = (
+        pairs.withColumn("grk", F.row_number().over(w_full))
+        .filter(F.col("grk") == 1)
+        .select("qid", F.col("vec_id").alias("gold_id"))
+    )
+    hit = sys_rank.filter(F.col("rk") <= 10).select("qid", "vec_id", "rk")
+    per_q = gold.join(
+        hit,
+        (gold["qid"] == hit["qid"]) & (gold["gold_id"] == hit["vec_id"]),
+        "left",
+    ).select(
+        gold["qid"].alias("query_id"),
+        "gold_id",
+        F.coalesce(F.col("rk"), F.lit(0)).cast("bigint").alias("rank_in_system"),
+        _r6(
+            F.when(F.col("rk").isNotNull(), 1.0 / F.col("rk")).otherwise(0.0)
+        ).alias("rr"),
+    )
+    macro = per_q.agg(
+        _r6(
+            F.sum(F.col("rr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mrr"),
+        _r6(
+            F.sum(
+                (
+                    (F.col("rank_in_system") >= 1)
+                    & (F.col("rank_in_system") <= 10)
+                ).cast("long")
+            )
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("hit_rate"),
+    )
+    return per_q.crossJoin(F.broadcast(macro)).select(
+        "query_id", "gold_id", "rank_in_system", "rr", "mrr", "hit_rate"
+    )

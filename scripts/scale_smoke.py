@@ -284,6 +284,10 @@ QUERIES = [
     # r11: Poisson bootstrap (events; 32 in-row weights per row, agg
     # collapses to types x 32 — wall tracks the 32x weight compute)
     "a29_poisson_bootstrap",
+    # r11: MRR/hit serving audit (embeddings; |Q| grows with the
+    # corpus AND N grows -> gold is the quadratic-in-replicas half,
+    # labeled honest eval cost; system side k-bounded)
+    "o13_mrr_hit_eval",
 ]
 
 

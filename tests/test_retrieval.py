@@ -625,3 +625,43 @@ def test_rrf_fusion_partial_overlap_semantics(spark):
         for r in fused.orderBy(F.desc("rrf"), F.asc("id")).collect()
     ]
     assert order == [20, 10, 30]  # 1/61 > 1/62, id breaks nothing here
+
+
+def test_o13_mrr_hit_consistency(spark, sf_dir):
+    """Per-query rows must be self-consistent with brute-force gold:
+    the gold id is the exact full-dim NN, rank_in_system is its rank
+    in the prefix->re-rank top-10 (0 when the shortlist dropped it),
+    and the macro MRR/hit-rate equal the row-level means."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["o13_mrr_hit_eval"].fn(spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b, d=None):
+        a2, b2 = (a[:d], b[:d]) if d else (a, b)
+        return float(a2 @ b2 / (np.linalg.norm(a2) * np.linalg.norm(b2)))
+
+    for r in rows:
+        q = emb[r["query_id"]]
+        others = [(v, e) for v, e in emb.items() if v != r["query_id"]]
+        want_gold = min(others, key=lambda t: (-cos(q, t[1]), t[0]))[0]
+        assert r["gold_id"] == want_gold
+        short = sorted(others, key=lambda t: (-cos(q, t[1], 16), t[0]))[:50]
+        top10 = sorted(short, key=lambda t: (-cos(q, t[1]), t[0]))[:10]
+        ids = [v for v, _ in top10]
+        want_rank = ids.index(want_gold) + 1 if want_gold in ids else 0
+        assert r["rank_in_system"] == want_rank
+        assert abs(r["rr"] - round(1 / want_rank if want_rank else 0.0, 6)) < 1e-9
+    mrr = round(sum(r["rr"] for r in rows) / len(rows), 6)
+    hit = round(
+        sum(1 for r in rows if 1 <= r["rank_in_system"] <= 10) / len(rows), 6
+    )
+    assert all(abs(r["mrr"] - mrr) < 1e-6 and abs(r["hit_rate"] - hit) < 1e-6
+               for r in rows)
