@@ -290,6 +290,9 @@ HEADLINE = [
     # r11: MRR/hit serving audit is an eval batch job (exact gold =
     # |Q| x N cosines; the audited SYSTEM path stays k-bounded)
     "o13_mrr_hit_eval",
+    # r11: isotonic calibration fit is a corpus batch pass (the x24
+    # scan + closed-form PAV on the 10-row bin frame)
+    "m17_isotonic_calibration",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -322,6 +325,7 @@ BATCH_JOBS = {
     "x25_auc_discrimination",
     "a29_poisson_bootstrap",
     "o13_mrr_hit_eval",
+    "m17_isotonic_calibration",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -1929,7 +1929,10 @@ def x23_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _x24_oracle() -> str:
+def _x24_bin_ctes() -> str:
+    """The shared reliability-bin CTE chain (ends at ``b``: bin, n,
+    n_correct, avg_conf, accuracy) — x24's oracle reports it, m17's
+    fits PAV on it."""
     score_cols = []
     for lang, markers in text.LANG_MARKERS.items():
         marker_in = ", ".join(f"'{m}'" for m in markers)
@@ -1946,8 +1949,7 @@ def _x24_oracle() -> str:
             f"CASE WHEN score_{lang} = {best} AND {best} > 0"
             f" THEN '{lang}' ELSE {pred} END"
         )
-    return f"""
-WITH s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+    return f"""s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
 sc AS (
   SELECT lang, {best} AS best, {total} AS total, {pred} AS predicted
   FROM s
@@ -1967,7 +1969,12 @@ b AS (
            AS avg_conf,
          ROUND(SUM(ok) * 1.0 / COUNT(*), 6) AS accuracy
   FROM f GROUP BY 1
-),
+)"""
+
+
+def _x24_oracle() -> str:
+    return f"""
+WITH {_x24_bin_ctes()},
 g AS (
   SELECT bin, n, n_correct, avg_conf, accuracy,
          ROUND(ABS(avg_conf - accuracy), 6) AS gap
@@ -1977,6 +1984,44 @@ e AS (SELECT ROUND(SUM(n * gap) / SUM(n), 6) AS ece FROM g)
 SELECT bin, n, n_correct, avg_conf, accuracy, gap, e.ece AS ece
 FROM g, e
 """
+
+
+def _x24_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared reliability-bin frame (bin, n, n_correct, avg_conf,
+    accuracy) — one corpus scan into a 10-row keyed agg; x24 reports
+    it, m17 fits the isotonic calibration map on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.language_id(docs, "doc_id", "text")
+    langs = list(text.LANG_MARKERS)
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    total = None
+    for lang in langs:
+        c = F.col(f"score_{lang}")
+        total = c if total is None else total + c
+    t = j.select(
+        best.cast("long").alias("best"),
+        total.cast("long").alias("total"),
+        (F.col("predicted_lang") == F.col("lang")).cast("long").alias("ok"),
+    ).filter(F.col("total") > 0)
+    k = len(langs)
+    binned = t.select(
+        F.least(
+            F.expr(f"(best + 1) * 10 DIV (total + {k})").cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+        F.round((F.col("best") + 1) / (F.col("total") + k), 6).alias("conf"),
+        "ok",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        _r6(
+            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_conf"),
+        _r6(F.sum("ok") * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+    )
 
 
 @register(
@@ -2017,38 +2062,7 @@ def x24_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     report costs a histogram regardless of volume, and the bin
     counts are mergeable across shards/snapshots (the c17 position:
     store binned counts, not rows)."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = text.language_id(docs, "doc_id", "text")
-    langs = list(text.LANG_MARKERS)
-    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    total = None
-    for lang in langs:
-        c = F.col(f"score_{lang}")
-        total = c if total is None else total + c
-    t = j.select(
-        best.cast("long").alias("best"),
-        total.cast("long").alias("total"),
-        (F.col("predicted_lang") == F.col("lang")).cast("long").alias("ok"),
-    ).filter(F.col("total") > 0)
-    k = len(langs)
-    binned = t.select(
-        F.least(
-            F.expr(f"(best + 1) * 10 DIV (total + {k})").cast("bigint"),
-            F.lit(9).cast("bigint"),
-        ).alias("bin"),
-        F.round((F.col("best") + 1) / (F.col("total") + k), 6).alias("conf"),
-        "ok",
-    )
-    b = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("ok").cast("bigint").alias("n_correct"),
-        _r6(
-            F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_conf"),
-        _r6(F.sum("ok") * 1.0 / F.count(F.lit(1))).alias("accuracy"),
-    )
+    b = _x24_bins(spark, sf_dir)
     g = b.withColumn("gap", _r6(F.abs(F.col("avg_conf") - F.col("accuracy"))))
     e = g.agg(_r6(F.sum(F.col("n") * F.col("gap")) / F.sum("n")).alias("ece"))
     # bounded cross join: 10 bin rows x a broadcast 1-row scalar
@@ -2144,4 +2158,117 @@ def x25_auc_discrimination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u2").cast("bigint").alias("u_times2"),
         _r6(F.col("u2") * 1.0 / (2.0 * F.col("np") * F.col("nn"))).alias("auc"),
         _r6(F.col("u2") * 1.0 / (F.col("np") * F.col("nn")) - 1.0).alias("gini"),
+    )
+
+
+def _m17_oracle() -> str:
+    return f"""
+WITH {_x24_bin_ctes()},
+pref AS (
+  SELECT bin, n, n_correct,
+         SUM(n) OVER (ORDER BY bin) AS pn,
+         SUM(n_correct) OVER (ORDER BY bin) AS pc
+  FROM b
+),
+seg AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         (k.pc - j.pc + j.n_correct) * 1.0 / (k.pn - j.pn + j.n) AS m
+  FROM pref j JOIN pref k ON k.bin >= j.bin
+),
+mn AS (
+  SELECT i.bin, s.jb, MIN(s.m) AS minm
+  FROM b i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT bin, ROUND(MAX(minm), 6) AS calibrated FROM mn GROUP BY 1),
+r AS (
+  SELECT b.bin, b.n, b.avg_conf, b.accuracy, iso.calibrated
+  FROM b JOIN iso ON b.bin = iso.bin
+),
+e AS (
+  SELECT ROUND(SUM(n * ROUND(ABS(avg_conf - accuracy), 6)) / SUM(n), 6)
+           AS ece_before,
+         ROUND(SUM(n * ROUND(ABS(calibrated - accuracy), 6)) / SUM(n), 6)
+           AS ece_after
+  FROM r
+)
+SELECT r.bin, r.n, r.avg_conf, r.accuracy, r.calibrated,
+       e.ece_before, e.ece_after
+FROM r, e
+"""
+
+
+@register(
+    "m17_isotonic_calibration",
+    oracle=_m17_oracle(),
+    tags=("ml", "eval"),
+)
+def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map over the x24 reliability bins —
+    the FIX paired with x24's measurement: fit the monotone
+    nondecreasing step function closest (weighted L2) to the per-bin
+    accuracies, the standard post-hoc calibrator (Zadrozny & Elkan
+    2002) when the reliability curve is non-sigmoidal.  The output
+    column ``calibrated`` IS the deployable score map (replace a
+    model confidence in bin i with calibrated_i); ``ece_after`` next
+    to ``ece_before`` quantifies the repair on the fitting data (the
+    honest caveat: production refits on a held-out split — this entry
+    is the operator, not the protocol).
+
+    Pool-Adjacent-Violators via its MINIMAX closed form rather than
+    the sequential pooling loop: iso_i = max_{j<=i} min_{k>=i}
+    wmean(acc over bins j..k) — segment means are EXACT integer
+    ratios (sum n_correct / sum n from prefix sums), so the whole fit
+    is deterministic algebra on a <=10-row frame: a prefix sum on a
+    bounded key, one self-join for the O(B^2) segments, two
+    cardinality-bounded aggs for min-then-max.  No driver-side loop,
+    no iteration — the closed form turns a sequential algorithm into
+    three declarative joins, which is exactly how a tiny post-fit
+    belongs inside a distributed plan."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    b = _x24_bins(spark, sf_dir).localCheckpoint(eager=False)
+    w = Window.partitionBy(bounded_partition_key("bin")).orderBy("bin")
+    pref = b.select(
+        "bin",
+        "n",
+        "n_correct",
+        F.sum("n").over(w).alias("pn"),
+        F.sum("n_correct").over(w).alias("pc"),
+    )
+    j, k = pref.alias("j"), pref.alias("k")
+    seg = j.join(k, F.col("k.bin") >= F.col("j.bin")).select(
+        F.col("j.bin").alias("jb"),
+        F.col("k.bin").alias("kb"),
+        (
+            (F.col("k.pc") - F.col("j.pc") + F.col("j.n_correct"))
+            * 1.0
+            / (F.col("k.pn") - F.col("j.pn") + F.col("j.n"))
+        ).alias("m"),
+    )
+    mn = (
+        b.select(F.col("bin").alias("ibin"))
+        .join(seg, (F.col("jb") <= F.col("ibin")) & (F.col("kb") >= F.col("ibin")))
+        .groupBy("ibin", "jb")
+        .agg(F.min("m").alias("minm"))
+    )
+    iso = mn.groupBy("ibin").agg(_r6(F.max("minm")).alias("calibrated"))
+    r = b.join(iso, b["bin"] == iso["ibin"]).select(
+        "bin", "n", "avg_conf", "accuracy", "calibrated"
+    )
+    e = r.agg(
+        _r6(
+            F.sum(F.col("n") * _r6(F.abs(F.col("avg_conf") - F.col("accuracy"))))
+            / F.sum("n")
+        ).alias("ece_before"),
+        _r6(
+            F.sum(F.col("n") * _r6(F.abs(F.col("calibrated") - F.col("accuracy"))))
+            / F.sum("n")
+        ).alias("ece_after"),
+    )
+    return r.crossJoin(F.broadcast(e)).select(
+        "bin", "n", "avg_conf", "accuracy", "calibrated",
+        "ece_before", "ece_after",
     )

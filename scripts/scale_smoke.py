@@ -284,10 +284,12 @@ QUERIES = [
     # r11: Poisson bootstrap (events; 32 in-row weights per row, agg
     # collapses to types x 32 — wall tracks the 32x weight compute)
     "a29_poisson_bootstrap",
-    # r11: MRR/hit serving audit (embeddings; |Q| grows with the
-    # corpus AND N grows -> gold is the quadratic-in-replicas half,
-    # labeled honest eval cost; system side k-bounded)
+    # r11: MRR/hit serving audit (embeddings; FIXED 10-query benchmark
+    # set broadcast against the corpus — eval linear in N)
     "o13_mrr_hit_eval",
+    # r11: isotonic calibration (documents; the x24 scan + bounded
+    # B^2 segment algebra — wall tracks the scan)
+    "m17_isotonic_calibration",
 ]
 
 

@@ -1195,3 +1195,44 @@ def test_audio_energyhash_known_signal():
     assert bits[32:] == "1" * 32
     # non-audio payloads and compressed formats return None
     assert multimodal.audio_energyhash64(b"not a wav") is None
+
+
+def test_m17_isotonic_calibration_properties(spark, sf_dir):
+    """PAV invariants: the calibrated map is monotone nondecreasing in
+    bin order; pooled bins share the exact pooled integer-ratio mean;
+    ece_after <= ece_before; and the fit matches a reference
+    sequential PAV reimplementation on the same bins."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness.q_pipeline import _x24_bins
+
+    rows = sorted(
+        CATALOG["m17_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    cal = [r["calibrated"] for r in rows]
+    assert cal == sorted(cal)  # monotone
+    assert all(r["ece_after"] <= r["ece_before"] + 1e-9 for r in rows)
+
+    bins = sorted(
+        _x24_bins(spark, sf_dir).collect(), key=lambda r: r["bin"]
+    )
+    # reference: classic sequential pool-adjacent-violators
+    blocks = [[b["n_correct"], b["n"]] for b in bins]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    want = []
+    bi = iter(bins)
+    for c, n in blocks:
+        covered = 0
+        while covered < n:
+            covered += next(bi)["n"]
+            want.append(round(c / n, 6))
+    assert [r["calibrated"] for r in rows] == want
