@@ -293,6 +293,9 @@ HEADLINE = [
     # r11: isotonic calibration fit is a corpus batch pass (the x24
     # scan + closed-form PAV on the 10-row bin frame)
     "m17_isotonic_calibration",
+    # r11: split-leakage audit is a dedup-graph batch job (d3 pairs +
+    # CC dominate, like c18)
+    "c19_split_leakage_audit",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -326,6 +329,7 @@ BATCH_JOBS = {
     "a29_poisson_bootstrap",
     "o13_mrr_hit_eval",
     "m17_isotonic_calibration",
+    "c19_split_leakage_audit",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

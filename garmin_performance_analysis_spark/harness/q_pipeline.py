@@ -2272,3 +2272,168 @@ def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin", "n", "avg_conf", "accuracy", "calibrated",
         "ece_before", "ece_after",
     )
+
+
+def _c19_oracle() -> str:
+    horner10 = _hex_horner("d", 1, 15)
+    horner18 = _hex_horner("h", 1, 15)
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+fp AS (
+  SELECT doc_id,
+         md5('split|' || md5(array_to_string(
+             list_sort(list_distinct(string_split(lower(text), ' '))), ' ')))
+           AS d
+  FROM documents
+),
+split10 AS (
+  SELECT doc_id,
+         CASE WHEN {horner10} % 100 < 90 THEN 'train'
+              WHEN {horner10} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM fp
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+hashed18 AS (
+  SELECT d.doc_id,
+         md5('csplit|' || CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR))
+           AS h
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+split18 AS (
+  SELECT doc_id,
+         CASE WHEN {horner18} % 100 < 90 THEN 'train'
+              WHEN {horner18} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM hashed18
+),
+j10 AS (
+  SELECT sa.split AS s_a, sb.split AS s_b
+  FROM pairs p
+  JOIN split10 sa ON sa.doc_id = p.doc_a
+  JOIN split10 sb ON sb.doc_id = p.doc_b
+),
+j18 AS (
+  SELECT sa.split AS s_a, sb.split AS s_b
+  FROM pairs p
+  JOIN split18 sa ON sa.doc_id = p.doc_a
+  JOIN split18 sb ON sb.doc_id = p.doc_b
+),
+r AS (
+  SELECT 'doc_fingerprint' AS rule, COUNT(*) AS n_pairs,
+         SUM(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END) AS n_straddling
+  FROM j10
+  UNION ALL
+  SELECT 'near_dup_cluster' AS rule, COUNT(*) AS n_pairs,
+         SUM(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END) AS n_straddling
+  FROM j18
+)
+SELECT rule, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_straddling AS BIGINT) AS n_straddling,
+       ROUND(n_straddling * 1.0 / n_pairs, 6) AS straddle_rate
+FROM r
+"""
+
+
+@register(
+    "c19_split_leakage_audit",
+    oracle=_c19_oracle(),
+    tags=("prep", "curation", "eval"),
+)
+def c19_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: of the d3 MinHash-LSH near-duplicate
+    pairs, how many STRADDLE train/val/test under each split rule —
+    c10's content-fingerprint split (catches exact/shuffled dups
+    only) vs c18's near-dup-CLUSTER split (catches everything the
+    pair stage catches, zero straddles BY CONSTRUCTION, and this
+    entry measures that construction instead of asserting it).  This
+    is the eval-integrity number a training-data release publishes:
+    a near-dup of a test document sitting in train silently inflates
+    held-out metrics, and the difference between the two rules' rates
+    is the leakage c18 buys back.
+
+    One pair-graph build feeds BOTH rules (localCheckpoint — the
+    v3/v10 lesson: Catalyst re-executes iterative lineage per
+    consumer), each split frame is the in-row md5 arithmetic of its
+    parent entry, and the audit itself is two broadcast-joined
+    pair-classification aggs.  Full hash oracle (recursive-closure CC
+    + both Horner bucket schemes, the c18 convention)."""
+    from ..pipelines import prep
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    s10 = prep.leakage_safe_split(docs, "doc_id", "text").select(
+        "doc_id", "split"
+    )
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    clustered = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("csplit|"), F.col("cluster_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    s18 = clustered.select(
+        "doc_id",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+    def audit(splits: DataFrame, rule: str) -> DataFrame:
+        sa = splits.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("s_a")
+        )
+        sb = splits.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("s_b")
+        )
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum((F.col("s_a") != F.col("s_b")).cast("long"))
+                .cast("bigint")
+                .alias("n_straddling"),
+            )
+            .select(
+                F.lit(rule).alias("rule"),
+                "n_pairs",
+                "n_straddling",
+                _r6(F.col("n_straddling") * 1.0 / F.col("n_pairs")).alias(
+                    "straddle_rate"
+                ),
+            )
+        )
+
+    return audit(s10, "doc_fingerprint").unionByName(
+        audit(s18, "near_dup_cluster")
+    )

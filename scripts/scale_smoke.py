@@ -290,6 +290,9 @@ QUERIES = [
     # r11: isotonic calibration (documents; the x24 scan + bounded
     # B^2 segment algebra — wall tracks the scan)
     "m17_isotonic_calibration",
+    # r11: split-leakage audit (documents; d3 pair graph + CC + two
+    # pair-classification joins — the c18 shape plus bounded joins)
+    "c19_split_leakage_audit",
 ]
 
 

@@ -1236,3 +1236,30 @@ def test_m17_isotonic_calibration_properties(spark, sf_dir):
             covered += next(bi)["n"]
             want.append(round(c / n, 6))
     assert [r["calibrated"] for r in rows] == want
+
+
+def test_c19_split_leakage_audit_consistency(spark, sf_dir):
+    """The audit's pair count equals d3's pair count for BOTH rules;
+    the cluster rule straddles exactly zero (c18's invariant, now a
+    measured quantity); rates are the rounded ratios."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness.q_pipeline import (
+        d3_minhash_lsh_pairs,
+    )
+
+    rows = {
+        r["rule"]: r
+        for r in CATALOG["c19_split_leakage_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"doc_fingerprint", "near_dup_cluster"}
+    n_pairs = d3_minhash_lsh_pairs(spark, sf_dir).count()
+    for r in rows.values():
+        assert r["n_pairs"] == n_pairs
+        assert abs(
+            r["straddle_rate"] - round(r["n_straddling"] / n_pairs, 6)
+        ) < 1e-9
+    assert rows["near_dup_cluster"]["n_straddling"] == 0
+    assert (
+        rows["doc_fingerprint"]["n_straddling"]
+        >= rows["near_dup_cluster"]["n_straddling"]
+    )
