@@ -296,6 +296,9 @@ HEADLINE = [
     # r11: split-leakage audit is a dedup-graph batch job (d3 pairs +
     # CC dominate, like c18)
     "c19_split_leakage_audit",
+    # r11: Good-Turing smoothing is a corpus LM batch pass (vocab agg
+    # + frequency-of-frequencies, like x9/x18)
+    "x28_good_turing",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -330,6 +333,7 @@ BATCH_JOBS = {
     "o13_mrr_hit_eval",
     "m17_isotonic_calibration",
     "c19_split_leakage_audit",
+    "x28_good_turing",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

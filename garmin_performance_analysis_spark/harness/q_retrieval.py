@@ -2283,3 +2283,94 @@ def o13_mrr_hit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q.crossJoin(F.broadcast(macro)).select(
         "query_id", "gold_id", "rank_in_system", "rr", "mrr", "hit_rate"
     )
+
+
+@register(
+    "x28_good_turing",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+vocab AS (SELECT term, COUNT(*) AS r FROM toks GROUP BY term),
+fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types FROM vocab GROUP BY r),
+tot AS (
+  SELECT CAST(SUM(r * n_types) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_types) AS BIGINT) AS total_types,
+         CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_types END), 0) AS BIGINT)
+           AS n1
+  FROM fof
+),
+low AS (SELECT r FROM fof ORDER BY r ASC LIMIT 10)
+SELECT f.r AS r,
+       f.n_types,
+       ROUND((f.r + 1) * nx.n_types * 1.0 / f.n_types, 6) AS r_star,
+       t.total_tokens,
+       t.total_types,
+       ROUND(t.n1 * 1.0 / t.total_tokens, 6) AS p0_unseen
+FROM fof f
+JOIN low ON low.r = f.r
+LEFT JOIN fof nx ON nx.r = f.r + 1
+CROSS JOIN tot t
+""",
+    tags=("text", "lm"),
+)
+def x28_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus vocabulary —
+    the classic unseen-mass estimate (Good 1953; the smoothing inside
+    Katz backoff, and the leave-one-out answer to "how much of the
+    NEXT crawl's tokens will be words we have never seen"): from the
+    frequency-of-frequencies table N_r, the smoothed count
+    r* = (r+1)·N_{r+1}/N_r and the unseen probability mass
+    P0 = N_1/total_tokens.  A data pipeline uses P0 directly — it is
+    the expected OOV rate that sizes tokenizer vocab (x12/x13) and
+    sanity-checks dedup (aggressive dedup inflates N_1 and P0).
+
+    Everything is EXACT integer arithmetic until the final ratios:
+    N_r from two keyed aggs (term counts, then counts-of-counts),
+    r* and P0 as integer ratios rounded 6dp — full hash oracle.
+    Reported for the 10 SMALLEST observed frequencies (GT is only
+    meaningful at the dense low end; the r_star column is NULL at a
+    gap, i.e. when N_{r+1} = 0).  On corpora with no rare tail —
+    P0 = 0 and the smallest r is large — the report says exactly
+    that, which is itself the sanity signal.
+    Shape for 100 TB: one scan -> vocab agg -> frequency histogram;
+    the fof frame is tiny (distinct frequencies), the join against
+    its own shift is frequency-cardinality algebra."""
+    from ..plans.layout import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_for_compute(docs, "doc_id").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    fof = vocab.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("bigint").alias("total_tokens"),
+        F.sum("n_types").cast("bigint").alias("total_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_types"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nx = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("nx_types")
+    )
+    low = fof.orderBy(F.col("r").asc()).limit(10)
+    return (
+        low
+        .join(nx, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_types",
+            _r6(
+                (F.col("r") + 1) * F.col("nx_types") * 1.0 / F.col("n_types")
+            ).alias("r_star"),
+            "total_tokens",
+            "total_types",
+            _r6(F.col("n1") * 1.0 / F.col("total_tokens")).alias("p0_unseen"),
+        )
+    )

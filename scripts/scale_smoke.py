@@ -293,6 +293,9 @@ QUERIES = [
     # r11: split-leakage audit (documents; d3 pair graph + CC + two
     # pair-classification joins — the c18 shape plus bounded joins)
     "c19_split_leakage_audit",
+    # r11: Good-Turing (documents; vocab agg -> frequency histogram —
+    # the x9 shape, output fixed at 10 rows)
+    "x28_good_turing",
 ]
 
 

@@ -665,3 +665,41 @@ def test_o13_mrr_hit_consistency(spark, sf_dir):
     )
     assert all(abs(r["mrr"] - mrr) < 1e-6 and abs(r["hit_rate"] - hit) < 1e-6
                for r in rows)
+
+
+def test_x28_good_turing_consistency(spark, sf_dir):
+    """Good-Turing identities recomputed from the raw vocabulary:
+    N_r counts, r* = (r+1) N_{r+1} / N_r, P0 = N_1 / total tokens, and
+    the 10-smallest-frequency window."""
+    from collections import Counter
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = sorted(
+        CATALOG["x28_good_turing"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["r"],
+    )
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    vocab = Counter()
+    for d in docs:
+        vocab.update(d["text"].lower().split(" "))
+    fof = Counter(vocab.values())
+    total_tokens = sum(vocab.values())
+    want_rs = sorted(fof)[:10]
+    assert [r["r"] for r in rows] == want_rs
+    for r in rows:
+        assert r["n_types"] == fof[r["r"]]
+        nxt = fof.get(r["r"] + 1)
+        if nxt is None:
+            assert r["r_star"] is None
+        else:
+            assert abs(
+                r["r_star"] - round((r["r"] + 1) * nxt / fof[r["r"]], 6)
+            ) < 1e-9
+        assert r["total_tokens"] == total_tokens
+        assert r["total_types"] == len(vocab)
+        assert abs(
+            r["p0_unseen"] - round(fof.get(1, 0) / total_tokens, 6)
+        ) < 1e-9
