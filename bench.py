@@ -299,6 +299,9 @@ HEADLINE = [
     # r11: Good-Turing smoothing is a corpus LM batch pass (vocab agg
     # + frequency-of-frequencies, like x9/x18)
     "x28_good_turing",
+    # r11: sliding distinct via daily HLL merge is a read-shaped
+    # window query (one scan -> day-cardinality sketch algebra)
+    "w19_sliding_distinct_hll",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -447,3 +447,81 @@ def w18_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         _r6(corr).alias("corr_value_count"),
     )
+
+
+@register(
+    "w19_sliding_distinct_hll",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud),
+win AS (
+  SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS exact_7d
+  FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+  GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(exact_7d AS BIGINT) AS exact_7d,
+       1 AS est_within_2pct
+FROM win
+""",
+    tags=("window", "sketch"),
+)
+def w19_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users via MERGEABLE DAILY HLL SKETCHES
+    — the bounded-state scale path for w16's exact answer: w16's
+    dedupe-then-explode touches every distinct (user, day) pair per
+    window position, so window length multiplies the shuffled rows;
+    here the raw data is scanned ONCE into one sketch PER DAY (a
+    bounded artifact, the a20/a23 position), and every window
+    position is pure sketch ALGEBRA — a 7-row union per day,
+    independent of user volume.  At 100 TB with 365-day retention the
+    daily-sketch table is ~365 rows x a few KB, any window length
+    re-answers from it without re-scanning events, and the same
+    sketches roll up to weekly/monthly distinct for free.
+
+    The exact column is hash-checked (the oracle recomputes it from
+    raw rows); the HLL estimate reduces to a pinned verdict column —
+    within max(2% of exact, 1) — the a23 convention for a ~0.8%-
+    stderr sketch measured far inside the band at every SF (a few
+    hundred users per window sits in HLL's near-exact sparse
+    regime)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+        )
+    )
+    days = daily.select(F.col("d").alias("day"))
+    trail = daily.join(
+        days,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    est = trail.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d")
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    exact = (
+        ud.join(
+            days,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_7d"))
+    )
+    return exact.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_7d",
+        F.when(
+            F.abs(F.col("est_7d") - F.col("exact_7d"))
+            <= F.greatest(0.02 * F.col("exact_7d"), F.lit(1.0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("est_within_2pct"),
+    )

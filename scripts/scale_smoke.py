@@ -296,6 +296,9 @@ QUERIES = [
     # r11: Good-Turing (documents; vocab agg -> frequency histogram —
     # the x9 shape, output fixed at 10 rows)
     "x28_good_turing",
+    # r11: sliding distinct via daily HLL (events; one scan -> 30
+    # daily sketches -> 7-row unions; day count fixed)
+    "w19_sliding_distinct_hll",
 ]
 
 

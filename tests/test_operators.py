@@ -1618,3 +1618,18 @@ def test_mann_kendall_monotone_and_tied(spark):
     assert out[2]["s_stat"] == 0
     assert out[2]["var_s"] == 0.0
     assert out[2]["z"] is None and out[2]["trend"] is None
+
+
+def test_w19_hll_matches_w16_exact(spark, sf_dir):
+    """The sketch path's exact column must equal w16's exact sliding
+    distinct (same day grid), and every estimate verdict must be green
+    at test scale (sparse-regime HLL is near-exact)."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    w16 = {
+        r["day"]: r["n_users_7d"]
+        for r in CATALOG["w16_sliding_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    w19 = CATALOG["w19_sliding_distinct_hll"].fn(spark, sf_dir).collect()
+    assert {r["day"]: r["exact_7d"] for r in w19} == w16
+    assert all(r["est_within_2pct"] == 1 for r in w19)
