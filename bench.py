@@ -302,6 +302,9 @@ HEADLINE = [
     # r11: sliding distinct via daily HLL merge is a read-shaped
     # window query (one scan -> day-cardinality sketch algebra)
     "w19_sliding_distinct_hll",
+    # r11: effective-dataset-size report is a dedup-graph batch job
+    # (d3 pairs + CC dominate, like c18/c19)
+    "c20_effective_tokens",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -337,6 +340,7 @@ BATCH_JOBS = {
     "m17_isotonic_calibration",
     "c19_split_leakage_audit",
     "x28_good_turing",
+    "c20_effective_tokens",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -2437,3 +2437,100 @@ def c19_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(s10, "doc_fingerprint").unionByName(
         audit(s18, "near_dup_cluster")
     )
+
+
+def _c20_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+toks AS (
+  SELECT d.doc_id,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         len(string_split(lower(d.text), ' ')) AS n_toks
+  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+),
+rep AS (
+  SELECT cluster_id, MIN(doc_id) AS rep_id FROM toks GROUP BY 1
+),
+eff AS (
+  SELECT COUNT(*) AS n_clusters, SUM(t.n_toks) AS eff_tokens
+  FROM rep JOIN toks t ON t.doc_id = rep.rep_id
+),
+raw AS (SELECT COUNT(*) AS n_docs, SUM(n_toks) AS raw_tokens FROM toks)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(raw_tokens AS BIGINT) AS raw_tokens,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(eff_tokens AS BIGINT) AS effective_tokens,
+       ROUND(1.0 - eff_tokens * 1.0 / raw_tokens, 6) AS dedup_savings_rate
+FROM raw, eff
+"""
+
+
+@register(
+    "c20_effective_tokens",
+    oracle=_c20_oracle(),
+    tags=("curation", "dedup"),
+)
+def c20_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dataset-size report: raw vs near-dup-DEDUPED corpus
+    budget — the number a training-data plan is actually built on
+    (epochs, mixture weights, and compute budgets count EFFECTIVE
+    tokens, not raw ones; a corpus that is 30% near-duplicate is 30%
+    smaller than its row count claims).  Composes the d3 pair graph →
+    CC clusters (c18's machinery) with whitespace token counts: one
+    deterministic representative per cluster (min doc_id), effective
+    tokens = the representatives' tokens, and the savings rate is
+    what cluster-dedup returns to the budget.
+
+    All-integer outputs until the final rate — full hash oracle
+    (recursive-closure CC, the c18/c19 convention).  Shape: the pair
+    graph + CC dominate (measured for d3/d5); token counting is
+    in-row; the report is one row regardless of volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_toks"),
+        )
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rep = toks.groupBy("cluster_id").agg(F.min("doc_id").alias("rep_id"))
+    eff = rep.join(
+        toks.select(F.col("doc_id").alias("rep_id"), "n_toks"), "rep_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_toks").cast("bigint").alias("effective_tokens"),
+    )
+    raw = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("raw_tokens"),
+    )
+    return raw.crossJoin(F.broadcast(eff)).select(
+        "n_docs",
+        "raw_tokens",
+        "n_clusters",
+        "effective_tokens",
+        _r6(
+            1.0 - F.col("effective_tokens") * 1.0 / F.col("raw_tokens")
+        ).alias("dedup_savings_rate"),
+    )

@@ -299,6 +299,9 @@ QUERIES = [
     # r11: sliding distinct via daily HLL (events; one scan -> 30
     # daily sketches -> 7-row unions; day count fixed)
     "w19_sliding_distinct_hll",
+    # r11: effective-token report (documents; d3 pairs + CC + in-row
+    # token counts -> one row)
+    "c20_effective_tokens",
 ]
 
 

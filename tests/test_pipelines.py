@@ -1263,3 +1263,29 @@ def test_c19_split_leakage_audit_consistency(spark, sf_dir):
         rows["doc_fingerprint"]["n_straddling"]
         >= rows["near_dup_cluster"]["n_straddling"]
     )
+
+
+def test_c20_effective_tokens_consistency(spark, sf_dir):
+    """The report's cluster count equals the CC cluster count over the
+    same pair graph; effective <= raw on both docs and tokens; the
+    savings rate is the rounded token ratio."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness.q_pipeline import (
+        d3_minhash_lsh_pairs,
+    )
+
+    r = CATALOG["c20_effective_tokens"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs = d3_minhash_lsh_pairs(spark, sf_dir)
+    cc = dedup.connected_components(pairs, "doc_a", "doc_b")
+    in_pairs = cc.count()
+    n_multi = cc.select("cluster_id").distinct().count()
+    want_clusters = n_docs - in_pairs + n_multi  # singletons + components
+    assert r["n_docs"] == n_docs
+    assert r["n_clusters"] == want_clusters
+    assert r["effective_tokens"] <= r["raw_tokens"]
+    assert abs(
+        r["dedup_savings_rate"]
+        - round(1 - r["effective_tokens"] / r["raw_tokens"], 6)
+    ) < 1e-9
