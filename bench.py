@@ -305,6 +305,8 @@ HEADLINE = [
     # r11: effective-dataset-size report is a dedup-graph batch job
     # (d3 pairs + CC dominate, like c18/c19)
     "c20_effective_tokens",
+    # r11: hot-key diagnostic is a read-shaped keyed count agg
+    "k3_hot_key_report",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -125,3 +125,74 @@ def k2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("_vdec").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "k3_hot_key_report",
+    oracle=f"""
+WITH keyed AS (
+  SELECT {_K1_KEY_SQL} AS skew_key FROM events
+),
+tot AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT skew_key) AS n_keys
+        FROM keyed),
+per AS (
+  SELECT skew_key, COUNT(*) AS n_rows FROM keyed GROUP BY 1
+),
+top AS (
+  SELECT skew_key, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, skew_key ASC) AS rk
+  FROM per
+)
+SELECT rk, skew_key, CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(n_rows * 1.0 / t.n_total, 6) AS share,
+       ROUND(n_rows * t.n_keys * 1.0 / t.n_total, 6) AS x_over_uniform,
+       CAST(t.n_total AS BIGINT) AS n_total,
+       CAST(t.n_keys AS BIGINT) AS n_keys
+FROM top, tot t
+WHERE rk <= 10
+""",
+    tags=("skew", "profiling"),
+)
+def k3_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic — the report run BEFORE choosing k1/k2's
+    salting strategies: top-10 keys by row count with each key's share
+    of the table and its multiple over the uniform share
+    (n_rows·n_keys/n_total — the straggler factor a plain hash
+    exchange hands that key's one task).  On the deliberately
+    power-law frame the hot key reads ~9x uniform, which is the
+    evidence that says "salt this aggregation" at 100 TB; on a
+    healthy key the report says so and the plain exchange stays.
+
+    Shape: one keyed count agg (map-side combined), top-10 via a
+    rank over the key-cardinality frame ordered inside ONE exchange
+    (TakeOrdered semantics — never a row-cardinality global sort),
+    totals broadcast on.  All-integer outputs to the 6dp ratios."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.expr(_K1_KEY_SQL).alias("skew_key"))
+    per = keyed.groupBy("skew_key").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top10 = per.orderBy(F.col("n_rows").desc(), F.col("skew_key").asc()).limit(
+        10
+    )
+    w = Window.partitionBy(bounded_partition_key("skew_key")).orderBy(
+        F.col("n_rows").desc(), F.col("skew_key").asc()
+    )
+    ranked = top10.withColumn("rk", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "skew_key",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.col("n_rows") * 1.0 / F.col("n_total"), 6).alias("share"),
+        F.round(
+            F.col("n_rows") * F.col("n_keys") * 1.0 / F.col("n_total"), 6
+        ).alias("x_over_uniform"),
+        "n_total",
+        "n_keys",
+    )

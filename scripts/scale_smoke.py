@@ -302,6 +302,9 @@ QUERIES = [
     # r11: effective-token report (documents; d3 pairs + CC + in-row
     # token counts -> one row)
     "c20_effective_tokens",
+    # r11: hot-key report (events; keyed count agg -> top-10 of a
+    # key-cardinality frame)
+    "k3_hot_key_report",
 ]
 
 

@@ -1633,3 +1633,30 @@ def test_w19_hll_matches_w16_exact(spark, sf_dir):
     w19 = CATALOG["w19_sliding_distinct_hll"].fn(spark, sf_dir).collect()
     assert {r["day"]: r["exact_7d"] for r in w19} == w16
     assert all(r["est_within_2pct"] == 1 for r in w19)
+
+
+def test_k3_hot_key_report_identities(spark, sf_dir):
+    """Shares sum to <= 1 with the hot key first; x_over_uniform is
+    share * n_keys; totals match the raw keyed frame."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = sorted(
+        CATALOG["k3_hot_key_report"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert rows and rows[0]["rk"] == 1
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN user_id % 10 <> 0 THEN -1 ELSE user_id END AS k"
+    )
+    n_total = ev.count()
+    n_keys = ev.distinct().count()
+    assert all(r["n_total"] == n_total and r["n_keys"] == n_keys for r in rows)
+    assert rows[0]["skew_key"] == -1  # the planted hot key ranks first
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert abs(r["share"] - round(r["n_rows"] / n_total, 6)) < 1e-9
+        assert abs(
+            r["x_over_uniform"] - round(r["n_rows"] * n_keys / n_total, 6)
+        ) < 1e-9
