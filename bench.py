@@ -307,6 +307,8 @@ HEADLINE = [
     "c20_effective_tokens",
     # r11: hot-key diagnostic is a read-shaped keyed count agg
     "k3_hot_key_report",
+    # r11: trimmed mean is a read-shaped keyed-window stat query
+    "a31_trimmed_mean",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -305,6 +305,9 @@ QUERIES = [
     # r11: hot-key report (events; keyed count agg -> top-10 of a
     # key-cardinality frame)
     "k3_hot_key_report",
+    # r11: trimmed mean (events; one keyed exchange shared by the
+    # rank window and the agg)
+    "a31_trimmed_mean",
 ]
 
 

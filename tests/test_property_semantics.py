@@ -2243,3 +2243,28 @@ def test_a29_poisson_bootstrap_properties(spark, sf_dir):
         assert r["n"] == len(grp)
         assert 0.4 * classical < r["se_boot"] < 2.5 * classical
         assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+
+
+def test_a31_trimmed_mean_matches_numpy(spark, sf_dir):
+    """Per group: the operator's trimmed mean equals the brute-force
+    sort-drop-average (floor(0.1 n) from each side), and the kept
+    count is exactly n - 2k."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["a31_trimmed_mean"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for r in rows:
+        vals = sorted(ev[ev["event_type"] == r["event_type"]]["value"])
+        k = int(len(vals) * 0.1)
+        kept = vals[k : len(vals) - k]
+        assert r["n"] == len(vals)
+        assert r["n_trimmed_each_side"] == k
+        assert r["n_kept"] == len(kept) == len(vals) - 2 * k
+        assert abs(r["trimmed_mean"] - round(sum(kept) / len(kept), 6)) < 1e-6
