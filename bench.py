@@ -309,6 +309,9 @@ HEADLINE = [
     "k3_hot_key_report",
     # r11: trimmed mean is a read-shaped keyed-window stat query
     "a31_trimmed_mean",
+    # r11: seasonal-strength diagnostic is a read-shaped keyed-window
+    # stat query (the w14 decomposition + a per-user moment agg)
+    "t19_seasonal_strength",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -954,9 +954,9 @@ def t15_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w14_seasonal_decompose",
-    oracle="""
+# w14's oracle body — shared with t19, which aggregates the same
+# decomposition into strength-of-trend/seasonality measures.
+_W14_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
          FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
@@ -986,7 +986,12 @@ SELECT t.user_id, strftime(t.day, '%Y-%m-%d') AS day,
        FLOOR((t.dv_q - t.trend_q - s.seasonal_q) * 1000000.0 + 0.5)
          / 1000000.0 AS residual
 FROM tr t JOIN seas s ON t.user_id = s.user_id AND t.wd = s.wd
-""",
+"""
+
+
+@register(
+    "w14_seasonal_decompose",
+    oracle=_W14_ORACLE,
     tags=("timeseries", "window"),
 )
 def w14_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,4 +1425,109 @@ def t18_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("z") > 1.96, "increasing")
         .when(F.col("z") < -1.96, "decreasing")
         .when(F.col("z").isNotNull(), "none"),
+    )
+
+
+def _t19_oracle() -> str:
+    def var(col: str) -> str:
+        sx = f"CAST(SUM(CAST({col} AS DECIMAL(30,12))) AS DOUBLE)"
+        sxx = f"CAST(SUM(CAST({col} * {col} AS DECIMAL(38,12))) AS DOUBLE)"
+        return f"(({sxx}) - ({sx}) * ({sx}) / COUNT(*)) / COUNT(*)"
+
+    vr = var("residual")
+    vsr = var("(seasonal + residual)")
+    vtr = var("(trend + residual)")
+    return f"""
+WITH base AS ({_W14_ORACLE}),
+m AS (
+  SELECT user_id, COUNT(*) AS n_days,
+         {vr} AS v_r, {vsr} AS v_sr, {vtr} AS v_tr
+  FROM base GROUP BY 1
+),
+f AS (
+  SELECT user_id, n_days,
+         CASE WHEN v_tr > 0
+              THEN ROUND(GREATEST(0.0, 1.0 - v_r / v_tr), 6) END AS f_trend,
+         CASE WHEN v_sr > 0
+              THEN ROUND(GREATEST(0.0, 1.0 - v_r / v_sr), 6) END AS f_seasonal
+  FROM m
+)
+SELECT user_id, CAST(n_days AS BIGINT) AS n_days, f_trend, f_seasonal,
+       CASE WHEN COALESCE(f_trend, 0) > 0.64 AND COALESCE(f_seasonal, 0) > 0.64
+              THEN 'trend+seasonal'
+            WHEN COALESCE(f_trend, 0) > 0.64 THEN 'trending'
+            WHEN COALESCE(f_seasonal, 0) > 0.64 THEN 'seasonal'
+            ELSE 'noisy' END AS classification
+FROM f
+"""
+
+
+@register(
+    "t19_seasonal_strength",
+    oracle=_t19_oracle(),
+    tags=("timeseries", "eval"),
+)
+def t19_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength-of-trend and strength-of-seasonality per key
+    (Hyndman & Athanasopoulos, FPP3 §4.3: F_T = max(0, 1 −
+    Var(R)/Var(T+R)), F_S = max(0, 1 − Var(R)/Var(S+R)) over the w14
+    decomposition) — the forecasting-diagnostic that picks a MODEL
+    before anyone fits one: a 'noisy' series gets a naive/mean
+    forecaster, 'seasonal' gets t13's seasonal-naive, 'trending'
+    gets t16 Holt, both gets t17 Holt-Winters.  The classification
+    uses FPP's 0.64 threshold on the ROUNDED strengths so both
+    engines band identically.
+
+    All inputs are w14's 6dp-quantized components, so the DECIMAL
+    moment sums are exact and the population variances are
+    deterministic doubles; Var = 0 (a constant recombination) yields
+    NULL strength rather than a division blow-up.  Shape: the w14
+    decomposition's one user-keyed exchange + a per-user moment agg
+    — diagnostics cost one scan over the component frame."""
+    base = w14_seasonal_decompose(spark, sf_dir)
+
+    def dsum(c, p=30):
+        return F.sum(c.cast(f"decimal({p},12)")).cast("double")
+
+    def var_cols(col, tag):
+        return [
+            dsum(col).alias(f"sx_{tag}"),
+            dsum(col * col, 38).alias(f"sxx_{tag}"),
+        ]
+
+    m = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        *var_cols(F.col("residual"), "r"),
+        *var_cols(F.col("seasonal") + F.col("residual"), "sr"),
+        *var_cols(F.col("trend") + F.col("residual"), "tr"),
+    )
+
+    def var(tag):
+        sx, sxx, n = (
+            F.col(f"sx_{tag}"),
+            F.col(f"sxx_{tag}"),
+            F.col("n_days"),
+        )
+        return (sxx - sx * sx / n) / n
+
+    f_trend = F.when(
+        var("tr") > 0, _r6(F.greatest(F.lit(0.0), 1.0 - var("r") / var("tr")))
+    )
+    f_seasonal = F.when(
+        var("sr") > 0, _r6(F.greatest(F.lit(0.0), 1.0 - var("r") / var("sr")))
+    )
+    out = m.select(
+        "user_id",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        f_trend.alias("f_trend"),
+        f_seasonal.alias("f_seasonal"),
+    )
+    ft0 = F.coalesce(F.col("f_trend"), F.lit(0.0))
+    fs0 = F.coalesce(F.col("f_seasonal"), F.lit(0.0))
+    return out.withColumn(
+        "classification",
+        F.when((ft0 > 0.64) & (fs0 > 0.64), "trend+seasonal")
+        .when(ft0 > 0.64, "trending")
+        .when(fs0 > 0.64, "seasonal")
+        .otherwise("noisy"),
     )

@@ -308,6 +308,9 @@ QUERIES = [
     # r11: trimmed mean (events; one keyed exchange shared by the
     # rank window and the agg)
     "a31_trimmed_mean",
+    # r11: seasonal strength (events; the w14 user-keyed exchange +
+    # per-user moment agg — output = user count)
+    "t19_seasonal_strength",
 ]
 
 

@@ -1660,3 +1660,42 @@ def test_k3_hot_key_report_identities(spark, sf_dir):
         assert abs(
             r["x_over_uniform"] - round(r["n_rows"] * n_keys / n_total, 6)
         ) < 1e-9
+
+
+def test_t19_strengths_match_decomposition_variances(spark, sf_dir):
+    """F_T and F_S recomputed from w14's own components (population
+    variances) must match, and the classification must follow the
+    0.64 thresholds on the rounded strengths."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = CATALOG["t19_seasonal_strength"].fn(spark, sf_dir).collect()
+    assert rows
+    base = (
+        CATALOG["w14_seasonal_decompose"].fn(spark, sf_dir).toPandas()
+    )
+    for r in rows[:10]:
+        g = base[base["user_id"] == r["user_id"]]
+        vr = float(np.var(g["residual"]))
+        vtr = float(np.var(g["trend"] + g["residual"]))
+        vsr = float(np.var(g["seasonal"] + g["residual"]))
+        want_ft = round(max(0.0, 1 - vr / vtr), 6) if vtr > 0 else None
+        want_fs = round(max(0.0, 1 - vr / vsr), 6) if vsr > 0 else None
+        if want_ft is None:
+            assert r["f_trend"] is None
+        else:
+            assert abs(r["f_trend"] - want_ft) < 1e-6
+        if want_fs is None:
+            assert r["f_seasonal"] is None
+        else:
+            assert abs(r["f_seasonal"] - want_fs) < 1e-6
+        ft0 = r["f_trend"] or 0.0
+        fs0 = r["f_seasonal"] or 0.0
+        want_cls = (
+            "trend+seasonal" if ft0 > 0.64 and fs0 > 0.64
+            else "trending" if ft0 > 0.64
+            else "seasonal" if fs0 > 0.64
+            else "noisy"
+        )
+        assert r["classification"] == want_cls
