@@ -312,6 +312,8 @@ HEADLINE = [
     # r11: seasonal-strength diagnostic is a read-shaped keyed-window
     # stat query (the w14 decomposition + a per-user moment agg)
     "t19_seasonal_strength",
+    # r11: norm-pruned exact MIPS is an ANN serving read like v6/v11
+    "v12_mips_norm_pruned",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

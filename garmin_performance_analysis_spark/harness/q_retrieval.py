@@ -2374,3 +2374,126 @@ def x28_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(F.col("n1") * 1.0 / F.col("total_tokens")).alias("p0_unseen"),
         )
     )
+
+
+def _v12_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    qdot = dot.format(a="e.embedding", b="q.qe")
+    nrm = "sqrt(" + dot.format(a="e.embedding", b="e.embedding") + ")"
+    qn = "sqrt(" + dot.format(a="q.qe", b="q.qe") + ")"
+    return f"""
+WITH q AS (SELECT embedding AS qe, {qn.replace('q.qe', 'embedding')} AS qnorm
+           FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT e.vec_id, {qdot} AS dot, {nrm} * q.qnorm AS bound
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+cand AS (
+  SELECT vec_id, dot FROM base ORDER BY bound DESC, vec_id ASC LIMIT 50
+),
+theta AS (
+  SELECT dot AS th FROM (
+    SELECT dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id ASC) AS rk
+    FROM cand) WHERE rk = 10
+),
+survivors AS (
+  SELECT b.vec_id, b.dot FROM base b, theta WHERE b.bound >= theta.th
+),
+pool AS (
+  SELECT vec_id, dot FROM cand UNION SELECT vec_id, dot FROM survivors
+),
+stats AS (SELECT COUNT(*) AS n_full_dots FROM pool),
+total AS (SELECT COUNT(*) AS n_vectors FROM base),
+ranked AS (
+  SELECT vec_id, dot, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id ASC) AS rk
+  FROM pool
+)
+SELECT r.vec_id, ROUND(r.dot, 6) AS dot, r.rk,
+       CAST(s.n_full_dots AS BIGINT) AS n_full_dots,
+       ROUND(1.0 - s.n_full_dots * 1.0 / t.n_vectors, 6) AS prune_rate
+FROM ranked r, stats s, total t
+WHERE r.rk <= 10
+"""
+
+
+@register(
+    "v12_mips_norm_pruned",
+    oracle=_v12_oracle(),
+    tags=("similarity", "retrieval"),
+)
+def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT maximum-inner-product top-10 via Cauchy-Schwarz norm
+    pruning (the LEMP/FEXIPRO family's core bound) — MIPS is the
+    recommender-serving primitive cosine ANN does not cover (user x
+    item score = raw dot; popular items have LARGE norms, so
+    normalizing changes the answer): any vector's dot with q is
+    bounded by ||x||·||q||, so after scoring a 50-deep shortlist
+    ranked by that bound, every vector whose bound clears the
+    shortlist's 10th-best dot is the COMPLETE set of possible
+    contenders — exact top-10 with a certificate, never a recall
+    gamble.  The prune_rate column reports the fraction of full-dot
+    computations the bound avoided: high when norms are spread (real
+    recommender embeddings), and honestly ~0 on this corpus's random
+    embeddings (concentrated norms + near-orthogonal dots make the
+    bound loose — the operator REPORTS that instead of hiding it).
+
+    Scale shape: norms come from one in-row pass (stored as a column
+    in production); the shortlist is a TakeOrdered on the bound; the
+    contender filter broadcasts one θ scalar; only contenders pay a
+    full dot.  Everything is deterministic double arithmetic shared
+    with the oracle (the v11 convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv"),
+        similarity._norm("embedding").alias("_qnorm"),
+    )
+    base = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            similarity._dot("embedding", "_qv").alias("dot"),
+            (similarity._norm("embedding") * F.col("_qnorm")).alias("bound"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = base.orderBy(F.col("bound").desc(), F.col("vec_id").asc()).limit(
+        50
+    ).select("vec_id", "dot")
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    w = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    theta = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 10)
+        .select(F.col("dot").alias("th"))
+    )
+    survivors = base.crossJoin(F.broadcast(theta)).filter(
+        F.col("bound") >= F.col("th")
+    ).select("vec_id", "dot")
+    pool = cand.unionByName(survivors).distinct()
+    stats = pool.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_dots"))
+    total = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    ranked = pool.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vec_id",
+            _r6(F.col("dot")).alias("dot"),
+            "rk",
+            "n_full_dots",
+            _r6(1.0 - F.col("n_full_dots") * 1.0 / F.col("n_vectors")).alias(
+                "prune_rate"
+            ),
+        )
+    )

@@ -311,6 +311,9 @@ QUERIES = [
     # r11: seasonal strength (events; the w14 user-keyed exchange +
     # per-user moment agg — output = user count)
     "t19_seasonal_strength",
+    # r11: norm-pruned MIPS (embeddings; bound pass + contender dots;
+    # prune honestly ~0 on random embeddings, reported per run)
+    "v12_mips_norm_pruned",
 ]
 
 

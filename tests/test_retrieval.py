@@ -703,3 +703,42 @@ def test_x28_good_turing_consistency(spark, sf_dir):
         assert abs(
             r["p0_unseen"] - round(fof.get(1, 0) / total_tokens, 6)
         ) < 1e-9
+
+
+def test_v12_mips_exact_and_certified(spark, sf_dir):
+    """The pruned result must equal the brute-force exact top-10 by
+    dot product, and the contender-set arithmetic must be complete:
+    every vector outside the scored pool has bound < theta."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = sorted(
+        CATALOG["v12_mips_norm_pruned"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    dots = {v: float(e @ q) for v, e in emb.items() if v != 0}
+    want = sorted(dots.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [r["vec_id"] for r in rows] == [v for v, _ in want]
+    for r, (_, d) in zip(rows, want):
+        assert abs(r["dot"] - round(d, 6)) < 1e-5
+    # certificate: theta = 10th dot of the norm-shortlist; any vector
+    # with bound < theta cannot beat the pool
+    qn = float(np.linalg.norm(q))
+    bounds = {v: float(np.linalg.norm(e)) * qn for v, e in emb.items() if v != 0}
+    shortlist = sorted(bounds.items(), key=lambda t: (-t[1], t[0]))[:50]
+    theta = sorted(
+        (dots[v] for v, _ in shortlist), reverse=True
+    )[9]
+    assert all(
+        dots[v] <= bounds[v] for v in dots
+    )  # Cauchy-Schwarz sanity
+    outside = [v for v in dots if bounds[v] < theta]
+    assert all(dots[v] < want[-1][1] or v in (x for x, _ in want)
+               for v in outside)
