@@ -314,6 +314,9 @@ HEADLINE = [
     "t19_seasonal_strength",
     # r11: norm-pruned exact MIPS is an ANN serving read like v6/v11
     "v12_mips_norm_pruned",
+    # r11: the mixture allocator is a corpus batch pass (one scan for
+    # supplies; the solve is source-cardinality algebra)
+    "c21_mixture_waterfill",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -350,6 +353,7 @@ BATCH_JOBS = {
     "c19_split_leakage_audit",
     "x28_good_turing",
     "c20_effective_tokens",
+    "c21_mixture_waterfill",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

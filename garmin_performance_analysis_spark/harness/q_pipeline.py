@@ -2534,3 +2534,148 @@ def c20_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("effective_tokens") * 1.0 / F.col("raw_tokens")
         ).alias("dedup_savings_rate"),
     )
+
+
+# Target mixture weights (integer, sum 10) for c21's allocator —
+# shared verbatim with the oracle so the two sides can never drift.
+_C21_WEIGHTS = {"en": 4, "es": 2, "de": 2, "fr": 1, "zh": 1}
+
+
+def _c21_oracle() -> str:
+    w_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in _C21_WEIGHTS.items()
+    ) + " ELSE 0 END"
+    return f"""
+WITH caps AS (
+  SELECT lang, CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+           AS cap_tokens,
+         CAST(MAX({w_case}) AS BIGINT) AS weight
+  FROM documents GROUP BY lang
+),
+budget AS (
+  SELECT CAST(FLOOR(SUM(cap_tokens) * 0.6) AS BIGINT) AS b FROM caps
+),
+ordered AS (
+  SELECT lang, cap_tokens, weight,
+         cap_tokens * 1.0 / weight AS ratio,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens * 1.0 / weight ASC,
+                            lang ASC) AS k,
+         SUM(cap_tokens) OVER (ORDER BY cap_tokens * 1.0 / weight ASC,
+                               lang ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS cum_caps_before,
+         SUM(weight) OVER (ORDER BY cap_tokens * 1.0 / weight ASC, lang ASC
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS w_suffix
+  FROM caps
+),
+cand AS (
+  SELECT k, ratio,
+         (b - COALESCE(cum_caps_before, 0)) * 1.0 / w_suffix AS lam,
+         LAG(ratio) OVER (ORDER BY k) AS prev_ratio
+  FROM ordered, budget
+),
+lam AS (
+  SELECT lam FROM cand
+  WHERE (prev_ratio IS NULL OR lam >= prev_ratio) AND lam < ratio
+)
+SELECT o.lang, o.cap_tokens, o.weight,
+       ROUND(LEAST(lam.lam * o.weight, o.cap_tokens * 1.0), 6) AS allocated,
+       CASE WHEN lam.lam * o.weight >= o.cap_tokens THEN 1 ELSE 0 END
+         AS saturated,
+       b.b AS budget_tokens,
+       ROUND(lam.lam, 6) AS water_level
+FROM ordered o, lam, budget b
+"""
+
+
+@register(
+    "c21_mixture_waterfill",
+    oracle=_c21_oracle(),
+    tags=("curation", "mixtures"),
+)
+def c21_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped water-filling mixture allocator — the step between
+    choosing target mixture proportions (DoReMi-style weights) and
+    actually SAMPLING a training set: each source (language) has a
+    finite token supply, so the target shares are scaled up together
+    (one water level λ, allocation min(λ·w_i, cap_i)) until the
+    budget is spent, with supply-limited sources SATURATING and their
+    shortfall flowing to the rest — the unique allocation that
+    respects every cap while keeping unsaturated sources exactly
+    proportional.  c16's temperature mix reweights; c21 solves the
+    feasibility problem those weights then hit.
+
+    Closed form, no iteration: sort sources by cap/weight, and for
+    each prefix-saturation count s the candidate level is
+    λ_s = (B − Σ_sat caps)/Σ_unsat weights — exactly one candidate
+    falls between its neighbours' ratios (the water-filling KKT
+    condition), selected declaratively on the source-cardinality
+    frame.  Integer caps/weights/budget make every comparison
+    deterministic double arithmetic shared with the oracle.  Shape:
+    one corpus scan for per-source token supplies; the solve is
+    algebra on ≤#sources rows."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    wexpr = F.lit(0)
+    for lang, wt in _C21_WEIGHTS.items():
+        wexpr = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(wexpr)
+    caps = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("cap_tokens"),
+        F.max(wexpr).cast("bigint").alias("weight"),
+    )
+    budget = caps.agg(
+        F.floor(F.sum("cap_tokens") * 0.6).cast("bigint").alias("b")
+    )
+    ratio = F.col("cap_tokens") * 1.0 / F.col("weight")
+    wk = Window.partitionBy(bounded_partition_key("lang")).orderBy(
+        ratio.asc(), F.col("lang").asc()
+    )
+    ordered = caps.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "cap_tokens",
+        "weight",
+        "b",
+        ratio.alias("ratio"),
+        F.row_number().over(wk).alias("k"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_caps_before"),
+        F.sum("weight")
+        .over(wk.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .alias("w_suffix"),
+        F.lag(ratio).over(wk).alias("prev_ratio"),
+    )
+    cand = ordered.withColumn(
+        "lam",
+        (F.col("b") - F.col("cum_caps_before")) * 1.0 / F.col("w_suffix"),
+    )
+    lam = cand.filter(
+        (F.col("prev_ratio").isNull() | (F.col("lam") >= F.col("prev_ratio")))
+        & (F.col("lam") < F.col("ratio"))
+    ).select(F.col("lam"))
+    return ordered.crossJoin(F.broadcast(lam)).select(
+        "lang",
+        "cap_tokens",
+        "weight",
+        _r6(
+            F.least(
+                F.col("lam") * F.col("weight"), F.col("cap_tokens") * 1.0
+            )
+        ).alias("allocated"),
+        F.when(
+            F.col("lam") * F.col("weight") >= F.col("cap_tokens"), 1
+        )
+        .otherwise(0)
+        .alias("saturated"),
+        F.col("b").alias("budget_tokens"),
+        _r6(F.col("lam")).alias("water_level"),
+    )

@@ -314,6 +314,9 @@ QUERIES = [
     # r11: norm-pruned MIPS (embeddings; bound pass + contender dots;
     # prune honestly ~0 on random embeddings, reported per run)
     "v12_mips_norm_pruned",
+    # r11: mixture allocator (documents; one supply scan -> 5-row
+    # water-filling algebra)
+    "c21_mixture_waterfill",
 ]
 
 

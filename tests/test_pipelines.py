@@ -1289,3 +1289,57 @@ def test_c20_effective_tokens_consistency(spark, sf_dir):
         r["dedup_savings_rate"]
         - round(1 - r["effective_tokens"] / r["raw_tokens"], 6)
     ) < 1e-9
+
+
+def _waterfill_ref(caps, weights, budget):
+    """Reference water-filling: returns (allocations, water level)."""
+    items = sorted(caps, key=lambda s: (caps[s] / weights[s], s))
+    for k in range(len(items)):
+        sat = items[:k]
+        lam = (budget - sum(caps[s] for s in sat)) / sum(
+            weights[s] for s in items[k:]
+        )
+        prev = caps[items[k - 1]] / weights[items[k - 1]] if k else None
+        if (prev is None or lam >= prev) and lam < caps[items[k]] / weights[
+            items[k]
+        ]:
+            alloc = {
+                s: (caps[s] if s in sat else lam * weights[s]) for s in caps
+            }
+            return alloc, lam
+    raise AssertionError("no valid water level (budget >= total caps?)")
+
+
+def test_c21_waterfill_matches_reference(spark, sf_dir):
+    """The entry's allocations match the sequential reference solver
+    on the corpus supplies; allocations sum to the budget; saturated
+    sources sit exactly at their caps."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.harness.q_pipeline import (
+        _C21_WEIGHTS,
+    )
+
+    rows = CATALOG["c21_mixture_waterfill"].fn(spark, sf_dir).collect()
+    caps = {r["lang"]: r["cap_tokens"] for r in rows}
+    budget = rows[0]["budget_tokens"]
+    alloc, lam = _waterfill_ref(caps, _C21_WEIGHTS, budget)
+    for r in rows:
+        assert abs(r["allocated"] - round(alloc[r["lang"]], 6)) < 1e-5
+        assert r["saturated"] == int(
+            lam * _C21_WEIGHTS[r["lang"]] >= caps[r["lang"]]
+        )
+    assert abs(sum(r["allocated"] for r in rows) - budget) < 1e-3
+
+
+def test_c21_waterfill_reference_saturating_case():
+    """The encoded KKT formula handles saturation: a source with tiny
+    supply saturates at its cap and its shortfall flows to the rest
+    proportionally — validated on a hand-solved example."""
+    caps = {"a": 10, "b": 1000, "c": 1000}
+    weights = {"a": 5, "b": 3, "c": 2}
+    alloc, lam = _waterfill_ref(caps, weights, 510)
+    # 'a' saturates at 10; remaining 500 splits 3:2 -> 300/200
+    assert alloc["a"] == 10
+    assert abs(alloc["b"] - 300) < 1e-9
+    assert abs(alloc["c"] - 200) < 1e-9
+    assert abs(lam - 100) < 1e-9
