@@ -590,21 +590,22 @@ def _rotate_for_round11() -> None:
 
 _rotate_for_round11()
 
-# ROUND-12 PLAN (standing rule): the TWELVE round-11 additions
+# ROUND-12 PLAN (standing rule): the FOURTEEN round-11 additions
 # registered PAST this window and must be fronted in the round-12
 # rotation — x24_calibration_ece, x25_auc_discrimination,
 # a29_poisson_bootstrap, o13_mrr_hit_eval, m17_isotonic_calibration,
 # c19_split_leakage_audit, x28_good_turing, w19_sliding_distinct_hll,
 # c20_effective_tokens, k3_hot_key_report, a31_trimmed_mean,
-# t19_seasonal_strength — TWELVE total — plus anything CORRECTNESS_r11
-# flags, padded with the stalest names per the GENERATED staleness
-# report (`python scripts/check_parity.py --staleness`, run AFTER
-# CORRECTNESS_r11 lands): first the 28 remaining r7 names
-# (a5_weekly_volume onward in the r7 block — a11/a13/a2/a4/a5x2/a6/
-# a8/a9b/c11/c12/c13/c14/d2b/d7/i2/i3/i4/j10/j11 got r11 rows, the
-# rest did not... regenerate the report rather than trusting this
-# list), then the r8 block (sorted) to pad to exactly 50.  The
-# round-11 `--stalest 28` re-soak additionally re-proved 29 non-window
-# entries at sf0.01 in-session (see SCALING.md round-11 close), so no
-# entry's latest EVIDENCE (driver row or recorded strict sweep) is
-# older than round 9 at round-11 close.
+# t19_seasonal_strength, v12_mips_norm_pruned, c21_mixture_waterfill
+# — FOURTEEN total — plus anything CORRECTNESS_r11 flags, padded with
+# the stalest names per the GENERATED staleness report
+# (`python scripts/check_parity.py --staleness`, run AFTER
+# CORRECTNESS_r11 lands — regenerate it rather than trusting any
+# hand-written list): the remaining 28 r7-stale names first, then the
+# r8 block (sorted) to pad to exactly 50.  Also run
+# `check_parity.py --stalest 30 --strict /root/testdata/sf0.01` once
+# per round (the r11 convention) so non-window evidence never ages.
+# The round-11 `--stalest 28` re-soak re-proved 29 non-window entries
+# at sf0.01 in-session (SCALING.md round-11 close), so no entry's
+# latest EVIDENCE (driver row or recorded strict sweep) is older than
+# round 9 at round-11 close.
