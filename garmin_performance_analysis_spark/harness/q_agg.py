@@ -511,11 +511,25 @@ def a19_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q6(c):
         return F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0
 
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        q6(F.expr("percentile(l_extendedprice, 0.10)")).alias("p10"),
-        q6(F.expr("percentile(l_extendedprice, 0.50)")).alias("p50"),
-        q6(F.expr("percentile(l_extendedprice, 0.90)")).alias("p90"),
+    # ONE percentile aggregate with an array of percentages: a single
+    # sort-based buffer serves all three bands (three scalar
+    # percentile() aggs each paid their own sort — measured 2.16 s vs
+    # 0.9 s at sf0.1 in the round-11 bench)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.10, 0.50, 0.90))"
+            ).alias("_ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            q6(F.col("_ps")[0]).alias("p10"),
+            q6(F.col("_ps")[1]).alias("p50"),
+            q6(F.col("_ps")[2]).alias("p90"),
+        )
     )
 
 
