@@ -609,3 +609,54 @@ _rotate_for_round11()
 # at sf0.01 in-session (SCALING.md round-11 close), so no entry's
 # latest EVIDENCE (driver row or recorded strict sweep) is older than
 # round 9 at round-11 close.
+
+# ---------------------------------------------------------------------------
+# Round-12 catalog rotation — executes the plan above verbatim.
+#
+# CORRECTNESS_r11 flagged nothing (50/50 PASS incl. hash), so the window
+# is: the 14 entries with NO driver row per the GENERATED staleness
+# report (`python scripts/check_parity.py --staleness`, regenerated
+# after CORRECTNESS_r11 landed) — the 14 round-11 additions — then the
+# 28 remaining r7-stale names, then the first 8 (sorted) of the
+# 50-entry r8-stale block to pad to exactly 50.  After this window
+# lands, every one of the 242 catalog entries has a driver row.
+_R12_FRONT = [
+    # no driver row yet (generated staleness report, "never" group)
+    "a29_poisson_bootstrap", "a31_trimmed_mean", "c19_split_leakage_audit",
+    "c20_effective_tokens", "c21_mixture_waterfill", "k3_hot_key_report",
+    "m17_isotonic_calibration", "o13_mrr_hit_eval", "t19_seasonal_strength",
+    "v12_mips_norm_pruned", "w19_sliding_distinct_hll",
+    "x24_calibration_ece", "x25_auc_discrimination", "x28_good_turing",
+    # the 28 remaining r7-stale names (latest driver row = r7)
+    "j12_interval_overlap", "j1_revenue_by_nation", "j4_having_incomplete",
+    "j5_using_join_trend", "j6_preagg_join", "m5b_huber_baseline",
+    "m5c_huber_irls", "o2_topk_closeness", "o4_pagination",
+    "p2_point_lookup", "p3_date_range", "p4_null_guards",
+    "p5_tolerance_band", "p6_like_filter", "p8_pushed_postfilter",
+    "p9_in_list", "s3_projection_scan", "s7_sql_passthrough",
+    "t10_gap_fill_ffill", "t11_time_weighted_avg", "v1_cosine_topk",
+    "v4_srp_lsh_pairs", "w10_downsample", "w11_scd2_intervals",
+    "w4_centered_rolling", "w6_rolling_90d_max", "x14_bigram_logprob",
+    "x15_heavy_hitters",
+    # r8-stale pad: first 8 of the 50-name r8 block, sorted
+    "a17_retention_cohorts", "a18_cube_volumes", "a19_percentile_bands",
+    "a1_stats_block", "a20_sketch_rollup", "a9_profile_table",
+    "c15_weighted_sample", "d1_exact_hash_groups",
+]
+
+
+def _rotate_for_round12() -> None:
+    front = list(_R12_FRONT)
+    assert len(front) == 50, f"round-12 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-12 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-12 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round12()

@@ -2440,29 +2440,50 @@ def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (concentrated norms + near-orthogonal dots make the
     bound loose — the operator REPORTS that instead of hiding it).
 
-    Scale shape: norms come from one in-row pass (stored as a column
-    in production); the shortlist is a TakeOrdered on the bound; the
-    contender filter broadcasts one θ scalar; only contenders pay a
-    full dot.  Everything is deterministic double arithmetic shared
-    with the oracle (the v11 convention)."""
+    Scale shape: the first pass projects ONLY the bound (one in-row
+    norm expression — stored as a column in production), never the
+    dot; the shortlist is a TakeOrdered on the bound; the contender
+    filter broadcasts one θ scalar over that bound-only frame; and
+    full dots are computed ONLY by joining the (k-bounded) shortlist
+    and survivor id sets back to `embeddings` — the dot expression
+    appears in the physical plan exclusively downstream of the θ
+    filter, so on spread-norm corpora the scan cut is real, not
+    bookkeeping.  n_full_dots counts the distinct ids that paid a
+    dot (shortlist ∪ survivors).  Everything is deterministic double
+    arithmetic shared with the oracle (the v11 convention)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_qv"),
         similarity._norm("embedding").alias("_qnorm"),
     )
-    base = (
+    # Bound-only pass: no dot is computed here.  Narrow (vec_id, bound)
+    # frame, checkpointed because both the shortlist and the survivor
+    # filter scan it.
+    bounds = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qdf))
         .select(
             "vec_id",
-            similarity._dot("embedding", "_qv").alias("dot"),
             (similarity._norm("embedding") * F.col("_qnorm")).alias("bound"),
         )
         .localCheckpoint(eager=False)
     )
-    cand = base.orderBy(F.col("bound").desc(), F.col("vec_id").asc()).limit(
-        50
-    ).select("vec_id", "dot")
+    cand_ids = (
+        bounds.orderBy(F.col("bound").desc(), F.col("vec_id").asc())
+        .limit(50)
+        .select("vec_id")
+    )
+
+    def _score(ids: DataFrame) -> DataFrame:
+        # Full dots ONLY for the given (k-bounded) id set: broadcast the
+        # ids into a hash join against the embeddings scan.
+        return (
+            emb.join(F.broadcast(ids), "vec_id")
+            .crossJoin(F.broadcast(qdf))
+            .select("vec_id", similarity._dot("embedding", "_qv").alias("dot"))
+        )
+
+    cand = _score(cand_ids)
     from pyspark.sql import Window
 
     from ..operators.windows import bounded_partition_key
@@ -2475,12 +2496,13 @@ def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 10)
         .select(F.col("dot").alias("th"))
     )
-    survivors = base.crossJoin(F.broadcast(theta)).filter(
+    survivor_ids = bounds.crossJoin(F.broadcast(theta)).filter(
         F.col("bound") >= F.col("th")
-    ).select("vec_id", "dot")
-    pool = cand.unionByName(survivors).distinct()
+    ).select("vec_id")
+    pool_ids = cand_ids.unionByName(survivor_ids).distinct()
+    pool = _score(pool_ids)
     stats = pool.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_dots"))
-    total = base.agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = bounds.agg(F.count(F.lit(1)).alias("n_vectors"))
     ranked = pool.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 10
     )

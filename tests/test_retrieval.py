@@ -742,3 +742,46 @@ def test_v12_mips_exact_and_certified(spark, sf_dir):
     outside = [v for v in dots if bounds[v] < theta]
     assert all(dots[v] < want[-1][1] or v in (x for x, _ in want)
                for v in outside)
+
+
+def test_v12_prune_bites_on_spread_norms(spark, tmp_path):
+    """On planted power-law norms (the real recommender-embedding
+    shape) the Cauchy-Schwarz prune must be REAL: far fewer full dots
+    than vectors, and the answer still exactly matches brute force.
+    This pins the round-12 restructure in which the first pass is
+    bound-only and the dot expression exists only downstream of the
+    shortlist/θ-survivor id joins."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rng = np.random.default_rng(12345)
+    n, d = 800, 64
+    dirs = rng.standard_normal((n + 1, d))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    norms = 100.0 / np.arange(1, n + 1) ** 0.8
+    vecs = dirs.copy()
+    vecs[1:] *= norms[:, None]
+    vecs = vecs.astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n + 1), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = sorted(
+        CATALOG["v12_mips_norm_pruned"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r["rk"],
+    )
+    dots = vecs[1:].astype(float) @ vecs[0].astype(float)
+    order = sorted(range(1, n + 1), key=lambda v: (-dots[v - 1], v))
+    assert [r["vec_id"] for r in rows] == order[:10]
+    pool = rows[0]["n_full_dots"]
+    assert pool < n // 2, f"prune did not bite: {pool} full dots of {n}"
+    assert rows[0]["prune_rate"] > 0.5
