@@ -442,6 +442,18 @@ def clear_persisted(spark) -> None:
 
 
 def main() -> None:
+    # mm7's numbers are comparable across rounds only at the default
+    # resolution knobs; a stray env override would silently shift the
+    # bench (and any in-bench parity anchor).  Unset with a warning —
+    # knob experiments live in scripts/mm7_resolution_knob.py.
+    for var in ("SPARK_GRAFT_MM7_SLICES", "SPARK_GRAFT_MM7_MAX_HAMMING"):
+        if var in os.environ:
+            print(
+                f"WARNING: unsetting {var}={os.environ[var]} — mm7 "
+                "bench numbers are defined at the defaults only",
+                file=sys.stderr,
+            )
+            del os.environ[var]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

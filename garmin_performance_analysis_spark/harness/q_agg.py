@@ -1166,7 +1166,8 @@ def a28_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) inverse-CDF thresholds on the md5 low-60-bit mod-1e6
+# Poisson(1) inverse-CDF thresholds on the md5 high-60-bit (first
+# 15 hex chars) mod-1e6
 # bucket (the c2/c10 derandomized-sampling convention): cumulative
 # probabilities x 1e6, rounded once here and shared verbatim by the
 # Spark expression and the SQL oracle so the weights can never drift.
@@ -1180,7 +1181,8 @@ def _a29_oracle() -> str:
     for k, t in enumerate(_A29_POISSON_CUM):
         ladder += f"WHEN bucket < {t} THEN {k} "
     ladder += f"ELSE {len(_A29_POISSON_CUM)} END"
-    # Horner-form hex->BIGINT over the md5 low 60 bits (the portable
+    # Horner-form hex->BIGINT over the md5 high 60 bits — the first
+    # 15 hex chars (the portable
     # scheme q_pipeline._hex_horner documents), inlined on column mh
     horner = "0"
     for k in range(15):
@@ -1247,7 +1249,8 @@ def a29_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + a (type x replicate)-cardinality agg, no data movement.
 
     Weights are DERANDOMIZED (the c2/c10 convention): the md5
-    low-60-bit mod-1e6 bucket of (event_id, replicate) steps through
+    high-60-bit (first 15 hex chars) mod-1e6 bucket of
+    (event_id, replicate) steps through
     the Poisson(1) inverse CDF as integer thresholds shared verbatim
     with the oracle — every engine computes the IDENTICAL weight for
     every (row, replicate), which is what makes a stochastic method

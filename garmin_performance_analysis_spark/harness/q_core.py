@@ -733,7 +733,13 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(root, exist_ok=True)
         for d in os.listdir(root):  # reclaim copies from dead sessions
             full = os.path.join(root, d)
-            if _time.time() - os.path.getmtime(full) > 3600:
+            try:
+                stale = _time.time() - os.path.getmtime(full) > 3600
+            except OSError:
+                # a concurrent session reclaimed this entry between
+                # listdir and getmtime — nothing left to sweep
+                continue
+            if stale:
                 shutil.rmtree(full, ignore_errors=True)
         out = os.path.join(root, digest)
         shutil.rmtree(out, ignore_errors=True)

@@ -1622,7 +1622,8 @@ def c18_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup→split composition an LLM eval actually needs: c10 can still
     leak a paraphrased near-dup across train/test; cluster-keyed
     assignment cannot (for any pair the pair stage catches).  Bucket
-    arithmetic is the same md5 low-60-bit Horner-portable scheme as
+    arithmetic is the same md5 high-60-bit (first 15 hex chars)
+    Horner-portable scheme as
     c10/c2.  Scale shape: the pair graph + O(log diameter) CC rounds
     dominate (both already measured for d3/d5); the split itself is
     one in-row hash — no extra exchange beyond the cluster join."""
@@ -2547,10 +2548,14 @@ def _c21_oracle() -> str:
     ) + " ELSE 0 END"
     return f"""
 WITH caps AS (
+  -- a lang with no entry in the weight map gets weight 0; keep only
+  -- weighted sources so ratio = cap/weight never divides by zero
+  -- (Spark non-ANSI would yield NULL where DuckDB errors)
   SELECT lang, CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
            AS cap_tokens,
          CAST(MAX({w_case}) AS BIGINT) AS weight
   FROM documents GROUP BY lang
+  HAVING CAST(MAX({w_case}) AS BIGINT) > 0
 ),
 budget AS (
   SELECT CAST(FLOOR(SUM(cap_tokens) * 0.6) AS BIGINT) AS b FROM caps
@@ -2623,11 +2628,18 @@ def c21_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     wexpr = F.lit(0)
     for lang, wt in _C21_WEIGHTS.items():
         wexpr = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(wexpr)
-    caps = docs.groupBy("lang").agg(
-        F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
-        .cast("bigint")
-        .alias("cap_tokens"),
-        F.max(wexpr).cast("bigint").alias("weight"),
+    caps = (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split(F.lower(F.col("text")), " ")))
+            .cast("bigint")
+            .alias("cap_tokens"),
+            F.max(wexpr).cast("bigint").alias("weight"),
+        )
+        # a lang absent from _C21_WEIGHTS has weight 0: exclude it so
+        # ratio = cap/weight never divides by zero (Spark's non-ANSI
+        # NULL would silently diverge from an erroring oracle)
+        .filter(F.col("weight") > 0)
     )
     budget = caps.agg(
         F.floor(F.sum("cap_tokens") * 0.6).cast("bigint").alias("b")

@@ -486,7 +486,11 @@ def w19_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     within max(2% of exact, 1) — the a23 convention for a ~0.8%-
     stderr sketch measured far inside the band at every SF (a few
     hundred users per window sits in HLL's near-exact sparse
-    regime)."""
+    regime).  The exact_7d column exists ONLY as the verification
+    anchor (it re-runs the w16-shaped dedupe-then-range-join every
+    call); at deployment the sketch path alone is the operator — the
+    daily-HLL table plus the 7-row unions is everything a serving
+    query touches."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select("user_id", F.to_date("ts").alias("d"))

@@ -382,7 +382,8 @@ def leakage_safe_split(
     cluster-keyed splits in dedup literature; the fingerprint is the
     cheap single-pass stand-in for a full near-dup cluster id).
 
-    Bucket = md5(salt|fingerprint) low 60 bits mod 100 (same 15-hex
+    Bucket = md5(salt|fingerprint) high 60 bits (first 15 hex chars)
+    mod 100 (same 15-hex
     Horner-portable arithmetic as ``sample_bucket_expr``).  Pure
     in-row expressions over one scan — no shuffle, no RNG,
     partition-count invariant."""

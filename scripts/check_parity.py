@@ -83,7 +83,24 @@ def staleness_report() -> int:
     return 0
 
 
+def _guard_mm7_env() -> None:
+    """mm7's parity oracle is only valid at the default resolution
+    knobs; a stray SPARK_GRAFT_MM7_* in the environment would change
+    results silently and read as a hash-mismatch regression (ADVICE
+    r11).  Unset them here with a loud warning — scale experiments
+    use scripts/mm7_resolution_knob.py, never a parity sweep."""
+    for var in ("SPARK_GRAFT_MM7_SLICES", "SPARK_GRAFT_MM7_MAX_HAMMING"):
+        if var in os.environ:
+            print(
+                f"WARNING: unsetting {var}={os.environ[var]} — mm7's "
+                "oracle holds at the defaults only",
+                file=sys.stderr,
+            )
+            del os.environ[var]
+
+
 def main() -> int:
+    _guard_mm7_env()
     if "--staleness" in sys.argv[1:]:
         return staleness_report()
     argv = [a for a in sys.argv[1:] if a != "--strict"]
