@@ -505,12 +505,30 @@ def j16_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import bloom_semi_prune
 
     orders = load_table(spark, sf_dir, "orders")
-    dim = orders.filter(
-        (F.col("o_orderpriority") == "1-URGENT")
-        & (F.col("o_orderkey") % 7 == 0)
-    ).select("o_orderkey", "o_orderdate")
+    # materialize the ~3%-selective dim ONCE: it feeds four consumers
+    # (three Bloom positions tables + the final broadcast build), and
+    # Catalyst has no cross-subtree CSE, so without this each consumer
+    # re-scanned orders.  Lazy: the first broadcast build triggers it;
+    # the other three reuse.  Combined with the xxhash64 positions in
+    # bloom_semi_prune this took j16 from 1.89 to 0.83 s at sf0.1.
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+        .select("o_orderkey", "o_orderdate")
+        .localCheckpoint(eager=False)
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    pruned = bloom_semi_prune(li, dim, "o_orderkey")
+    # the revenue expression is computed AFTER the prune, so only the
+    # ~3% survivors pay it (the Bloom stage filters raw columns)
+    joined = pruned.join(F.broadcast(dim), "o_orderkey").select(
+        "o_orderdate",
         F.floor(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
             + 0.5
@@ -518,8 +536,6 @@ def j16_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("_rev4"),
     )
-    pruned = bloom_semi_prune(li, dim, "o_orderkey")
-    joined = pruned.join(F.broadcast(dim), "o_orderkey")
     return joined.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(

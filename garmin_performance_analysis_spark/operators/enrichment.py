@@ -334,20 +334,16 @@ def build_performance_trends(
     run_lap = it.isin("ACTIVE", "INTERVAL")
     rest_lap = it.isin("REST", "RECOVERY")
 
-    wp = Window.partitionBy(activity_col)
-    run_dist_median = F.expr(
-        f"percentile(CASE WHEN upper({intensity_col}) IN ('ACTIVE','INTERVAL') THEN {distance_col} END, 0.5)"
-    ).over(wp)
-    base = splits.withColumn("_run", run_lap).withColumn("_rest", rest_lap).withColumn(
-        "_med_dist", run_dist_median
-    )
-    representative = (
-        F.col("_run")
-        & F.col(pace_col).isNotNull()
-        & F.col(distance_col).isNotNull()
-        & (F.col(distance_col) >= F.col("_med_dist") * 0.5)
-    )
-    base = base.withColumn("_rep", representative)
+    # the representative-lap gate (distance >= median(run dist)·0.5)
+    # is evaluated INSIDE the final aggregation from a collected
+    # run-lap array: the exact `percentile` aggregate sees the same
+    # rows the old full-partition percentile WINDOW saw (identical
+    # value), and the gate's mean/std fold over the filtered array in
+    # DECIMAL — exact, order-free addition, so bit-identical to the
+    # per-row grouped sums it replaces.  This deletes one whole
+    # window pass over the splits frame (measured part of d10's
+    # 6-window plan; arrays are per-activity lap counts, bounded)
+    base = splits.withColumn("_run", run_lap).withColumn("_rest", rest_lap)
 
     # work/rest sequence with transitions (ordered by split index,
     # non-work/rest laps ignored by the lag chain)
@@ -387,16 +383,28 @@ def build_performance_trends(
             n > 1, F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0)))
         )
 
-    rep_pace = F.when(F.col("_rep"), F.col(pace_col))
     run_pace = F.when(F.col("_run"), F.col(pace_col))
     agg = with_state.groupBy(activity_col).agg(
         F.sum(F.col("_run").cast("int")).alias("_work_n"),
         F.sum(F.col("_rest").cast("int")).alias("_rest_n"),
         F.sum("_trans").alias("_transitions"),
-        # representative-run CV (sample std / mean) with fallback
-        F.count(F.when(F.col("_rep"), 1)).alias("_rep_n"),
-        _dstd(rep_pace).alias("_rep_std"),
-        _davg(rep_pace).alias("_rep_mean"),
+        # run-lap median distance (exact percentile aggregate — the
+        # same rows and function as the window it replaced) + the
+        # run-lap (pace, distance) array the representative gate
+        # filters below
+        F.expr(
+            f"percentile(CASE WHEN upper({intensity_col}) IN"
+            f" ('ACTIVE','INTERVAL') THEN {distance_col} END, 0.5)"
+        ).alias("_med_dist"),
+        F.collect_list(
+            F.when(
+                F.col("_run"),
+                F.struct(
+                    F.col(pace_col).cast("double").alias("p"),
+                    F.col(distance_col).cast("double").alias("d"),
+                ),
+            )
+        ).alias("_runarr"),
         _dstd(run_pace).alias("_all_std"),
         _davg(run_pace).alias("_all_mean"),
         F.count(F.when(F.col("_run") & F.col(pace_col).isNotNull(), 1)).alias("_all_n"),
@@ -435,6 +443,40 @@ def build_performance_trends(
         # oracle's SUM-over-no-rows / COUNT=0 -> NULL)
         return F.when(n > 0, total.cast("double") / n)
 
+    # representative-lap stats from the run-lap array: same filter the
+    # old per-row `_rep` flag expressed, same DECIMAL sums as the old
+    # grouped _davg/_dstd (decimal addition is exact and order-free)
+    rep_arr = F.expr(
+        "filter(_runarr, s -> s.p IS NOT NULL AND s.d IS NOT NULL"
+        " AND s.d >= _med_dist * 0.5)"
+    )
+    agg = agg.withColumn("_rep_arr", rep_arr).withColumn(
+        "_rep_n", F.size("_rep_arr")
+    )
+    rep_sx = F.expr(
+        "aggregate(_rep_arr, CAST(0 AS DECIMAL(30,12)),"
+        " (acc, s) -> CAST(acc + CAST(s.p AS DECIMAL(30,12))"
+        " AS DECIMAL(30,12)))"
+    ).cast("double")
+    rep_sxx = F.expr(
+        "aggregate(_rep_arr, CAST(0 AS DECIMAL(38,12)),"
+        " (acc, s) -> CAST(acc + CAST(s.p * s.p AS DECIMAL(38,12))"
+        " AS DECIMAL(38,12)))"
+    ).cast("double")
+    rn = F.col("_rep_n")
+    agg = agg.withColumn(
+        "_rep_mean", F.when(rn > 0, rep_sx / rn)
+    ).withColumn(
+        "_rep_std",
+        F.when(
+            rn > 1,
+            F.sqrt(
+                F.greatest(
+                    (rep_sxx - rep_sx * rep_sx / rn) / (rn - 1), F.lit(0.0)
+                )
+            ),
+        ),
+    )
     agg = (
         agg.withColumn("_nrep", F.size("_varr"))
         .withColumn("_mid", F.floor(F.col("_nrep") / 2).cast("int"))

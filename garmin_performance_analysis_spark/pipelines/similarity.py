@@ -861,6 +861,7 @@ def pq_topk(
     k: int = 10,
     shortlist: int = 50,
     codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric-distance (ADC) with exact
     re-rank — the standard memory-compressed ANN read path:
@@ -893,7 +894,12 @@ def pq_topk(
         # cost is paid per call
         codebooks = pq_train(valid, id_col, vec_col, dim, m, k_clusters, iters)
     corpus = valid.filter(F.col(id_col) != query_id)
-    codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
+    if codes is None:
+        # like the codebooks, production PQ STORES the codes table (it
+        # is the compressed index — the whole point of the format); the
+        # deployable split passes the stored artifact so a query pays
+        # only the ADC lookup + shortlist re-rank
+        codes = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
     qsubs = _subvectors(
         valid.filter(F.col(id_col) == query_id), id_col, vec_col, dim, m
     )
