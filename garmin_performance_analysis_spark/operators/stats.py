@@ -438,6 +438,153 @@ def _ls_std(c: Column, scale: int, sample: bool = True) -> Column:
     return F.when(den > 0, F.sqrt(F.greatest((sxx - sx * sx / n) / den, F.lit(0.0))))
 
 
+def _five_stat_fused_grid(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metrics: Sequence[str],
+    count_col: str,
+    scale: int,
+    grids: "dict[str, float]",
+) -> DataFrame:
+    """Fused grid-mode five-stat block: ONE stacked scan produces
+    per-(group, metric, cell) partials — row count, scaled-long moment
+    sums (the ``_ls_avg``/``_ls_std`` integers, summed per cell then
+    re-summed per group: BIGINT addition is associative, so the totals
+    are bit-identical to the per-row pass), min/max, and the coarse
+    rank histogram — replacing five_stat_block's separate moments scan
+    + grid_median coarse scan (3 raw passes → 2; the fine pass still
+    re-scans, filtered to the 1-2 rank-straddling cells).  Null values
+    land in a NULL cell so the group row count stays COUNT(*)-exact
+    while rank selection sees only non-null cells (grid_median's
+    filter).  Measured on a1 at sf0.1: 1.44 → ~1.2 s (the remaining
+    cost is the fine re-scan + fixed stage overhead), identical
+    values."""
+    f = 10**scale
+    gcols = list(group_cols)
+    stack_v = ", ".join(f"'{m}', cast({m} as double)" for m in metrics)
+    long = df.selectExpr(
+        *gcols, f"stack({len(metrics)}, {stack_v}) as (_metric, _v)"
+    )
+    grid_expr = F.lit(None).cast("double")
+    for m in metrics:
+        grid_expr = F.when(F.col("_metric") == m, F.lit(float(grids[m]))).otherwise(
+            grid_expr
+        )
+    v = F.col("_v")
+    q = F.floor(v * f + 0.5)
+    q2 = q * q
+    part = (
+        long.withColumn("_cell", F.floor(v / grid_expr))
+        .groupBy(*gcols, "_metric", "_cell")
+        .agg(
+            F.count(F.lit(1)).alias("_ccnt"),
+            F.count(v).alias("_nn"),
+            F.sum(q).alias("_sq"),
+            F.sum(((q2 - q2 % _WIDE_B) / _WIDE_B).cast("long")).alias("_shi"),
+            F.sum(q2 % _WIDE_B).alias("_slo"),
+            F.min(v).alias("_vmin"),
+            F.max(v).alias("_vmax"),
+        )
+        # feeds the moments pivot AND the rank selection — checkpoint
+        # eagerly so concurrent consumer stages don't both recompute
+        # the raw scan (no cross-subtree CSE; cells are bounded)
+        .localCheckpoint(eager=True)
+    )
+    m0 = metrics[0]
+
+    def piv(m: str, col: Column) -> Column:
+        return F.when(F.col("_metric") == m, col)
+
+    aggs: list[Column] = [
+        F.sum(piv(m0, F.col("_ccnt"))).alias(count_col)
+    ]
+    for m in metrics:
+        nn = F.sum(piv(m, F.col("_nn")))
+        sx = F.sum(piv(m, F.col("_sq"))).cast("double") / float(f)
+        shi = F.sum(piv(m, F.col("_shi"))).cast("double")
+        slo = F.sum(piv(m, F.col("_slo"))).cast("double")
+        sxx = (shi * float(_WIDE_B) + slo) / (float(f) * float(f))
+        aggs += [
+            (sx / nn).alias(f"{m}_avg"),
+            F.when(
+                nn - 1 > 0,
+                F.sqrt(
+                    F.greatest((sxx - sx * sx / nn) / (nn - 1), F.lit(0.0))
+                ),
+            ).alias(f"{m}_stddev"),
+            F.min(piv(m, F.col("_vmin"))).alias(f"{m}_min"),
+            F.max(piv(m, F.col("_vmax"))).alias(f"{m}_max"),
+        ]
+    moments = part.groupBy(*gcols).agg(*aggs)
+
+    # rank selection over the SAME partials (grid_median's exact
+    # two-level logic; only non-null cells carry rank mass)
+    keys = [*gcols, "_metric"]
+    coarse = part.filter(F.col("_cell").isNotNull()).select(
+        *keys, "_cell", F.col("_ccnt")
+    )
+    w_cell = Window.partitionBy(*keys).orderBy("_cell")
+    w_all = Window.partitionBy(*keys)
+    n = F.sum("_ccnt").over(w_all)
+    upto_c = F.sum("_ccnt").over(w_cell)
+    below_c = upto_c - F.col("_ccnt")
+    r = (n - 1) / 2.0
+    targets = coarse.select(
+        *keys,
+        "_cell",
+        r.alias("_r"),
+        upto_c.alias("_upto_c"),
+        below_c.alias("_below_c"),
+    ).filter(
+        (F.col("_below_c") <= F.ceil(F.col("_r")))
+        & (F.floor(F.col("_r")) < F.col("_upto_c"))
+    )
+    offsets = targets.groupBy(*keys).agg(
+        F.min("_cell").alias("_cell_lo"),
+        F.max("_cell").alias("_cell_hi"),
+        F.min("_below_c").alias("_nbelow"),
+        F.first("_r").alias("_r"),
+    )
+    fine = (
+        long.filter(v.isNotNull())
+        .withColumn("_cell", F.floor(v / grid_expr))
+        .join(F.broadcast(offsets), keys)
+        .filter(
+            (F.col("_cell") >= F.col("_cell_lo"))
+            & (F.col("_cell") <= F.col("_cell_hi"))
+        )
+        .groupBy(*keys, "_r", "_nbelow", "_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w_v = Window.partitionBy(*keys).orderBy("_v")
+    ranked = fine.select(
+        *keys,
+        "_v",
+        "_r",
+        (F.col("_nbelow") + F.sum("_cnt").over(w_v)).alias("_upto"),
+        (F.col("_nbelow") + F.sum("_cnt").over(w_v) - F.col("_cnt")).alias(
+            "_below"
+        ),
+    )
+    per_metric = _interpolate_ranked(ranked, keys)
+    medians = per_metric.groupBy(*gcols).agg(
+        *[
+            F.max(F.when(F.col("_metric") == m, F.col("_median"))).alias(
+                f"{m}_median"
+            )
+            for m in metrics
+        ]
+    )
+    if gcols:
+        joined = moments.join(medians, gcols, "left")
+    else:
+        joined = moments.crossJoin(medians)
+    order = [*gcols, count_col]
+    for m in metrics:
+        order += [f"{m}_avg", f"{m}_median", f"{m}_stddev", f"{m}_min", f"{m}_max"]
+    return joined.select(*order)
+
+
 def five_stat_block(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -474,6 +621,16 @@ def five_stat_block(
     domains, cheapest of the scale-safe shapes).  All shapes produce
     bit-identical medians (property-tested).
     """
+    if median_mode == "grid" and fixed_scale is not None:
+        # fixed-point bounded-domain metrics: the fused two-scan plan
+        return _five_stat_fused_grid(
+            df,
+            group_cols,
+            metrics,
+            count_col,
+            fixed_scale,
+            median_grids or {m: 1.0 for m in metrics},
+        )
     aggs: list[Column] = [F.count(F.lit(1)).alias(count_col)]
     for m in metrics:
         c = F.col(m)
@@ -655,11 +812,12 @@ def _profile_fused_grid(
     ``grid_median`` with the fine pass FILTERING the histogram instead
     of re-scanning the table.  This replaced profile_columns' grids
     shape (moments scan + coarse scan + fine scan + distinct scan =
-    4 raw passes, 3 of them stack-tripled): measured on a9 at sf0.1,
-    1.75 → 0.9 s, identical values.  The histogram shuffle is the
-    exact-distinct cost the profiler already paid; at any scale the
-    rank windows stay bounded (cells ≤ domain/grid, fine rows ≤
-    2 cells × grid·10^scale)."""
+    4 raw passes, 3 of them stack-tripled).  Locally the wall barely
+    moves (~1.7 → ~1.6 s at sf0.1: the per-value shuffle — the
+    exact-distinct cost the profiler already paid — dominates either
+    way), but at scan-bound scale the 4×→1× raw-pass cut is the whole
+    point.  The rank windows stay bounded at any scale (cells ≤
+    domain/grid, fine rows ≤ 2 cells × grid·10^scale)."""
     f = 10**fixed_scale
     stack_v = ", ".join(f"'{m}', cast({m} as double)" for m in columns)
     vhist = (
