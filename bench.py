@@ -317,6 +317,9 @@ HEADLINE = [
     # r11: the mixture allocator is a corpus batch pass (one scan for
     # supplies; the solve is source-cardinality algebra)
     "c21_mixture_waterfill",
+    # r12: generation-diversity audit is a corpus n-gram batch pass
+    # (explode ×3 orders + two keyed aggs, like x9/d2b)
+    "x29_distinct_ngram_diversity",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -354,6 +357,7 @@ BATCH_JOBS = {
     "x28_good_turing",
     "c20_effective_tokens",
     "c21_mixture_waterfill",
+    "x29_distinct_ngram_diversity",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

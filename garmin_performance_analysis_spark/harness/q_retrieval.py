@@ -2519,3 +2519,182 @@ def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_X29_ORACLE = """
+WITH words AS (
+  SELECT source, doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT source, doc_id, 1 AS n, unnest(w) AS gram FROM words
+  UNION ALL
+  SELECT source, doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM words WHERE len(w) >= 2
+  UNION ALL
+  SELECT source, doc_id, 3 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM words WHERE len(w) >= 3
+),
+per_doc AS (
+  SELECT source, n, gram, doc_id, COUNT(*) AS c
+  FROM grams GROUP BY 1, 2, 3, 4
+),
+per_gram AS (
+  SELECT source, n, gram, SUM(c) AS total, COUNT(*) AS n_docs_with
+  FROM per_doc GROUP BY 1, 2, 3
+),
+per_n AS (
+  SELECT source, n,
+         COUNT(*) AS distinct_grams,
+         SUM(total) AS total_grams,
+         SUM(CASE WHEN n_docs_with >= 2 THEN total ELSE 0 END)
+           AS cross_doc_grams
+  FROM per_gram GROUP BY 1, 2
+),
+docs_per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT p.source, d.n_docs,
+       MAX(CASE WHEN n = 1 THEN CAST(distinct_grams AS BIGINT) END)
+         AS distinct_unigrams,
+       ROUND(MAX(CASE WHEN n = 1
+                 THEN distinct_grams * 1.0 / total_grams END), 6)
+         AS distinct1_ratio,
+       ROUND(MAX(CASE WHEN n = 2
+                 THEN distinct_grams * 1.0 / total_grams END), 6)
+         AS distinct2_ratio,
+       ROUND(MAX(CASE WHEN n = 3
+                 THEN distinct_grams * 1.0 / total_grams END), 6)
+         AS distinct3_ratio,
+       ROUND(MAX(CASE WHEN n = 2
+                 THEN cross_doc_grams * 1.0 / total_grams END), 6)
+         AS self_bleu2_proxy,
+       ROUND(MAX(CASE WHEN n = 3
+                 THEN cross_doc_grams * 1.0 / total_grams END), 6)
+         AS self_bleu3_proxy
+FROM per_n p JOIN docs_per_source d USING (source)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "x29_distinct_ngram_diversity",
+    oracle=_X29_ORACLE,
+    tags=("text", "diversity", "eval"),
+)
+def x29_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-diversity audit per source — the corpus-health check
+    run before training on synthetic/generated text: distinct-n ratios
+    (Li et al. 2016: distinct n-grams / total n-grams, n = 1..3 — low
+    values mean mode collapse) plus a self-BLEU PROXY per source
+    (Zhu et al. 2018's self-BLEU is per-candidate BLEU vs all other
+    candidates — O(N²); the proxy is the fraction of n-gram INSTANCES
+    whose gram also appears in at least one OTHER document of the same
+    source, computable from the gram-cardinality frame in linear time
+    and monotone in the same collapse signal: a corpus of near-copies
+    pushes both self-BLEU and this fraction toward 1).  x8 measures
+    repetition WITHIN a document; x29 measures it ACROSS a source's
+    corpus — the axis that catches a generator looping on itself.
+
+    Exact integer counts until the final 6dp ratios — full hash
+    oracle.  Shape for 100 TB: one scan → n-gram explode (×3 orders)
+    → two keyed aggs (per-(gram, doc) then per-gram: the d2b/x9
+    two-stage shape, map-side combined) → source-cardinality report;
+    no pairs, no windows, no collects."""
+    from ..plans.layout import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    base = spread_for_compute(docs, "doc_id").select(
+        "source", "doc_id", w.alias("_w")
+    )
+    # Spark arrays are 0-indexed ([] and transform lambdas), DuckDB's
+    # 1-indexed — the sequences below are shifted accordingly.  The
+    # size guards keep `sequence` from generating a DESCENDING range
+    # (sequence(0, -1) = [0, -1], which would fabricate grams).  One
+    # combined (n, gram) struct array → ONE explode; every branch is
+    # cast to the identical struct-array type (split's and transform's
+    # element nullability flags otherwise refuse to union).
+    gtype = "array<struct<n:int,gram:string>>"
+    uni = F.expr(
+        "transform(_w, g -> struct(1 as n, g as gram))"
+    ).cast(gtype)
+    bi = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "transform(sequence(0, size(_w) - 2),"
+            " i -> struct(2 as n, concat(_w[i], ' ', _w[i + 1]) as gram))"
+        ),
+    ).otherwise(F.expr("array()")).cast(gtype)
+    tri = F.when(
+        F.size("_w") >= 3,
+        F.expr(
+            "transform(sequence(0, size(_w) - 3),"
+            " i -> struct(3 as n,"
+            " concat(_w[i], ' ', _w[i + 1], ' ', _w[i + 2]) as gram))"
+        ),
+    ).otherwise(F.expr("array()")).cast(gtype)
+    grams = base.select(
+        "source", "doc_id", F.explode(F.concat(uni, bi, tri)).alias("g")
+    ).select(
+        "source",
+        "doc_id",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    )
+    per_doc = grams.groupBy("source", "n", "gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_gram = per_doc.groupBy("source", "n", "gram").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_docs_with")
+    )
+    per_n = per_gram.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.sum("total").alias("total_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_docs_with") >= 2, F.col("total"))),
+            F.lit(0),
+        ).alias("cross_doc_grams"),
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+    def pick(n: int, col: str) -> F.Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        per_n.groupBy("source")
+        .agg(
+            pick(1, "distinct_grams").cast("bigint").alias("distinct_unigrams"),
+            _r6(pick(1, "distinct_grams") * 1.0 / pick(1, "total_grams")).alias(
+                "distinct1_ratio"
+            ),
+            _r6(pick(2, "distinct_grams") * 1.0 / pick(2, "total_grams")).alias(
+                "distinct2_ratio"
+            ),
+            _r6(pick(3, "distinct_grams") * 1.0 / pick(3, "total_grams")).alias(
+                "distinct3_ratio"
+            ),
+            _r6(pick(2, "cross_doc_grams") * 1.0 / pick(2, "total_grams")).alias(
+                "self_bleu2_proxy"
+            ),
+            _r6(pick(3, "cross_doc_grams") * 1.0 / pick(3, "total_grams")).alias(
+                "self_bleu3_proxy"
+            ),
+        )
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "distinct_unigrams",
+            "distinct1_ratio",
+            "distinct2_ratio",
+            "distinct3_ratio",
+            "self_bleu2_proxy",
+            "self_bleu3_proxy",
+        )
+    )

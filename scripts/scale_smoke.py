@@ -317,6 +317,9 @@ QUERIES = [
     # r11: mixture allocator (documents; one supply scan -> 5-row
     # water-filling algebra)
     "c21_mixture_waterfill",
+    # r12: generation-diversity audit (documents; n-gram explode ->
+    # two keyed aggs -> source-cardinality report)
+    "x29_distinct_ngram_diversity",
 ]
 
 

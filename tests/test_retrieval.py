@@ -785,3 +785,82 @@ def test_v12_prune_bites_on_spread_norms(spark, tmp_path):
     pool = rows[0]["n_full_dots"]
     assert pool < n // 2, f"prune did not bite: {pool} full dots of {n}"
     assert rows[0]["prune_rate"] > 0.5
+
+
+def test_x29_diversity_known_values(spark, tmp_path):
+    """Hand-checkable corpus: src 'a' holds two IDENTICAL docs (every
+    gram cross-doc → self-BLEU proxy 1.0, distinct ratios halved),
+    src 'b' holds two fully disjoint docs (proxy 0.0, ratios 1.0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = [
+        (0, "x y z", "en", "a", 5),
+        (1, "x y z", "en", "a", 5),
+        (2, "p q r", "en", "b", 5),
+        (3, "s t u", "en", "b", 5),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in CATALOG["x29_distinct_ngram_diversity"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 2 and b["n_docs"] == 2
+    # src a: 6 unigram instances, 3 distinct; 4 bigrams, 2 distinct;
+    # 2 trigrams, 1 distinct; every gram appears in both docs
+    assert a["distinct_unigrams"] == 3
+    assert a["distinct1_ratio"] == 0.5
+    assert a["distinct2_ratio"] == 0.5
+    assert a["distinct3_ratio"] == 0.5
+    assert a["self_bleu2_proxy"] == 1.0
+    assert a["self_bleu3_proxy"] == 1.0
+    # src b: all grams unique to their doc
+    assert b["distinct_unigrams"] == 6
+    assert b["distinct1_ratio"] == 1.0
+    assert b["distinct2_ratio"] == 1.0
+    assert b["distinct3_ratio"] == 1.0
+    assert b["self_bleu2_proxy"] == 0.0
+    assert b["self_bleu3_proxy"] == 0.0
+
+
+def test_x29_single_word_docs_have_no_higher_grams(spark, tmp_path):
+    """A 1-word corpus must not fabricate bigrams/trigrams (the
+    descending-`sequence` hazard the size guards exist for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["solo", "solo"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([4, 4], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    r = CATALOG["x29_distinct_ngram_diversity"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r["distinct_unigrams"] == 1
+    assert r["distinct1_ratio"] == 0.5
+    assert r["distinct2_ratio"] is None
+    assert r["distinct3_ratio"] is None
+    assert r["self_bleu2_proxy"] is None
+    assert r["self_bleu3_proxy"] is None
