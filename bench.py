@@ -320,6 +320,9 @@ HEADLINE = [
     # r12: generation-diversity audit is a corpus n-gram batch pass
     # (explode ×3 orders + two keyed aggs, like x9/d2b)
     "x29_distinct_ngram_diversity",
+    # r12: unigram JS source drift is a corpus LM batch pass (vocab
+    # aggs + a sources×vocab contribution frame, like x10/x16)
+    "x30_unigram_js_source_drift",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -358,6 +361,7 @@ BATCH_JOBS = {
     "c20_effective_tokens",
     "c21_mixture_waterfill",
     "x29_distinct_ngram_diversity",
+    "x30_unigram_js_source_drift",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

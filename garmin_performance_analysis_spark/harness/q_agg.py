@@ -981,9 +981,12 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point convention), so the cumulative comparison is exact
     integer arithmetic on BOTH engines — no float accumulation, no
     last-ulp median knife-edge (SCALING.md round-9 lessons).  Shape:
-    duplicate values collapse in one keyed agg BEFORE the per-group
-    ordered window (partitioned, never global), then a min-combine on
-    the crossing rows — three exchanges, all on the group key."""
+    the two-level grid shape (r12): a coarse price-cell histogram
+    finds the half-weight crossing cell with bounded cell-cardinality
+    windows, and only that cell's values get the fine cumulative scan
+    — no per-group single-task sort of the whole price column (the
+    previous shape sorted ~200k distinct prices per return flag in
+    one task each)."""
     from ..operators import stats as _st
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -991,7 +994,9 @@ def a25_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice"),
         F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("wt"),
     )
-    out = _st.weighted_median(li, ["l_returnflag"], "l_extendedprice", "wt")
+    out = _st.weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "wt", grid=100.0
+    )
     return out.select(
         "l_returnflag",
         "wmedian",

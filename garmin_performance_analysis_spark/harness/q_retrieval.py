@@ -2698,3 +2698,129 @@ def x29_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "self_bleu3_proxy",
         )
     )
+
+
+_X30_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+by_src AS (
+  SELECT source, term, COUNT(*) AS c_s FROM toks GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term, SUM(c_s) AS c_all FROM by_src GROUP BY 1
+),
+src_tot AS (
+  SELECT source, SUM(c_s) AS t_s FROM by_src GROUP BY 1
+),
+all_tot AS (SELECT SUM(c_all) AS t_all FROM vocab),
+pairs AS (
+  SELECT s.source, v.term, v.c_all, s.t_s, a.t_all,
+         COALESCE(b.c_s, 0) AS c_s
+  FROM src_tot s
+  CROSS JOIN vocab v
+  CROSS JOIN all_tot a
+  LEFT JOIN by_src b ON b.source = s.source AND b.term = v.term
+),
+contrib AS (
+  SELECT source, t_s,
+         c_s * 1.0 / t_s AS p,
+         (c_all - c_s) * 1.0 / (t_all - t_s) AS q,
+         CASE WHEN c_s > 0 THEN 1 ELSE 0 END AS present
+  FROM pairs
+),
+terms AS (
+  SELECT source, t_s, present,
+         CAST(
+           CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END
+           AS DECIMAL(30,12)) AS jsd_term,
+         CAST(0.5 * abs(p - q) AS DECIMAL(30,12)) AS tv_term
+  FROM contrib
+)
+SELECT source,
+       CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+       CAST(SUM(present) AS BIGINT) AS vocab_terms,
+       ROUND(CAST(SUM(jsd_term) AS DOUBLE), 6) AS jsd_nats,
+       ROUND(CAST(SUM(tv_term) AS DOUBLE), 6) AS tv_distance
+FROM terms
+GROUP BY source
+"""
+
+
+@register(
+    "x30_unigram_js_source_drift",
+    oracle=_X30_ORACLE,
+    tags=("text", "diversity", "eval"),
+)
+def x30_unigram_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram DISTRIBUTION drift vs the rest of the corpus
+    — Jensen-Shannon divergence (nats) plus total-variation distance,
+    the distributional complement to x29's diversity ratios (the
+    MAUVE-style question at unigram resolution: does source X's
+    generator write from the same word distribution as everything
+    else?  a high-JSD source is a register/topic/mode outlier to
+    inspect before it trains).  JSD handles disjoint supports natively
+    (0·ln 0 = 0 via the presence guards; q-only terms contribute
+    0.5·q·ln 2) — no smoothing constants to tune.
+
+    Determinism: counts are exact integers; p, q and each ln term are
+    deterministic doubles (the x10 convention — F.log matches the
+    oracle's ln at these inputs); per-term contributions are quantized
+    to DECIMAL(30,12) and summed exactly (dec_sum), so shuffle order
+    cannot move the total.  Shape for 100 TB: one scan → per-(source,
+    term) counts (map-side combined) → vocab-cardinality frames; the
+    pairs frame is |sources| × |vocab| rows — linear in vocab, a
+    broadcast of the source-cardinality totals, no windows, no
+    collects."""
+    from ..plans.layout import spread_for_compute
+    from .registry import dec_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread_for_compute(docs, "doc_id").select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    by_src = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    vocab = by_src.groupBy("term").agg(F.sum("c_s").alias("c_all"))
+    src_tot = by_src.groupBy("source").agg(F.sum("c_s").alias("t_s"))
+    all_tot = vocab.agg(F.sum("c_all").alias("t_all"))
+    pairs = (
+        vocab.crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(all_tot))
+        .join(by_src, ["source", "term"], "left")
+        .select(
+            "source",
+            "t_s",
+            "c_all",
+            "t_all",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+        )
+    )
+    p = F.col("c_s") * 1.0 / F.col("t_s")
+    q = (F.col("c_all") - F.col("c_s")) * 1.0 / (F.col("t_all") - F.col("t_s"))
+    m = (p + q) / 2
+    jsd_term = (
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    terms = pairs.select(
+        "source",
+        "t_s",
+        F.when(F.col("c_s") > 0, 1).otherwise(0).alias("present"),
+        jsd_term.alias("_jsd"),
+        (0.5 * F.abs(p - q)).alias("_tv"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("t_s").cast("bigint").alias("n_tokens"),
+        F.sum("present").cast("bigint").alias("vocab_terms"),
+        F.round(dec_sum(F.col("_jsd"), scale=12, precision=30), 6).alias(
+            "jsd_nats"
+        ),
+        F.round(dec_sum(F.col("_tv"), scale=12, precision=30), 6).alias(
+            "tv_distance"
+        ),
+    )

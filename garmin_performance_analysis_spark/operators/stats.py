@@ -1057,6 +1057,7 @@ def weighted_median(
     group_cols: Sequence[str],
     value_col: str,
     weight_col: str,
+    grid: float | None = None,
 ) -> DataFrame:
     """Exact lower weighted median per group: the smallest value whose
     cumulative weight reaches half the group's total — the robust
@@ -1076,9 +1077,90 @@ def weighted_median(
     by the group key, never global — and a min-combine on the crossing
     rows.  Three exchanges, all hashed on the group key.
 
+    ``grid``: for bounded fixed-point value domains, the grid_median
+    two-level shape — a coarse cell histogram finds the half-weight
+    crossing CELL (cell-cardinality windows, bounded at any scale),
+    and only that cell's values get the fine cumulative scan.  This
+    replaces the per-group ordered window over every distinct value
+    (a single-task column sort per group when groups are few — the
+    exact shape grid_median exists to avoid).  Identical results for
+    non-null values by the same integer arithmetic; the grid path
+    requires ``value_col`` non-null (a NULL carries no weight there,
+    while the default path's NULLS-FIRST window would count it).
+
     Output: group cols + (wmedian, n_rows, total_weight).
     """
     keys = list(group_cols)
+    if grid is not None:
+        vals = df.filter(F.col(value_col).isNotNull()).withColumn(
+            "_cell", F.floor(F.col(value_col) / grid)
+        )
+        cells = (
+            vals.groupBy(*keys, "_cell")
+            .agg(
+                F.sum(weight_col).alias("_cw"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            # feeds the crossing-cell windows, the fine-pass join and
+            # the totals — tiny (≤ domain/grid rows per group), so an
+            # eager checkpoint beats three raw-scan re-executions
+            .localCheckpoint(eager=True)
+        )
+        wc = (
+            Window.partitionBy(*keys)
+            .orderBy("_cell")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy(*keys)
+        cc = cells.select(
+            *keys,
+            "_cell",
+            "_cw",
+            F.sum("_cw").over(wc).alias("_cum_c"),
+            F.sum("_cw").over(wt).alias("_tot"),
+        )
+        cross = (
+            cc.filter(F.col("_cum_c") * 2 >= F.col("_tot"))
+            .groupBy(*keys)
+            .agg(F.min("_cell").alias("_xcell"))
+        )
+        info = (
+            cc.join(cross, keys)
+            .filter(F.col("_cell") == F.col("_xcell"))
+            .select(
+                *keys,
+                "_xcell",
+                (F.col("_cum_c") - F.col("_cw")).alias("_below"),
+                "_tot",
+            )
+        )
+        fine = (
+            vals.join(info, keys)
+            .filter(F.col("_cell") == F.col("_xcell"))
+            .groupBy(*keys, "_below", "_tot", value_col)
+            .agg(F.sum(weight_col).alias("_w"))
+        )
+        wv = (
+            Window.partitionBy(*keys)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        med = (
+            fine.select(
+                *keys,
+                F.col(value_col),
+                "_tot",
+                (F.col("_below") + F.sum("_w").over(wv)).alias("_cum"),
+            )
+            .filter(F.col("_cum") * 2 >= F.col("_tot"))
+            .groupBy(*keys)
+            .agg(F.min(value_col).alias("wmedian"))
+        )
+        totals = cells.groupBy(*keys).agg(
+            F.sum("_n").alias("n_rows"),
+            F.sum("_cw").alias("total_weight"),
+        )
+        return med.join(totals, keys)
     per = df.groupBy(*keys, value_col).agg(
         F.sum(weight_col).alias("_w"),
         F.count(F.lit(1)).alias("_n"),

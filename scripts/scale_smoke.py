@@ -320,6 +320,9 @@ QUERIES = [
     # r12: generation-diversity audit (documents; n-gram explode ->
     # two keyed aggs -> source-cardinality report)
     "x29_distinct_ngram_diversity",
+    # r12: unigram JS drift (documents; vocab aggs -> sources x vocab
+    # contribution frame -> source-cardinality report)
+    "x30_unigram_js_source_drift",
 ]
 
 

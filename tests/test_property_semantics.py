@@ -2148,6 +2148,13 @@ def test_weighted_median_matches_bruteforce(spark, n, seed):
     want = float(expanded[(len(expanded) + 1) // 2 - 1])
     assert got["wmedian"] == want, (n, seed, got["wmedian"], want)
     assert got["total_weight"] == int(wts.sum())
+    # the two-level grid path must agree exactly (non-null values),
+    # including when the grid is far coarser/finer than the domain
+    for grid in (1.0, 7.0, 1000.0):
+        g = weighted_median(df, ["g"], "x", "wt", grid=grid).collect()[0]
+        assert g["wmedian"] == want, (n, seed, grid, g["wmedian"], want)
+        assert g["total_weight"] == int(wts.sum())
+        assert g["n_rows"] == n
 
 
 @given(

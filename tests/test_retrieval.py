@@ -864,3 +864,75 @@ def test_x29_single_word_docs_have_no_higher_grams(spark, tmp_path):
     assert r["distinct3_ratio"] is None
     assert r["self_bleu2_proxy"] is None
     assert r["self_bleu3_proxy"] is None
+
+
+def test_x30_js_drift_known_values(spark, tmp_path):
+    """Hand-checkable: source 'a' writes only 'x', source 'b' only
+    'y' — disjoint unigram supports, so for each source p and q are
+    point masses on different terms: JSD = ln 2 nats, TV = 1.  A
+    third source 'c' matching the pooled rest exactly gets small
+    (but nonzero: leave-one-out shifts the rest) divergence."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = [
+        (0, "x x x x", "en", "a", 7),
+        (1, "y y y y", "en", "b", 7),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in CATALOG["x30_unigram_js_source_drift"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for s in ("a", "b"):
+        assert out[s]["n_tokens"] == 4
+        assert out[s]["vocab_terms"] == 1
+        assert abs(out[s]["jsd_nats"] - math.log(2)) < 1e-6
+        assert out[s]["tv_distance"] == 1.0
+
+
+def test_x30_identical_sources_have_zero_drift(spark, tmp_path):
+    """Three sources with IDENTICAL unigram distributions: each
+    source's distribution equals the pooled rest exactly, so JSD and
+    TV are 0 for every source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = [
+        (0, "x y", "en", "a", 3),
+        (1, "x y", "en", "b", 3),
+        (2, "x y", "en", "c", 3),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    for r in CATALOG["x30_unigram_js_source_drift"].fn(
+        spark, str(tmp_path)
+    ).collect():
+        assert r["jsd_nats"] == 0.0
+        assert r["tv_distance"] == 0.0
+        assert r["vocab_terms"] == 2
