@@ -328,6 +328,11 @@ def v10_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos", _dot("embedding", "_p") / (_norm("embedding") * _norm("_p"))
         )
         .select("probe_id", "vec_id", "cluster_id", "cos")
+        # BOTH the exact anchor and the probed ranking consume this
+        # frame; without a checkpoint each consumer re-runs the full
+        # probe x corpus cosine pass (no cross-subtree CSE) -- the
+        # dominant cost of the query path, paid twice
+        .localCheckpoint(eager=True)
     )
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.desc("cos"), F.asc("vec_id")
@@ -424,6 +429,11 @@ def v10b_ivf_query_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos", _dot("embedding", "_p") / (_norm("embedding") * _norm("_p"))
         )
         .select("probe_id", "vec_id", "cluster_id", "cos")
+        # BOTH the exact anchor and the probed ranking consume this
+        # frame; without a checkpoint each consumer re-runs the full
+        # probe x corpus cosine pass (no cross-subtree CSE) -- the
+        # dominant cost of the query path, paid twice
+        .localCheckpoint(eager=True)
     )
     w_rank = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     exact = pairs.withColumn("rank", F.row_number().over(w_rank)).filter(
