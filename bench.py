@@ -323,6 +323,12 @@ HEADLINE = [
     # r12: unigram JS source drift is a corpus LM batch pass (vocab
     # aggs + a sources×vocab contribution frame, like x10/x16)
     "x30_unigram_js_source_drift",
+    # r12: tokenizer fertility is a corpus batch pass (the x13 in-row
+    # BPE projection + one lang-keyed agg)
+    "x31_tokenizer_fertility",
+    # r12: degree power-law audit is a read-shaped pair of keyed aggs
+    # (the x28 frequency-of-frequencies shape on degrees)
+    "g7_degree_powerlaw",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -362,6 +368,7 @@ BATCH_JOBS = {
     "c21_mixture_waterfill",
     "x29_distinct_ngram_diversity",
     "x30_unigram_js_source_drift",
+    "x31_tokenizer_fertility",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

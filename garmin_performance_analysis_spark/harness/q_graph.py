@@ -397,3 +397,89 @@ def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=_G6_ROUNDS).select(
         "node", F.col("label").cast("bigint").alias("label")
     )
+
+
+_G7_ORACLE = """
+WITH deg AS (
+  SELECT user_id AS node, COUNT(*) AS degree FROM events GROUP BY user_id
+),
+fof AS (
+  SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+),
+tot AS (
+  SELECT SUM(n_nodes) AS total_nodes,
+         SUM(degree * n_nodes) AS total_edges,
+         CAST(SUM(CAST(n_nodes * ln(degree * 2.0) AS DECIMAL(30,12)))
+              AS DOUBLE) AS lnsum
+  FROM fof
+),
+ranked AS (
+  SELECT degree, n_nodes,
+         ROW_NUMBER() OVER (ORDER BY n_nodes DESC, degree ASC) AS rk
+  FROM fof
+)
+SELECT r.degree, r.n_nodes,
+       ROUND(r.n_nodes * 1.0 / t.total_nodes, 6) AS frac,
+       ROUND(1.0 + t.total_nodes / t.lnsum, 6) AS alpha_mle,
+       CAST(t.total_nodes AS BIGINT) AS total_nodes,
+       CAST(t.total_edges AS BIGINT) AS total_edges,
+       ROUND(t.total_edges * 1.0 / t.total_nodes, 6) AS mean_degree
+FROM ranked r, tot t
+WHERE r.rk <= 10
+"""
+
+
+@register("g7_degree_powerlaw", oracle=_G7_ORACLE, tags=("graph", "profiler"))
+def g7_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution health report + power-law exponent MLE over
+    the g1 interaction graph's out-degrees (one edge per event, so a
+    node's out-degree = its event count): the 10 most frequent degrees
+    with their node fractions, plus the Clauset–Shalizi–Newman
+    continuous-approximation MLE α = 1 + n/Σᵢ ln(dᵢ/(d_min−½)) at
+    d_min = 1 — the audit that says whether the graph the g1–g6
+    kernels will iterate over is hub-dominated (small α, k1/k2 salting
+    territory — this is k3's hot-key report expressed as a graph
+    statistic) or degree-homogeneous.
+
+    Exactness: degrees and node counts are exact integers; the MLE's
+    Σ n_d·ln(2d) runs over the DEGREE-cardinality frame with each term
+    quantized to DECIMAL(30,12) (the x10/x30 convention — exact,
+    order-free sum), so α is deterministic cross-engine.  Shape for
+    100 TB: one scan → node-degree agg → frequency-of-frequencies agg
+    (the x28 shape on degrees); the rank window and the MLE algebra
+    run on the degree-cardinality frame — bounded at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+    from .registry import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+    fof = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = fof.agg(
+        F.sum("n_nodes").alias("total_nodes"),
+        F.sum(F.col("degree") * F.col("n_nodes")).alias("total_edges"),
+        dec_sum(
+            F.col("n_nodes") * F.log(F.col("degree") * 2.0),
+            scale=12,
+            precision=30,
+        ).alias("lnsum"),
+    )
+    w = Window.partitionBy(bounded_partition_key("degree")).orderBy(
+        F.col("n_nodes").desc(), F.col("degree").asc()
+    )
+    ranked = fof.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 10
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        _r6(F.col("n_nodes") * 1.0 / F.col("total_nodes")).alias("frac"),
+        _r6(1.0 + F.col("total_nodes") / F.col("lnsum")).alias("alpha_mle"),
+        F.col("total_nodes").cast("bigint").alias("total_nodes"),
+        F.col("total_edges").cast("bigint").alias("total_edges"),
+        _r6(F.col("total_edges") * 1.0 / F.col("total_nodes")).alias(
+            "mean_degree"
+        ),
+    )

@@ -2824,3 +2824,80 @@ def x30_unigram_js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tv_distance"
         ),
     )
+
+
+def _x31_oracle() -> str:
+    """Per-lang aggregation of the x13 per-row tokenizer mirror (the
+    SAME EN_MERGES constant, so the two tokenizers cannot drift)."""
+    from ..pipelines.bpe import EN_MERGES
+
+    r = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    for lhs, rhs in EN_MERGES:
+        r = f"replace({r}, '|{lhs}||{rhs}|', '|{lhs}{rhs}|')"
+    return f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+           AS words,
+         CAST(COALESCE(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+           w -> length({r}) - length(replace({r}, '||', '|')) + 1
+         )), 0) AS BIGINT) AS bpe,
+         CAST(strlen(text) AS BIGINT) AS bytes
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS total_words,
+       CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       ROUND(SUM(bpe) * 1.0 / SUM(words), 6) AS fertility,
+       ROUND(SUM(bytes) * 1.0 / SUM(bpe), 6) AS bytes_per_token
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@register(
+    "x31_tokenizer_fertility",
+    oracle=_x31_oracle(),
+    tags=("text", "prep", "eval"),
+)
+def x31_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility + compression per language under the frozen
+    BPE tokenizer (``bpe.EN_MERGES``) — the multilingual-tokenizer
+    audit (fertility = subword tokens per word; bytes per token =
+    compression): a language whose fertility is far above the corpus
+    norm is being over-segmented by the tokenizer (its documents cost
+    disproportionate sequence length per word of content), the
+    standard signal for rebalancing tokenizer training data before a
+    multilingual run.  x13 reports the per-document token BUDGET;
+    x31 is the per-language RATE report that decides whether the
+    tokenizer itself is fair.
+
+    Everything is exact integer sums (token counts, regex word
+    counts, octet lengths) until the two final 6dp ratios — full hash
+    oracle, sharing the EN_MERGES constant with x13 so the Spark and
+    SQL tokenizers cannot drift.  Shape for 100 TB: one in-row BPE
+    projection (zero UDF, zero shuffle — the x13 expression) feeding
+    one lang-keyed agg; output = language cardinality."""
+    from ..pipelines import bpe
+    from ..plans.layout import spread_for_compute
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    per_doc = docs.select(
+        "lang",
+        F.expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+        .cast("long")
+        .alias("words"),
+        bpe.bpe_tokens_expr("text", bpe.EN_MERGES).alias("bpe"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("bpe").alias("total_bpe_tokens"),
+        F.sum("bytes").alias("total_bytes"),
+        _r6(F.sum("bpe") * 1.0 / F.sum("words")).alias("fertility"),
+        _r6(F.sum("bytes") * 1.0 / F.sum("bpe")).alias("bytes_per_token"),
+    )

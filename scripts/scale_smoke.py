@@ -323,6 +323,12 @@ QUERIES = [
     # r12: unigram JS drift (documents; vocab aggs -> sources x vocab
     # contribution frame -> source-cardinality report)
     "x30_unigram_js_source_drift",
+    # r12: tokenizer fertility (documents; in-row BPE projection ->
+    # lang-keyed agg, output = language cardinality)
+    "x31_tokenizer_fertility",
+    # r12: degree power-law (events; degree agg -> fof agg -> top-10
+    # of the degree-cardinality frame)
+    "g7_degree_powerlaw",
 ]
 
 

@@ -1699,3 +1699,35 @@ def test_t19_strengths_match_decomposition_variances(spark, sf_dir):
             else "noisy"
         )
         assert r["classification"] == want_cls
+
+
+def test_g7_alpha_matches_pure_python(spark, sf_dir):
+    """α_MLE and the top-10 degree rows must equal a pure-Python
+    recomputation from the raw event counts."""
+    import math
+    from collections import Counter
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["g7_degree_powerlaw"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    deg = Counter(r["user_id"] for r in ev)
+    fof = Counter(deg.values())
+    total_nodes = len(deg)
+    total_edges = sum(deg.values())
+    # the DECIMAL(30,12)-quantized, order-free term sum the query uses
+    from decimal import Decimal
+
+    lnsum = sum(
+        Decimal(str(round(n * math.log(d * 2.0), 12)))
+        for d, n in fof.items()
+    )
+    alpha = round(1.0 + total_nodes / float(lnsum), 6)
+    top = sorted(fof.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [(r["degree"], r["n_nodes"]) for r in rows] == top
+    for r in rows:
+        assert r["total_nodes"] == total_nodes
+        assert r["total_edges"] == total_edges
+        assert abs(r["alpha_mle"] - alpha) < 2e-6
+        assert abs(r["frac"] - round(r["n_nodes"] / total_nodes, 6)) < 1e-9

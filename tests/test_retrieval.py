@@ -936,3 +936,47 @@ def test_x30_identical_sources_have_zero_drift(spark, tmp_path):
         assert r["jsd_nats"] == 0.0
         assert r["tv_distance"] == 0.0
         assert r["vocab_terms"] == 2
+
+
+def test_x31_fertility_known_values(spark, tmp_path):
+    """Hand-checkable: with EN_MERGES frozen, a word that matches a
+    merge chain compresses below its character count while an
+    unmergeable word stays 1 token per char; the per-lang rates are
+    exact integer ratios."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.pipelines import bpe
+
+    rows = [
+        (0, "zq zq", "aa", "s", 5),   # 'zq' has no EN merge: 2 tokens/word
+        (1, "zq", "bb", "s", 2),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    # 'zq' must really be merge-free under the frozen table, or the
+    # hand numbers below drift with the constant
+    assert all(lhs + rhs != "zq" for lhs, rhs in bpe.EN_MERGES)
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in CATALOG["x31_tokenizer_fertility"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    aa, bb = out["aa"], out["bb"]
+    assert aa["total_words"] == 2 and aa["total_bpe_tokens"] == 4
+    assert aa["total_bytes"] == 5
+    assert aa["fertility"] == 2.0
+    assert aa["bytes_per_token"] == 1.25
+    assert bb["total_words"] == 1 and bb["total_bpe_tokens"] == 2
+    assert bb["fertility"] == 2.0
+    assert bb["bytes_per_token"] == 1.0
