@@ -329,6 +329,9 @@ HEADLINE = [
     # r12: degree power-law audit is a read-shaped pair of keyed aggs
     # (the x28 frequency-of-frequencies shape on degrees)
     "g7_degree_powerlaw",
+    # r12: leave-last-out split is a read-shaped keyed-window query
+    # (one user-keyed exchange for the ranking + per-user pair agg)
+    "c22_leave_last_out_split",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -2901,3 +2901,117 @@ def x31_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.sum("bpe") * 1.0 / F.sum("words")).alias("fertility"),
         _r6(F.sum("bytes") * 1.0 / F.sum("bpe")).alias("bytes_per_token"),
     )
+
+
+_C22_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts,
+         CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split
+  FROM ranked
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN split = 'test' THEN ts END) AS test_ts,
+         MAX(CASE WHEN split = 'train' THEN ts END) AS train_max_ts
+  FROM tagged GROUP BY user_id
+),
+cert AS (
+  SELECT CAST(COUNT(CASE WHEN train_max_ts > test_ts THEN 1 END) AS BIGINT)
+           AS n_violations,
+         ROUND(SUM(CASE WHEN train_max_ts IS NOT NULL
+               THEN datediff('day', CAST(train_max_ts AS DATE),
+                             CAST(test_ts AS DATE)) END) * 1.0
+               / COUNT(train_max_ts), 6) AS avg_gap_days
+  FROM per_user
+)
+SELECT t.split,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT t.user_id) AS n_users,
+       strftime(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+       strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day,
+       c.avg_gap_days,
+       c.n_violations
+FROM tagged t, cert c
+GROUP BY t.split, c.avg_gap_days, c.n_violations
+"""
+
+
+@register(
+    "c22_leave_last_out_split",
+    oracle=_C22_ORACLE,
+    tags=("prep", "splits", "eval"),
+)
+def c22_leave_last_out_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out TEMPORAL split — the standard recommender/
+    sequential-model eval protocol (each user's most recent event is
+    the test point, everything earlier trains): c10 guards LEXICAL
+    leakage (near-duplicate text straddling splits), c19 audits it;
+    c22 guards TEMPORAL leakage — training on anything that happened
+    after the eval point.  The report carries its own certificate
+    (the v12 convention): n_violations counts users whose newest
+    train event postdates their test event — structurally 0, and the
+    oracle pins it — plus the freshness gap (mean days between a
+    user's last train event and their test event), the number that
+    says how stale the training snapshot is relative to eval time.
+
+    Deterministic: the per-user ranking tiebreaks on event_id, day
+    gaps are exact integers, and the mean is an integer-sum ratio
+    rounded 6dp — full hash oracle.  Shape for 100 TB: one user-keyed
+    exchange carries the ranking window AND the per-user pair agg;
+    the certificate is user-cardinality algebra, broadcast back over
+    the two split rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tagged = ev.select("user_id", "event_id", "ts").withColumn(
+        "split",
+        F.when(F.row_number().over(w) == 1, "test").otherwise("train"),
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "test", F.col("ts"))).alias("test_ts"),
+        F.max(F.when(F.col("split") == "train", F.col("ts"))).alias(
+            "train_max_ts"
+        ),
+    )
+    gap = F.datediff(F.to_date("test_ts"), F.to_date("train_max_ts"))
+    cert = per_user.agg(
+        F.count(F.when(F.col("train_max_ts") > F.col("test_ts"), 1))
+        .cast("bigint")
+        .alias("n_violations"),
+        _r6(
+            F.sum(F.when(F.col("train_max_ts").isNotNull(), gap)) * 1.0
+            / F.count("train_max_ts")
+        ).alias("avg_gap_days"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+            F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias(
+                "last_day"
+            ),
+        )
+        .crossJoin(F.broadcast(cert))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "first_day",
+            "last_day",
+            "avg_gap_days",
+            "n_violations",
+        )
+    )

@@ -329,6 +329,9 @@ QUERIES = [
     # r12: degree power-law (events; degree agg -> fof agg -> top-10
     # of the degree-cardinality frame)
     "g7_degree_powerlaw",
+    # r12: leave-last-out temporal split (events; one user-keyed
+    # exchange -> 2-row split report + certificate)
+    "c22_leave_last_out_split",
 ]
 
 

@@ -1731,3 +1731,37 @@ def test_g7_alpha_matches_pure_python(spark, sf_dir):
         assert r["total_edges"] == total_edges
         assert abs(r["alpha_mle"] - alpha) < 2e-6
         assert abs(r["frac"] - round(r["n_nodes"] / total_nodes, 6)) < 1e-9
+
+
+def test_c22_split_is_leave_last_out(spark, sf_dir):
+    """Every user contributes exactly one test event (their newest by
+    (ts, event_id)), the certificate is 0, and train+test partition
+    the table."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["split"]: r for r in CATALOG["c22_leave_last_out_split"].fn(
+        spark, sf_dir
+    ).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    n_users = len(by_user)
+    assert rows["test"]["n_events"] == n_users
+    assert rows["test"]["n_users"] == n_users
+    assert rows["train"]["n_events"] == len(ev) - n_users
+    assert rows["test"]["n_violations"] == 0
+    assert rows["train"]["n_violations"] == 0
+    # freshness gap recomputed in pure python
+    gaps = []
+    for evs in by_user.values():
+        evs.sort()
+        if len(evs) >= 2:
+            gaps.append((evs[-1][0].date() - evs[-2][0].date()).days)
+    want = round(sum(gaps) / len(gaps), 6) if gaps else None
+    assert abs(rows["test"]["avg_gap_days"] - want) < 1e-9
