@@ -332,6 +332,9 @@ HEADLINE = [
     # r12: leave-last-out split is a read-shaped keyed-window query
     # (one user-keyed exchange for the ranking + per-user pair agg)
     "c22_leave_last_out_split",
+    # r12: winsorized mean is a read-shaped keyed-window stat query
+    # (a31's one-exchange shape with clamp instead of drop)
+    "a32_winsorized_mean",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1421,3 +1421,97 @@ def a31_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "a32_winsorized_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT event_type,
+         MAX(n) AS n,
+         CAST(FLOOR(MAX(n) * 0.1) AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN rk > FLOOR(n * 0.1)
+                        AND rk <= n - FLOOR(n * 0.1)
+                       THEN CAST(value AS DECIMAL(30,12)) END) AS DOUBLE)
+           AS sum_mid,
+         MAX(CASE WHEN rk = FLOOR(n * 0.1) + 1 THEN value END) AS v_lo,
+         MAX(CASE WHEN rk = n - FLOOR(n * 0.1) THEN value END) AS v_hi,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / MAX(n) AS mean
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       k AS n_winsorized_each_side,
+       ROUND(mean, 6) AS mean,
+       ROUND((sum_mid + k * v_lo + k * v_hi) / n, 6) AS winsorized_mean
+FROM agg
+""",
+    tags=("agg", "stats"),
+)
+def a32_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided WINSORIZED MEAN per key — a31's sibling that
+    CLAMPS the tails to the 10th/90th rank values instead of dropping
+    them (Winsorization keeps n constant, so downstream variance /
+    CI machinery stays valid — the robust location you use when the
+    sample size must not change; trimming is for when outliers are
+    garbage, winsorizing for when they are real-but-extreme).  The
+    plain mean rides the same aggregation so the report IS the
+    robustness delta.
+
+    EXACT semantics both engines: the a31 rank window (unique
+    event_id tiebreak), integer floor trim counts, the middle sum in
+    DECIMAL, and the clamp values picked by exact rank equality; the
+    final 3-term double expression is order-fixed.  Shape for
+    100 TB: ONE keyed exchange shared by the window and the agg —
+    identical to a31's."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.floor(F.col("n") * 0.1)
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.floor(F.max("n") * 0.1).cast("bigint").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("rk") > k) & (F.col("rk") <= F.col("n") - k),
+                F.col("value").cast("decimal(30,12)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_mid"),
+        F.max(F.when(F.col("rk") == k + 1, F.col("value"))).alias("v_lo"),
+        F.max(F.when(F.col("rk") == F.col("n") - k, F.col("value"))).alias(
+            "v_hi"
+        ),
+        (
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
+            / F.max("n")
+        ).alias("mean"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").alias("n_winsorized_each_side"),
+        _r6(F.col("mean")).alias("mean"),
+        _r6(
+            (F.col("sum_mid") + F.col("k") * F.col("v_lo") + F.col("k") * F.col("v_hi"))
+            / F.col("n")
+        ).alias("winsorized_mean"),
+    )

@@ -332,6 +332,9 @@ QUERIES = [
     # r12: leave-last-out temporal split (events; one user-keyed
     # exchange -> 2-row split report + certificate)
     "c22_leave_last_out_split",
+    # r12: winsorized mean (events; the a31 one-exchange rank window
+    # with tail clamp)
+    "a32_winsorized_mean",
 ]
 
 

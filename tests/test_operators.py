@@ -1765,3 +1765,34 @@ def test_c22_split_is_leave_last_out(spark, sf_dir):
             gaps.append((evs[-1][0].date() - evs[-2][0].date()).days)
     want = round(sum(gaps) / len(gaps), 6) if gaps else None
     assert abs(rows["test"]["avg_gap_days"] - want) < 1e-9
+
+
+def test_a32_winsorized_matches_scipy_convention(spark, sf_dir):
+    """The winsorized mean must equal the pure-Python clamp-at-the-
+    (k+1)th/(n-k)th-order-statistic recomputation (ties broken by
+    event_id exactly as the rank window does)."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in CATALOG["a32_winsorized_mean"].fn(
+        spark, sf_dir
+    ).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in ev:
+        if r["value"] is not None:
+            groups[r["event_type"]].append((r["value"], r["event_id"]))
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = int(n * 0.1)
+        v = [x for x, _ in vals]
+        clamped = [max(v[k], min(x, v[n - k - 1])) for x in v]
+        want = round(sum(clamped) / n, 6)
+        got = rows[et]
+        assert got["n"] == n and got["n_winsorized_each_side"] == k
+        assert abs(got["winsorized_mean"] - want) < 2e-6, (et, got, want)
