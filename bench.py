@@ -335,6 +335,9 @@ HEADLINE = [
     # r12: winsorized mean is a read-shaped keyed-window stat query
     # (a31's one-exchange shape with clamp instead of drop)
     "a32_winsorized_mean",
+    # r12: binary segmentation is a read-shaped keyed-window query
+    # (one user-keyed exchange: daily rollup + prefix windows + argmax)
+    "t20_binary_segmentation",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1531,3 +1531,130 @@ def t19_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fs0 > 0.64, "seasonal")
         .otherwise("noisy"),
     )
+
+
+_T20_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, day, y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS t,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cyy,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) OVER (PARTITION BY user_id)
+              AS DOUBLE) AS sy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER (PARTITION BY user_id)
+              AS DOUBLE) AS syy
+  FROM daily
+),
+gains AS (
+  SELECT user_id, day, t, n, cy, sy,
+         (syy - sy * sy / n)
+         - ((cyy - cy * cy / t)
+            + ((syy - cyy) - (sy - cy) * (sy - cy) / (n - t))) AS gain
+  FROM seq WHERE t < n AND n >= 4
+),
+best AS (
+  SELECT user_id, day, t, n, gain,
+         cy / t AS mean_before, (sy - cy) / (n - t) AS mean_after,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY gain DESC, t ASC) AS rk
+  FROM gains
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(t AS BIGINT) AS split_t,
+       strftime(day, '%Y-%m-%d') AS change_day,
+       ROUND(gain, 6) AS sse_gain,
+       ROUND(mean_before, 6) AS mean_before,
+       ROUND(mean_after, 6) AS mean_after
+FROM best WHERE rk = 1
+"""
+
+
+@register(
+    "t20_binary_segmentation",
+    oracle=_T20_ORACLE,
+    tags=("timeseries", "anomaly"),
+)
+def t20_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per user via exact binary
+    segmentation (Scott & Knott; the k=1 step of PELT/BinSeg): the
+    split of the daily-value series that maximizes the SSE reduction
+    (syy−sy²/n) − (SSE_left + SSE_right), computed in CLOSED FORM
+    from per-user cumulative prefix sums — every candidate split is
+    scored in one window pass, no iteration, no fitting loop.  This
+    generalizes a6's fixed two-halves drift and t14's directional
+    CUSUM to "WHERE did the level shift" — the segmentation primitive
+    training-data freshness audits run on ingest-volume series.
+
+    Determinism: prefix and total sums ride DECIMAL casts (exact,
+    order-free), the gain is a fixed-shape double expression of those
+    exact sums, and the argmax tiebreaks on the earliest split.
+    Series shorter than 4 days are skipped (no meaningful two-segment
+    fit).  Shape for 100 TB: one user-keyed exchange carries the
+    daily rollup, the prefix windows and the argmax — per-user state
+    is bounded by the day count (the w18/a31 convention)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(30,12)")).cast("double").alias("y")
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("user_id")
+
+    def dsum(c, p):
+        return F.sum(c.cast(f"decimal({p},12)"))
+
+    seq = daily.select(
+        "user_id",
+        "day",
+        F.row_number().over(wo).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        dsum(F.col("y"), 30).over(wcum).cast("double").alias("cy"),
+        dsum(F.col("y") * F.col("y"), 38).over(wcum).cast("double").alias("cyy"),
+        dsum(F.col("y"), 30).over(wall).cast("double").alias("sy"),
+        dsum(F.col("y") * F.col("y"), 38).over(wall).cast("double").alias("syy"),
+    )
+    t, n = F.col("t"), F.col("n")
+    cy, cyy, sy, syy = (F.col(c) for c in ("cy", "cyy", "sy", "syy"))
+    gain = (syy - sy * sy / n) - (
+        (cyy - cy * cy / t) + ((syy - cyy) - (sy - cy) * (sy - cy) / (n - t))
+    )
+    gains = seq.filter((t < n) & (n >= 4)).select(
+        "user_id",
+        "day",
+        "t",
+        "n",
+        gain.alias("gain"),
+        (cy / t).alias("mean_before"),
+        ((sy - cy) / (n - t)).alias("mean_after"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("gain").desc(), F.col("t").asc()
+    )
+    return (
+        gains.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("t").cast("bigint").alias("split_t"),
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            _r6(F.col("gain")).alias("sse_gain"),
+            _r6(F.col("mean_before")).alias("mean_before"),
+            _r6(F.col("mean_after")).alias("mean_after"),
+        )
+    )

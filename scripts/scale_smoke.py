@@ -335,6 +335,9 @@ QUERIES = [
     # r12: winsorized mean (events; the a31 one-exchange rank window
     # with tail clamp)
     "a32_winsorized_mean",
+    # r12: changepoint (events; one user-keyed exchange, prefix-sum
+    # closed-form gains + argmax)
+    "t20_binary_segmentation",
 ]
 
 

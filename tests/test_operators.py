@@ -1796,3 +1796,42 @@ def test_a32_winsorized_matches_scipy_convention(spark, sf_dir):
         got = rows[et]
         assert got["n"] == n and got["n_winsorized_each_side"] == k
         assert abs(got["winsorized_mean"] - want) < 2e-6, (et, got, want)
+
+
+def test_t20_changepoint_matches_numpy(spark, sf_dir):
+    """The argmax split and SSE gain must equal a numpy recomputation
+    over each user's daily series."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in CATALOG["t20_binary_segmentation"].fn(
+        spark, sf_dir
+    ).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    daily = defaultdict(lambda: defaultdict(Decimal))
+    for r in ev:
+        daily[r["user_id"]][r["day"]] += Decimal(str(round(r["value"], 12)))
+    for uid, days in daily.items():
+        y = np.array([float(v) for _, v in sorted(days.items())])
+        n = len(y)
+        if n < 4:
+            assert uid not in rows
+            continue
+        sse = lambda a: float(np.sum(a * a) - a.sum() ** 2 / len(a))
+        gains = [
+            sse(y) - (sse(y[:t]) + sse(y[t:])) for t in range(1, n)
+        ]
+        best_t = int(np.argmax(gains)) + 1
+        got = rows[uid]
+        assert got["n_days"] == n
+        assert got["split_t"] == best_t, (uid, got["split_t"], best_t)
+        assert abs(got["sse_gain"] - gains[best_t - 1]) < 1e-3
+        assert abs(got["mean_before"] - y[:best_t].mean()) < 1e-5
+        assert abs(got["mean_after"] - y[best_t:].mean()) < 1e-5
