@@ -338,6 +338,9 @@ HEADLINE = [
     # r12: binary segmentation is a read-shaped keyed-window query
     # (one user-keyed exchange: daily rollup + prefix windows + argmax)
     "t20_binary_segmentation",
+    # r12: the range-partition planner is a read-shaped layout audit
+    # (cell histogram + two bounded windows + one in-row bucket pass)
+    "k4_range_partition_planner",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

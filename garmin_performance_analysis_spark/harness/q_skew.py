@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..operators.skew import salted_aggregate, salted_join
 from ..sources.tables import load_table
+from .registry import r6 as _r6
 from .registry import register
 
 # ~90% of events share user_id % 10 != 0 -> key -1 (the hot key); the
@@ -195,4 +196,158 @@ def k3_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x_over_uniform"),
         "n_total",
         "n_keys",
+    )
+
+
+_K4_ORACLE = """
+WITH v AS (SELECT o_totalprice AS p FROM orders),
+pv AS (SELECT p, COUNT(*) AS c FROM v GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+cells AS (
+  SELECT CAST(FLOOR(p / 1000.0) AS BIGINT) AS cell, SUM(c) AS c
+  FROM pv GROUP BY 1
+),
+cc AS (SELECT cell, c, SUM(c) OVER (ORDER BY cell) AS cum FROM cells),
+targets AS (
+  SELECT i, CAST(FLOOR((i * n + 7) / 8.0) AS BIGINT) AS r
+  FROM generate_series(1, 7) t(i), tot
+),
+xc AS (
+  SELECT t.i, t.r, MIN(cc.cell) AS cell
+  FROM targets t JOIN cc ON cc.cum >= t.r GROUP BY 1, 2
+),
+xinfo AS (
+  SELECT x.i, x.r, x.cell, cc.cum - cc.c AS below
+  FROM xc x JOIN cc ON cc.cell = x.cell
+),
+fcc AS (
+  SELECT CAST(FLOOR(p / 1000.0) AS BIGINT) AS cell, p,
+         SUM(c) OVER (PARTITION BY CAST(FLOOR(p / 1000.0) AS BIGINT)
+                      ORDER BY p) AS ccum
+  FROM pv WHERE CAST(FLOOR(p / 1000.0) AS BIGINT) IN (SELECT cell FROM xc)
+),
+bnd AS (
+  SELECT x.i, MIN(f.p) AS boundary
+  FROM xinfo x JOIN fcc f ON f.cell = x.cell AND x.below + f.ccum >= x.r
+  GROUP BY x.i
+),
+assigned AS (
+  SELECT pv.p, pv.c, COUNT(CASE WHEN b.boundary < pv.p THEN 1 END) AS bucket
+  FROM pv LEFT JOIN bnd b ON TRUE GROUP BY pv.p, pv.c
+),
+bkt AS (
+  SELECT a.bucket, CAST(SUM(a.c) AS BIGINT) AS n_rows,
+         MIN(a.p) AS min_price, MAX(a.p) AS max_price
+  FROM assigned a GROUP BY 1
+)
+SELECT b.bucket, b.n_rows, b.min_price, b.max_price,
+       ROUND(b.n_rows * 1.0 / t.n, 6) AS frac,
+       ROUND((SELECT MAX(n_rows) FROM bkt) * 8.0 / t.n, 6) AS balance_ratio
+FROM bkt b, tot t
+"""
+
+
+@register("k4_range_partition_planner", oracle=_K4_ORACLE, tags=("skew", "layout"))
+def k4_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner boundary planner with a balance audit — how a
+    sorted write / range exchange picks its split keys, computed
+    EXACTLY and WITHOUT a global sort or a row sample (Spark's own
+    RangePartitioner samples and can mis-split under skew; z1 needs
+    exactly these boundaries to lay files out): 7 octile boundaries
+    (boundary_i = smallest value whose cumulative count reaches
+    ceil(i·n/8) — integer rank selection, no interpolation) found by
+    the grid two-level shape (coarse cell histogram → per-target
+    crossing cell → fine pass over ≤7 cells), then every row is
+    bucketed against the broadcast boundary array and the report
+    carries per-bucket counts plus the balance ratio (max bucket ×
+    8 / n — 1.0 = perfect, >1 quantifies tie-induced skew: k3 finds
+    hot KEYS, k4 finds hot RANGES).
+
+    Exactness: counts and rank targets are integers; boundaries are
+    data values; bucket assignment is pure comparisons — full hash
+    oracle.  Shape for 100 TB: cell-cardinality windows only (cells ≤
+    domain/grid), the fine pass touches ≤7 cells' values, and the
+    assignment pass is one in-row filter against a 7-element array —
+    no global window, no sample, no sort of the data."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    cell = F.floor(p / 1000.0).cast("bigint")
+    cells = orders.groupBy(cell.alias("cell")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy(bounded_partition_key("cell")).orderBy("cell")
+    cc = cells.select(
+        "cell",
+        "c",
+        F.sum("c").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    ).localCheckpoint(eager=True)  # tiny; feeds targets join + below lookup
+    tot = cc.agg(F.sum("c").cast("bigint").alias("n"))
+    targets = (
+        spark.range(1, 8)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "i", F.floor((F.col("i") * F.col("n") + 7) / 8.0).cast("bigint").alias("r")
+        )
+    )
+    xc = (
+        targets.join(F.broadcast(cc), F.col("cum") >= F.col("r"))
+        .groupBy("i", "r")
+        .agg(F.min("cell").alias("cell"))
+    )
+    xinfo = xc.join(
+        F.broadcast(cc.select("cell", (F.col("cum") - F.col("c")).alias("below"))),
+        "cell",
+    )
+    fine = (
+        orders.select(p.alias("p"), cell.alias("cell"))
+        .join(F.broadcast(xc.select("cell").distinct()), "cell")
+        .groupBy("cell", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wf = Window.partitionBy("cell").orderBy("p")
+    fcc = fine.select(
+        "cell",
+        "p",
+        F.sum("c").over(
+            wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("ccum"),
+    )
+    bnd = (
+        xinfo.join(F.broadcast(fcc), "cell")
+        .filter(F.col("below") + F.col("ccum") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("p").alias("boundary"))
+    )
+    bnds = bnd.agg(F.array_sort(F.collect_list("boundary")).alias("_bnds"))
+    assigned = (
+        orders.select(p.alias("p"))
+        .crossJoin(F.broadcast(bnds))
+        .select(
+            "p", F.expr("size(filter(_bnds, b -> b < p))").alias("bucket")
+        )
+    )
+    bkt = assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("p").alias("min_price"),
+        F.max("p").alias("max_price"),
+    )
+    mx = bkt.agg(F.max("n_rows").alias("mx"))
+    return (
+        bkt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "bucket",
+            "n_rows",
+            "min_price",
+            "max_price",
+            _r6(F.col("n_rows") * 1.0 / F.col("n")).alias("frac"),
+            _r6(F.col("mx") * 8.0 / F.col("n")).alias("balance_ratio"),
+        )
     )

@@ -338,6 +338,9 @@ QUERIES = [
     # r12: changepoint (events; one user-keyed exchange, prefix-sum
     # closed-form gains + argmax)
     "t20_binary_segmentation",
+    # r12: range-partition planner (orders; cell histogram -> bounded
+    # crossing-cell selection -> in-row bucket assignment)
+    "k4_range_partition_planner",
 ]
 
 

@@ -1835,3 +1835,33 @@ def test_t20_changepoint_matches_numpy(spark, sf_dir):
         assert abs(got["sse_gain"] - gains[best_t - 1]) < 1e-3
         assert abs(got["mean_before"] - y[:best_t].mean()) < 1e-5
         assert abs(got["mean_after"] - y[best_t:].mean()) < 1e-5
+
+
+def test_k4_boundaries_match_numpy(spark, sf_dir):
+    """Boundaries must equal the integer-rank order statistics and
+    bucket counts must re-partition the table exactly."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = sorted(
+        CATALOG["k4_range_partition_planner"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    prices = np.sort(
+        np.array(
+            [r["o_totalprice"] for r in load_table(
+                spark, sf_dir, "orders"
+            ).select("o_totalprice").collect()]
+        )
+    )
+    n = len(prices)
+    bounds = [prices[-(-i * n // 8) - 1] for i in range(1, 8)]
+    buckets = np.searchsorted(np.array(bounds), prices, side="left")
+    # values equal to a boundary land LEFT of it (boundary < p rule)
+    want = {b: int((buckets == b).sum()) for b in range(8)}
+    got = {r["bucket"]: r["n_rows"] for r in rows}
+    assert got == {b: c for b, c in want.items() if c}
+    assert sum(got.values()) == n
+    assert rows[0]["balance_ratio"] == round(max(got.values()) * 8.0 / n, 6)
