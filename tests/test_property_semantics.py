@@ -2275,3 +2275,74 @@ def test_a31_trimmed_mean_matches_numpy(spark, sf_dir):
         assert r["n_trimmed_each_side"] == k
         assert r["n_kept"] == len(kept) == len(vals) - 2 * k
         assert abs(r["trimmed_mean"] - round(sum(kept) / len(kept), 6)) < 1e-6
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=8, deadline=None)
+def test_x29_diversity_matches_bruteforce(spark, tmp_path_factory, n_docs, seed):
+    """distinct-n ratios and the cross-doc proxy must equal a dumb
+    pure-Python recomputation for any random small corpus (including
+    1-word docs, repeated docs, and multi-source mixes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rng = np.random.RandomState(seed)
+    vocab = ["a", "b", "c", "dd"]
+    docs = []
+    for i in range(n_docs):
+        n_words = int(rng.randint(1, 7))
+        docs.append(
+            (
+                i,
+                " ".join(rng.choice(vocab, size=n_words)),
+                "en",
+                f"s{int(rng.randint(0, 2))}",
+            )
+        )
+    d = tmp_path_factory.mktemp("x29")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs]),
+            "lang": pa.array([r[2] for r in docs]),
+            "source": pa.array([r[3] for r in docs]),
+            "n_chars": pa.array(
+                [len(r[1]) for r in docs], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in CATALOG["x29_distinct_ngram_diversity"].fn(
+            spark, str(d)
+        ).collect()
+    }
+    from collections import Counter, defaultdict
+
+    per = defaultdict(lambda: defaultdict(Counter))  # src -> n -> gram -> cnt
+    docs_with = defaultdict(lambda: defaultdict(lambda: defaultdict(set)))
+    for i, text, _, src in docs:
+        w = text.split(" ")
+        for n in (1, 2, 3):
+            for j in range(len(w) - n + 1):
+                g = " ".join(w[j : j + n])
+                per[src][n][g] += 1
+                docs_with[src][n][g].add(i)
+    for src, r in out.items():
+        for n, col in ((1, "distinct1_ratio"), (2, "distinct2_ratio"), (3, "distinct3_ratio")):
+            grams = per[src][n]
+            tot = sum(grams.values())
+            want = round(len(grams) / tot, 6) if tot else None
+            assert (r[col] is None and want is None) or abs(r[col] - want) < 1e-9, (src, n, seed)
+        for n, col in ((2, "self_bleu2_proxy"), (3, "self_bleu3_proxy")):
+            grams = per[src][n]
+            tot = sum(grams.values())
+            cross = sum(c for g, c in grams.items() if len(docs_with[src][n][g]) >= 2)
+            want = round(cross / tot, 6) if tot else None
+            assert (r[col] is None and want is None) or abs(r[col] - want) < 1e-9, (src, n, seed)
