@@ -1865,3 +1865,38 @@ def test_k4_boundaries_match_numpy(spark, sf_dir):
     assert got == {b: c for b, c in want.items() if c}
     assert sum(got.values()) == n
     assert rows[0]["balance_ratio"] == round(max(got.values()) * 8.0 / n, 6)
+
+
+def test_t20_constant_series_picks_earliest_split(spark, tmp_path):
+    """All-equal values → every gain is exactly 0 → the tiebreak must
+    deterministically pick the EARLIEST split, with gain 0 and equal
+    segment means."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 7, "click", 5.0, "{}")
+        for i in range(6)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = CATALOG["t20_binary_segmentation"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_t"] == 1 and r["sse_gain"] == 0.0
+    assert r["mean_before"] == 5.0 and r["mean_after"] == 5.0
+    assert r["change_day"] == "2024-01-01"
