@@ -341,6 +341,9 @@ HEADLINE = [
     # r12: the range-partition planner is a read-shaped layout audit
     # (cell histogram + two bounded windows + one in-row bucket pass)
     "k4_range_partition_planner",
+    # r12: the source-contamination matrix is a corpus dedup batch
+    # pass (distinct grams -> gram-keyed self-join, like d8)
+    "c23_source_contamination_matrix",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -381,6 +384,7 @@ BATCH_JOBS = {
     "x29_distinct_ngram_diversity",
     "x30_unigram_js_source_drift",
     "x31_tokenizer_fertility",
+    "c23_source_contamination_matrix",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

@@ -3015,3 +3015,89 @@ def c22_leave_last_out_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_violations",
         )
     )
+
+
+_C23_ORACLE = """
+WITH words AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(generate_series(1, len(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4])) AS g
+  FROM words WHERE len(w) >= 5
+),
+sizes AS (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, CAST(za.n_grams AS BIGINT) AS n_grams_a,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       ROUND(s.n_shared * 1.0 / za.n_grams, 6) AS containment
+FROM shared s JOIN sizes za ON za.source = s.src_a
+"""
+
+
+@register(
+    "c23_source_contamination_matrix",
+    oracle=_C23_ORACLE,
+    tags=("curation", "dedup", "eval"),
+)
+def c23_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional cross-SOURCE 5-gram contamination matrix: for every
+    ordered source pair (A, B), the fraction of A's distinct 5-grams
+    that also occur in B — the subset-level contamination audit run
+    before publishing a mixture (is the "web" subset secretly full of
+    the "books" subset?  did a benchmark leak into a training
+    source?).  d6/d9 decontaminate against a known probe set; c19
+    audits a SPLIT; c23 maps contamination BETWEEN sources with no
+    prior suspect — the matrix that tells you which pair needs d6.
+
+    Exact integer gram counts to the final 6dp containment — full
+    hash oracle.  Shape for 100 TB: one scan → distinct (source,
+    5-gram) frame (two-stage, map-side combined) → GRAM-keyed
+    self-join (never document pairs; per-gram fanout is bounded by
+    source-count², here ≤400) → source-pair aggregation.  Only pairs
+    that share at least one gram appear (the zero rows carry no
+    information and would quadruple the output)."""
+    from ..plans.layout import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    base = spread_for_compute(docs, "doc_id").select("source", w.alias("_w"))
+    g5 = F.when(
+        F.size("_w") >= 5,
+        F.expr(
+            "transform(sequence(0, size(_w) - 5),"
+            " i -> concat(_w[i], ' ', _w[i+1], ' ', _w[i+2], ' ',"
+            " _w[i+3], ' ', _w[i+4]))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams = (
+        base.select("source", F.explode(g5).alias("g"))
+        .distinct()
+        # feeds the sizes agg and BOTH sides of the gram self-join
+        .localCheckpoint(eager=True)
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(sizes.select(F.col("source").alias("src_a"), "n_grams")),
+        "src_a",
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("n_grams").cast("bigint").alias("n_grams_a"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        _r6(F.col("n_shared") * 1.0 / F.col("n_grams")).alias("containment"),
+    )

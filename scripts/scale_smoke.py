@@ -341,6 +341,9 @@ QUERIES = [
     # r12: range-partition planner (orders; cell histogram -> bounded
     # crossing-cell selection -> in-row bucket assignment)
     "k4_range_partition_planner",
+    # r12: source-contamination matrix (documents; distinct grams ->
+    # gram-keyed self-join bounded by source-count^2 fanout)
+    "c23_source_contamination_matrix",
 ]
 
 

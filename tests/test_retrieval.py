@@ -980,3 +980,43 @@ def test_x31_fertility_known_values(spark, tmp_path):
     assert bb["total_words"] == 1 and bb["total_bpe_tokens"] == 2
     assert bb["fertility"] == 2.0
     assert bb["bytes_per_token"] == 1.0
+
+
+def test_c23_contamination_known_values(spark, tmp_path):
+    """Hand-checkable: source 'a' has 2 distinct 5-grams, one of which
+    occurs in 'b' → containment(a→b) = 0.5; 'b' has 1 distinct 5-gram
+    contained in 'a' → containment(b→a) = 1.0; 'c' shares nothing and
+    must not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = [
+        (0, "v w x y z q", "en", "a", 11),   # grams: 'v w x y z', 'w x y z q'
+        (1, "v w x y z", "en", "b", 9),      # gram:  'v w x y z'
+        (2, "p p p p p", "en", "c", 9),
+        (3, "shorty", "en", "c", 6),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in CATALOG["c23_source_contamination_matrix"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    assert out[("a", "b")]["n_grams_a"] == 2
+    assert out[("a", "b")]["n_shared"] == 1
+    assert out[("a", "b")]["containment"] == 0.5
+    assert out[("b", "a")]["n_grams_a"] == 1
+    assert out[("b", "a")]["containment"] == 1.0
