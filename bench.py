@@ -344,6 +344,9 @@ HEADLINE = [
     # r12: the source-contamination matrix is a corpus dedup batch
     # pass (distinct grams -> gram-keyed self-join, like d8)
     "c23_source_contamination_matrix",
+    # r12: PMI collocations are a corpus n-gram batch pass (in-row
+    # bigrams -> one groupBy + bigram-frame algebra, like x14)
+    "x32_pmi_collocations",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -385,6 +388,7 @@ BATCH_JOBS = {
     "x30_unigram_js_source_drift",
     "x31_tokenizer_fertility",
     "c23_source_contamination_matrix",
+    "x32_pmi_collocations",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

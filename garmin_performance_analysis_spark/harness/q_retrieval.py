@@ -3101,3 +3101,102 @@ def c23_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_shared").cast("bigint").alias("n_shared"),
         _r6(F.col("n_shared") * 1.0 / F.col("n_grams")).alias("containment"),
     )
+
+
+_X32_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+),
+bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+rgt AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY 1),
+tot AS (SELECT SUM(c12) AS t FROM bg)
+SELECT w1, w2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(c1 AS BIGINT) AS c1,
+       CAST(c2 AS BIGINT) AS c2,
+       ROUND(ln((CAST(c12 AS DOUBLE) * t) / (CAST(c1 AS DOUBLE) * c2)), 6)
+         AS pmi
+FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE c12 >= 5
+  AND CAST(c12 AS HUGEINT) * t > CAST(c1 AS HUGEINT) * c2
+ORDER BY c12 DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register(
+    "x32_pmi_collocations",
+    oracle=_X32_ORACLE,
+    tags=("text", "collocation"),
+)
+def x32_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation extraction (Church & Hanks 1990): the top-20
+    most frequent bigrams whose pointwise mutual information is
+    POSITIVE — word pairs that co-occur more than their unigram
+    frequencies predict ("new york", not "of the") — the standard
+    phrase-mining primitive for tokenizer vocab seeding and corpus
+    fingerprinting; x14 scores documents UNDER the bigram LM, x32
+    reports the LM's own strongest transitions.
+
+    Determinism: the PMI>0 gate is INTEGER cross-multiplication
+    (c12·T > c1·c2 — DECIMAL/HUGEINT, no float boundary), and the
+    top-20 selection orders by (c12 DESC, w1, w2) — integers and
+    strings only; ln() appears solely in the reported 6dp column.
+    Shape for 100 TB: bigrams form IN-ROW (x14's slice-zip — no
+    window, no self-join); ONE explode feeds ONE (w1,w2) groupBy;
+    c1/c2/T are derived from that bigram-cardinality frame (not
+    re-scans of the token stream), which is checkpointed once and
+    feeds all four consumers; the final ranking is a
+    TakeOrderedAndProject over the c12>=5 survivors."""
+    from ..plans.layout import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n = F.size(toks)
+    pairs_arr = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = (
+        spread_for_compute(docs, "doc_id")
+        .select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        # feeds the survivors join AND the c1/c2/T derivations
+        .localCheckpoint(eager=True)
+    )
+    lft = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    rgt = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = bg.agg(F.sum("c12").alias("t"))
+    return (
+        bg.filter(F.col("c12") >= 5)
+        .join(lft, "w1")
+        .join(rgt, "w2")
+        .join(F.broadcast(tot))
+        .filter(
+            F.col("c12").cast("decimal(38,0)") * F.col("t")
+            > F.col("c1").cast("decimal(38,0)") * F.col("c2")
+        )
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            _r6(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("t"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(20)
+    )

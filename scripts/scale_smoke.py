@@ -344,6 +344,9 @@ QUERIES = [
     # r12: source-contamination matrix (documents; distinct grams ->
     # gram-keyed self-join bounded by source-count^2 fanout)
     "c23_source_contamination_matrix",
+    # r12: PMI collocations (documents; in-row bigrams -> one (w1,w2)
+    # groupBy; c1/c2/T derived from the bigram-cardinality frame)
+    "x32_pmi_collocations",
 ]
 
 

@@ -1020,3 +1020,60 @@ def test_c23_contamination_known_values(spark, tmp_path):
     assert out[("a", "b")]["containment"] == 0.5
     assert out[("b", "a")]["n_grams_a"] == 1
     assert out[("b", "a")]["containment"] == 1.0
+
+
+def test_x32_pmi_collocations_gates_and_values(spark, tmp_path):
+    """Hand-checkable corpus: (u,v) is as frequent as the collocations
+    but its unigrams over-predict it (negative PMI -> excluded by the
+    integer cross-multiplication gate); (q,r) has sky-high PMI but only
+    4 occurrences (excluded by the c12>=5 floor); (u,w) and (z,v) pass
+    both gates with PMI = ln(5*19/50) = ln(1.9)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    texts = ["u v"] * 5 + ["u w"] * 5 + ["z v"] * 5 + ["q r"] * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([3] * len(texts), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = CATALOG["x32_pmi_collocations"].fn(spark, str(tmp_path)).collect()
+    got = [(r["w1"], r["w2"], r["c12"], r["c1"], r["c2"], r["pmi"]) for r in rows]
+    want_pmi = round(math.log(5 * 19 / (10 * 5)), 6)
+    assert got == [
+        ("u", "w", 5, 10, 5, want_pmi),
+        ("z", "v", 5, 5, 10, want_pmi),
+    ]
+
+
+def test_x32_exact_independence_is_not_a_collocation(spark, tmp_path):
+    """A corpus whose every bigram sits at EXACT independence
+    (c12*T == c1*c2) yields zero collocations — the gate is strict,
+    and being frequent (or even perfectly predictable: one repeated
+    bigram has PMI exactly 0) does not qualify."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    texts = ["a b"] * 5 + ["a c"] * 5 + ["d b"] * 5 + ["d c"] * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([3] * len(texts), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    assert CATALOG["x32_pmi_collocations"].fn(spark, str(tmp_path)).count() == 0
