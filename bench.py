@@ -347,6 +347,9 @@ HEADLINE = [
     # r12: PMI collocations are a corpus n-gram batch pass (in-row
     # bigrams -> one groupBy + bigram-frame algebra, like x14)
     "x32_pmi_collocations",
+    # r12: MAD is a read-shaped keyed-window stat query (a31's
+    # one-exchange rank shape, twice on the same partitioning)
+    "a33_mad_robust_scale",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

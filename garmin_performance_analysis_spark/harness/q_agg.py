@@ -1515,3 +1515,120 @@ def a32_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "a33_mad_robust_scale",
+    oracle="""
+WITH base AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type, MIN(value) AS median
+  FROM ranked WHERE rk * 2 >= n GROUP BY 1
+),
+dev AS (
+  SELECT r.event_type, r.event_id, r.n, m.median,
+         ABS(r.value - m.median) AS dev
+  FROM ranked r JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dev ASC, event_id ASC) AS rk2
+  FROM dev
+),
+mad AS (
+  SELECT event_type, MIN(dev) AS mad
+  FROM r2 WHERE rk2 * 2 >= n GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(MAX(d.n) AS BIGINT) AS n,
+       MAX(d.median) AS median,
+       MAX(ma.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 4.4478 * ma.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers_3mad
+FROM dev d JOIN mad ma USING (event_type)
+GROUP BY 1
+""",
+    tags=("agg", "stats"),
+)
+def a33_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per key + robust-z outlier count —
+    the robust SCALE statistic completing the robust kit whose
+    location members are a31 (trimmed), a32 (winsorized) and the
+    grid medians: MAD is the 50%-breakdown scale estimate
+    (1.4826·MAD ≈ σ under normality), and ``|x − med| > 3·1.4826·MAD``
+    is the outlier gate that, unlike w1's z-score, cannot be masked
+    by the outliers inflating their own stddev.
+
+    Determinism without float synthesis: both medians use the LOW-
+    median selection rule (a25's ``MIN(x) WHERE rank·2 ≥ n`` with the
+    unique event_id tiebreak), so ``median`` is a raw data value,
+    ``dev`` is one exact IEEE subtraction of identical doubles, and
+    ``mad`` is a selected ``dev`` — no midpoint averaging, nothing
+    rounded (the verify-skill median-ulp hazard never arises).  The
+    4.4478 threshold literal parses to the same double in both
+    engines and multiplies exactly.
+
+    Shape for 100 TB: ONE keyed exchange — the rank window hashes by
+    event_type; the 5-row median and MAD frames broadcast back onto
+    it, and the second rank window plus the final agg reuse the same
+    partitioning (sort-only, no further exchange); group sizes bound
+    window state."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w1 = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w1).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rk") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median"))
+    )
+    dev = ranked.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("event_id").asc()
+    )
+    mad = (
+        dev.select("event_type", "dev", "n", F.row_number().over(w2).alias("rk2"))
+        .filter(F.col("rk2") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 4.4478 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers_3mad"),
+        )
+    )

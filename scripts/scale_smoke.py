@@ -347,6 +347,9 @@ QUERIES = [
     # r12: PMI collocations (documents; in-row bigrams -> one (w1,w2)
     # groupBy; c1/c2/T derived from the bigram-cardinality frame)
     "x32_pmi_collocations",
+    # r12: MAD robust scale (events; one keyed exchange, two rank
+    # windows on the same partitioning + broadcast medians)
+    "a33_mad_robust_scale",
 ]
 
 

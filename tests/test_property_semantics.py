@@ -2346,3 +2346,35 @@ def test_x29_diversity_matches_bruteforce(spark, tmp_path_factory, n_docs, seed)
             cross = sum(c for g, c in grams.items() if len(docs_with[src][n][g]) >= 2)
             want = round(cross / tot, 6) if tot else None
             assert (r[col] is None and want is None) or abs(r[col] - want) < 1e-9, (src, n, seed)
+
+
+def test_a33_mad_matches_bruteforce_low_median(spark, sf_dir):
+    """Per group: median/mad equal the brute-force LOW-median
+    (element at index ceil(n/2)-1 of the sorted values; ties broken
+    upstream by event_id never change the VALUE selected), and the
+    outlier count equals the dumb |x - med| > 3*1.4826*mad scan."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["a33_mad_robust_scale"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+
+    def low_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for r in rows:
+        vals = list(ev[ev["event_type"] == r["event_type"]]["value"])
+        med = low_median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = low_median(devs)
+        assert r["n"] == len(vals)
+        assert r["median"] == med
+        assert r["mad"] == mad
+        assert r["n_outliers_3mad"] == sum(1 for d in devs if d > 4.4478 * mad)
