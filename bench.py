@@ -350,6 +350,9 @@ HEADLINE = [
     # r12: MAD is a read-shaped keyed-window stat query (a31's
     # one-exchange rank shape, twice on the same partitioning)
     "a33_mad_robust_scale",
+    # r12: MAP/P/R serving audit is an eval batch job like o13
+    # (exact gold = |Q| x N cosines; system path k-bounded)
+    "o14_map_precision_recall",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -382,6 +385,7 @@ BATCH_JOBS = {
     "x25_auc_discrimination",
     "a29_poisson_bootstrap",
     "o13_mrr_hit_eval",
+    "o14_map_precision_recall",
     "m17_isotonic_calibration",
     "c19_split_leakage_audit",
     "x28_good_turing",

@@ -3200,3 +3200,189 @@ def x32_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+def _o14_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, {n}),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+    def cos(a: str, b: str, n: int) -> str:
+        d = dot.format(a=a, b=b, n=n)
+        na = "sqrt(" + dot.format(a=a, b=a, n=n) + ")"
+        nb = "sqrt(" + dot.format(a=b, b=b, n=n) + ")"
+        return f"({d}) / ({na} * {nb})"
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         {cos('e.embedding', 'q.qe', 16)} AS p_cosine,
+         {cos('e.embedding', 'q.qe', 64)} AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+sys AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM (
+    SELECT qid, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY p_cosine DESC, vec_id ASC) AS prk
+    FROM pairs) WHERE prk <= 50
+),
+gold AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS grk
+    FROM pairs) WHERE grk <= 5
+),
+hits AS (
+  SELECT s.qid, s.rk,
+         ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.rk ASC) AS hit_idx
+  FROM sys s JOIN gold g ON g.qid = s.qid AND g.vec_id = s.vec_id
+  WHERE s.rk <= 10
+),
+per_hit AS (
+  SELECT qid, COUNT(*) AS n_hits,
+         SUM(CAST(ROUND(hit_idx * 1.0 / rk, 6) AS DECIMAL(18,6))) AS ap_sum
+  FROM hits GROUP BY qid
+),
+per_q AS (
+  SELECT q.qid AS query_id,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits_at_10,
+         ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS precision_at_10,
+         ROUND(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_10,
+         ROUND(CAST(COALESCE(h.ap_sum, 0) AS DOUBLE) / 5.0, 6) AS ap_at_10
+  FROM q LEFT JOIN per_hit h ON h.qid = q.qid
+),
+macro AS (
+  SELECT ROUND(CAST(SUM(CAST(ap_at_10 AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS map_at_10
+  FROM per_q
+)
+SELECT query_id, n_hits_at_10, precision_at_10, recall_at_10, ap_at_10,
+       macro.map_at_10
+FROM per_q, macro
+"""
+
+
+@register(
+    "o14_map_precision_recall",
+    oracle=_o14_oracle(),
+    tags=("retrieval", "evaluation"),
+)
+def o14_map_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + precision@10 + recall@10 of the Matryoshka serving
+    path (v11's 16-dim prefix shortlist → exact re-rank) against the
+    exact full-dimension top-5 as graded-set gold — the SET-overlap
+    eval completing the ranking family: o9 grades one ranking (nDCG),
+    o13 asks where the single true NN lands (MRR), o14 asks how much
+    of the relevant SET the served page recovers and how early
+    (average precision).  Gold size 5 vs page size 10 keeps precision
+    and recall distinct numbers.
+
+    Determinism: all rankings are (cosine DESC, vec_id) windows; AP
+    terms are hit_idx/rk integer ratios rounded 6dp and summed in
+    DECIMAL(18,6) (o13's order-independent mean convention); n_hits
+    is integer; queries whose page misses every gold member emit the
+    explicit zero row.  Shape for 100 TB: the o13 shape verbatim —
+    FIXED 10-query benchmark broadcast against the corpus, query-
+    keyed windows only, eval linear in N; the system side touches
+    prefix bytes + 50 full vectors per query, exact gold is the
+    store-once expensive half."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_qv"),
+        F.slice(F.col("embedding"), 1, 16).alias("_qp"),
+    )
+    pairs = (
+        emb.select("vec_id", "embedding", F.slice("embedding", 1, 16).alias("_pv"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                similarity._dot("_pv", "_qp")
+                / (similarity._norm("_pv") * similarity._norm("_qp"))
+            ).alias("p_cosine"),
+            (
+                similarity._dot("embedding", "_qv")
+                / (similarity._norm("embedding") * similarity._norm("_qv"))
+            ).alias("cosine"),
+        )
+    )
+    w_pref = Window.partitionBy("qid").orderBy(
+        F.col("p_cosine").desc(), F.col("vec_id").asc()
+    )
+    w_full = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    sys_rank = (
+        pairs.withColumn("prk", F.row_number().over(w_pref))
+        .filter(F.col("prk") <= 50)
+        .withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", "rk")
+    )
+    gold = (
+        pairs.withColumn("grk", F.row_number().over(w_full))
+        .filter(F.col("grk") <= 5)
+        .select("qid", "vec_id")
+    )
+    w_hit = Window.partitionBy("qid").orderBy(F.col("rk").asc())
+    hits = (
+        sys_rank.join(gold, ["qid", "vec_id"])
+        .withColumn("hit_idx", F.row_number().over(w_hit))
+    )
+    per_hit = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(
+            F.round(F.col("hit_idx") * 1.0 / F.col("rk"), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("ap_sum"),
+    )
+    per_q = (
+        qdf.select("qid")
+        .join(per_hit, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits_at_10"),
+            _r6(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0).alias(
+                "precision_at_10"
+            ),
+            _r6(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0).alias(
+                "recall_at_10"
+            ),
+            _r6(
+                F.coalesce(F.col("ap_sum"), F.lit(0).cast("decimal(18,6)"))
+                .cast("double")
+                / 5.0
+            ).alias("ap_at_10"),
+        )
+    )
+    macro = per_q.agg(
+        _r6(
+            F.sum(F.col("ap_at_10").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("map_at_10")
+    )
+    return per_q.crossJoin(F.broadcast(macro)).select(
+        "query_id",
+        "n_hits_at_10",
+        "precision_at_10",
+        "recall_at_10",
+        "ap_at_10",
+        "map_at_10",
+    )

@@ -350,6 +350,9 @@ QUERIES = [
     # r12: MAD robust scale (events; one keyed exchange, two rank
     # windows on the same partitioning + broadcast medians)
     "a33_mad_robust_scale",
+    # r12: MAP/P/R serving audit (embeddings; the o13 fixed-query
+    # broadcast shape — eval linear in N)
+    "o14_map_precision_recall",
 ]
 
 

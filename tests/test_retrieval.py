@@ -1077,3 +1077,50 @@ def test_x32_exact_independence_is_not_a_collocation(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     assert CATALOG["x32_pmi_collocations"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_o14_map_matches_bruteforce(spark, sf_dir):
+    """Against the real sf table: recompute the full o14 semantics in
+    numpy (prefix-cosine shortlist of 50, exact re-rank page of 10,
+    exact top-5 gold, AP from 6dp-rounded hit_idx/rk terms) and
+    demand equality per query and for the macro MAP."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {
+        r["query_id"]: r
+        for r in CATALOG["o14_map_precision_recall"].fn(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    aps = []
+    for qid in range(10):
+        q = emb[qid]
+        cand = [v for v in emb if v != qid]
+        full = {v: cos(emb[v], q) for v in cand}
+        pref = {v: cos(emb[v][:16], q[:16]) for v in cand}
+        short = sorted(cand, key=lambda v: (-pref[v], v))[:50]
+        page = sorted(short, key=lambda v: (-full[v], v))[:10]
+        gold = set(sorted(cand, key=lambda v: (-full[v], v))[:5])
+        hit_terms, n_hits = [], 0
+        for rk, v in enumerate(page, start=1):
+            if v in gold:
+                n_hits += 1
+                hit_terms.append(round(n_hits / rk, 6))
+        ap = round(sum(hit_terms) / 5.0, 6)
+        aps.append(ap)
+        r = rows[qid]
+        assert r["n_hits_at_10"] == n_hits
+        assert r["precision_at_10"] == round(n_hits / 10.0, 6)
+        assert r["recall_at_10"] == round(n_hits / 5.0, 6)
+        assert abs(r["ap_at_10"] - ap) < 2e-6
+    want_map = round(sum(aps) / 10.0, 6)
+    assert abs(rows[0]["map_at_10"] - want_map) < 2e-6
