@@ -353,6 +353,9 @@ HEADLINE = [
     # r12: MAP/P/R serving audit is an eval batch job like o13
     # (exact gold = |Q| x N cosines; system path k-bounded)
     "o14_map_precision_recall",
+    # r12: HITS is a graph batch job like g1 (6 half-steps of
+    # node-keyed join + DECIMAL-sum agg)
+    "g8_hits",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -455,6 +458,7 @@ BATCH_JOBS = {
     "i6_stream_session_replay",
     "i7_cdc_versioned_replay",
     "g1_pagerank",
+    "g8_hits",
     "s8_csv_roundtrip",
     # r8: Bloom decontamination is a corpus batch pass like d6
     "d9_bloom_decontaminate",

@@ -483,3 +483,82 @@ def g7_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_degree"
         ),
     )
+
+
+def _g8_half(i: int, tag: str, prev: str, from_c: str, to_c: str) -> str:
+    return f"""
+{tag}r{i} AS (
+  SELECT e.{to_c} AS node,
+         CAST(SUM(CAST(p._s AS DECIMAL(38,18))) AS DOUBLE) AS m
+  FROM edges e JOIN {prev} p ON e.{from_c} = p.node
+  GROUP BY e.{to_c}
+),
+{tag}f{i} AS (
+  SELECT nodes.node, COALESCE({tag}r{i}.m, 0.0) AS m
+  FROM nodes LEFT JOIN {tag}r{i} ON nodes.node = {tag}r{i}.node
+),
+{tag}t{i} AS (
+  SELECT CAST(SUM(CAST(m AS DECIMAL(38,18))) AS DOUBLE) AS t FROM {tag}f{i}
+),
+{tag}{i} AS (
+  SELECT node, m / (SELECT t FROM {tag}t{i}) AS _s FROM {tag}f{i}
+)"""
+
+
+def _g8_oracle() -> str:
+    halves = []
+    prev = "h0"
+    for i in (1, 2, 3):
+        halves.append(_g8_half(i, "a", prev, "src", "dst"))
+        halves.append(_g8_half(i, "h", f"a{i}", "dst", "src"))
+        prev = f"h{i}"
+    its = ",".join(halves)
+    return f"""
+WITH u AS (SELECT MAX(user_id) + 1 AS n FROM events),
+edges AS (
+  SELECT user_id AS src,
+         (user_id + 1 + event_id % 7) % (SELECT n FROM u) AS dst
+  FROM events
+),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+h0 AS (SELECT node, 1.0 AS _s FROM nodes),
+{its}
+SELECT a3.node AS user_id,
+       ROUND(a3._s * nn.n_nodes, 6) AS authority_x_n,
+       ROUND(h3._s * nn.n_nodes, 6) AS hub_x_n
+FROM a3 JOIN h3 ON a3.node = h3.node CROSS JOIN nn
+"""
+
+
+@register("g8_hits", oracle=_g8_oracle(), tags=("graph",))
+def g8_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores (Kleinberg 1999;
+    3 unrolled iterations, L1 normalization after every half-step)
+    over g1's event-derived interaction graph — the bipartite-role
+    complement of PageRank: g1 ranks by received mass under a random
+    surfer, g8 separates GOOD SOURCES (hubs pointing at strong
+    authorities) from GOOD TARGETS (authorities pointed at by strong
+    hubs), the classic link-analysis pair; ``operators/graph.
+    hits_fixed``.  The oracle unrolls the SAME six half-steps in
+    CTEs; every aggregation sums DECIMAL(38,18)-quantized terms so
+    shuffle order never shows, and both engines divide identical
+    doubles for the L1 normalization — agreement to the 6dp rounding
+    of score·N.  Scale shape per half-step: one node-keyed join + one
+    DECIMAL-sum agg + one left join + a broadcast 1-row L1 total —
+    PageRank's propagation cost with alternating edge direction."""
+    from ..operators.graph import hits_fixed
+
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1  # bounded 1-row
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + 1 + F.col("event_id") % 7) % n_users).alias("dst"),
+    )
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    hits = hits_fixed(edges, nodes, "src", "dst", "node", iters=3)
+    return hits.select(
+        F.col("node").alias("user_id"),
+        _r6(F.col("authority") * n_users).alias("authority_x_n"),
+        _r6(F.col("hub") * n_users).alias("hub_x_n"),
+    )

@@ -297,3 +297,68 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def hits_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) unrolled ``iters`` times
+    from the all-ones hub vector, L1-normalized after every half-step:
+    ``a'(v) = Σ_{u→v} h(u) / Σ a'``, ``h'(u) = Σ_{u→v} a'(v) / Σ h'``.
+    Multi-edges contribute once each, like :func:`pagerank_fixed`.
+
+    Scale shape per half-step: one node-keyed join (edge list ×
+    score vector), one DECIMAL(38,18)-sum aggregation (shuffle-order-
+    independent, so an unrolled SQL oracle matches bit-for-bit), one
+    left join back to the node list for zero-degree sides, and a
+    1-row L1 total broadcast back for the normalization — the same
+    Pregel-style propagation as PageRank with the transpose edge
+    direction alternating.
+    """
+
+    def _half(score: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            edges.join(score, edges[from_col] == score[node_col])
+            .groupBy(F.col(to_col).alias("_to"))
+            .agg(
+                F.sum(F.col("_s").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_m")
+            )
+        )
+        filled = (
+            nodes.join(raw, nodes[node_col] == raw["_to"], "left")
+            .select(
+                F.col(node_col),
+                F.coalesce(F.col("_m"), F.lit(0.0)).alias("_m"),
+            )
+            # node-cardinality frame feeding BOTH the L1 total and the
+            # normalized output: without this checkpoint the diamond
+            # doubles the re-executed lineage at every half-step
+            # (2^6 recomputes over 3 iterations — measured 566
+            # exchanges before, ~30 after)
+            .localCheckpoint(eager=True)
+        )
+        total = filled.agg(
+            F.sum(F.col("_m").cast("decimal(38,18)")).cast("double").alias("_t")
+        )
+        return filled.crossJoin(F.broadcast(total)).select(
+            F.col(node_col), (F.col("_m") / F.col("_t")).alias("_s")
+        )
+
+    h = nodes.select(F.col(node_col), F.lit(1.0).alias("_s"))
+    a = None
+    for _ in range(iters):
+        a = _half(h, src_col, dst_col)
+        h = _half(a, dst_col, src_col)
+    return (
+        a.select(F.col(node_col), F.col("_s").alias("authority"))
+        .join(
+            h.select(F.col(node_col), F.col("_s").alias("hub")), node_col
+        )
+    )

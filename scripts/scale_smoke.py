@@ -353,6 +353,9 @@ QUERIES = [
     # r12: MAP/P/R serving audit (embeddings; the o13 fixed-query
     # broadcast shape — eval linear in N)
     "o14_map_precision_recall",
+    # r12: HITS (events; 6 half-steps of node-keyed join + DECIMAL
+    # agg over the g1 graph — work scales with the edge scan)
+    "g8_hits",
 ]
 
 

@@ -1900,3 +1900,31 @@ def test_t20_constant_series_picks_earliest_split(spark, tmp_path):
     assert r["split_t"] == 1 and r["sse_gain"] == 0.0
     assert r["mean_before"] == 5.0 and r["mean_after"] == 5.0
     assert r["change_day"] == "2024-01-01"
+
+
+def test_g8_hits_matches_numpy(spark, sf_dir):
+    """g8's authority/hub vectors equal a dense numpy recomputation of
+    3 L1-normalized HITS iterations over the same generated edge
+    list (multi-edge multiplicities preserved)."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id").collect()
+    n = max(r["user_id"] for r in ev) + 1
+    A = np.zeros((n, n))
+    for r in ev:
+        A[r["user_id"], (r["user_id"] + 1 + r["event_id"] % 7) % n] += 1.0
+    h = np.ones(n)
+    for _ in range(3):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    rows = CATALOG["g8_hits"].fn(spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        u = r["user_id"]
+        assert abs(r["authority_x_n"] - a[u] * n) < 1e-4
+        assert abs(r["hub_x_n"] - h[u] * n) < 1e-4
