@@ -356,6 +356,9 @@ HEADLINE = [
     # r12: HITS is a graph batch job like g1 (6 half-steps of
     # node-keyed join + DECIMAL-sum agg)
     "g8_hits",
+    # r12: Ljung-Box is a read-shaped keyed-window stat query (the
+    # t15 one-exchange shape with a 7-deep lag buffer)
+    "t21_ljung_box",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

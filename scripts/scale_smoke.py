@@ -356,6 +356,9 @@ QUERIES = [
     # r12: HITS (events; 6 half-steps of node-keyed join + DECIMAL
     # agg over the g1 graph — work scales with the edge scan)
     "g8_hits",
+    # r12: Ljung-Box (events; one user-keyed exchange: daily agg +
+    # centering window + 7 LAGs + moment agg)
+    "t21_ljung_box",
 ]
 
 

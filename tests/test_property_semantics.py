@@ -2378,3 +2378,44 @@ def test_a33_mad_matches_bruteforce_low_median(spark, sf_dir):
         assert r["median"] == med
         assert r["mad"] == mad
         assert r["n_outliers_3mad"] == sum(1 for d in devs if d > 4.4478 * mad)
+
+
+def test_t21_ljung_box_matches_numpy(spark, sf_dir):
+    """Q statistic equals the textbook numpy recomputation over the
+    same per-user daily-mean series (ACF with the mean subtracted,
+    denominator = total sum of squares, Q = n(n+2) sum r_k^2/(n-k)),
+    and the verdict is exactly Q > 14.067."""
+    import numpy as np
+    import pandas as pd
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in CATALOG["t21_ljung_box"].fn(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).toPandas()
+    daily = (
+        ev.groupby(["user_id", "day"])["value"].mean().reset_index()
+    )
+    for uid, g in daily.groupby("user_id"):
+        x = g.sort_values("day")["value"].to_numpy(dtype=float)
+        n = len(x)
+        if n < 15:
+            assert uid not in rows
+            continue
+        d = x - x.mean()
+        denom = float(d @ d)
+        if denom <= 0:
+            assert uid not in rows
+            continue
+        q = 0.0
+        for k in range(1, 8):
+            rk = float(d[k:] @ d[:-k]) / denom
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        r = rows[uid]
+        assert r["n_days"] == n
+        assert abs(r["q_stat"] - q) < 1e-4, (uid, r["q_stat"], q)
+        assert r["not_white_noise"] == (1 if q > 14.067 else 0)
