@@ -359,6 +359,9 @@ HEADLINE = [
     # r12: Ljung-Box is a read-shaped keyed-window stat query (the
     # t15 one-exchange shape with a 7-deep lag buffer)
     "t21_ljung_box",
+    # r12: kappa is a corpus eval batch pass (the x23 scan + a 1-row
+    # integer reduction)
+    "x33_judge_agreement_kappa",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -402,6 +405,7 @@ BATCH_JOBS = {
     "x31_tokenizer_fertility",
     "c23_source_contamination_matrix",
     "x32_pmi_collocations",
+    "x33_judge_agreement_kappa",
     "x17_trigram_backoff",
     "m5c_huber_irls",
     "d4b_simhash_pairs",

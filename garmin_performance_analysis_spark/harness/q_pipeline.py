@@ -2714,3 +2714,139 @@ def c21_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("budget_tokens"),
         _r6(F.col("lam")).alias("water_level"),
     )
+
+
+def _x33_oracle() -> str:
+    score_cols = []
+    for lang, markers in text.LANG_MARKERS.items():
+        marker_in = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '),"
+            f" x -> x IN ({marker_in}))) AS score_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN score_{lang} = {best} AND {best} > 0"
+            f" THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM documents),
+j AS (SELECT doc_id, lang AS true_lang, {pred} AS predicted_lang FROM s),
+per_true AS (
+  SELECT true_lang AS cls, COUNT(*) AS support,
+         SUM(CASE WHEN predicted_lang = true_lang THEN 1 ELSE 0 END) AS tp
+  FROM j GROUP BY 1
+),
+per_pred AS (
+  SELECT predicted_lang AS cls, COUNT(*) AS predicted_n FROM j GROUP BY 1
+),
+cls AS (
+  SELECT COALESCE(t.cls, p.cls) AS cls,
+         CAST(COALESCE(t.support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(p.predicted_n, 0) AS BIGINT) AS predicted_n
+  FROM per_true t FULL OUTER JOIN per_pred p ON t.cls = p.cls
+),
+tot AS (
+  SELECT CAST(SUM(support) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(tp) AS BIGINT) AS agree,
+         SUM(CAST(support AS HUGEINT) * predicted_n) AS s_marg
+  FROM cls
+)
+SELECT n AS n_docs, n_classes, agree,
+       ROUND(agree * 1.0 / n, 6) AS observed_agreement,
+       ROUND(CAST(s_marg AS DOUBLE) / (CAST(n AS HUGEINT) * n), 6)
+         AS expected_agreement,
+       CASE WHEN CAST(n AS HUGEINT) * n > s_marg
+            THEN ROUND(CAST(CAST(agree AS HUGEINT) * n - s_marg AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n - s_marg AS DOUBLE), 6)
+       END AS kappa
+FROM tot
+"""
+
+
+@register(
+    "x33_judge_agreement_kappa",
+    oracle=_x33_oracle(),
+    tags=("text", "eval"),
+)
+def x33_judge_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the x2 language-ID judge and the ground-
+    truth labels — CHANCE-CORRECTED agreement, the inter-rater
+    statistic an LLM-judge pipeline publishes next to raw accuracy
+    (x23 reports per-class confusion; x33 answers the one-number
+    question "does the judge agree with gold more than marginal
+    guessing would": a judge that always predicts the majority class
+    can score high accuracy but κ ≈ 0).
+
+    Fully INTEGER-derived determinism: κ = (agree·N − Σ_c
+    support_c·predicted_n_c) / (N² − Σ_c support_c·predicted_n_c) —
+    numerator and denominator are exact integer expressions
+    (DECIMAL(38,0)/HUGEINT products, overflow-safe at 100 TB corpus
+    counts), so observed/expected agreement and κ itself are single
+    divisions of identical integers rounded 6dp; the degenerate
+    pe = 1 case (every marginal mass on one class) emits NULL
+    identically.  Shape for 100 TB: the x23 scan — in-row scorer +
+    two class-cardinality aggs + a class-cardinality outer join —
+    then a 1-row integer reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.language_id(docs, "doc_id", "text").select(
+        "doc_id", "predicted_lang"
+    )
+    j = pred.join(
+        docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    )
+    per_true = j.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(
+            (F.col("predicted_lang") == F.col("true_lang")).cast("long")
+        ).alias("tp"),
+    )
+    per_pred = j.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("predicted_n")
+    )
+    cls = (
+        per_true.join(per_pred, "cls", "full_outer")
+        .select(
+            F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias(
+                "support"
+            ),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("predicted_n"), F.lit(0))
+            .cast("bigint")
+            .alias("predicted_n"),
+        )
+    )
+    tot = cls.agg(
+        F.sum("support").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("tp").cast("bigint").alias("agree"),
+        F.sum(
+            F.col("support").cast("decimal(38,0)") * F.col("predicted_n")
+        ).alias("s_marg"),
+    )
+    n = F.col("n")
+    s_marg = F.col("s_marg")
+    nn = n.cast("decimal(38,0)") * n
+    return tot.select(
+        n.alias("n_docs"),
+        "n_classes",
+        "agree",
+        _r6(F.col("agree") * 1.0 / n).alias("observed_agreement"),
+        _r6(s_marg.cast("double") / nn.cast("double")).alias(
+            "expected_agreement"
+        ),
+        F.when(
+            nn > s_marg,
+            _r6(
+                (F.col("agree").cast("decimal(38,0)") * n - s_marg).cast(
+                    "double"
+                )
+                / (nn - s_marg).cast("double")
+            ),
+        ).alias("kappa"),
+    )

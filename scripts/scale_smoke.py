@@ -359,6 +359,9 @@ QUERIES = [
     # r12: Ljung-Box (events; one user-keyed exchange: daily agg +
     # centering window + 7 LAGs + moment agg)
     "t21_ljung_box",
+    # r12: kappa (documents; the x23 in-row scorer + class-
+    # cardinality aggs + 1-row integer reduction)
+    "x33_judge_agreement_kappa",
 ]
 
 

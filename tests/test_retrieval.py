@@ -1124,3 +1124,60 @@ def test_o14_map_matches_bruteforce(spark, sf_dir):
         assert abs(r["ap_at_10"] - ap) < 2e-6
     want_map = round(sum(aps) / 10.0, 6)
     assert abs(rows[0]["map_at_10"] - want_map) < 2e-6
+
+
+def test_x33_kappa_matches_sklearn_formula(spark, sf_dir):
+    """kappa equals the textbook (po - pe)/(1 - pe) recomputed in
+    Python from the same confusion counts, and a degenerate all-one-
+    class corpus yields NULL kappa (pe = 1)."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.pipelines import text
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    r = CATALOG["x33_judge_agreement_kappa"].fn(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        text.language_id(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "predicted_lang")
+        .collect()
+    )
+    n = len(pairs)
+    agree = sum(1 for p in pairs if p["lang"] == p["predicted_lang"])
+    classes = {p["lang"] for p in pairs} | {p["predicted_lang"] for p in pairs}
+    s_marg = sum(
+        sum(1 for p in pairs if p["lang"] == c)
+        * sum(1 for p in pairs if p["predicted_lang"] == c)
+        for c in classes
+    )
+    assert r["n_docs"] == n
+    assert r["agree"] == agree
+    assert r["n_classes"] == len(classes)
+    po, pe = agree / n, s_marg / (n * n)
+    assert abs(r["observed_agreement"] - round(po, 6)) < 1e-9
+    assert abs(r["expected_agreement"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - (agree * n - s_marg) / (n * n - s_marg)) < 2e-6
+
+
+def test_x33_degenerate_single_class_kappa_null(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    # every doc is the same english marker text and labeled 'en':
+    # judge and gold both put all mass on one class -> pe = 1 -> NULL
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["the and is", "the and is"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    r = CATALOG["x33_judge_agreement_kappa"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["observed_agreement"] == 1.0
+    assert r["expected_agreement"] == 1.0
+    assert r["kappa"] is None
