@@ -362,6 +362,9 @@ HEADLINE = [
     # r12: kappa is a corpus eval batch pass (the x23 scan + a 1-row
     # integer reduction)
     "x33_judge_agreement_kappa",
+    # r12: BH-FDR is a read-shaped keyed stat query (the t15 kernel
+    # + one bounded key-cardinality window)
+    "t22_bh_fdr",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1787,3 +1787,197 @@ def t21_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _t22_erfc_sql(x: str) -> str:
+    """Abramowitz-Stegun 7.1.26 erfc for x >= 0, written as the SAME
+    Horner chain the Spark side builds — identical literals, identical
+    association order, so both engines produce bit-identical doubles."""
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741) * {t}"
+        f" - 0.284496736) * {t} + 0.254829592) * {t})"
+    )
+    return f"({poly} * exp(-({x}) * ({x})))"
+
+
+def _t22_oracle() -> str:
+    z = "(r * sqrt(n))"
+    x = f"(abs({z}) / sqrt(2.0))"
+    p = _t22_erfc_sql(x)
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS dv
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT user_id, dv AS x,
+         LEAD(dv) OVER (PARTITION BY user_id ORDER BY day) AS y
+  FROM daily
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+),
+stat AS (
+  SELECT user_id, n,
+         (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS r
+  FROM m
+  WHERE n >= 3 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+),
+pv AS (
+  SELECT user_id, CAST(n AS BIGINT) AS n_pairs, {z} AS z_raw, {p} AS p_raw
+  FROM stat
+),
+ranked AS (
+  SELECT user_id, n_pairs, z_raw, p_raw,
+         ROW_NUMBER() OVER (ORDER BY p_raw ASC, user_id ASC) AS i,
+         COUNT(*) OVER () AS mtests
+  FROM pv
+),
+kstar AS (
+  SELECT *,
+         MAX(CASE WHEN p_raw <= 0.05 * i / mtests THEN i ELSE 0 END)
+           OVER () AS k_star,
+         SUM(CASE WHEN p_raw <= 0.05 THEN 1 ELSE 0 END) OVER () AS n_naive
+  FROM ranked
+)
+SELECT user_id, n_pairs,
+       ROUND(z_raw, 6) AS z_stat,
+       ROUND(p_raw, 6) AS p_value,
+       CAST(i AS BIGINT) AS p_rank,
+       ROUND(0.05 * i / mtests, 6) AS bh_critical,
+       CAST(CASE WHEN i <= k_star THEN 1 ELSE 0 END AS INTEGER) AS rejected,
+       CAST(k_star AS BIGINT) AS n_rejected,
+       CAST(n_naive AS BIGINT) AS n_naive_05
+FROM kstar
+"""
+
+
+@register(
+    "t22_bh_fdr",
+    oracle=_t22_oracle(),
+    tags=("timeseries", "stats", "eval"),
+)
+def t22_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction across the
+    per-key autocorrelation tests — the MULTIPLE-TESTING layer the
+    per-key test family (t15/t18/t21) needs at fleet scale: run one
+    test per key over thousands of keys and ~5% of null keys "fail"
+    at α=0.05 by construction; BH sorts the p-values, finds
+    k* = max{i : p_(i) ≤ α·i/m} and rejects exactly the first k*,
+    controlling the expected fraction of false alarms among the
+    alarms — the difference between an anomaly report someone reads
+    and one they mute.  Statistic: z = r₁·√n (the t15 lag-1
+    autocorrelation, asymptotically N(0,1) under whiteness);
+    two-sided p = erfc(|z|/√2) via the Abramowitz-Stegun 7.1.26
+    polynomial written as the SAME Horner chain in both programs —
+    plain arithmetic + exp, so the doubles are bit-identical and
+    every ≤ comparison (BH step-up, naive 0.05 count) lands
+    identically; nothing is rounded before a comparison.
+
+    Shape for 100 TB: the t15 one-exchange kernel per key, then BH on
+    the KEY-CARDINALITY frame — one bounded single-partition window
+    (bounded_partition_key convention: the frame is one row per user)
+    carrying the rank, m, k* and the naive count in a single pass."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+    from .registry import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dec_avg(F.col("value")).alias("dv")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = daily.select(
+        "user_id",
+        F.col("dv").alias("x"),
+        F.lead("dv").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+
+    def dsum(c, p=30):
+        return F.sum(c.cast(f"decimal({p},12)")).cast("double")
+
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    stat = m.filter(
+        (n >= 3) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+    ).select("user_id", n.alias("n"), r.alias("r"))
+    z = F.col("r") * F.sqrt(F.col("n"))
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+          - 0.284496736) * t + 0.254829592) * t
+    )
+    p_raw = poly * F.exp(-x * x)
+    pv = stat.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        z.alias("z_raw"),
+        p_raw.alias("p_raw"),
+    )
+    w_rank = Window.partitionBy(bounded_partition_key("user_id")).orderBy(
+        F.col("p_raw").asc(), F.col("user_id").asc()
+    )
+    w_all = Window.partitionBy(bounded_partition_key("user_id"))
+    ranked = pv.select(
+        "user_id",
+        "n_pairs",
+        "z_raw",
+        "p_raw",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("mtests"),
+    )
+    k_star = F.max(
+        F.when(
+            F.col("p_raw") <= 0.05 * F.col("i") / F.col("mtests"), F.col("i")
+        ).otherwise(0)
+    ).over(w_all)
+    n_naive = F.sum(
+        F.when(F.col("p_raw") <= 0.05, 1).otherwise(0)
+    ).over(w_all)
+    out = ranked.select(
+        "user_id",
+        "n_pairs",
+        "z_raw",
+        "p_raw",
+        "i",
+        "mtests",
+        k_star.alias("k_star"),
+        n_naive.alias("n_naive"),
+    )
+    return out.select(
+        "user_id",
+        "n_pairs",
+        _r6(F.col("z_raw")).alias("z_stat"),
+        _r6(F.col("p_raw")).alias("p_value"),
+        F.col("i").cast("bigint").alias("p_rank"),
+        _r6(0.05 * F.col("i") / F.col("mtests")).alias("bh_critical"),
+        F.when(F.col("i") <= F.col("k_star"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+        F.col("k_star").cast("bigint").alias("n_rejected"),
+        F.col("n_naive").cast("bigint").alias("n_naive_05"),
+    )

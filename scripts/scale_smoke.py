@@ -362,6 +362,9 @@ QUERIES = [
     # r12: kappa (documents; the x23 in-row scorer + class-
     # cardinality aggs + 1-row integer reduction)
     "x33_judge_agreement_kappa",
+    # r12: BH-FDR (events; t15 one-exchange kernel + BH on the
+    # key-cardinality frame in one bounded window)
+    "t22_bh_fdr",
 ]
 
 

