@@ -365,6 +365,10 @@ HEADLINE = [
     # r12: BH-FDR is a read-shaped keyed stat query (the t15 kernel
     # + one bounded key-cardinality window)
     "t22_bh_fdr",
+    # r12: centroid drift is a read-shaped embedding audit (one
+    # posexplode scan -> (label,dim) agg; pair algebra on the
+    # bounded centroid frame)
+    "v13_centroid_drift_matrix",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -3386,3 +3386,127 @@ def o14_map_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ap_at_10",
         "map_at_10",
     )
+
+
+_V13_ORACLE = """
+WITH dims AS (
+  SELECT label, i AS dim,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, 64)) AS g(i)
+  WHERE len(embedding) = 64
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM dims GROUP BY 1, 2
+),
+nrm AS (
+  SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS n2
+  FROM cent GROUP BY 1
+),
+cnt AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings WHERE len(embedding) = 64 GROUP BY 1
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+       ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS centroid_cosine
+FROM dots d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b
+JOIN cnt ca ON ca.label = d.label_a
+JOIN cnt cb ON cb.label = d.label_b
+"""
+
+
+@register(
+    "v13_centroid_drift_matrix",
+    oracle=_V13_ORACLE,
+    tags=("similarity", "drift", "eval"),
+)
+def v13_centroid_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding CENTROIDS — the
+    embedding-space drift/segregation audit complementing x30 (which
+    reads register drift at unigram resolution) and c17/a24 (scalar
+    drift): two labels whose centroids stay near-parallel occupy the
+    same semantic region (a classifier or an IVF index will confuse
+    them; a near-dup pass must run across them), near-orthogonal
+    centroids mean the label partitions the space (per-label ANN
+    indexes are safe).  v7 finds outlier VECTORS; v13 reads the
+    geometry of the label field itself.
+
+    Determinism: per-(label,dim) means are dec_avg (exact DECIMAL
+    sums / count); centroid dots and norms are DECIMAL(38,18)-
+    quantized products summed exactly (order-free), so the cosine is
+    one division of identical doubles, rounded 6dp.  Shape for
+    100 TB: one posexplode scan (N·64 rows, linear) → (label,dim)
+    agg that IS the only data-sized shuffle; everything after runs on
+    the label×64 centroid frame (bounded), checkpointed once for its
+    three consumers; the pair join fans out by label-count², never
+    by N."""
+    from .registry import dec_avg, dec_sum
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.size(F.col("embedding")) == 64
+    )
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(dec_avg(F.col("x")).alias("m"))
+        # label×64 frame feeding nrm + both sides of the pair join
+        .localCheckpoint(eager=True)
+    )
+    nrm = cent.groupBy("label").agg(
+        dec_sum(F.col("m") * F.col("m"), scale=18, precision=38).alias("n2")
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            dec_sum(F.col("ma") * F.col("mb"), scale=18, precision=38).alias(
+                "dot"
+            )
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(nrm.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))),
+            "label_b",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))),
+            "label_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            _r6(
+                F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b")))
+            ).alias("centroid_cosine"),
+        )
+    )

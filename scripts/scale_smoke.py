@@ -365,6 +365,9 @@ QUERIES = [
     # r12: BH-FDR (events; t15 one-exchange kernel + BH on the
     # key-cardinality frame in one bounded window)
     "t22_bh_fdr",
+    # r12: centroid drift (embeddings; posexplode -> (label,dim)
+    # agg, then label-count^2 pair algebra on the centroid frame)
+    "v13_centroid_drift_matrix",
 ]
 
 

@@ -1181,3 +1181,30 @@ def test_x33_degenerate_single_class_kappa_null(spark, tmp_path):
     assert r["observed_agreement"] == 1.0
     assert r["expected_agreement"] == 1.0
     assert r["kappa"] is None
+
+
+def test_v13_centroid_cosines_match_numpy(spark, sf_dir):
+    """Centroid cosines equal the dense numpy recomputation (per-label
+    mean vector, pairwise cosine), all 45 ordered pairs present."""
+    import numpy as np
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = CATALOG["v13_centroid_drift_matrix"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=float)
+        )
+    cents = {l: np.mean(v, axis=0) for l, v in by_label.items()}
+    labels = sorted(cents)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        want = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert r["label_a"] < r["label_b"]
+        assert r["n_a"] == len(by_label[r["label_a"]])
+        assert r["n_b"] == len(by_label[r["label_b"]])
+        assert abs(r["centroid_cosine"] - want) < 1e-5
