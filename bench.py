@@ -369,6 +369,9 @@ HEADLINE = [
     # posexplode scan -> (label,dim) agg; pair algebra on the
     # bounded centroid frame)
     "v13_centroid_drift_matrix",
+    # r12: minhash calibration is a dedup batch audit (the d3 banded
+    # path + candidate-only exact-verify join)
+    "d11_minhash_calibration",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -411,6 +414,7 @@ BATCH_JOBS = {
     "x30_unigram_js_source_drift",
     "x31_tokenizer_fertility",
     "c23_source_contamination_matrix",
+    "d11_minhash_calibration",
     "x32_pmi_collocations",
     "x33_judge_agreement_kappa",
     "x17_trigram_backoff",

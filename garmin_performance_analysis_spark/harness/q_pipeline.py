@@ -2850,3 +2850,158 @@ def x33_judge_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kappa"),
     )
+
+
+def _d11_oracle() -> str:
+    h1 = _hex_horner("d", 1, 15)
+    h2 = _hex_horner("d", 17, 12)
+    mins = ",\n         ".join(
+        f"min(h1 + {i} * h2) AS mh{i}" for i in range(_NUM_HASHES)
+    )
+    rows = _NUM_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        parts = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS bh FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    matches = " + ".join(
+        f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, {h1} AS h1, {h2} AS h2
+  FROM (SELECT doc_id, md5(shingle) AS d FROM sh)
+),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, ({matches}) AS nm
+  FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+              JOIN sig y ON c.doc_b = y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT e.nm, COALESCE(i.ni, 0) AS ni,
+         sa.sz + sb.sz - COALESCE(i.ni, 0) AS nu
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes sa ON sa.doc_id = e.doc_a
+  JOIN sizes sb ON sb.doc_id = e.doc_b
+)
+SELECT nm AS n_matching_components,
+       ROUND(nm / 16.0, 6) AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ni * 1.0 / nu AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_exact_jaccard,
+       ROUND(CAST(SUM(CAST(ni * 1.0 / nu AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*) - nm / 16.0, 6) AS bias
+FROM pairs GROUP BY nm
+"""
+
+
+@register(
+    "d11_minhash_calibration",
+    oracle=_d11_oracle(),
+    tags=("dedup", "eval"),
+)
+def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit: for EVERY LSH candidate
+    pair (no similarity floor — calibration needs the full range),
+    bin by the number of matching signature components m (the
+    estimate is exactly m/16, so the bin axis is INTEGER) and compare
+    against the EXACT shingle Jaccard computed on just those pairs —
+    the audit that tells you whether d3's 0.5 threshold means what
+    you think on YOUR corpus before a destructive dedup (MinHash is
+    unbiased per-component, but banding selects pairs that got lucky
+    in ≥1 band, so low-m candidate bins overestimate: selection
+    bias measured, not assumed — the eval-family treatment of the
+    dedup sketch).
+
+    Determinism: the bin key is an integer match count; exact Jaccard
+    is |A∩B|/|A∪B| of integer shingle counts; the per-bin mean is a
+    DECIMAL(38,12)-quantized sum of those identical ratios.  Shape
+    for 100 TB: the d3 banded path verbatim (candidates form only in
+    buckets), plus the exact-verify join — shingles of CANDIDATE
+    pairs only, the same cost the production verify step pays; the
+    report is a ≤17-row reduction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", _NUM_HASHES, n=3
+    ).localCheckpoint(eager=True)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, _NUM_HASHES, _BANDS, threshold=0.0
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("est_jaccard") * _NUM_HASHES).cast("int").alias("nm"),
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pairs = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "nm",
+            F.coalesce(F.col("ni"), F.lit(0)).alias("ni"),
+            (F.col("sza") + F.col("szb") - F.coalesce(F.col("ni"), F.lit(0))).alias(
+                "nu"
+            ),
+        )
+    )
+    exact_j = F.col("ni") * 1.0 / F.col("nu")
+    mean_raw = (
+        F.sum(exact_j.cast("decimal(38,12)")).cast("double") / F.count(F.lit(1))
+    )
+    return pairs.groupBy("nm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        _r6(mean_raw).alias("mean_exact_jaccard"),
+        _r6(mean_raw - F.col("nm") / 16.0).alias("bias"),
+    ).select(
+        F.col("nm").alias("n_matching_components"),
+        _r6(F.col("nm") / 16.0).alias("est_jaccard"),
+        "n_pairs",
+        "mean_exact_jaccard",
+        "bias",
+    )

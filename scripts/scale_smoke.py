@@ -368,6 +368,9 @@ QUERIES = [
     # r12: centroid drift (embeddings; posexplode -> (label,dim)
     # agg, then label-count^2 pair algebra on the centroid frame)
     "v13_centroid_drift_matrix",
+    # r12: minhash calibration (documents; d3 banded candidates +
+    # candidate-only exact shingle verify join)
+    "d11_minhash_calibration",
 ]
 
 

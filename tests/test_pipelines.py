@@ -1343,3 +1343,57 @@ def test_c21_waterfill_reference_saturating_case():
     assert abs(alloc["b"] - 300) < 1e-9
     assert abs(alloc["c"] - 200) < 1e-9
     assert abs(lam - 100) < 1e-9
+
+
+def test_d11_exact_duplicates_calibrate_to_one(spark, tmp_path):
+    """Two identical documents must land in the nm=16 bin with exact
+    Jaccard 1.0 and zero bias; two unrelated documents must not form a
+    candidate pair at all (banding admits no bucket match)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red orange yellow green blue indigo violet pink",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = CATALOG["d11_minhash_calibration"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_matching_components"] == 16
+    assert r["est_jaccard"] == 1.0
+    assert r["n_pairs"] == 1
+    assert r["mean_exact_jaccard"] == 1.0
+    assert r["bias"] == 0.0
+
+
+def test_d11_bins_are_consistent_on_sf(spark, sf_dir):
+    """On the real corpus: every bin's est is exactly nm/16, bias is
+    mean-est, means are valid Jaccards, and the selection-bias
+    direction holds in aggregate (low-m candidate bins overestimate:
+    bias <= 0 for nm <= 8 bins that exist)."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    rows = CATALOG["d11_minhash_calibration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        nm = r["n_matching_components"]
+        assert 0 <= nm <= 16
+        assert abs(r["est_jaccard"] - round(nm / 16.0, 6)) < 1e-9
+        assert 0.0 <= r["mean_exact_jaccard"] <= 1.0
+        assert abs(r["bias"] - round(r["mean_exact_jaccard"] - nm / 16.0, 6)) < 2e-6
+        if nm <= 8:
+            assert r["bias"] <= 0.0
