@@ -1574,7 +1574,8 @@ def a33_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique event_id tiebreak), so ``median`` is a raw data value,
     ``dev`` is one exact IEEE subtraction of identical doubles, and
     ``mad`` is a selected ``dev`` — no midpoint averaging, nothing
-    rounded (the verify-skill median-ulp hazard never arises).  The
+    rounded (the even-count-midpoint ulp hazard documented in
+    SCALING.md's median lessons never arises).  The
     4.4478 threshold literal parses to the same double in both
     engines and multiplies exactly.
 
