@@ -372,6 +372,9 @@ HEADLINE = [
     # r12: minhash calibration is a dedup batch audit (the d3 banded
     # path + candidate-only exact-verify join)
     "d11_minhash_calibration",
+    # r12: grouped mode is a read-shaped two-stage count-then-argmax
+    # (one data-sized exchange)
+    "a35_grouped_mode",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1633,3 +1633,73 @@ def a33_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers_3mad"),
         )
     )
+
+
+@register(
+    "a35_grouped_mode",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events
+  FROM counts GROUP BY 1
+),
+ranked AS (
+  SELECT user_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT r.user_id,
+       r.event_type AS mode_event_type,
+       CAST(r.c AS BIGINT) AS mode_count,
+       t.n_events,
+       ROUND(r.c * 1.0 / t.n_events, 6) AS mode_share
+FROM ranked r JOIN tot t USING (user_id)
+WHERE r.rk = 1
+""",
+    tags=("agg", "stats"),
+)
+def a35_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MODE — each key's most frequent category with its share
+    (the dominant-category primitive the profiling family lacked: a1
+    and the percentile kit read numeric columns, a35 answers "what
+    does this key mostly DO", the segmentation feature a churn or
+    routing model starts from).  Deterministic tiebreak: equal counts
+    resolve to the lexicographically-first category in BOTH engines,
+    so the mode is a pure integer/string decision.
+
+    Shape for 100 TB: the two-stage count-then-argmax — one
+    (key, category) groupBy with map-side partial aggregation absorbs
+    the raw volume; the rank window and the total agg then run on the
+    (key × category)-cardinality frame sharing the same key hash (one
+    data-sized exchange total)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    wt = Window.partitionBy("user_id")
+    return (
+        counts.select(
+            "user_id",
+            "event_type",
+            "c",
+            F.row_number().over(w).alias("rk"),
+            F.sum("c").over(wt).alias("n_events"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("c").cast("bigint").alias("mode_count"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            _r6(F.col("c") * 1.0 / F.col("n_events")).alias("mode_share"),
+        )
+    )

@@ -371,6 +371,9 @@ QUERIES = [
     # r12: minhash calibration (documents; d3 banded candidates +
     # candidate-only exact shingle verify join)
     "d11_minhash_calibration",
+    # r12: grouped mode (events; (key,category) groupBy then rank on
+    # the category-cardinality frame, one data-sized exchange)
+    "a35_grouped_mode",
 ]
 
 

@@ -1928,3 +1928,22 @@ def test_g8_hits_matches_numpy(spark, sf_dir):
         u = r["user_id"]
         assert abs(r["authority_x_n"] - a[u] * n) < 1e-4
         assert abs(r["hub_x_n"] - h[u] * n) < 1e-4
+
+
+def test_a35_mode_matches_pandas(spark, sf_dir):
+    """Mode, count, total and share match a pandas recomputation with
+    the same (count DESC, category ASC) tiebreak."""
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in CATALOG["a35_grouped_mode"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    for uid, g in ev.groupby("user_id"):
+        counts = g["event_type"].value_counts()
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = rows[uid]
+        assert r["mode_event_type"] == top[0]
+        assert r["mode_count"] == top[1]
+        assert r["n_events"] == len(g)
+        assert abs(r["mode_share"] - round(top[1] / len(g), 6)) < 1e-9
+    assert set(rows) == set(ev["user_id"].unique())
