@@ -375,6 +375,9 @@ HEADLINE = [
     # r12: grouped mode is a read-shaped two-stage count-then-argmax
     # (one data-sized exchange)
     "a35_grouped_mode",
+    # r12: context-budget curve is a corpus batch pass (one scan,
+    # broadcast x4 fanout, 4-group reduction)
+    "c25_context_budget_curve",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -418,6 +421,7 @@ BATCH_JOBS = {
     "x31_tokenizer_fertility",
     "c23_source_contamination_matrix",
     "d11_minhash_calibration",
+    "c25_context_budget_curve",
     "x32_pmi_collocations",
     "x33_judge_agreement_kappa",
     "x17_trigram_backoff",

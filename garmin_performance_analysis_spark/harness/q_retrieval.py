@@ -3510,3 +3510,110 @@ def v13_centroid_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+_C25_CTXS = (256, 512, 1024, 2048)
+
+_C25_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ctx AS (SELECT unnest([256, 512, 1024, 2048]) AS context_len),
+x AS (
+  SELECT ctx.context_len, c.n_tokens,
+         CASE WHEN c.n_tokens > ctx.context_len
+              THEN c.n_tokens - ctx.context_len ELSE 0 END AS trunc_lost,
+         CASE WHEN c.n_tokens = 0 THEN 0
+              ELSE ctx.context_len *
+                   ((c.n_tokens + ctx.context_len - 1) // ctx.context_len)
+                   - c.n_tokens END AS pad_tokens
+  FROM c CROSS JOIN ctx
+)
+SELECT context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tokens > context_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_over,
+       CAST(SUM(trunc_lost) AS BIGINT) AS trunc_lost_tokens,
+       ROUND(SUM(trunc_lost) * 1.0 / SUM(n_tokens), 6) AS trunc_lost_frac,
+       CAST(SUM(pad_tokens) AS BIGINT) AS pad_tokens,
+       ROUND(SUM(pad_tokens) * 1.0 /
+             (SUM(n_tokens) + SUM(pad_tokens)), 6) AS pad_frac
+FROM x GROUP BY 1
+"""
+
+
+@register(
+    "c25_context_budget_curve",
+    oracle=_C25_ORACLE,
+    tags=("prep", "text", "eval"),
+)
+def c25_context_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget curve: for each candidate context length
+    (256/512/1024/2048), what TRUNCATION loses (tokens beyond C,
+    docs affected) versus what PAD-TO-FIT wastes (padding to the next
+    multiple of C per document, no cross-doc packing) — the decision
+    audit run before fixing a training context and a packing strategy
+    (c7 then measures the third option, concat-and-chunk, whose cost
+    is boundary-split documents rather than lost or dead tokens).
+    Token counts use c7's exact tokenizer expression so the two
+    reports read the same corpus the same way.
+
+    All-INTEGER determinism: per-(doc, C) losses are integer ceiling
+    arithmetic; the report is integer sums with two 6dp ratio
+    columns.  Shape for 100 TB: ONE corpus scan computes the in-row
+    token count; the ×4 context fanout rides a broadcast 4-row frame
+    before a 4-group partial-aggregated reduction — no shuffle of
+    data-sized rows at all."""
+    from ..plans.layout import spread_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")
+    ).cast("bigint")
+    base = spread_for_compute(docs, "doc_id").select(n_tokens.alias("n_tokens"))
+    ctx = spark.createDataFrame(
+        [(c,) for c in _C25_CTXS], "context_len bigint"
+    )
+    x = base.crossJoin(F.broadcast(ctx)).select(
+        "context_len",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > F.col("context_len"),
+            F.col("n_tokens") - F.col("context_len"),
+        )
+        .otherwise(0)
+        .alias("trunc_lost"),
+        F.when(F.col("n_tokens") == 0, 0)
+        .otherwise(
+            F.col("context_len")
+            * F.floor(
+                (F.col("n_tokens") + F.col("context_len") - 1)
+                / F.col("context_len")
+            )
+            - F.col("n_tokens")
+        )
+        .alias("pad_tokens"),
+    )
+    return x.groupBy("context_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            (F.col("n_tokens") > F.col("context_len")).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_docs_over"),
+        F.sum("trunc_lost").cast("bigint").alias("trunc_lost_tokens"),
+        _r6(F.sum("trunc_lost") * 1.0 / F.sum("n_tokens")).alias(
+            "trunc_lost_frac"
+        ),
+        F.sum("pad_tokens").cast("bigint").alias("pad_tokens"),
+        _r6(
+            F.sum("pad_tokens")
+            * 1.0
+            / (F.sum("n_tokens") + F.sum("pad_tokens"))
+        ).alias("pad_frac"),
+    )

@@ -374,6 +374,9 @@ QUERIES = [
     # r12: grouped mode (events; (key,category) groupBy then rank on
     # the category-cardinality frame, one data-sized exchange)
     "a35_grouped_mode",
+    # r12: context-budget curve (documents; one scan, broadcast x4
+    # context fanout, 4-group partial-agg reduction)
+    "c25_context_budget_curve",
 ]
 
 

@@ -1208,3 +1208,40 @@ def test_v13_centroid_cosines_match_numpy(spark, sf_dir):
         assert r["n_a"] == len(by_label[r["label_a"]])
         assert r["n_b"] == len(by_label[r["label_b"]])
         assert abs(r["centroid_cosine"] - want) < 1e-5
+
+
+def test_c25_budget_curve_known_values(spark, tmp_path):
+    """Hand-checkable corpus: docs of 3, 300 and 600 tokens at
+    C=256 -> over-docs 2, trunc = 44 + 344, pads = 253 + 212 + 168;
+    invariants: pad decreases utilization monotonically with C and
+    trunc losses shrink as C grows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    texts = ["w " * 3, "w " * 300, "w " * 600]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([t.strip() for t in texts]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["context_len"]: r
+        for r in CATALOG["c25_context_budget_curve"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {256, 512, 1024, 2048}
+    r = rows[256]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 903
+    assert r["n_docs_over"] == 2
+    assert r["trunc_lost_tokens"] == (300 - 256) + (600 - 256)
+    assert r["pad_tokens"] == (256 - 3) + (512 - 300) + (768 - 600)
+    r2 = rows[2048]
+    assert r2["n_docs_over"] == 0 and r2["trunc_lost_tokens"] == 0
+    assert r2["pad_tokens"] == (2048 - 3) + (2048 - 300) + (2048 - 600)
+    assert rows[512]["trunc_lost_tokens"] <= r["trunc_lost_tokens"]
