@@ -378,6 +378,9 @@ HEADLINE = [
     # r12: context-budget curve is a corpus batch pass (one scan,
     # broadcast x4 fanout, 4-group reduction)
     "c25_context_budget_curve",
+    # r12: scene cuts are a multimodal batch pass (Arrow demux
+    # fan-out + one video-keyed lag window)
+    "mm8_scene_cuts",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -422,6 +425,7 @@ BATCH_JOBS = {
     "c23_source_contamination_matrix",
     "d11_minhash_calibration",
     "c25_context_budget_curve",
+    "mm8_scene_cuts",
     "x32_pmi_collocations",
     "x33_judge_agreement_kappa",
     "x17_trigram_backoff",

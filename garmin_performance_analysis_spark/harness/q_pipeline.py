@@ -3005,3 +3005,109 @@ def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_exact_jaccard",
         "bias",
     )
+
+
+_MM8_ORACLE = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 11)) AS i FROM documents
+),
+v AS (
+  SELECT doc_id, i,
+         32 + ((doc_id * 5 + (i // (2 + doc_id % 3)) * 17) % 95) AS fill
+  FROM f
+),
+l AS (
+  SELECT doc_id, i, fill,
+         LAG(fill) OVER (PARTITION BY doc_id ORDER BY i) AS pf
+  FROM v
+),
+c AS (
+  SELECT doc_id, i, fill, pf FROM l WHERE pf IS NOT NULL AND fill <> pf
+),
+n AS (SELECT doc_id, COUNT(*) AS n_cuts FROM c GROUP BY 1)
+SELECT c.doc_id,
+       CAST(c.i AS INTEGER) AS cut_frame_idx,
+       CAST(c.pf AS BIGINT) AS intensity_before,
+       CAST(c.fill AS BIGINT) AS intensity_after,
+       CAST(abs(c.fill - c.pf) AS BIGINT) AS jump,
+       CAST(n.n_cuts + 1 AS BIGINT) AS n_scenes
+FROM c JOIN n ON n.doc_id = c.doc_id
+"""
+
+
+@register(
+    "mm8_scene_cuts",
+    oracle=_MM8_ORACLE,
+    tags=("multimodal",),
+)
+def mm8_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection end-to-end on the mm5 plumbing: a
+    fixed-layout "video" (12 frames × 32 bytes; frame fill constant
+    32 + (doc_id·5 + (i÷L)·17) mod 95 with per-video run length
+    L = 2 + doc_id mod 3, so scenes are runs of L identical frames)
+    is demuxed by the REAL ``sample_frames`` mapInPandas fan-out,
+    each frame's mean byte intensity is folded JVM-side (hex →
+    per-byte conv → aggregate — the luminance probe a real pipeline
+    computes from decoded pixels), and a per-video LAG window emits a
+    cut wherever consecutive frame intensities differ — the shot-
+    boundary detector that decides where a video-captioning pipeline
+    samples keyframes.  The oracle predicts every fill constant, cut
+    position (i ≡ 0 mod L, 17 coprime to 95 so every scene change
+    shows) and intensity jump arithmetically — a demux stride bug, a
+    wrong byte fold, or an off-by-one in the lag all hash-mismatch.
+
+    Shape for 100 TB: the Arrow 1→N demux fan-out (no shuffle), an
+    in-row 32-byte fold, ONE video-keyed exchange for the lag window
+    and the per-video cut count; swap the chunker for ffmpeg/pyav on
+    a production cluster and the plan is unchanged."""
+    from pyspark.sql import Window
+
+    from ..pipelines import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    run_len = did % 3 + 2
+    frame_hexes = []
+    for i in range(12):
+        fill = F.pmod(did * 5 + F.floor(F.lit(i) / run_len) * 17, F.lit(95)) + 32
+        frame_hexes.append(
+            F.repeat(F.lpad(F.hex(fill.cast("bigint")), 2, "0"), 32)
+        )
+    payload = F.unhex(F.concat(*frame_hexes))
+    binary_df = docs.select("doc_id", payload.alias("payload"))
+    frames = multimodal.sample_frames(binary_df, frame_bytes=32, every_kth=1)
+    intensity = (
+        F.expr(
+            "aggregate(transform(sequence(1, 32),"
+            " i -> CAST(conv(hex(substring(frame_payload, i, 1)), 16, 10)"
+            " AS BIGINT)), 0L, (a, x) -> a + x)"
+        )
+        / 32
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    wall = Window.partitionBy("doc_id")
+    scored = frames.select(
+        "doc_id", "frame_idx", intensity.alias("fill")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "fill",
+        F.lag("fill").over(w).alias("pf"),
+    )
+    cuts = scored.filter(
+        F.col("pf").isNotNull() & (F.col("fill") != F.col("pf"))
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "fill",
+        "pf",
+        F.count(F.lit(1)).over(wall).alias("n_cuts"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("cut_frame_idx"),
+        F.col("pf").cast("bigint").alias("intensity_before"),
+        F.col("fill").cast("bigint").alias("intensity_after"),
+        F.abs(F.col("fill") - F.col("pf")).cast("bigint").alias("jump"),
+        (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes"),
+    )

@@ -377,6 +377,9 @@ QUERIES = [
     # r12: context-budget curve (documents; one scan, broadcast x4
     # context fanout, 4-group partial-agg reduction)
     "c25_context_budget_curve",
+    # r12: scene cuts (documents; Arrow 1->N demux fan-out + in-row
+    # byte fold + one video-keyed lag window)
+    "mm8_scene_cuts",
 ]
 
 

@@ -1397,3 +1397,40 @@ def test_d11_bins_are_consistent_on_sf(spark, sf_dir):
         assert abs(r["bias"] - round(r["mean_exact_jaccard"] - nm / 16.0, 6)) < 2e-6
         if nm <= 8:
             assert r["bias"] <= 0.0
+
+
+def test_mm8_cuts_at_run_boundaries(spark, tmp_path):
+    """For a known doc_id the cuts land exactly at multiples of the
+    run length L = 2 + doc_id % 3, every jump is nonzero, and
+    n_scenes = ceil(12 / L)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    ids = [0, 1, 2, 7]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = CATALOG["mm8_scene_cuts"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did in ids:
+        L = 2 + did % 3
+        cuts = sorted(r["cut_frame_idx"] for r in by_doc[did])
+        assert cuts == [i for i in range(1, 12) if i % L == 0]
+        for r in by_doc[did]:
+            assert r["jump"] > 0
+            assert r["n_scenes"] == math.ceil(12 / L)
+            want_after = 32 + (did * 5 + (r["cut_frame_idx"] // L) * 17) % 95
+            assert r["intensity_after"] == want_after
