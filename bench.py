@@ -381,6 +381,9 @@ HEADLINE = [
     # r12: scene cuts are a multimodal batch pass (Arrow demux
     # fan-out + one video-keyed lag window)
     "mm8_scene_cuts",
+    # r12: Gopher rule verdicts are a read-shaped in-row gate (one
+    # scan, zero shuffles)
+    "x34_gopher_quality_rules",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -3111,3 +3111,147 @@ def mm8_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("fill") - F.col("pf")).cast("bigint").alias("jump"),
         (F.col("n_cuts") + 1).cast("bigint").alias("n_scenes"),
     )
+
+
+def _x34_oracle() -> str:
+    stop_in = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS w,
+         CAST(length(regexp_replace(lower(text), ' ', '', 'g')) AS BIGINT)
+           AS n_wordchars,
+         CAST(length(lower(text))
+              - length(regexp_replace(lower(text), '#', '', 'g'))
+              + (length(lower(text))
+                 - length(regexp_replace(lower(text), '\\.\\.\\.', '', 'g')))
+                // 3 AS BIGINT) AS n_sym
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_wordchars, n_sym,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(w), [{stop_in}]))
+              AS BIGINT) AS n_distinct_stop
+  FROM base
+),
+flags AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words >= 50 AND n_words <= 100000
+              THEN 1 ELSE 0 END AS ok_word_count,
+         CASE WHEN n_wordchars >= 3 * n_words
+               AND n_wordchars <= 10 * n_words AND n_words > 0
+              THEN 1 ELSE 0 END AS ok_mean_word_len,
+         CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END AS ok_symbol_ratio,
+         CASE WHEN 5 * n_alpha_words >= 4 * n_words
+              THEN 1 ELSE 0 END AS ok_alpha_words,
+         CASE WHEN n_distinct_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+  FROM feat
+)
+SELECT doc_id, n_words,
+       CAST(ok_word_count AS INTEGER) AS ok_word_count,
+       CAST(ok_mean_word_len AS INTEGER) AS ok_mean_word_len,
+       CAST(ok_symbol_ratio AS INTEGER) AS ok_symbol_ratio,
+       CAST(ok_alpha_words AS INTEGER) AS ok_alpha_words,
+       CAST(ok_stopwords AS INTEGER) AS ok_stopwords,
+       CAST(5 - ok_word_count - ok_mean_word_len - ok_symbol_ratio
+              - ok_alpha_words - ok_stopwords AS INTEGER) AS n_rules_failed,
+       CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio
+              * ok_alpha_words * ok_stopwords AS INTEGER) AS keep
+FROM flags
+"""
+
+
+@register(
+    "x34_gopher_quality_rules",
+    oracle=_x34_oracle(),
+    tags=("text", "quality"),
+)
+def x34_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule VERDICT layer (Rae et al. 2021 §A1.1,
+    adapted to whitespace tokens): per document, pass/fail flags for
+    the five applicable published rules — word count in [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio (# and ...)
+    ≤ 0.1, ≥ 80% of words containing an alphabetic character, and ≥ 2
+    distinct stopwords present (the "real prose" check) — plus the
+    failure count and the conjunction keep bit.  x1 emits the raw
+    SIGNALS; x34 is the published GATE a corpus build actually
+    applies, kept separate so threshold changes don't touch the
+    feature layer.  (Gopher's line-level bullet/ellipsis rules need
+    line structure this corpus lacks — out of scope by construction.)
+
+    Determinism: EVERY threshold is integer cross-multiplication
+    (n_wordchars ≥ 3·n_words, 10·n_sym ≤ n_words, 5·n_alpha ≥
+    4·n_words, …) — no ratio is ever materialized, so no float
+    boundary exists anywhere in the verdict.  Shape for 100 TB: one
+    scan, all flags in-row (filter/intersect/replace expressions),
+    zero shuffles, zero UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    w = F.filter(F.split(lower, " "), lambda x: x != "")
+    n_words = F.size(w).cast("bigint")
+    n_wordchars = F.length(F.regexp_replace(lower, " ", "")).cast("bigint")
+    n_sym = (
+        F.length(lower)
+        - F.length(F.regexp_replace(lower, "#", ""))
+        + F.floor(
+            (
+                F.length(lower)
+                - F.length(F.regexp_replace(lower, r"\.\.\.", ""))
+            )
+            / 3
+        )
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.expr("filter(filter(split(lower(text), ' '), x -> x <> ''),"
+               " x -> x rlike '[a-z]')")
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n_distinct_stop = F.size(
+        F.array_intersect(F.array_distinct(w), stop_arr)
+    ).cast("bigint")
+    ok_word_count = F.when(
+        (n_words >= 50) & (n_words <= 100000), 1
+    ).otherwise(0)
+    ok_mean_word_len = F.when(
+        (n_wordchars >= 3 * n_words)
+        & (n_wordchars <= 10 * n_words)
+        & (n_words > 0),
+        1,
+    ).otherwise(0)
+    ok_symbol_ratio = F.when(10 * n_sym <= n_words, 1).otherwise(0)
+    ok_alpha_words = F.when(5 * n_alpha_words >= 4 * n_words, 1).otherwise(0)
+    ok_stopwords = F.when(n_distinct_stop >= 2, 1).otherwise(0)
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_word_count.cast("int").alias("ok_word_count"),
+        ok_mean_word_len.cast("int").alias("ok_mean_word_len"),
+        ok_symbol_ratio.cast("int").alias("ok_symbol_ratio"),
+        ok_alpha_words.cast("int").alias("ok_alpha_words"),
+        ok_stopwords.cast("int").alias("ok_stopwords"),
+    )
+    return out.select(
+        "*",
+        (
+            5
+            - F.col("ok_word_count")
+            - F.col("ok_mean_word_len")
+            - F.col("ok_symbol_ratio")
+            - F.col("ok_alpha_words")
+            - F.col("ok_stopwords")
+        )
+        .cast("int")
+        .alias("n_rules_failed"),
+        (
+            F.col("ok_word_count")
+            * F.col("ok_mean_word_len")
+            * F.col("ok_symbol_ratio")
+            * F.col("ok_alpha_words")
+            * F.col("ok_stopwords")
+        )
+        .cast("int")
+        .alias("keep"),
+    )

@@ -380,6 +380,9 @@ QUERIES = [
     # r12: scene cuts (documents; Arrow 1->N demux fan-out + in-row
     # byte fold + one video-keyed lag window)
     "mm8_scene_cuts",
+    # r12: Gopher rule verdicts (documents; one scan, all flags
+    # in-row, zero shuffles)
+    "x34_gopher_quality_rules",
 ]
 
 

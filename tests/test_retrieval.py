@@ -1245,3 +1245,43 @@ def test_c25_budget_curve_known_values(spark, tmp_path):
     assert r2["n_docs_over"] == 0 and r2["trunc_lost_tokens"] == 0
     assert r2["pad_tokens"] == (2048 - 3) + (2048 - 300) + (2048 - 600)
     assert rows[512]["trunc_lost_tokens"] <= r["trunc_lost_tokens"]
+
+
+def test_x34_gopher_rules_known_verdicts(spark, tmp_path):
+    """Hand-built docs exercise each rule edge: a 50-word prose doc
+    passes all five; 49 words fails only word-count; a symbol-heavy
+    doc fails the symbol rule; a digits-only doc fails alpha +
+    stopwords; one-char words fail mean-word-length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+
+    prose = ("the cat and the dog sat with a friend " * 6).split()
+    texts = [
+        " ".join(prose[:50]),                      # 0: all pass
+        " ".join(prose[:49]),                      # 1: word count fails
+        " ".join(["the", "and"] + ["ok#"] * 48),   # 2: symbol ratio fails (50 syms/50 words)
+        " ".join(["123"] * 50),                    # 3: alpha + stopwords fail
+        " ".join(["a"] * 48 + ["the", "and"]),     # 4: mean word len < 3 fails
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in CATALOG["x34_gopher_quality_rules"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["keep"] == 1 and rows[0]["n_rules_failed"] == 0
+    assert rows[1]["ok_word_count"] == 0 and rows[1]["n_rules_failed"] == 1
+    assert rows[2]["ok_symbol_ratio"] == 0
+    assert rows[3]["ok_alpha_words"] == 0 and rows[3]["ok_stopwords"] == 0
+    assert rows[3]["keep"] == 0
+    assert rows[4]["ok_mean_word_len"] == 0
