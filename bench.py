@@ -384,6 +384,9 @@ HEADLINE = [
     # r12: Gopher rule verdicts are a read-shaped in-row gate (one
     # scan, zero shuffles)
     "x34_gopher_quality_rules",
+    # r12: seasonal MK is a read-shaped keyed stat query (t18's
+    # calendar-bounded pair join on the (user, weekday) key)
+    "t23_seasonal_mann_kendall",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but

@@ -1981,3 +1981,163 @@ def t22_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_star").cast("bigint").alias("n_rejected"),
         F.col("n_naive").cast("bigint").alias("n_naive_05"),
     )
+
+
+@register(
+    "t23_seasonal_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / COUNT(value) AS x
+  FROM events GROUP BY 1, 2
+),
+d AS (SELECT user_id, dayofweek(day) AS wd, day, x FROM daily),
+pairs AS (
+  SELECT a.user_id, a.wd, SIGN(b.x - a.x) AS sg
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.wd = b.wd AND a.day < b.day
+),
+sg AS (
+  SELECT user_id, wd, CAST(COALESCE(SUM(CAST(sg AS BIGINT)), 0) AS BIGINT)
+           AS s_g
+  FROM pairs GROUP BY 1, 2
+),
+ng AS (SELECT user_id, wd, COUNT(*) AS n_g FROM d GROUP BY 1, 2),
+tg AS (SELECT user_id, wd, x, COUNT(*) AS c FROM d GROUP BY 1, 2, 3),
+tieg AS (
+  SELECT user_id, wd, SUM(c * (c - 1) * (2 * c + 5)) AS tt
+  FROM tg GROUP BY 1, 2
+),
+vg AS (
+  SELECT ng.user_id, ng.wd,
+         COALESCE(sg.s_g, 0) AS s_g,
+         ng.n_g * (ng.n_g - 1) * (2 * ng.n_g + 5) - tieg.tt AS var_num
+  FROM ng
+  LEFT JOIN sg ON sg.user_id = ng.user_id AND sg.wd = ng.wd
+  JOIN tieg ON tieg.user_id = ng.user_id AND tieg.wd = ng.wd
+),
+u AS (
+  SELECT user_id,
+         CAST(SUM(s_g) AS BIGINT) AS s_seasonal,
+         CAST(SUM(var_num) AS BIGINT) / 18.0 AS var_s,
+         CAST(COUNT(*) AS BIGINT) AS n_seasons
+  FROM vg GROUP BY 1
+),
+nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+z AS (
+  SELECT u.user_id, nn.n_days, u.n_seasons, u.s_seasonal,
+         ROUND(u.var_s, 6) AS var_s,
+         ROUND(CASE WHEN u.var_s > 0 AND u.s_seasonal > 0
+                    THEN (u.s_seasonal - 1) / sqrt(u.var_s)
+                    WHEN u.var_s > 0 AND u.s_seasonal < 0
+                    THEN (u.s_seasonal + 1) / sqrt(u.var_s)
+                    WHEN u.var_s > 0 THEN 0.0 END, 6) AS z
+  FROM u JOIN nn ON nn.user_id = u.user_id
+)
+SELECT user_id, n_days, n_seasons, s_seasonal, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            WHEN z IS NULL THEN NULL
+            ELSE 'none' END AS trend
+FROM z
+""",
+    tags=("timeseries", "stats"),
+)
+def t23_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL Mann-Kendall trend test (Hirsch & Slack 1984) per
+    user: t18's S statistic computed WITHIN each weekday series and
+    summed — pairs never straddle weekdays, so a strong weekly cycle
+    (t19's seasonal strength) cannot masquerade as a monotone trend
+    or bury one; the standard environmental-statistics upgrade and
+    the right default whenever t19 reports high weekly seasonality.
+    S' = Σ_g S_g, Var' = Σ_g Var_g (tie-corrected per weekday),
+    continuity-corrected z, |z| > 1.96 verdict on the rounded z
+    (t18's banding convention).
+
+    Scale shape: t18's calendar-bounded argument, ~7× cheaper — the
+    pairwise join is quadratic in the (user, weekday) group (≤5 rows
+    for a 31-day window), keyed by (user_id, wd) so the join and all
+    aggs share one exchange; per-user reduction is a 7-row sum.  S
+    and tie terms are exact INTEGER statistics over DECIMAL-exact
+    daily means — hash-matched end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,12)")).cast("double")
+            / F.count("value")
+        ).alias("x")
+    )
+    # Spark dayofweek−1 == DuckDB dayofweek (both Sunday-based)
+    d = daily.select(
+        "user_id", (F.dayofweek("day") - 1).alias("wd"), "day", "x"
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.wd") == F.col("b.wd"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.wd").alias("wd"),
+        F.signum(F.col("b.x") - F.col("a.x")).alias("sg"),
+    )
+    s_g = pairs.groupBy("user_id", "wd").agg(
+        F.coalesce(F.sum(F.col("sg").cast("bigint")), F.lit(0)).alias("s_g")
+    )
+    n_g = d.groupBy("user_id", "wd").agg(F.count(F.lit(1)).alias("n_g"))
+    tie_g = (
+        d.groupBy("user_id", "wd", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id", "wd")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tt")
+        )
+    )
+    vg = (
+        n_g.join(s_g, ["user_id", "wd"], "left")
+        .join(tie_g, ["user_id", "wd"])
+        .select(
+            "user_id",
+            "wd",
+            F.coalesce(F.col("s_g"), F.lit(0)).alias("s_g"),
+            (
+                F.col("n_g") * (F.col("n_g") - 1) * (2 * F.col("n_g") + 5)
+                - F.col("tt")
+            ).alias("var_num"),
+        )
+    )
+    # integer numerators sum EXACTLY (shuffle-order-free); one /18.0
+    # at the end, identical in the oracle
+    u = vg.groupBy("user_id").agg(
+        F.sum("s_g").cast("bigint").alias("s_seasonal"),
+        (F.sum("var_num").cast("bigint") / 18.0).alias("_var"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+    )
+    nn = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    z = F.when(
+        (F.col("_var") > 0) & (F.col("s_seasonal") > 0),
+        (F.col("s_seasonal") - 1) / F.sqrt(F.col("_var")),
+    ).when(
+        (F.col("_var") > 0) & (F.col("s_seasonal") < 0),
+        (F.col("s_seasonal") + 1) / F.sqrt(F.col("_var")),
+    ).when(F.col("_var") > 0, F.lit(0.0))
+    out = u.join(nn, "user_id").select(
+        "user_id",
+        "n_days",
+        "n_seasons",
+        "s_seasonal",
+        _r6(F.col("_var")).alias("var_s"),
+        _r6(z).alias("z"),
+    )
+    return out.withColumn(
+        "trend",
+        F.when(F.col("z") > 1.96, "increasing")
+        .when(F.col("z") < -1.96, "decreasing")
+        .when(F.col("z").isNull(), F.lit(None).cast("string"))
+        .otherwise("none"),
+    )

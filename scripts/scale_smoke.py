@@ -383,6 +383,9 @@ QUERIES = [
     # r12: Gopher rule verdicts (documents; one scan, all flags
     # in-row, zero shuffles)
     "x34_gopher_quality_rules",
+    # r12: seasonal MK (events; (user, weekday)-keyed bounded pair
+    # join + integer variance numerators)
+    "t23_seasonal_mann_kendall",
 ]
 
 

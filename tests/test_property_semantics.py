@@ -2476,3 +2476,58 @@ def test_t22_bh_fdr_matches_bruteforce(spark, sf_dir):
     assert rejected_ranks == list(range(1, n_rejected + 1))
     # monotone invariant: rejections are a prefix of the p-ordering
     assert all(r["n_rejected"] == n_rejected for r in order)
+
+
+def test_t23_seasonal_mk_matches_bruteforce(spark, sf_dir):
+    """S', Var' and z equal the textbook per-weekday recomputation
+    (Hirsch-Slack: S and tie-corrected variance within each weekday,
+    summed), and the verdict bands on the rounded z at 1.96."""
+    import math
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in CATALOG["t23_seasonal_mann_kendall"].fn(spark, sf_dir).collect()}
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    ).toPandas()
+    daily = ev.groupby(["user_id", "day"])["value"].mean().reset_index()
+    for uid, g in daily.groupby("user_id"):
+        g = g.sort_values("day")
+        s_tot, var_num_tot, n_seasons = 0, 0, 0
+        for _, gg in g.groupby(g["day"].map(lambda d: d.isoweekday() % 7)):
+            xs = gg["value"].tolist()
+            n = len(xs)
+            n_seasons += 1
+            for i in range(n):
+                for j in range(i + 1, n):
+                    s_tot += (xs[j] > xs[i]) - (xs[j] < xs[i])
+            tt = sum(
+                c * (c - 1) * (2 * c + 5)
+                for c in __import__("collections").Counter(xs).values()
+            )
+            var_num_tot += n * (n - 1) * (2 * n + 5) - tt
+        var_s = var_num_tot / 18.0
+        r = rows[uid]
+        assert r["n_days"] == len(g)
+        assert r["n_seasons"] == n_seasons
+        assert r["s_seasonal"] == s_tot
+        assert abs(r["var_s"] - round(var_s, 6)) < 1e-9
+        if var_s > 0:
+            z = (
+                (s_tot - 1) / math.sqrt(var_s)
+                if s_tot > 0
+                else (s_tot + 1) / math.sqrt(var_s)
+                if s_tot < 0
+                else 0.0
+            )
+            assert abs(r["z"] - z) < 1e-5
+            want = (
+                "increasing"
+                if r["z"] > 1.96
+                else "decreasing"
+                if r["z"] < -1.96
+                else "none"
+            )
+            assert r["trend"] == want
