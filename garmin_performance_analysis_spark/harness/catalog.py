@@ -661,7 +661,7 @@ def _rotate_for_round12() -> None:
 
 _rotate_for_round12()
 
-# ROUND-13 PLAN (standing rule): the TWENTY-ONE round-12 additions
+# ROUND-13 PLAN (standing rule): the TWENTY-THREE round-12 additions
 # registered PAST this window — x29_distinct_ngram_diversity,
 # x30_unigram_js_source_drift, x31_tokenizer_fertility,
 # g7_degree_powerlaw, c22_leave_last_out_split, a32_winsorized_mean,
@@ -670,16 +670,17 @@ _rotate_for_round12()
 # a33_mad_robust_scale, o14_map_precision_recall, g8_hits,
 # t21_ljung_box, x33_judge_agreement_kappa, t22_bh_fdr,
 # v13_centroid_drift_matrix, d11_minhash_calibration,
-# a35_grouped_mode, c25_context_budget_curve and mm8_scene_cuts —
+# a35_grouped_mode, c25_context_budget_curve, mm8_scene_cuts,
+# x34_gopher_quality_rules and t23_seasonal_mann_kendall —
 # must be fronted in the round-13 rotation, plus anything
 # CORRECTNESS_r12 flags, padded with the stalest names per the
 # GENERATED staleness report
 # (`python scripts/check_parity.py --staleness`, run AFTER
 # CORRECTNESS_r12 lands — regenerate it rather than trusting any
-# hand-written list): with TWENTY-ONE never-checked entries fronted,
-# take the first 29 (sorted) of the 42 remaining r8-stale names
-# (21 + 29 = 50); the other 13 r8 names plus the r9 block start the
-# round-14 pad.  Also run
+# hand-written list): with TWENTY-THREE never-checked entries
+# fronted, take the first 27 (sorted) of the 42 remaining r8-stale
+# names (23 + 27 = 50); the other 15 r8 names plus the r9 block start
+# the round-14 pad.  Also run
 # `check_parity.py --stalest 30 --strict /root/testdata/sf0.01` once
 # per round (the r11 convention) so non-window evidence never ages.
 # The round-12 `--stalest 30` re-soak re-proved 30 non-window entries
