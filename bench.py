@@ -387,6 +387,9 @@ HEADLINE = [
     # r12: seasonal MK is a read-shaped keyed stat query (t18's
     # calendar-bounded pair join on the (user, weekday) key)
     "t23_seasonal_mann_kendall",
+    # r12: Bradley-Terry is an iterative batch fit like g1/g8 (one
+    # exchange for comparisons; 5 MM steps on the item matrix)
+    "o15_bradley_terry_strengths",
 ]
 
 # Batch/training-shaped members of HEADLINE: timed and reported, but
@@ -494,6 +497,7 @@ BATCH_JOBS = {
     "i7_cdc_versioned_replay",
     "g1_pagerank",
     "g8_hits",
+    "o15_bradley_terry_strengths",
     "s8_csv_roundtrip",
     # r8: Bloom decontamination is a corpus batch pass like d6
     "d9_bloom_decontaminate",

@@ -2141,3 +2141,229 @@ def t23_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("z").isNull(), F.lit(None).cast("string"))
         .otherwise("none"),
     )
+
+
+def _o15_iteration(i: int, prev: str) -> str:
+    """One Bradley-Terry MM half-step as CTEs: per ordered pair the
+    shared denominator n_ij/(pi_i + pi_j), then pi'_i = W_i / sum_j,
+    L1-normalized to n_items — DECIMAL-quantized sums throughout so
+    both engines agree bit-for-bit."""
+    return f"""
+den{i} AS MATERIALIZED (
+  SELECT p.item_a, p.item_b,
+         p.n_total / (pa.pi + pb.pi) AS d
+  FROM pairtot p
+  JOIN {prev} pa ON pa.item = p.item_a
+  JOIN {prev} pb ON pb.item = p.item_b
+),
+dsum{i} AS MATERIALIZED (
+  SELECT item_a AS item,
+         CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS ds
+  FROM den{i} GROUP BY 1
+),
+raw{i} AS MATERIALIZED (
+  SELECT w.item, w.wins / dsum{i}.ds AS pi_raw
+  FROM wins w JOIN dsum{i} ON dsum{i}.item = w.item
+),
+nrm{i} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(pi_raw AS DECIMAL(38,18))) AS DOUBLE) AS s,
+         COUNT(*) AS k
+  FROM raw{i}
+),
+pi{i} AS MATERIALIZED (
+  SELECT item, pi_raw * nrm{i}.k / nrm{i}.s AS pi FROM raw{i}, nrm{i}
+)"""
+
+
+def _o15_oracle() -> str:
+    its = ",".join(_o15_iteration(i, f"pi{i - 1}" if i > 1 else "pi0")
+                   for i in (1, 2, 3, 4, 5))
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+),
+seq AS (
+  SELECT user_id, event_type AS cur_t, value AS cur_v,
+         LAG(event_type) OVER w AS prev_t,
+         LAG(value) OVER w AS prev_v
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+comp AS (
+  SELECT CASE WHEN prev_v > cur_v THEN prev_t ELSE cur_t END AS winner,
+         CASE WHEN prev_v > cur_v THEN cur_t ELSE prev_t END AS loser
+  FROM seq
+  WHERE prev_t IS NOT NULL AND prev_t <> cur_t
+    AND prev_v IS NOT NULL AND cur_v IS NOT NULL AND prev_v <> cur_v
+),
+winpairs AS MATERIALIZED (
+  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n_wins
+  FROM comp GROUP BY 1, 2
+),
+items AS (
+  SELECT DISTINCT winner AS item FROM winpairs
+  UNION SELECT DISTINCT loser FROM winpairs
+),
+wins AS MATERIALIZED (
+  SELECT i.item, CAST(COALESCE(SUM(w.n_wins), 0) AS DOUBLE) AS wins
+  FROM items i LEFT JOIN winpairs w ON w.winner = i.item GROUP BY 1
+),
+pairtot AS MATERIALIZED (
+  SELECT item_a, item_b, CAST(SUM(n) AS DOUBLE) AS n_total FROM (
+    SELECT winner AS item_a, loser AS item_b, n_wins AS n FROM winpairs
+    UNION ALL
+    SELECT loser AS item_a, winner AS item_b, n_wins AS n FROM winpairs
+  ) GROUP BY 1, 2
+),
+pi0 AS (SELECT item, 1.0 AS pi FROM items),
+{its}
+SELECT w.item AS event_type,
+       CAST(w.wins AS BIGINT) AS n_wins,
+       ROUND(pi5.pi, 6) AS bt_strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pi5.pi, 6) DESC, w.item ASC)
+            AS BIGINT) AS rank
+FROM wins w JOIN pi5 ON pi5.item = w.item
+"""
+
+
+@register(
+    "o15_bradley_terry_strengths",
+    oracle=_o15_oracle(),
+    tags=("eval", "ranking", "stats"),
+)
+def o15_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference-strength fit — the arena-leaderboard /
+    reward-model primitive: turn PAIRWISE comparisons into a strength
+    per item via 5 unrolled MM iterations (Hunter 2004:
+    π'_i = W_i / Σ_j n_ij/(π_i+π_j), L1-normalized each step — the
+    aggregation behind Chatbot-Arena-style rankings and RLHF
+    preference models, here over event types dueling on value
+    whenever two different types occur consecutively for a user).
+
+    Determinism: comparisons and the win matrix are INTEGER counts
+    from a uniquely-ordered LAG window (ts, event_id tiebreak); each
+    MM step's two sums quantize identical doubles to DECIMAL(38,18)
+    (shuffle-order-free, the g1/g8 convention), divisions and the
+    normalization are identical double ops; the final rank orders by
+    the ROUNDED strength with the item tiebreak so both engines band
+    identically.  Shape for 100 TB: ONE user-keyed exchange builds
+    comparisons (lag window) and collapses them map-side into the
+    item-pair win matrix (item-cardinality² rows); the 5-iteration
+    solve runs entirely on that bounded frame via broadcast joins —
+    data volume prices one scan + one exchange, the fit is O(items²)
+    per step."""
+    from pyspark.sql import Window
+
+    from ..operators.windows import bounded_partition_key
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur_t"),
+        F.col("value").alias("cur_v"),
+        F.lag("event_type").over(w).alias("prev_t"),
+        F.lag("value").over(w).alias("prev_v"),
+    )
+    comp = seq.filter(
+        F.col("prev_t").isNotNull()
+        & (F.col("prev_t") != F.col("cur_t"))
+        & F.col("prev_v").isNotNull()
+        & F.col("cur_v").isNotNull()
+        & (F.col("prev_v") != F.col("cur_v"))
+    ).select(
+        F.when(F.col("prev_v") > F.col("cur_v"), F.col("prev_t"))
+        .otherwise(F.col("cur_t"))
+        .alias("winner"),
+        F.when(F.col("prev_v") > F.col("cur_v"), F.col("cur_t"))
+        .otherwise(F.col("prev_t"))
+        .alias("loser"),
+    )
+    winpairs = comp.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wins")
+    )
+    # item-cardinality frames: checkpoint the matrix once, everything
+    # below is bounded algebra on it
+    winpairs = winpairs.localCheckpoint(eager=True)
+    items = (
+        winpairs.select(F.col("winner").alias("item"))
+        .union(winpairs.select(F.col("loser").alias("item")))
+        .distinct()
+    )
+    wins = (
+        items.join(
+            winpairs.groupBy(F.col("winner").alias("item")).agg(
+                F.sum("n_wins").alias("_w")
+            ),
+            "item",
+            "left",
+        )
+        .select(
+            "item", F.coalesce(F.col("_w"), F.lit(0)).cast("double").alias("wins")
+        )
+    )
+    pairtot = (
+        winpairs.select(
+            F.col("winner").alias("item_a"),
+            F.col("loser").alias("item_b"),
+            F.col("n_wins").alias("n"),
+        )
+        .unionByName(
+            winpairs.select(
+                F.col("loser").alias("item_a"),
+                F.col("winner").alias("item_b"),
+                F.col("n_wins").alias("n"),
+            )
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("n").cast("double").alias("n_total"))
+        .localCheckpoint(eager=True)
+    )
+    pi = items.select("item", F.lit(1.0).alias("pi"))
+    for _ in range(5):
+        den = (
+            pairtot.join(
+                pi.select(F.col("item").alias("item_a"), F.col("pi").alias("pa")),
+                "item_a",
+            )
+            .join(
+                pi.select(F.col("item").alias("item_b"), F.col("pi").alias("pb")),
+                "item_b",
+            )
+            .select(
+                "item_a",
+                (F.col("n_total") / (F.col("pa") + F.col("pb"))).alias("d"),
+            )
+        )
+        dsum = den.groupBy(F.col("item_a").alias("item")).agg(
+            F.sum(F.col("d").cast("decimal(38,18)")).cast("double").alias("ds")
+        )
+        raw = wins.join(dsum, "item").select(
+            "item", (F.col("wins") / F.col("ds")).alias("pi_raw")
+        )
+        nrm = raw.agg(
+            F.sum(F.col("pi_raw").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        pi = (
+            raw.crossJoin(F.broadcast(nrm))
+            .select(
+                "item",
+                (F.col("pi_raw") * F.col("k") / F.col("s")).alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w_rank = Window.partitionBy(bounded_partition_key("item")).orderBy(
+        F.round(F.col("pi"), 6).desc(), F.col("item").asc()
+    )
+    return (
+        wins.join(pi, "item")
+        .select(
+            F.col("item").alias("event_type"),
+            F.col("wins").cast("bigint").alias("n_wins"),
+            _r6(F.col("pi")).alias("bt_strength"),
+            F.row_number().over(w_rank).cast("bigint").alias("rank"),
+        )
+    )

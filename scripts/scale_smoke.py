@@ -386,6 +386,9 @@ QUERIES = [
     # r12: seasonal MK (events; (user, weekday)-keyed bounded pair
     # join + integer variance numerators)
     "t23_seasonal_mann_kendall",
+    # r12: Bradley-Terry (events; lag-window comparisons collapse to
+    # the item-pair matrix; 5 MM steps of bounded algebra)
+    "o15_bradley_terry_strengths",
 ]
 
 

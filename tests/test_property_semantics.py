@@ -2531,3 +2531,53 @@ def test_t23_seasonal_mk_matches_bruteforce(spark, sf_dir):
                 else "none"
             )
             assert r["trend"] == want
+
+
+def test_o15_bradley_terry_matches_bruteforce(spark, sf_dir):
+    """Strengths equal a pure-Python MM recomputation (5 iterations,
+    L1-normalized to n_items) over the same lag-derived comparisons,
+    and ranks follow the rounded strengths."""
+    from collections import defaultdict
+
+    from garmin_performance_analysis_spark.harness.catalog import CATALOG
+    from garmin_performance_analysis_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in CATALOG["o15_bradley_terry_strengths"].fn(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    wins_pair = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None and prev["event_type"] != r["event_type"] \
+               and prev["value"] is not None and r["value"] is not None \
+               and prev["value"] != r["value"]:
+                if prev["value"] > r["value"]:
+                    wins_pair[(prev["event_type"], r["event_type"])] += 1
+                else:
+                    wins_pair[(r["event_type"], prev["event_type"])] += 1
+            prev = r
+    items = sorted({a for a, _ in wins_pair} | {b for _, b in wins_pair})
+    W = {i: sum(n for (w, _), n in wins_pair.items() if w == i) for i in items}
+    n_tot = defaultdict(float)
+    for (a, b), n in wins_pair.items():
+        n_tot[(a, b)] += n
+        n_tot[(b, a)] += n
+    pi = {i: 1.0 for i in items}
+    for _ in range(5):
+        new = {}
+        for i in items:
+            ds = sum(n_tot[(i, j)] / (pi[i] + pi[j]) for j in items if (i, j) in n_tot)
+            new[i] = W[i] / ds
+        s = sum(new.values())
+        pi = {i: v * len(items) / s for i, v in new.items()}
+    for i in items:
+        assert rows[i]["n_wins"] == W[i]
+        assert abs(rows[i]["bt_strength"] - pi[i]) < 1e-4, (i, rows[i]["bt_strength"], pi[i])
+    ranked = sorted(items, key=lambda i: (-round(pi[i], 6), i))
+    for rk, i in enumerate(ranked, start=1):
+        assert rows[i]["rank"] == rk
