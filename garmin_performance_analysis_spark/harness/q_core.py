@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..scratch import scratch_dir
 from .registry import dec_sum as _dec_sum
 from .registry import dec_avg as _dec_avg
 from .registry import ls_avg as _ls_avg
@@ -497,7 +498,7 @@ def s5_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
-    out = tempfile.mkdtemp(prefix="s5_export_") + "/supplier_export"
+    out = scratch_dir(prefix="s5_export_") + "/supplier_export"
     guarded_export(sup, out, fmt="parquet", max_rows=100_000)
     return spark.read.parquet(out)
 
@@ -532,7 +533,7 @@ def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         _r6(F.col("n_nationkey").cast("double") / 4.0).alias("frac"),
     )
-    out = tempfile.mkdtemp(prefix="s8_csv_") + "/nation_csv"
+    out = scratch_dir(prefix="s8_csv_") + "/nation_csv"
     nat.write.mode("overwrite").option("header", True).csv(out)
     schema = (
         "n_nationkey bigint, n_name string, n_regionkey bigint, frac double"
@@ -576,7 +577,7 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="s9_evolve_")
+    root = scratch_dir(prefix="s9_evolve_")
     orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     ).write.mode("overwrite").parquet(root + "/batch=1")

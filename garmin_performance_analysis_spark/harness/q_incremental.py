@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipelines import incremental
+from ..scratch import scratch_dir
 from ..sources.tables import load_table
 from .q_pipeline import _BANDS, _NUM_HASHES, _SHINGLES_CTE, _hex_horner
 from .registry import r6 as _r6
@@ -85,7 +86,7 @@ def i1_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(redelivered.select("doc_id", "text"))
         .unionByName(sentinels)
     )
-    reg_dir = tempfile.mkdtemp(prefix="i1_dedup_replay_")
+    reg_dir = scratch_dir(prefix="i1_dedup_replay_")
     try:
         key = incremental.exact_key_expr("text")
         incremental.incremental_dedup(
@@ -160,7 +161,7 @@ def i2_incremental_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
-    reg_dir = tempfile.mkdtemp(prefix="i2_lsh_replay_")
+    reg_dir = scratch_dir(prefix="i2_lsh_replay_")
     try:
         incremental.incremental_lsh_candidates(
             spark, b1, reg_dir, "doc_id", "text",
@@ -255,7 +256,7 @@ def i3_stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = ev.filter(us > mid).unionByName(
         b1.filter(us > mid - _I3_LATE_US)
     )
-    work = tempfile.mkdtemp(prefix="i3_stream_replay_")
+    work = scratch_dir(prefix="i3_stream_replay_")
     try:
         out = windowed_stats_replay(
             spark, [b1, b2], work,
@@ -346,7 +347,7 @@ def i4_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1r = evr.filter(us <= mid)
     b2l = evl.filter(us > mid).unionByName(b1l.filter(us > mid - tail))
     b2r = evr.filter(us > mid).unionByName(b1r.filter(us > mid - tail))
-    work = tempfile.mkdtemp(prefix="i4_stream_join_")
+    work = scratch_dir(prefix="i4_stream_join_")
     try:
         from ..streaming.replay import stream_join_replay
 
@@ -447,7 +448,7 @@ def i5_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("ts"))
         .unionByName(b1.filter(F.unix_micros(F.col("ts")) > mid - tail))
     )
-    work = tempfile.mkdtemp(prefix="i5_stream_dedup_")
+    work = scratch_dir(prefix="i5_stream_dedup_")
     try:
         out = stream_dedup_replay(
             spark, [b1, b2], work,
@@ -571,7 +572,7 @@ def i6_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = (bounds["tmax"] - bounds["tmin"]) // 4
     b1 = ev.filter(us <= mid)
     b2 = ev.filter(us > mid).unionByName(b1.filter(us > mid - tail))
-    work = tempfile.mkdtemp(prefix="i6_stream_session_")
+    work = scratch_dir(prefix="i6_stream_session_")
     try:
         out = stream_session_replay(
             spark, [b1, b2], work,
@@ -644,7 +645,7 @@ def i7_cdc_versioned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = odd.filter(us > mid).unionByName(
         c1.filter((us > mid - tail) & (F.col("op") == "upsert"))
     )
-    work = tempfile.mkdtemp(prefix="i7_cdc_replay_")
+    work = scratch_dir(prefix="i7_cdc_replay_")
     try:
         s1 = cdc_apply_versioned(
             base0, c1, ["user_id"], "ts", "event_id", ["value"]
@@ -743,7 +744,7 @@ def i8_stream_runs_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (bounds["tmin"] + bounds["tmax"]) // 2
     b1 = flagged.filter(F.col("_us") <= mid).drop("_us")
     b2 = flagged.filter(F.col("_us") > mid).drop("_us")
-    work = tempfile.mkdtemp(prefix="i8_stateful_runs_")
+    work = scratch_dir(prefix="i8_stateful_runs_")
     try:
         out = stream_stateful_runs_replay(
             spark,
@@ -857,7 +858,7 @@ def i9_stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1r = evr.filter(us <= mid)
     b2l = evl.filter(us > mid).unionByName(b1l.filter(us > mid - tail))
     b2r = evr.filter(us > mid).unionByName(b1r.filter(us > mid - tail))
-    work = tempfile.mkdtemp(prefix="i9_stream_outer_join_")
+    work = scratch_dir(prefix="i9_stream_outer_join_")
     try:
         from ..streaming.replay import stream_join_replay
 
@@ -978,7 +979,7 @@ def i10_stream_static_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFra
     mid = (bounds["tmin"] + bounds["tmax"]) // 2
     b1 = ev.filter(us <= mid)
     b2 = ev.filter(us > mid).unionByName(b1.filter(us > mid - _I3_LATE_US))
-    work = tempfile.mkdtemp(prefix="i10_stream_static_")
+    work = scratch_dir(prefix="i10_stream_static_")
     try:
         out = stream_static_enrich_replay(
             spark, [b1, b2], dim, work,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..pipelines import dedup, multimodal, shards, similarity, text
 from ..sources.tables import load_table
+from ..scratch import scratch_dir
 from .registry import r6 as _r6
 from .registry import register
 
@@ -1131,7 +1132,7 @@ def c9_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     assigned = shards.assign_shards(df, "doc_id", "n_bytes", 16384)
-    out_dir = tempfile.mkdtemp(prefix="wds_roundtrip_")
+    out_dir = scratch_dir(prefix="wds_roundtrip_")
     manifest = shards.write_webdataset_shards(
         assigned, out_dir, "doc_id", "payload", ["doc_id", "lang"]
     )

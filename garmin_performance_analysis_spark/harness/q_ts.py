@@ -2282,88 +2282,59 @@ def o15_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     winpairs = comp.groupBy("winner", "loser").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_wins")
     )
-    # item-cardinality frames: checkpoint the matrix once, everything
-    # below is bounded algebra on it
-    winpairs = winpairs.localCheckpoint(eager=True)
-    items = (
-        winpairs.select(F.col("winner").alias("item"))
-        .union(winpairs.select(F.col("loser").alias("item")))
-        .distinct()
-    )
-    wins = (
-        items.join(
-            winpairs.groupBy(F.col("winner").alias("item")).agg(
-                F.sum("n_wins").alias("_w")
-            ),
-            "item",
-            "left",
-        )
-        .select(
-            "item", F.coalesce(F.col("_w"), F.lit(0)).cast("double").alias("wins")
-        )
-    )
-    pairtot = (
-        winpairs.select(
-            F.col("winner").alias("item_a"),
-            F.col("loser").alias("item_b"),
-            F.col("n_wins").alias("n"),
-        )
-        .unionByName(
-            winpairs.select(
-                F.col("loser").alias("item_a"),
-                F.col("winner").alias("item_b"),
-                F.col("n_wins").alias("n"),
-            )
-        )
-        .groupBy("item_a", "item_b")
-        .agg(F.sum("n").cast("double").alias("n_total"))
-        .localCheckpoint(eager=True)
-    )
-    pi = items.select("item", F.lit(1.0).alias("pi"))
+    # The win matrix is item-cardinality² (event types) — bounded by
+    # DOMAIN cardinality, independent of row count, like the catalog's
+    # other bounded collects (8 k-means centroids, the 1-row BPE
+    # argmax).  The 5 MM iterations previously ran as ~25 tiny Spark
+    # jobs (two joins + two DECIMAL aggs + an eager localCheckpoint
+    # per step, every frame ≤k² rows): 4.70 s at sf0.1, all fixed
+    # choreography (guide §1.2 — the distributed algorithm was pricing
+    # jobs, not data).  The solve now runs on the collected integer
+    # matrix with BIT-IDENTICAL numerics: Spark's double→DECIMAL(38,18)
+    # cast is java BigDecimal(Double.toString(d)).setScale(18,
+    # HALF_UP), so the quantization routes each double through the
+    # JVM's own Double.toString (py4j) before an exact decimal-module
+    # sum, and decimal→double is float(Decimal) = BigDecimal
+    # .doubleValue (both round-half-even).  One data-sized job (lag
+    # window + count agg) replaces the 25; strict oracle parity
+    # re-proven at sf0.001/0.01/0.1.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    jdouble = spark.sparkContext._jvm.java.lang.Double.toString
+    q18 = Decimal(1).scaleb(-18)
+
+    def dec18(x: float) -> Decimal:
+        return Decimal(jdouble(float(x))).quantize(q18, rounding=ROUND_HALF_UP)
+
+    mat = winpairs.collect()
+    items = sorted({r["winner"] for r in mat} | {r["loser"] for r in mat})
+    wins_by = {it: 0 for it in items}
+    pair_n: dict = {}
+    for r in mat:
+        wins_by[r["winner"]] += r["n_wins"]
+        for a, b in ((r["winner"], r["loser"]), (r["loser"], r["winner"])):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + r["n_wins"]
+    wins_f = {it: float(w) for it, w in wins_by.items()}
+    n_total = {k: float(v) for k, v in pair_n.items()}
+    k_items = len(items)
+    pi = {it: 1.0 for it in items}
     for _ in range(5):
-        den = (
-            pairtot.join(
-                pi.select(F.col("item").alias("item_a"), F.col("pi").alias("pa")),
-                "item_a",
-            )
-            .join(
-                pi.select(F.col("item").alias("item_b"), F.col("pi").alias("pb")),
-                "item_b",
-            )
-            .select(
-                "item_a",
-                (F.col("n_total") / (F.col("pa") + F.col("pb"))).alias("d"),
-            )
-        )
-        dsum = den.groupBy(F.col("item_a").alias("item")).agg(
-            F.sum(F.col("d").cast("decimal(38,18)")).cast("double").alias("ds")
-        )
-        raw = wins.join(dsum, "item").select(
-            "item", (F.col("wins") / F.col("ds")).alias("pi_raw")
-        )
-        nrm = raw.agg(
-            F.sum(F.col("pi_raw").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("s"),
-            F.count(F.lit(1)).alias("k"),
-        )
-        pi = (
-            raw.crossJoin(F.broadcast(nrm))
-            .select(
-                "item",
-                (F.col("pi_raw") * F.col("k") / F.col("s")).alias("pi"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        dsum = {it: Decimal(0) for it in items}
+        for (a, b), n in n_total.items():
+            dsum[a] += dec18(n / (pi[a] + pi[b]))
+        pi_raw = {it: wins_f[it] / float(dsum[it]) for it in items}
+        s = float(sum((dec18(pi_raw[it]) for it in items), Decimal(0)))
+        pi = {it: (pi_raw[it] * float(k_items)) / s for it in items}
+    solved = spark.createDataFrame(
+        [(it, wins_f[it], pi[it]) for it in items],
+        "item string, wins double, pi double",
+    )
     w_rank = Window.partitionBy(bounded_partition_key("item")).orderBy(
         F.round(F.col("pi"), 6).desc(), F.col("item").asc()
     )
-    return (
-        wins.join(pi, "item")
-        .select(
-            F.col("item").alias("event_type"),
-            F.col("wins").cast("bigint").alias("n_wins"),
-            _r6(F.col("pi")).alias("bt_strength"),
-            F.row_number().over(w_rank).cast("bigint").alias("rank"),
-        )
+    return solved.select(
+        F.col("item").alias("event_type"),
+        F.col("wins").cast("bigint").alias("n_wins"),
+        _r6(F.col("pi")).alias("bt_strength"),
+        F.row_number().over(w_rank).cast("bigint").alias("rank"),
     )

@@ -25,6 +25,23 @@ def get_spark(app_name: str = "garmin_performance_analysis_spark") -> SparkSessi
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # stopping at the default parallelism (Spark docs recommend
+        # false for exactly this reason).  With the default (true), a
+        # KB-sized post-shuffle stage still fans out to ~cores tasks and
+        # every exchange pays ~cores scheduling round-trips; with false,
+        # AQE sizes reduce stages by bytes — one task for KB-scale
+        # frames locally, advisory-sized (64 MB+) partitions at cluster
+        # scale.  Scale-adaptive by construction (bytes, not a core
+        # count); both knobs overridable via env for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
