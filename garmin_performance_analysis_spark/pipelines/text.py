@@ -422,11 +422,11 @@ def bigram_logprob_scores(
         .agg(F.count(F.lit(1)).alias("pf"))
     )
     bigrams = doc_pairs.groupBy("w1", "w2").agg(F.sum("pf").alias("c12"))
-    unigrams = (
-        base.select(F.explode("_pairs").alias("p"))
-        .groupBy(F.col("p.w1").alias("w1"))
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    # c1 counts first-position occurrences over the same pair stream —
+    # exactly SUM(c12) over w2.  Deriving it from the bigram table
+    # (pair-cardinality) instead of re-exploding `base` removes a full
+    # corpus explode pass (guide §2.3).
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab_n = (
         spread_for_compute(df, id_col)
         .select(F.explode(F.filter(_words(text_col), lambda x: x != "")).alias("t"))
@@ -452,18 +452,16 @@ def bigram_logprob_scores(
             6,
         ).alias("avg_logprob"),
     )
-    # docs with < 2 tokens have no bigrams — emit the tombstone row so
-    # the score table stays one-row-per-document (audit invariant)
-    short = (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(per_doc.select("doc_id"), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.lit(0).cast("bigint").alias("n_bigrams"),
-            F.lit(None).cast("double").alias("avg_logprob"),
-        )
+    # docs with < 2 tokens have no bigrams — tombstone via LEFT join +
+    # coalesce so `per_doc` (and its whole LM lineage) appears once in
+    # the plan; the previous anti-join + union replayed the lineage a
+    # second time just to find the missing ids (18 scans → 10 here).
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return all_ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("avg_logprob"),
     )
-    return per_doc.unionByName(short)
 
 
 def dsir_importance(
@@ -609,7 +607,12 @@ def trigram_backoff_scores(
     c123 = lm_tris.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c123")
     )
-    c12 = lm_tris.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # c12 counts trigram-prefix occurrences, i.e. the trigram rows per
+    # (w1, w2) — exactly SUM(c123) over w3.  Deriving it from the c123
+    # frame (n-gram cardinality) instead of re-grouping lm_tris removes
+    # a full corpus explode pass + token-stream shuffle (guide §2.3:
+    # aggregate once, derive the coarser tables from the counts).
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
     # bigram/unigram tables over ALL adjacent pairs / tokens of the LM
     # corpus (not just trigram-interior ones) — the standard backoff
     # denominators
@@ -641,10 +644,13 @@ def trigram_backoff_scores(
         .select(F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
     )
     c23 = lm_pairs.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
-    c2 = lm_pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    nv = lm_toks.agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.countDistinct("w").alias("v"),
+    # c2 = SUM(c23) over w3 (same derivation as c12 above), and the
+    # (N, V) scalars are exactly (SUM(c3), |c3|) — three more corpus
+    # passes collapsed onto the already-built count tables.
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    nv = c3.agg(
+        F.sum("c3").alias("n_tok"),
+        F.count(F.lit(1)).alias("v"),
     )
 
     pf = tri_frame(score_df).groupBy("doc_id", "w1", "w2", "w3").agg(
@@ -680,15 +686,15 @@ def trigram_backoff_scores(
             6,
         ).alias("avg_logscore"),
     )
-    empties = (
-        spread_for_compute(score_df, id_col)
-        .select(F.col(id_col).alias("doc_id"))
-        .join(scored.select("doc_id"), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.lit(0).cast("bigint").alias("n_trigrams"),
-            F.lit(0).cast("bigint").alias("n_backed_off"),
-            F.lit(None).cast("double").alias("avg_logscore"),
-        )
+    # tombstone rows for docs under 3 tokens: a LEFT join + coalesce
+    # keeps `scored` (and its whole LM lineage) appearing ONCE in the
+    # plan — the previous anti-join + union replayed the scoring
+    # lineage a second time just to find the missing ids (Catalyst has
+    # no cross-subtree CSE; measured 18 scans → 10 on the x14 sibling).
+    all_ids = score_df.select(F.col(id_col).alias("doc_id"))
+    return all_ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.coalesce(F.col("n_backed_off"), F.lit(0)).cast("bigint").alias("n_backed_off"),
+        F.col("avg_logscore"),
     )
-    return scored.unionByName(empties)

@@ -39,6 +39,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Target bytes of source data per state partition.  Matches the AQE
+# advisory-partition order of magnitude: a replay over KB of events
+# gets the 2-partition floor (state-store setup is the dominant fixed
+# cost — every partition pays store open/commit/snapshot per
+# micro-batch), while TB-scale input derives thousands of partitions.
+_STATE_PARTITION_BYTES = 64 << 20
+
+
+def _state_partitions(src_dirs: list[str], session_default: int) -> int:
+    """State partition count derived from the bytes actually staged
+    for the stream (guide §2 — partitioning sized from input, not a
+    constant).  Floor 2 keeps cross-partition state semantics
+    exercised; cap at the session's shuffle parallelism so a replay
+    never out-fans the session.  The replay harness stages sources on
+    a local filesystem by construction, so a directory walk is exact;
+    cluster jobs size state explicitly via ``shuffle_partitions``."""
+    total = 0
+    for d in src_dirs:
+        for dirpath, _, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    continue
+    return max(2, min(session_default, total // _STATE_PARTITION_BYTES + 1))
+
 
 def windowed_stats_replay(
     spark: SparkSession,
@@ -50,7 +76,7 @@ def windowed_stats_replay(
     value_col: str = "value",
     window_sec: int = 300,
     watermark_sec: int = 120,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` (in order) through the streaming windowed
     aggregation and return the parquet sink's contents — the finalized
@@ -97,11 +123,16 @@ def windowed_stats_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
         # drain run: no new data, but the no-data micro-batch emits
         # windows the LAST batch's watermark advance finalized
@@ -131,7 +162,7 @@ def stream_join_replay(
     ts_col: str = "ts",
     max_gap_sec: int = 600,
     watermark_sec: int = 120,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
     join_type: str = "inner",
 ) -> DataFrame:
     """Deterministic replay of a STREAM-STREAM inner join — the
@@ -191,10 +222,14 @@ def stream_join_replay(
     ``shuffle_partitions`` bounds the stream's STATE partition count
     (pinned into the checkpoint at the first batch): a stream-stream
     join spins four state stores per partition per run, a fixed cost
-    that dwarfs the data at replay scale — 8 partitions halves the
-    replay wall vs the session's 32 with identical results.  Pass
-    ``None`` to inherit the session setting (what a real cluster job
-    would size by key cardinality instead).
+    that dwarfs the data at replay scale — the earlier constant 8
+    halved the replay wall vs the session's 32 with identical results.
+    The default (``None``) now derives the count from the bytes staged
+    for the first batch pair (``_state_partitions`` — 64 MB/partition,
+    floor 2), so the harness stays scale-adaptive instead of pinning a
+    local-mode constant; results are partitioning-invariant either
+    way.  Cluster jobs size state explicitly by key cardinality via an
+    int.
     """
     src_l = os.path.join(work_dir, "src_l")
     src_r = os.path.join(work_dir, "src_r")
@@ -254,12 +289,17 @@ def stream_join_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        for lb, rb in zip(left_batches, right_batches):
+        for i, (lb, rb) in enumerate(zip(left_batches, right_batches)):
             lb.coalesce(1).write.mode("append").parquet(src_l)
             rb.coalesce(1).write.mode("append").parquet(src_r)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src_l, src_r], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -275,7 +315,7 @@ def stream_dedup_replay(
     ts_col: str = "ts",
     key_cols: list[str] | None = None,
     delay_sec: int = 120,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` through the REAL streaming watermarked dedup
     (``withWatermark`` → ``dropDuplicatesWithinWatermark``), one
@@ -326,11 +366,16 @@ def stream_dedup_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        for b in batches:
+        for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -347,7 +392,7 @@ def stream_session_replay(
     value_col: str = "value",
     gap_sec: int = 1800,
     watermark_sec: int = 120,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` through the REAL streaming session-window
     aggregation (``session_window`` + ``withWatermark``, append mode)
@@ -401,11 +446,16 @@ def stream_session_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        for b in batches:
+        for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -428,7 +478,7 @@ def stream_stateful_runs_replay(
     seq_col: str = "seq",
     max_gap: int = 2,
     min_span: int = 5,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` through the CUSTOM stateful operator
     (``streaming/stateful.sustained_runs_stateful`` —
@@ -479,11 +529,16 @@ def stream_stateful_runs_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        for b in batches:
+        for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -502,7 +557,7 @@ def stream_static_enrich_replay(
     value_col: str = "value",
     window_sec: int = 300,
     watermark_sec: int = 120,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` through a STREAM-STATIC enrichment pipeline:
     file stream → watermark → INNER join against the static ``dim``
@@ -554,11 +609,16 @@ def stream_static_enrich_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        for b in batches:
+        for i, b in enumerate(batches):
             b.coalesce(1).write.mode("append").parquet(src)
+            if i == 0:
+                n_parts = (
+                    shuffle_partitions
+                    if shuffle_partitions is not None
+                    else _state_partitions([src], int(prev))
+                )
+                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
             run_once()
         # drain run: emit windows the final watermark advance finalized
         run_once()
