@@ -8,12 +8,12 @@ Scale shape (the part that matters at 100 TB):
   with map-side combine), truncated to the top-V heavy hitters
   (TakeOrderedAndProject) — exactly how production BPE trainers bound
   the problem, since merge statistics are dominated by frequent words.
-- Every merge iteration then runs on the COMPACT vocab table only
-  (V rows, independent of corpus size): explode adjacent symbol
-  pairs weighted by word frequency → one small groupBy → argmax
-  (orderBy+limit(1), a bounded single-row collect) → apply the merge
-  with a JVM-side ``aggregate`` fold over each word's symbol array.
-  The corpus is never rescanned.
+- The merge loop then runs DRIVER-SIDE over the collected vocab table
+  (≤ V rows by construction, independent of corpus size): adjacent
+  symbol pairs weighted by word frequency → argmax → greedy
+  left-to-right merge application, all exact integer/string
+  operations.  The corpus is never rescanned, and no per-iteration
+  Spark jobs are launched.
 - Applying a trained merge list to documents is an Arrow-batched
   pandas UDF (the merge loop is genuinely imperative per word; a
   chain of n_merges fold expressions would explode the plan), with
@@ -78,28 +78,6 @@ def _validate_symbol(sym: str) -> str:
     return sym
 
 
-def _merge_fold(lhs: str, rhs: str) -> str:
-    """SQL fold applying ONE merge greedily left-to-right over a symbol
-    array: when the accumulator's last symbol is ``lhs`` and the next
-    symbol is ``rhs``, replace the last with the merged symbol —
-    otherwise append.  Mirrors the reference BPE semantics, including
-    the 'aaa' case (leftmost pair merges; the merged symbol does not
-    re-pair with the remaining 'a' in the same pass).  Symbols are
-    validated against [a-z0-9]+ before embedding."""
-    m = _validate_symbol(lhs) + _validate_symbol(rhs)
-    return f"""
-    aggregate(
-      symbols,
-      cast(array() as array<string>),
-      (acc, x) -> CASE
-        WHEN size(acc) > 0 AND element_at(acc, -1) = '{lhs}' AND x = '{rhs}'
-          THEN concat(slice(acc, 1, size(acc) - 1), array('{m}'))
-        ELSE concat(acc, array(x))
-      END
-    )
-    """
-
-
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -112,43 +90,50 @@ def bpe_train(
     learning rank (1-based); ``pair_weight`` is the frequency-weighted
     adjacent-pair count that won the iteration.
 
-    Driver-side loop: one bounded single-row collect per iteration
-    (the argmax), the vocab state carried as a cached V-row DataFrame —
-    the same structure as the deterministic Lloyd iterations in
-    ``similarity.kmeans_assign``.  Stops early when no adjacent pair
+    ONE data-sized job (the ``word_freqs`` corpus scan) feeds a single
+    bounded collect — the training set is capped at ``top_v`` rows BY
+    CONSTRUCTION, independent of corpus size — and the merge loop runs
+    driver-side over that in-memory table, exactly how production BPE
+    trainers iterate after the distributed count.  Numerics are
+    trivially identical to the previous per-iteration Spark jobs:
+    pair weights are integer sums, the argmax tie-break is
+    (pair_weight DESC, lhs ASC, rhs ASC) over [a-z0-9]+ symbols (byte
+    order == codepoint order), and the greedy left-to-right fold is
+    byte-for-byte the ``_merge_fold`` semantics.  The previous shape —
+    20 × (pair-explode groupBy + argmax collect + localCheckpoint) as
+    ~40 tiny Spark jobs over the 2000-row vocab — paid per-job
+    choreography the result never depended on (guide §1.2: remove
+    passes; the o15 playbook).  Stops early when no adjacent pair
     remains (fully merged vocab)."""
     spark = docs.sparkSession
-    vocab = (
+    rows = (
         word_freqs(docs, text_col, top_v)
-        .withColumn("symbols", F.split(F.col("word"), ""))
-        .select("word", "freq", "symbols")
-        .localCheckpoint(eager=True)
+        .select("word", "freq")
+        .collect()  # bounded: ≤ top_v rows by construction
     )
+    wf = {r["word"]: int(r["freq"]) for r in rows}
+    vocab = {w: list(w) for w in wf}
     merges = []
     for rank in range(1, n_merges + 1):
-        pairs = (
-            vocab.select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(slice(symbols, 1, size(symbols) - 1),"
-                        " (s, i) -> struct(s AS lhs, element_at(symbols, i + 2) AS rhs))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-            .agg(F.sum("freq").alias("pair_weight"))
-        )
-        top = pairs.orderBy(
-            F.col("pair_weight").desc(), F.col("lhs").asc(), F.col("rhs").asc()
-        ).limit(1).collect()
-        if not top:
+        pair_weight: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = wf[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_weight[(a, b)] = pair_weight.get((a, b), 0) + f
+        if not pair_weight:
             break
-        lhs, rhs, w = top[0]["lhs"], top[0]["rhs"], top[0]["pair_weight"]
-        merges.append((rank, lhs, rhs, lhs + rhs, int(w)))
-        vocab = vocab.withColumn(
-            "symbols", F.expr(_merge_fold(lhs, rhs))
-        ).localCheckpoint(eager=True)
+        (lhs, rhs), wt = min(
+            pair_weight.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, lhs + rhs, int(wt)))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            vocab[w] = out
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_weight long"
     )

@@ -157,8 +157,9 @@ def test_merge_symbols_outside_alphabet_are_rejected():
     injectable) expression."""
     import pytest
 
+    # bpe_tokens_expr is the only remaining path that embeds merge
+    # symbols in generated SQL (the trainer's merge loop runs
+    # driver-side on the bounded vocab and never builds expressions).
     for bad in [("a'", "b"), ("a", "b\\"), ("", "b"), ("A", "b"), ("a b", "c")]:
         with pytest.raises(ValueError):
             bpe.bpe_tokens_expr("text", [bad])
-        with pytest.raises(ValueError):
-            bpe._merge_fold(*bad)
