@@ -5,26 +5,34 @@ stateful registries).
 
 ``windowed_stats_replay`` runs the REAL streaming code path — file
 source → ``withWatermark`` → tumbling-window agg → append-mode parquet
-sink — over a fixed sequence of event batches, one
-``Trigger.AvailableNow`` run per batch against a shared checkpoint.
-Checkpoint restore carries the event-time watermark across runs, so the
-late-data semantics exercised are the production ones:
+sink — over a fixed sequence of event batches.  Each batch is staged
+as exactly one source file with strictly increasing mtimes, and ONE
+``Trigger.AvailableNow`` run with ``maxFilesPerTrigger=1`` processes
+them file-by-file in mtime order — one micro-batch per batch, the
+event-time watermark carried across micro-batches by the engine
+exactly as a checkpoint restore carries it across runs (probed: the
+per-file micro-batch sequence is byte-identical to the historical
+one-run-per-batch replay, while paying ONE query startup instead of
+N+1).  The late-data semantics exercised are the production ones:
 
-- run N's input is filtered against the watermark persisted by run
-  N-1 (windows already finalized reject their late rows);
+- micro-batch N's input is filtered against the watermark advanced by
+  micro-batch N-1 (windows already finalized reject their late rows);
 - late rows landing in still-open windows MERGE into the aggregate
   (including redelivered duplicates — streaming aggregation is
   at-least-once, not idempotent, and the replay asserts that honestly);
 - append mode emits a window exactly once, when the watermark passes
-  its end; a final drain run flushes windows finalized by the last
-  batch's watermark advance.
+  its end; the run's final no-data cleanup micro-batch flushes windows
+  finalized by the last batch's watermark advance (the same flush the
+  historical shape got from an explicit drain run).
 
 Determinism: each batch is one parquet file processed as one
-micro-batch, so watermark advances happen only BETWEEN runs, never
-inside one; the watermark itself is ms-floored exactly as Spark tracks
-it, which the catalog oracle mirrors (``q_incremental.i3``).  Windows
-whose end never falls behind the final watermark remain un-emitted —
-the replay returns only finalized windows, as a real stream would.
+micro-batch (mtimes are set 1 s apart, so the source's modTime-ordered
+listing has no ties), and watermark advances happen only BETWEEN
+micro-batches, never inside one; the watermark itself is ms-floored
+exactly as Spark tracks it, which the catalog oracle mirrors
+(``q_incremental.i3``).  Windows whose end never falls behind the
+final watermark remain un-emitted — the replay returns only finalized
+windows, as a real stream would.
 
 Scale shape: the aggregation state is O(open windows × keys), bounded
 by the watermark; the shuffle is the window+key hash — identical to
@@ -35,6 +43,9 @@ driver.
 from __future__ import annotations
 
 import os
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +56,15 @@ from pyspark.sql import functions as F
 # cost — every partition pays store open/commit/snapshot per
 # micro-batch), while TB-scale input derives thousands of partitions.
 _STATE_PARTITION_BYTES = 64 << 20
+
+# Legacy single-watermark mode: late-event filtering and state
+# eviction both use the current batch's watermark.  The Spark 3.4+
+# default splits them (late filter = previous batch's watermark) to
+# support CHAINED stateful operators; every replay here has exactly
+# one, and the historical one-run-per-batch shape — where each run's
+# data batch filters against the checkpoint-restored watermark —
+# matches the single-watermark semantics.
+_ALLOW_MULTIPLE_CONF = "spark.sql.streaming.statefulOperator.allowMultiple"
 
 
 def _state_partitions(src_dirs: list[str], session_default: int) -> int:
@@ -64,6 +84,152 @@ def _state_partitions(src_dirs: list[str], session_default: int) -> int:
                 except OSError:
                     continue
     return max(2, min(session_default, total // _STATE_PARTITION_BYTES + 1))
+
+
+def _stage_batches(batches: list[DataFrame], src: str) -> None:
+    """Stage each batch as exactly ONE parquet file under ``src``,
+    named ``batch_<i>.parquet`` with strictly increasing mtimes (1 s
+    apart, ending at now), so a ``maxFilesPerTrigger=1`` file stream
+    replays the batches in order, one micro-batch per batch (the file
+    source lists unprocessed files in modTime order — probed with
+    path order reversed against mtime order).
+
+    The per-batch writes are independent single-task jobs, so they are
+    submitted concurrently (guide §2.6 — overlap independent jobs);
+    naming and mtimes are assigned after all writes land, keeping the
+    replay order a pure function of batch index."""
+    os.makedirs(src, exist_ok=True)
+    tmp_dirs = [f"{src}_stage{i}" for i in range(len(batches))]
+
+    def write(i: int) -> None:
+        batches[i].coalesce(1).write.mode("overwrite").parquet(tmp_dirs[i])
+
+    if len(batches) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(batches))) as pool:
+            list(pool.map(write, range(len(batches))))
+    else:
+        write(0)
+    t0 = time.time() - len(batches)
+    for i, tmp in enumerate(tmp_dirs):
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(src, f"batch_{i:05d}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+def _single_run(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    work_dir: str,
+    build,
+    shuffle_partitions: int | None,
+) -> str:
+    """Shared single-query replay scaffold: stage the batches, size
+    the state partitions from the staged bytes, and run ONE
+    ``Trigger.AvailableNow`` query with ``maxFilesPerTrigger=1`` —
+    one micro-batch per staged file (in mtime order) plus the run's
+    trailing no-data cleanup micro-batch.  ``build`` maps the file
+    stream to the streaming DataFrame to sink.  Returns the sink
+    path."""
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    schema = batches[0].schema
+    _stage_batches(batches, src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_multi = spark.conf.get(_ALLOW_MULTIPLE_CONF, "true")
+    try:
+        n_parts = (
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else _state_partitions([src], int(prev))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # Single-watermark mode (every replay has exactly ONE stateful
+        # operator): late events filter against the CURRENT batch's
+        # watermark, exactly as a per-run restart filters against the
+        # restored one.  The default two-watermark split (for chained
+        # stateful operators) lags the late filter one micro-batch —
+        # probed: a late row into a closed window merged instead of
+        # dropping.
+        spark.conf.set(_ALLOW_MULTIPLE_CONF, "false")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ALLOW_MULTIPLE_CONF, prev_multi)
+    return out
+
+
+def _multi_run(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    work_dir: str,
+    build,
+    shuffle_partitions: int | None,
+) -> str:
+    """Per-run replay scaffold for the operators whose pinned
+    semantics DEPEND on the no-data cleanup micro-batch running
+    between batches: ``dropDuplicatesWithinWatermark`` re-emits a key
+    whose state the between-run cleanup evicted (an arrival inside one
+    continuous run instead finds the expired-but-unevicted state and
+    is dropped), and ``session_window`` opens a separate session over
+    an emitted-and-evicted one (an arrival inside one run merges into
+    the still-live session).  Probed: the single-run shape changes
+    both.  Batches are still staged up-front with overlapping writes
+    (``_stage_batches``); each is moved into the source dir just
+    before its run, so per-run visibility matches the historical
+    append-then-run loop.  Returns the sink path."""
+    staged = os.path.join(work_dir, "staged")
+    src = os.path.join(work_dir, "src")
+    out = os.path.join(work_dir, "out")
+    chk = os.path.join(work_dir, "chk")
+    schema = batches[0].schema
+    _stage_batches(batches, staged)
+    os.makedirs(src, exist_ok=True)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_parts = (
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else _state_partitions([staged], int(prev))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        for i in range(len(batches)):
+            name = f"batch_{i:05d}.parquet"
+            os.replace(os.path.join(staged, name), os.path.join(src, name))
+            run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
 
 
 def windowed_stats_replay(
@@ -91,15 +257,11 @@ def windowed_stats_replay(
     (see ``stream_join_replay`` — per-partition state-store setup is
     the replay's fixed cost; results are partitioning-invariant).
     """
-    src = os.path.join(work_dir, "src")
-    out = os.path.join(work_dir, "out")
-    chk = os.path.join(work_dir, "chk")
-    os.makedirs(src, exist_ok=True)
-    schema = batches[0].schema
-
-    def run_once() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
+    out = _single_run(
+        spark,
+        batches,
+        work_dir,
+        lambda stream: (
             stream.withWatermark(ts_col, f"{watermark_sec} seconds")
             .groupBy(
                 F.window(F.col(ts_col), f"{window_sec} seconds").alias("win"),
@@ -111,35 +273,9 @@ def windowed_stats_replay(
                 F.min(value_col).alias("vmin"),
                 F.max(value_col).alias("vmax"),
             )
-        )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
-        # drain run: no new data, but the no-data micro-batch emits
-        # windows the LAST batch's watermark advance finalized
-        run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
+        ),
+        shuffle_partitions,
+    )
     sink = spark.read.parquet(out)
     return sink.select(
         F.col("win.start").alias("window_start"),
@@ -170,8 +306,12 @@ def stream_join_replay(
     follow within ``max_gap_sec``, same key), run through the real
     Structured Streaming path: two file sources → ``withWatermark`` on
     both → inner join with an event-time range condition → append
-    parquet sink, one ``Trigger.AvailableNow`` run per batch pair over
-    a shared checkpoint.
+    parquet sink — all batch pairs staged up-front (one file per batch
+    per side, mtime-ordered) and processed by ONE
+    ``Trigger.AvailableNow`` run with ``maxFilesPerTrigger=1`` on both
+    sources, one micro-batch per batch pair (both sources advance one
+    file per micro-batch, so the pairing is the historical per-run
+    pairing at a single query startup's cost).
 
     Semantics exercised (the ones a batch join cannot show):
 
@@ -188,15 +328,16 @@ def stream_join_replay(
       (at-least-once upstream duplicates its outputs).
 
     The watermark is the GLOBAL one (min over both inputs), ms-floored
-    as Spark tracks it, and advances only between runs (each batch is
-    one file = one micro-batch).  Inner join emits nothing on the
-    no-data drain, so none is run.
+    as Spark tracks it, and advances only between micro-batches (each
+    batch is one file = one micro-batch).  Inner join emits nothing on
+    the run's trailing no-data cleanup micro-batch.
 
     ``join_type="leftOuter"`` exercises the OUTER emission rules on
-    top (probed empirically, mirrored by the i9 oracle; an
+    top (probed empirically, mirrored by the i9 oracle; the
     ``AvailableNow`` run finishes with a cleanup micro-batch that
-    applies the watermark its own data advanced, so eviction emissions
-    land in the same run and no explicit drain is needed):
+    applies the watermark the last data micro-batch advanced, so
+    eviction emissions land in the same run and no explicit drain is
+    needed):
 
     - a left state row evicted UNMATCHED emits once, null-padded, on
       the run where ``l_ts + max_gap`` falls STRICTLY below the global
@@ -235,13 +376,27 @@ def stream_join_replay(
     src_r = os.path.join(work_dir, "src_r")
     out = os.path.join(work_dir, "out")
     chk = os.path.join(work_dir, "chk")
+    schema = left_batches[0].schema
+    _stage_batches(list(left_batches) + list(right_batches), work_dir + "/all")
+    # staged together so the two sides' writes overlap; split the files
+    # into the per-side source dirs, preserving per-side order
     os.makedirs(src_l, exist_ok=True)
     os.makedirs(src_r, exist_ok=True)
-    schema = left_batches[0].schema
+    n = len(left_batches)
+    for i in range(n):
+        os.replace(
+            os.path.join(work_dir, "all", f"batch_{i:05d}.parquet"),
+            os.path.join(src_l, f"batch_{i:05d}.parquet"),
+        )
+        os.replace(
+            os.path.join(work_dir, "all", f"batch_{n + i:05d}.parquet"),
+            os.path.join(src_r, f"batch_{i:05d}.parquet"),
+        )
 
-    def run_once() -> None:
+    def run_single() -> None:
         left = (
             spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
             .parquet(src_l)
             .withWatermark(ts_col, f"{watermark_sec} seconds")
             .select(
@@ -256,6 +411,7 @@ def stream_join_replay(
         )
         right = (
             spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
             .parquet(src_r)
             .withWatermark(ts_col, f"{watermark_sec} seconds")
             .select(
@@ -289,20 +445,20 @@ def stream_join_replay(
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_multi = spark.conf.get(_ALLOW_MULTIPLE_CONF, "true")
     try:
-        for i, (lb, rb) in enumerate(zip(left_batches, right_batches)):
-            lb.coalesce(1).write.mode("append").parquet(src_l)
-            rb.coalesce(1).write.mode("append").parquet(src_r)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src_l, src_r], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
+        n_parts = (
+            shuffle_partitions
+            if shuffle_partitions is not None
+            else _state_partitions([src_l, src_r], int(prev))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        # single-watermark mode — see _single_run
+        spark.conf.set(_ALLOW_MULTIPLE_CONF, "false")
+        run_single()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(_ALLOW_MULTIPLE_CONF, prev_multi)
 
     return spark.read.parquet(out)
 
@@ -319,8 +475,11 @@ def stream_dedup_replay(
 ) -> DataFrame:
     """Replay ``batches`` through the REAL streaming watermarked dedup
     (``withWatermark`` → ``dropDuplicatesWithinWatermark``), one
-    ``Trigger.AvailableNow`` run per batch over a shared checkpoint,
-    and return the sink's emitted KEY rows (multiplicity = emissions).
+    ``Trigger.AvailableNow`` run per batch over a shared checkpoint
+    (``_multi_run`` — the between-run cleanup micro-batch is what
+    evicts expired keys so a later redelivery RE-EMITS; one continuous
+    run would drop it against the unevicted state), and return the
+    sink's emitted KEY rows (multiplicity = emissions).
 
     Pinned semantics (probed empirically, mirrored by the i5 oracle —
     the same treatment ``stream_join_replay`` got in r6):
@@ -344,41 +503,15 @@ def stream_dedup_replay(
     are.  Callers wanting payloads must make them functions of the key.
     """
     key_cols = key_cols or ["k"]
-    src = os.path.join(work_dir, "src")
-    out = os.path.join(work_dir, "out")
-    chk = os.path.join(work_dir, "chk")
-    os.makedirs(src, exist_ok=True)
-    schema = batches[0].schema
-
-    def run_once() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        dd = stream.withWatermark(
+    out = _multi_run(
+        spark,
+        batches,
+        work_dir,
+        lambda stream: stream.withWatermark(
             ts_col, f"{delay_sec} seconds"
-        ).dropDuplicatesWithinWatermark(key_cols)
-        q = (
-            dd.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ).dropDuplicatesWithinWatermark(key_cols),
+        shuffle_partitions,
+    )
     return spark.read.parquet(out).select(*key_cols)
 
 
@@ -395,8 +528,12 @@ def stream_session_replay(
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` through the REAL streaming session-window
-    aggregation (``session_window`` + ``withWatermark``, append mode)
-    over a shared checkpoint and return the emitted sessions.
+    aggregation (``session_window`` + ``withWatermark``, append mode),
+    one ``Trigger.AvailableNow`` run per batch over a shared
+    checkpoint (``_multi_run`` — the between-run cleanup micro-batch
+    evicts emitted sessions so a late survivor opens a SEPARATE
+    session; one continuous run would merge it into the still-live
+    state), and return the emitted sessions.
 
     Pinned semantics (probed empirically at the exact boundaries, like
     ``stream_join_replay``/``stream_dedup_replay``):
@@ -416,15 +553,11 @@ def stream_session_replay(
       overlapping it opens a separate session (probed: overlapping
       emitted+new sessions both appear in the sink).
     """
-    src = os.path.join(work_dir, "src")
-    out = os.path.join(work_dir, "out")
-    chk = os.path.join(work_dir, "chk")
-    os.makedirs(src, exist_ok=True)
-    schema = batches[0].schema
-
-    def run_once() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
+    out = _multi_run(
+        spark,
+        batches,
+        work_dir,
+        lambda stream: (
             stream.withWatermark(ts_col, f"{watermark_sec} seconds")
             .groupBy(
                 F.session_window(F.col(ts_col), f"{gap_sec} seconds").alias("sw"),
@@ -434,31 +567,9 @@ def stream_session_replay(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(value_col).cast("decimal(30,12)")).alias("vsum"),
             )
-        )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ),
+        shuffle_partitions,
+    )
     sink = spark.read.parquet(out)
     return sink.select(
         F.col("sw.start").alias("window_start"),
@@ -482,8 +593,9 @@ def stream_stateful_runs_replay(
 ) -> DataFrame:
     """Replay ``batches`` through the CUSTOM stateful operator
     (``streaming/stateful.sustained_runs_stateful`` —
-    ``applyInPandasWithState``), one ``Trigger.AvailableNow`` run per
-    batch over a shared checkpoint, and return the emitted islands.
+    ``applyInPandasWithState``), one ``Trigger.AvailableNow`` run with
+    one micro-batch per staged batch file (``_single_run``), and
+    return the emitted islands.
 
     Emission contract (follows directly from the operator, so the i8
     oracle can state it in SQL):
@@ -500,48 +612,22 @@ def stream_stateful_runs_replay(
     - only islands spanning >= ``min_span`` sequence units emit;
       duplicate sequence values collapse (state counts distinct).
 
-    Each batch lands as exactly one source file, so each run processes
-    one deterministic data micro-batch; batches must be time-ordered
+    Each batch lands as exactly one source file, so each micro-batch
+    processes one deterministic batch; batches must be time-ordered
     (later batches strictly after earlier ones on the sequence axis),
     which the i8 harness guarantees by splitting on the time axis.
     """
-    src = os.path.join(work_dir, "src")
-    out = os.path.join(work_dir, "out")
-    chk = os.path.join(work_dir, "chk")
-    os.makedirs(src, exist_ok=True)
-    schema = batches[0].schema
+    from .stateful import sustained_runs_stateful
 
-    def run_once() -> None:
-        from .stateful import sustained_runs_stateful
-
-        stream = spark.readStream.schema(schema).parquet(src)
-        runs = sustained_runs_stateful(
+    out = _single_run(
+        spark,
+        batches,
+        work_dir,
+        lambda stream: sustained_runs_stateful(
             stream, key_col, seq_col, max_gap=max_gap, min_span=min_span
-        )
-        q = (
-            runs.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ),
+        shuffle_partitions,
+    )
     return spark.read.parquet(out)
 
 
@@ -564,8 +650,8 @@ def stream_static_enrich_replay(
     (broadcast — the canonical streaming enrichment: no state, no
     watermark needed on the static side, unmatched stream rows drop)
     → tumbling windowed aggregate per enriched key → append-mode
-    parquet sink, one AvailableNow run per batch over a shared
-    checkpoint.
+    parquet sink, one ``Trigger.AvailableNow`` run with one
+    micro-batch per staged batch file (``_single_run``).
 
     Stream-static is its OWN Structured Streaming feature, distinct
     from the stream-stream joins (i4/i9): the static side is re-read
@@ -578,15 +664,11 @@ def stream_static_enrich_replay(
 
     Aggregates mirror ``windowed_stats_replay`` (DECIMAL sums).
     """
-    src = os.path.join(work_dir, "src")
-    out = os.path.join(work_dir, "out")
-    chk = os.path.join(work_dir, "chk")
-    os.makedirs(src, exist_ok=True)
-    schema = batches[0].schema
-
-    def run_once() -> None:
-        stream = spark.readStream.schema(schema).parquet(src)
-        agg = (
+    out = _single_run(
+        spark,
+        batches,
+        work_dir,
+        lambda stream: (
             stream.withWatermark(ts_col, f"{watermark_sec} seconds")
             .join(F.broadcast(dim), join_col)
             .groupBy(
@@ -597,34 +679,9 @@ def stream_static_enrich_replay(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col(value_col).cast("decimal(30,12)")).alias("vsum"),
             )
-        )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", chk)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        for i, b in enumerate(batches):
-            b.coalesce(1).write.mode("append").parquet(src)
-            if i == 0:
-                n_parts = (
-                    shuffle_partitions
-                    if shuffle_partitions is not None
-                    else _state_partitions([src], int(prev))
-                )
-                spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-            run_once()
-        # drain run: emit windows the final watermark advance finalized
-        run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
+        ),
+        shuffle_partitions,
+    )
     sink = spark.read.parquet(out)
     return sink.select(
         F.col("win.start").alias("window_start"),

@@ -42,6 +42,7 @@ def main() -> None:
         .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)
+        .config("spark.eventLog.compress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.shuffle.partitions", "32")
@@ -71,9 +72,31 @@ def main() -> None:
     path = os.path.join(log_dir, app_id)
     if not os.path.exists(path):
         path = path + ".inprogress"
+    if not os.path.exists(path):
+        # Spark 4 rolling event-log v2 writes a directory per app with
+        # events_* part files inside; find it and read those
+        v2 = os.path.join(log_dir, f"eventlog_v2_{app_id}")
+        if os.path.isdir(v2):
+            parts = sorted(
+                os.path.join(v2, f)
+                for f in os.listdir(v2)
+                if f.startswith("events_")
+            )
+            if not parts:
+                raise SystemExit(f"no events_* files in {v2}")
+            path = parts
+        else:
+            raise SystemExit(f"no event log found under {log_dir}")
+    if isinstance(path, str):
+        path = [path]
     stages = []
     jobs = {}
-    for line in open(path):
+    def lines():
+        for p in path:
+            with open(p) as fh:
+                yield from fh
+
+    for line in lines():
         try:
             ev = json.loads(line)
         except Exception:  # noqa: BLE001
