@@ -71,9 +71,10 @@ def i1_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-append (broken idempotency), a missed cross-run drop
     (redelivered evens re-registering), or a broken within-batch
     collapse (both sentinels landing) each change the row set and
-    hash-mismatch.  Scale shape: the real code path — 256-way
-    hash-prefix partition pruning on the registry read, left-anti join
-    per batch, append-only writes."""
+    hash-mismatch.  Scale shape: the real code path — hash-prefix
+    partition pruning on the registry read (prefix width
+    size-adaptive, up to 256-way), left-anti join per batch,
+    append-only writes."""
     docs = load_table(spark, sf_dir, "documents")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     redelivered = b1.orderBy(F.col("doc_id").asc()).limit(5)

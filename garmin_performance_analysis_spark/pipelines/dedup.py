@@ -340,6 +340,12 @@ def simhash_near_pairs(
     )
 
 
+# Doubled-edge count under which connected_components solves on the
+# driver (one bounded collect, ~16 bytes/edge → ≤ ~3 MB).  Above it
+# the distributed pointer-jumping loop runs unchanged.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -364,6 +370,13 @@ def connected_components(
     DataFrame loop otherwise grows the plan exponentially).
     Convergence detection: labels only ever decrease, so SUM(label)
     strictly decreases until the fixpoint — one cheap agg per round.
+
+    Size-gated driver solve: below ``_DRIVER_CC_MAX_EDGES`` doubled
+    edges the component labels come from a driver union-find over one
+    bounded collect (same unique fixpoint; near-dup pair graphs are a
+    tiny fraction of the corpus, and the per-round jobs are pure
+    choreography at that size).  The distributed pointer-jumping loop
+    is untouched and remains the path for data-sized graphs.
     """
     und = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
@@ -373,6 +386,40 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges <= _DRIVER_CC_MAX_EDGES:
+        # size-gated driver solve: the pair graph is usually a tiny
+        # fraction of the corpus (near-dup pairs), and each pointer-
+        # jumping round costs 2+ Spark jobs of pure choreography.
+        # Below the gate (≤ ~3 MB of edge longs) a driver union-find
+        # computes the SAME unique fixpoint (min reachable id per
+        # node) in one bounded collect; above it the distributed loop
+        # below is unchanged — the scale path stays the default.
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for row in edges.collect():  # bounded by the gate above
+            nodes.add(row[0])
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                # union by MIN id: the winning root is always the
+                # component's minimum node id, which is exactly the
+                # distributed loop's fixpoint label
+                if b < a:
+                    a, b = b, a
+                parent[b] = a
+        return spark.createDataFrame(
+            sorted((n, find(n)) for n in nodes), "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -17,11 +17,15 @@ This module keeps a hash-prefix-partitioned parquet registry of
 
 Scale design:
 
-- The registry is partitioned by a 2-hex-char key prefix (256
-  partitions).  A small batch touches few prefixes, so the registry
-  read prunes to just those directories; a full-corpus batch reads all
-  256, which is the unavoidable case.  New rows append WITHIN their
-  prefix partitions — no rewrite of existing data, ever.
+- The registry is partitioned by a hex key prefix whose WIDTH is
+  derived from the creating batch's size (0/1/2 chars → 1/16/256
+  partitions, ``_adaptive_width``) and thereafter read back from the
+  on-disk layout, so partition granularity scales with the corpus
+  instead of pinning a constant.  A small batch touches few prefixes,
+  so the registry read prunes to just those directories; a
+  full-corpus batch reads all of them, which is the unavoidable case.
+  New rows append WITHIN their prefix partitions — no rewrite of
+  existing data, ever.
 - The anti-join shuffles on the dedup key on both sides.  The batch
   side is small by definition (one ingest).  The registry side grows
   with the corpus — when that becomes the bottleneck, materialize the
@@ -41,10 +45,10 @@ inserters).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .migrations import _exists
+from .migrations import _exists, _fs
 from .text import fingerprint_expr
 
 _REGISTRY_SCHEMA = "dedup_key string, keep_id long"
@@ -52,21 +56,61 @@ _REGISTRY_SCHEMA = "dedup_key string, keep_id long"
 _PREFIX_COL = "_kp"
 
 
-def _write_tasks(n_rows: int) -> int:
+def _write_tasks(n_rows: int, width: int) -> int:
     """Write-side parallelism for a prefix-partitioned append: ~200k
     keys per task, floored at 8 (commit overhead amortizes poorly below
-    that) and capped at 256 (one task per prefix — more would reopen
-    the many-tiny-files problem the co-partitioning exists to avoid)."""
-    return min(256, max(8, (n_rows + 199_999) // 200_000))
+    that) and capped at one task per prefix dir — more would reopen
+    the many-tiny-files problem the co-partitioning exists to avoid.
+    At width 0 (single partition dir) one writer is the whole story."""
+    return min(16 ** width if width else 1, max(8, (n_rows + 199_999) // 200_000))
 
 
-def _prefix_expr():
-    """Partition value for a key: 'p' + first two hex chars.  The
-    letter marker keeps Spark's partition-value type inference from
-    reading a digits-only prefix ("84") back as a NUMERIC column,
-    which would break the string prune filter.
+def _adaptive_width(n_rows: int) -> int:
+    """Hex-prefix width for a NEW registry, derived from its creating
+    batch (guide §2: partition granularity from input size, not a
+    constant).  Targets ≤ ~100k keys per partition dir at creation —
+    a small corpus gets one dir (the 256-way fan-out costs ~2 s of
+    writer/commit choreography per append and buys nothing below
+    ~100k keys, measured at sf0.1), a 10M-key ingest gets 16, anything
+    bigger the full 256.  The width is FIXED at registry creation and
+    inferred from the on-disk layout by every later ingest
+    (``_infer_width``), so a registry stays self-consistent however it
+    grows."""
+    if n_rows < 100_000:
+        return 0
+    if n_rows < 10_000_000:
+        return 1
+    return 2
+
+
+def _infer_width(spark: SparkSession, path: str) -> int | None:
+    """Prefix width of an EXISTING registry, read from its partition
+    dir names (``_kp=p<prefix>``) — one bounded FS listing (≤ 256
+    entries + data-file noise), no meta file to keep in sync.  None if
+    no partition dir is visible (empty/corrupt registry — callers fall
+    back to the adaptive rule)."""
+    jvm, fs = _fs(spark)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith(f"{_PREFIX_COL}=p"):
+            return len(name) - len(_PREFIX_COL) - 2
+    return None
+
+
+def _prefix_expr(width: int = 2, col: str = "dedup_key"):
+    """Partition value for a key: 'p' + first ``width`` hex chars
+    (width 0 → the constant 'p': a single partition dir, so the layout
+    and its detection stay uniform across scales).  The letter marker
+    keeps Spark's partition-value type inference from reading a
+    digits-only prefix ("84") back as a NUMERIC column, which would
+    break the string prune filter.
     """
-    return F.concat(F.lit("p"), F.substring("dedup_key", 1, 2))
+    if width <= 0:
+        return F.lit("p")
+    return F.concat(F.lit("p"), F.substring(col, 1, width))
 
 
 def exact_key_expr(text_col: str):
@@ -101,6 +145,7 @@ def incremental_dedup(
     registry_path: str,
     id_col: str,
     key_expr,
+    prefix_width: int | None = None,
 ) -> DataFrame:
     """Deduplicate one ingest batch against itself and the registry,
     append the fresh keys, and return the fresh rows (original columns
@@ -108,23 +153,43 @@ def incremental_dedup(
 
     ``key_expr`` is the dedup-key Column (``exact_key_expr`` /
     ``near_key_expr`` or any deterministic expression over the batch
-    columns).
+    columns).  ``prefix_width`` pins the partition-prefix width for a
+    NEW registry (None = adaptive from the batch size); an existing
+    registry's width is always read from its layout.
     """
     keyed = batch.withColumn("dedup_key", key_expr)
-    w = Window.partitionBy("dedup_key").orderBy(F.col(id_col).asc())
+    # within-batch collapse to the min id per key: a hash aggregate
+    # with map-side partials (min_by), not a row_number window — the
+    # window's sort shuffled and ordered the whole batch to keep one
+    # row per key (measured 1.6 s vs 0.7 s at sf0.1, guide §2.3
+    # "aggregate before you shuffle").  Ties on (key, id) were
+    # selection-arbitrary under the window too; callers key on unique
+    # ids.
+    payload = [c for c in keyed.columns if c != "dedup_key"]
     batch_unique = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        keyed.groupBy("dedup_key")
+        .agg(F.min_by(F.struct(*payload), F.col(id_col)).alias("_row"))
+        .select("dedup_key", "_row.*")
+        .select(*keyed.columns)
     )
-    if _exists(spark, registry_path):
+    exists = _exists(spark, registry_path)
+    width = _infer_width(spark, registry_path) if exists else None
+    if exists and width is None:
+        # registry dir exists but no partition dir is visible yet
+        # (interrupted first append): fall back to the pinned or
+        # legacy default so the prune expression is well-formed
+        width = prefix_width if prefix_width is not None else 2
+    if exists:
         # prune the registry read to the prefixes this batch touches:
-        # a small batch reads a few of the 256 partition dirs, not the
-        # whole registry.  The prefix list is ≤256 values — a driver
-        # collect of a bounded aggregate, not data.
+        # a small batch reads a few of the partition dirs, not the
+        # whole registry.  The prefix list is bounded (≤ 16^width) — a
+        # driver collect of a bounded aggregate, not data.  Prefixes
+        # are a function of the KEY alone, so they come from ``keyed``
+        # WITHOUT evaluating the per-key collapse (same distinct key
+        # set, half the lineage — measured 1.0 s vs 0.5 s).
         prefixes = [
             r[0]
-            for r in batch_unique.select(_prefix_expr().alias("p"))
+            for r in keyed.select(_prefix_expr(width).alias("p"))
             .distinct()
             .collect()
         ]
@@ -144,22 +209,28 @@ def incremental_dedup(
     # checkpointed, so the count is a cheap scan and is reused to size
     # the write below.
     n_fresh = fresh.count()
+    if width is None:
+        # new registry: width from the creating batch's size (the
+        # checkpointed fresh count — no extra job), unless pinned
+        width = (
+            prefix_width if prefix_width is not None else _adaptive_width(n_fresh)
+        )
     if n_fresh > 0:
         (
             fresh.select(
                 "dedup_key",
                 F.col(id_col).cast("long").alias("keep_id"),
-                _prefix_expr().alias(_PREFIX_COL),
+                _prefix_expr(width).alias(_PREFIX_COL),
             )
             # co-partition on the prefix BEFORE the partitioned write:
             # without it every upstream task opens a writer for every
-            # prefix dir it touches (up to tasks × 256 tiny files per
+            # prefix dir it touches (up to tasks × dirs tiny files per
             # append — measured ~6 s of writer/commit overhead at
             # sf0.1, 50 s for the band store).  Task count scales with
             # the batch (1 file per prefix per ~200k keys), and the
             # within-partition sort keeps each task on the sorted
             # single-open-writer path (measured 7.6 s → 1.1 s).
-            .repartition(_write_tasks(n_fresh), F.col(_PREFIX_COL))
+            .repartition(_write_tasks(n_fresh, width), F.col(_PREFIX_COL))
             .sortWithinPartitions(_PREFIX_COL)
             .write.mode("append")
             .partitionBy(_PREFIX_COL)
@@ -244,11 +315,15 @@ def incremental_lsh_candidates(
     my_bands = band_rows(sigs, num_hashes, bands)
 
     pairs = None
-    if _exists(spark, bands_path):
+    bands_exist = _exists(spark, bands_path)
+    width = _infer_width(spark, bands_path) if bands_exist else None
+    if bands_exist and width is None:
+        width = 2  # interrupted first append: legacy default
+    if bands_exist:
         prefixes = [
             r[0]
             for r in my_bands.select(
-                F.concat(F.lit("p"), F.substring("band_hash", 1, 2)).alias("p")
+                _prefix_expr(width, "band_hash").alias("p")
             )
             .distinct()
             .collect()
@@ -296,6 +371,10 @@ def incremental_lsh_candidates(
         seen = spark.read.schema(sig_schema).parquet(sigs_path).select("doc_id")
         fresh_sigs = sigs.join(seen, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_fresh = fresh_sigs.count()
+    if width is None:
+        # new band store: width from the creating batch's band-row
+        # count (bands per doc), adaptive exactly as incremental_dedup
+        width = _adaptive_width(n_fresh * bands)
     if n_fresh > 0:
         # bands BEFORE sigs: idempotency is keyed on sigs/ doc_ids, so a
         # crash between the two appends must leave the retry able to
@@ -308,14 +387,12 @@ def incremental_lsh_candidates(
         # .distinct() on candidate pairs.
         (
             band_rows(fresh_sigs, num_hashes, bands)
-            .withColumn(
-                _PREFIX_COL, F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
-            )
+            .withColumn(_PREFIX_COL, _prefix_expr(width, "band_hash"))
             # co-partition + sorted single-writer path, task count
             # scaled to the batch (see incremental_dedup: avoids
             # tasks × 256 tiny files; measured 50 s → ~10 s on the
             # whole replay at sf0.1)
-            .repartition(_write_tasks(n_fresh * bands), F.col(_PREFIX_COL))
+            .repartition(_write_tasks(n_fresh * bands, width), F.col(_PREFIX_COL))
             .sortWithinPartitions(_PREFIX_COL)
             .write.mode("append")
             .partitionBy(_PREFIX_COL)

@@ -81,8 +81,12 @@ def test_registry_read_prunes_partitions(spark, tmp_path):
         F.col("id").alias("doc_id"),
         F.concat(F.lit("document number "), F.col("id")).alias("text"),
     )
+    # width pinned to 2: this test exercises the pruning machinery at
+    # full fan-out; the adaptive default would give this 300-key
+    # corpus a single partition dir (see the adaptive-width test)
     incremental.incremental_dedup(
-        spark, big, reg, "doc_id", incremental.exact_key_expr("text")
+        spark, big, reg, "doc_id", incremental.exact_key_expr("text"),
+        prefix_width=2,
     )
     one = _batch(spark, [(1000, "a single new doc")])
     import glob
@@ -106,6 +110,39 @@ def test_registry_read_prunes_partitions(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "_kp" in pf[0] and "PartitionFilters: []" not in pf[0]
+
+
+def test_registry_prefix_width_adapts_and_sticks(spark, tmp_path):
+    """A small creating batch gets a single partition dir (width 0 —
+    the 256-way fan-out is write choreography it cannot amortize), the
+    layout stays partitioned-by-_kp, and a LATER ingest reads the
+    width back from disk instead of re-deriving it from its own size,
+    so the registry stays self-consistent."""
+    import glob
+    import os
+
+    reg = str(tmp_path / "registry")
+    b1 = _batch(spark, [(1, "alpha"), (2, "beta")])
+    incremental.incremental_dedup(
+        spark, b1, reg, "doc_id", incremental.exact_key_expr("text")
+    )
+    # width 0: exactly one partition dir named _kp=p
+    assert glob.glob(os.path.join(reg, "_kp=*")) == [os.path.join(reg, "_kp=p")]
+    assert incremental._infer_width(spark, reg) == 0
+    # later ingest (pinning a different width must be ignored for an
+    # existing registry) still lands in the same single dir and dedups
+    b2 = _batch(spark, [(3, "alpha"), (4, "gamma")])
+    f2 = incremental.incremental_dedup(
+        spark, b2, reg, "doc_id", incremental.exact_key_expr("text"),
+        prefix_width=2,
+    )
+    assert [r["doc_id"] for r in f2.collect()] == [4]
+    assert glob.glob(os.path.join(reg, "_kp=*")) == [os.path.join(reg, "_kp=p")]
+    assert incremental.read_registry(spark, reg).count() == 3
+    # the adaptive rule itself: thresholds are size-driven
+    assert incremental._adaptive_width(99_999) == 0
+    assert incremental._adaptive_width(100_000) == 1
+    assert incremental._adaptive_width(10_000_000) == 2
 
 
 def test_registry_survives_fresh_reader(spark, tmp_path):
@@ -218,8 +255,6 @@ def test_lsh_crash_between_appends_repairs_on_retry(spark, tmp_path):
     that the retry absorbs — not sigs-only doc_ids that would make the
     retry skip the band append forever and silently drop the batch
     from the LSH index."""
-    from pyspark.sql import functions as SF
-
     from garmin_performance_analysis_spark.pipelines.dedup import (
         band_rows,
         minhash_signatures,
@@ -233,12 +268,15 @@ def test_lsh_crash_between_appends_repairs_on_retry(spark, tmp_path):
     b1 = _batch(spark, [(1, base)])
     incremental.incremental_lsh_candidates(spark, b1, reg, "doc_id", "text")
 
-    # simulate the crash for batch 2: bands appended, sigs NOT
+    # simulate the crash for batch 2: bands appended, sigs NOT — with
+    # the store's OWN prefix width, exactly as the interrupted real
+    # append would have written
+    width = incremental._infer_width(spark, f"{reg}/bands")
     b2 = _batch(spark, [(20, base.replace("kappa", "kappa2"))])
     sigs2 = minhash_signatures(b2, "doc_id", "text", 16, 3)
     (
         band_rows(sigs2, 16, 4)
-        .withColumn("_kp", SF.concat(SF.lit("p"), SF.substring("band_hash", 1, 2)))
+        .withColumn("_kp", incremental._prefix_expr(width, "band_hash"))
         .write.mode("append")
         .partitionBy("_kp")
         .parquet(f"{reg}/bands")

@@ -550,6 +550,22 @@ def test_connected_components_matches_union_find(spark):
     assert got == want
 
 
+def test_connected_components_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The size-gated driver union-find and the distributed pointer-
+    jumping loop must produce the identical fixpoint — forced onto
+    each path via the gate constant (path graph stresses compression,
+    the mixed cases stress min-label tie shapes)."""
+    edges = [(i, i + 1) for i in range(40)] + [
+        (500, 900), (900, 501), (777, 777), (1000, 999),
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", 10**9)
+    via_driver = sorted(map(tuple, dedup.connected_components(df).collect()))
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_EDGES", 0)
+    via_spark = sorted(map(tuple, dedup.connected_components(df).collect()))
+    assert via_driver == via_spark
+
+
 def test_batch_topk_matches_per_query_brute_force(spark):
     """batch_topk's per-query result must equal running the single-
     query exact baseline for each query id (same comparator: cosine
