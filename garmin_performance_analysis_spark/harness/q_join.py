@@ -348,7 +348,11 @@ def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = marked.groupBy("user_id", "session_seq").agg(
         F.min(epoch).alias("start_sec"), F.max(epoch).alias("end_sec")
-    )
+    # materialize ONCE: sessions feeds both the top-20 ranking and the
+    # overlap join's probe side, and Catalyst has no cross-subtree CSE
+    # — without this the two-window sessionization lineage runs twice
+    # per call (plan: 8 Window nodes → 4)
+    ).localCheckpoint(eager=True)
     top = sessions.orderBy(
         (F.col("end_sec") - F.col("start_sec")).desc(),
         "user_id",

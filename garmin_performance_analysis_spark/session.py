@@ -43,6 +43,21 @@ def get_spark(app_name: str = "garmin_performance_analysis_spark") -> SparkSessi
             os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join where its size checks
+        # pass (guide §3.1): SMJ pays two sorts a hash join does not,
+        # and AQE additionally rewrites SMJ→SHJ at runtime when every
+        # post-shuffle partition is under the local-map threshold.
+        # Physical-plan-only (bit-identical results); both knobs
+        # env-overridable — on memory-tight clusters set the threshold
+        # back to 0 and/or preferSortMergeJoin=true.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
