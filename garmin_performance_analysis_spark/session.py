@@ -25,18 +25,21 @@ def get_spark(app_name: str = "garmin_performance_analysis_spark") -> SparkSessi
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # stopping at the default parallelism (Spark docs recommend
-        # false for exactly this reason).  With the default (true), a
-        # KB-sized post-shuffle stage still fans out to ~cores tasks and
-        # every exchange pays ~cores scheduling round-trips; with false,
-        # AQE sizes reduce stages by bytes — one task for KB-scale
-        # frames locally, advisory-sized (64 MB+) partitions at cluster
-        # scale.  Scale-adaptive by construction (bytes, not a core
-        # count); both knobs overridable via env for cluster tuning.
+        # parallelismFirst stays at Spark's default (true): coalescing
+        # purely by BYTES (false + 64 m advisory) collapsed every small
+        # post-shuffle stage to ONE task, which serializes CPU-dense
+        # aggregations whose bytes are tiny but whose per-row work is
+        # not (d10's fused decimal-fold aggregation ran as two
+        # single-task jobs of 7.5 s + 4.0 s in the stage profile;
+        # 5.04 s → 1.59 s best-of-3 after the flip, with m16 0.70×,
+        # t4 0.69×, a19 0.77×, g8 0.82× in the same matched A/B).
+        # KB-scale frames still coalesce to one task under true —
+        # minPartitionSize caps the split — so the per-exchange
+        # scheduling saving that motivated false is retained where it
+        # matters.  Env-overridable for cluster tuning.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
