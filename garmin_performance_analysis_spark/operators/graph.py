@@ -13,6 +13,22 @@ from collections.abc import Sequence  # noqa: F401  (kept for sig parity)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Edge count under which the INTEGER-EXACT fixed-round kernels (BFS,
+# k-core peel, label propagation) solve on the driver from one bounded
+# collect: each distributed round costs 2-3 jobs of pure choreography,
+# and the event-derived graphs these kernels run on are a tiny
+# fraction of the corpus (the connected_components precedent,
+# pipelines/dedup._DRIVER_CC_MAX_EDGES).  The distributed loops are
+# untouched above the gate and remain the 100 TB path.  Only integral
+# node types take the driver path — min/tie-break semantics on longs
+# are engine-identical by construction; anything else falls through.
+# PageRank/HITS stay distributed at every size: their DECIMAL
+# contribution sums are plan-shaped, not worth re-proving driver-side.
+_DRIVER_GRAPH_MAX_EDGES = 200_000
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def pagerank_fixed(
@@ -146,7 +162,57 @@ def bfs_hops(
     ``localCheckpoint`` (the iterative-DataFrame rule: an unflattened
     loop grows the plan exponentially).  Deterministic: min() combine,
     no RNG — a recursive-CTE SQL oracle walks the same fixpoint.
+
+    Size-gated driver solve (``_DRIVER_GRAPH_MAX_EDGES``): BFS hops are
+    a pure integer min-fixpoint, so below the gate the same bounded
+    walk runs driver-side.  The edge list is checkpointed EITHER way —
+    the distributed loop consumes it once per round, so flattening it
+    is a win at every size — which makes the gate count one cheap
+    bounded job and the driver fetch one Arrow ``toPandas`` transfer.
     """
+    spark = edges.sparkSession
+    node_dt = sources.schema[node_col].dataType
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    small = (
+        isinstance(node_dt, _INTEGRAL)
+        # (type equality keeps the driver path's output schema
+        # identical to the distributed union's coercion result)
+        and edges.schema[dst_col].dataType == node_dt
+        and edges.count() <= _DRIVER_GRAPH_MAX_EDGES
+    )
+    epdf = spdf = None
+    if small:
+        src_frame = sources.select(node_col).distinct().localCheckpoint(eager=True)
+        small = src_frame.count() <= _DRIVER_GRAPH_MAX_EDGES
+    if small:
+        epdf = edges.toPandas()
+        spdf = src_frame.toPandas()
+        # NULL endpoints/sources have engine-specific join/row
+        # semantics — leave those graphs to the distributed path
+        small = not (epdf.isnull().values.any() or spdf.isnull().values.any())
+    if small:
+        adj: dict = {}
+        for s, d in zip(epdf[src_col].tolist(), epdf[dst_col].tolist()):
+            adj.setdefault(s, []).append(d)
+        dist = {n: 0 for n in spdf[node_col].tolist()}
+        frontier = set(dist)
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            if not nxt:
+                break
+            frontier = nxt
+        schema = T.StructType(
+            [
+                T.StructField(node_col, node_dt),
+                T.StructField("hops", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(sorted(dist.items()), schema)
     dist = sources.select(
         F.col(node_col), F.lit(0).alias("hops")
     ).distinct().localCheckpoint(eager=True)
@@ -205,6 +271,35 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size-gated driver solve: the peel is pure integer degree
+    # counting on the (already checkpointed, so the count is one cheap
+    # bounded job) simple-edge set — below the gate, iterate the SAME
+    # fixed rounds driver-side instead of paying ~3 jobs per round
+    u_dt = und.schema["u"].dataType
+    if isinstance(u_dt, _INTEGRAL) and und.count() <= _DRIVER_GRAPH_MAX_EDGES:
+        spark = edges.sparkSession
+        updf = und.toPandas()  # Arrow transfer, bounded by the gate
+        cur_pairs = set(zip(updf["u"].tolist(), updf["v"].tolist()))
+        for _ in range(rounds):
+            deg: dict = {}
+            for u, v in cur_pairs:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            cur_pairs = {
+                (u, v) for (u, v) in cur_pairs if u in keep and v in keep
+            }
+        core_deg: dict = {}
+        for u, v in cur_pairs:
+            core_deg[u] = core_deg.get(u, 0) + 1
+            core_deg[v] = core_deg.get(v, 0) + 1
+        schema = T.StructType(
+            [
+                T.StructField("node", u_dt),
+                T.StructField("core_deg", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(sorted(core_deg.items()), schema)
     cur = und
     for _ in range(rounds):
         deg = (
@@ -263,6 +358,52 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    # size-gated driver solve: the synchronous update is integer label
+    # counting with a (count DESC, label ASC) argmax — engine-identical
+    # on integral labels, so below the gate the SAME fixed rounds run
+    # driver-side (each distributed round costs a join + agg + window
+    # + checkpoint of pure choreography on a KB-scale graph).  The
+    # edge projection is checkpointed either way — the loop consumes
+    # it once per round — so the gate count is one cheap bounded job
+    # and the fetch one Arrow toPandas; duplicate (src, dst) rows keep
+    # their multiplicity exactly as the distributed count does.
+    src_dt = edges.schema[src_col].dataType
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    small = (
+        isinstance(src_dt, _INTEGRAL)
+        and edges.schema[dst_col].dataType == src_dt
+        and edges.count() <= _DRIVER_GRAPH_MAX_EDGES
+    )
+    if small:
+        epdf = edges.toPandas()
+        # NULL endpoints have engine-specific join semantics — leave
+        # those graphs to the distributed path
+        small = not epdf.isnull().values.any()
+    if small:
+        spark = edges.sparkSession
+        out_adj: dict = {}
+        node_set: set = set()
+        for s, d in zip(epdf[src_col].tolist(), epdf[dst_col].tolist()):
+            out_adj.setdefault(s, []).append(d)
+            node_set.add(s)
+            node_set.add(d)
+        lab = {n: n for n in node_set}
+        for _ in range(rounds):
+            new_lab = dict(lab)
+            for n, outs in out_adj.items():
+                cnt: dict = {}
+                for d in outs:
+                    dl = lab[d]
+                    cnt[dl] = cnt.get(dl, 0) + 1
+                new_lab[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            lab = new_lab
+        schema = T.StructType(
+            [
+                T.StructField("node", src_dt),
+                T.StructField("label", src_dt),
+            ]
+        )
+        return spark.createDataFrame(sorted(lab.items()), schema)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))

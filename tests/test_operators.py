@@ -984,6 +984,43 @@ def test_bfs_hops_on_constructed_graph(spark):
     assert got == want  # 4 and 5 are 4+ hops away: absent
 
 
+def test_graph_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The size-gated driver solves (BFS / k-core / LPA) and the
+    distributed fixed-round loops must produce identical results —
+    forced onto each path via the gate constant.  The graph mixes a
+    chain (frontier depth), two cliques bridged by one edge (LPA
+    tie/mode shapes, a surviving 3-core), duplicate directed edges
+    (LPA counts multiplicity), and an isolated self-loop (k-core drops
+    it; LPA keeps it via the no-out-edge rule)."""
+    from garmin_performance_analysis_spark.operators import graph as g
+
+    chain = [(i, i + 1) for i in range(12)]
+    cliq_a = [(100 + i, 100 + j) for i in range(4) for j in range(4) if i != j]
+    cliq_b = [(200 + i, 200 + j) for i in range(4) for j in range(4) if i != j]
+    bridge = [(103, 200), (200, 103)]
+    dups = [(0, 1), (0, 1)]
+    loops = [(300, 300)]
+    all_edges = (
+        chain + [(b, a) for a, b in chain] + cliq_a + cliq_b + bridge + dups + loops
+    )
+    edges = spark.createDataFrame(all_edges, "src long, dst long")
+    sources = spark.createDataFrame([(0,), (106,)], "node long")
+
+    def both(fn):
+        monkeypatch.setattr(g, "_DRIVER_GRAPH_MAX_EDGES", 10**9)
+        via_driver = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(g, "_DRIVER_GRAPH_MAX_EDGES", 0)
+        via_spark = sorted(map(tuple, fn().collect()))
+        return via_driver, via_spark
+
+    d, s = both(lambda: g.bfs_hops(edges, sources, max_hops=3))
+    assert d == s and len(d) > 0
+    d, s = both(lambda: g.kcore_peel(edges, k=3, rounds=4))
+    assert d == s and len(d) > 0
+    d, s = both(lambda: g.label_propagation(edges, rounds=4))
+    assert d == s and len(d) > 0
+
+
 def test_hdr_sketch_quantiles_bound_and_merge(spark):
     """The a21 sketch's percentile estimate must be the lower bound of
     the bucket CONTAINING the exact rank-order statistic (≤ 6.25%
