@@ -474,6 +474,11 @@ BATCH_JOBS = {
     # in-memory roundtrips on the read path, but s9's double write is
     # ingest-shaped
     "s9_schema_evolution",
+    # r13 (round-12 VERDICT item 6): s12 writes its ORC copy on EVERY
+    # timed run now (the memo that skipped the write after run 1 was
+    # silently recording a read-only number for a "roundtrip" entry) —
+    # sink-shaped like s5/s8, so it moves out of the read split
+    "s12_orc_roundtrip",
     "i1_incremental_dedup_replay",
     "i2_incremental_lsh_replay",
     "c11_doc_chunks",
@@ -511,6 +516,23 @@ BATCH_JOBS = {
 def force(df) -> None:
     """Materialize the full plan without collecting rows to the driver."""
     df.write.mode("overwrite").format("noop").save()
+
+
+def read_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat, (0, 0) if absent.
+
+    Round-12 finding: this host's vCPUs are periodically stolen by the
+    hypervisor in waves (identical code measured 161.8-288 s across
+    full sweeps, bursts to 13.6% steal in 20 s windows), so per-query
+    steal deltas are recorded alongside the timings — a reader can
+    tell a plan regression from a wave-hit query.
+    """
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
+    except (OSError, ValueError, IndexError):
+        return 0, 0
 
 
 def clear_persisted(spark) -> None:
@@ -560,17 +582,31 @@ def main() -> None:
     force(CATALOG["mm2_decoded_features"].fn(spark, sf_dir))
     clear_persisted(spark)
 
-    # best-of-3: the driver host runs other jobs; a single bad run
-    # otherwise poisons a query's recorded number (see SCALING.md §4)
+    # best-of-3, widened to best-of-N (N <= 5) when the run spread
+    # exceeds 3x (round-12 VERDICT item 1): the host is CPU-
+    # overcommitted and steal waves land on random queries; a >3x
+    # spread within one query's runs is the wave signature, and up to
+    # two bounded retries give the best-of a chance at a clean run.
+    # The timed action per run is UNCHANGED (noop sink, full plan).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    max_runs = max(runs, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "5")))
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
+        s0, st0 = read_steal()
+        walls: list[float] = []
+        while True:
             t0 = time.perf_counter()
             force(CATALOG[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            walls.append(time.perf_counter() - t0)
+            if len(walls) >= max_runs:
+                break
+            if len(walls) >= runs and max(walls) <= 3.0 * min(walls):
+                break
+        s1, st1 = read_steal()
+        timings[name] = round(min(walls), 3)
+        # steal share of this query's whole wall (all runs), percent
+        steals[name] = round(100.0 * (s1 - s0) / max(1, st1 - st0), 2)
         clear_persisted(spark)
 
     total = round(sum(timings.values()), 3)
@@ -621,6 +657,21 @@ def main() -> None:
         )
         assert len(line) <= 1024, f"detail part {part} exceeds 1 KB"
         print(line)
+    # Per-query steal telemetry (round-12 VERDICT item 1): separate
+    # chunks under a "steal" key — NOT "queries" — so any parser
+    # collecting the timing dicts cannot confuse percent-steal with
+    # seconds.  Same name order as the timing chunks.
+    for part, start in enumerate(range(0, len(names), chunk), start=1):
+        line = json.dumps(
+            {
+                "steal_part": part,
+                "of": n_parts,
+                "steal": {n: steals[n] for n in names[start : start + chunk]},
+            }
+        )
+        assert len(line) <= 1024, f"steal part {part} exceeds 1 KB"
+        print(line)
+    steal_sorted = sorted(steals.values())
     # Load honesty (round-8 VERDICT item 5): BENCH_r08 was captured
     # in-suite (median 1.31x uniform inflation vs idle across 44
     # common queries) and records aren't comparable across rounds if
@@ -641,6 +692,8 @@ def main() -> None:
                 "read_p90_sec": _pctl(read_times, 0.9),
                 "load1": start_load,
                 "loaded": start_load > (os.cpu_count() or 1) / 4,
+                "steal_p50": _pctl(steal_sorted, 0.5),
+                "steal_max": _pctl(steal_sorted, 1.0),
             }
         )
     )

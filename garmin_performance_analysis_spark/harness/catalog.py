@@ -685,3 +685,62 @@ _rotate_for_round12()
 # per round (the r11 convention) so non-window evidence never ages.
 # The round-12 `--stalest 30` re-soak re-proved 30 non-window entries
 # at sf0.01 in-session (SCALING.md round-12 close).
+
+# ---------------------------------------------------------------------------
+# Round-13 catalog rotation — the plan above, amended by the round-12
+# VERDICT ("Next round" item 2): CORRECTNESS_r12 flagged nothing
+# (50/50 PASS incl. hash), but the verdict asked that the round-12
+# optimization session's HIGHEST-SEMANTIC-RISK touched paths be
+# fronted for driver-grade proof — the driver-side graph solves
+# (g3/g5/g6), the BPE driver merge loop (x12), the Bradley-Terry
+# driver MM solve (o15, already in the never-checked group), the
+# single-AvailableNow streaming collapse (i3/i4/i8/i9), the
+# SHJ-flipped joins (c18, v9), the fused d10 aggregation, and the
+# deferred-full-dot v12 that the driver bench measured slower.  So:
+# the 24 never-checked entries (generated staleness report) + the 12
+# verdict-named risk paths + the first 14 (sorted) of the 42
+# remaining r8-stale names = exactly 50.  The other 28 r8 names plus
+# the r9 block start the round-14 pad.
+_R13_FRONT = [
+    # no driver row yet (generated staleness report, "never" group)
+    "a32_winsorized_mean", "a33_mad_robust_scale", "a35_grouped_mode",
+    "c22_leave_last_out_split", "c23_source_contamination_matrix",
+    "c25_context_budget_curve", "d11_minhash_calibration",
+    "g7_degree_powerlaw", "g8_hits", "k4_range_partition_planner",
+    "mm8_scene_cuts", "o14_map_precision_recall",
+    "o15_bradley_terry_strengths", "t20_binary_segmentation",
+    "t21_ljung_box", "t22_bh_fdr", "t23_seasonal_mann_kendall",
+    "v13_centroid_drift_matrix", "x29_distinct_ngram_diversity",
+    "x30_unigram_js_source_drift", "x31_tokenizer_fertility",
+    "x32_pmi_collocations", "x33_judge_agreement_kappa",
+    "x34_gopher_quality_rules",
+    # round-12 VERDICT item 2: highest-semantic-risk r12-touched paths
+    "g3_bfs_hops", "g5_kcore", "g6_label_propagation", "x12_bpe_merges",
+    "i3_stream_window_replay", "i4_stream_join_replay",
+    "i8_stream_runs_replay", "i9_stream_outer_join_replay",
+    "c18_cluster_safe_split", "v9_semantic_dedup",
+    "d10_performance_trends", "v12_mips_norm_pruned",
+    # r8-stale pad: first 14 of the 42-name r8 block, sorted
+    "d3_minhash_lsh_pairs", "d4b_simhash_pairs", "d6_decontamination",
+    "d8_containment_pairs", "g1_pagerank", "i1_incremental_dedup_replay",
+    "i5_stream_dedup_replay", "i6_stream_session_replay",
+    "i7_cdc_versioned_replay", "j14_scd2_lookup", "j7_nearest_date_asof",
+    "j9_backward_asof", "m14_star_rating", "m15_training_gaps",
+]
+
+
+def _rotate_for_round13() -> None:
+    front = list(_R13_FRONT)
+    assert len(front) == 50, f"round-13 window must be exactly 50, got {len(front)}"
+    assert len(set(front)) == 50, "round-13 window has duplicates"
+    missing = [n for n in front if n not in CATALOG]
+    assert not missing, f"unknown catalog names in round-13 window: {missing}"
+    rest = [n for n in CATALOG if n not in set(front)]
+    ordered = front + rest
+    assert sorted(ordered) == sorted(CATALOG), "rotation must be a permutation"
+    rotated = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(rotated)
+
+
+_rotate_for_round13()

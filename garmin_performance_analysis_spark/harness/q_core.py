@@ -678,10 +678,6 @@ def s11_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ORC copies memoized per (applicationId, sf_dir) — the s10 scheme.
-_S12_MEMO: dict = {}
-
-
 @register(
     "s12_orc_roundtrip",
     oracle="""
@@ -708,9 +704,14 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     all hash-mismatch.  Scale note: the write is repartitioned into
     multiple files so the read-back scan parallelizes — an ORC sink
     that funnels into one file serializes every downstream scan.
-    The ORC copy is memoized per (applicationId, sf_dir) under a
-    shared reclaimable root with mtime refresh — the s10 convention —
-    so repeated sweeps/bench runs do not accumulate temp copies."""
+    MEASURED CONTRACT (round-12 VERDICT item 6): the entry is named
+    ROUNDTRIP, so the ORC write runs on EVERY call — a best-of-N
+    bench number includes the sink in every run (the write was
+    previously memoized after run 1, which silently turned the
+    recorded number read-only).  The output path is still keyed per
+    (applicationId, sf_dir) under a shared reclaimable root with
+    mtime-based reclaim so repeated sweeps/bench runs do not
+    accumulate temp copies."""
     import hashlib
     import os
     import shutil
@@ -718,37 +719,24 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    out = _S12_MEMO.get(key)
-    if out is not None:
-        # mtime refresh on reuse: a long-lived session's live copy must
-        # not be reclaimed by a newer concurrent session's sweep.
+    digest = hashlib.md5(f"{app_id}:{sf_dir}".encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_s12")
+    os.makedirs(root, exist_ok=True)
+    for d in os.listdir(root):  # reclaim copies from dead sessions
+        full = os.path.join(root, d)
         try:
-            os.utime(out)
+            stale = _time.time() - os.path.getmtime(full) > 3600
         except OSError:
-            out = None
-            _S12_MEMO.pop(key, None)
-    if out is None:
-        digest = hashlib.md5(f"{app_id}:{sf_dir}".encode()).hexdigest()[:8]
-        root = os.path.join(tempfile.gettempdir(), "spark_graft_s12")
-        os.makedirs(root, exist_ok=True)
-        for d in os.listdir(root):  # reclaim copies from dead sessions
-            full = os.path.join(root, d)
-            try:
-                stale = _time.time() - os.path.getmtime(full) > 3600
-            except OSError:
-                # a concurrent session reclaimed this entry between
-                # listdir and getmtime — nothing left to sweep
-                continue
-            if stale:
-                shutil.rmtree(full, ignore_errors=True)
-        out = os.path.join(root, digest)
-        shutil.rmtree(out, ignore_errors=True)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority", "o_totalprice"
-        )
-        orders.repartition(4).write.mode("overwrite").orc(out)
-        _S12_MEMO[key] = out
+            # a concurrent session reclaimed this entry between
+            # listdir and getmtime — nothing left to sweep
+            continue
+        if stale:
+            shutil.rmtree(full, ignore_errors=True)
+    out = os.path.join(root, digest)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.repartition(4).write.mode("overwrite").orc(out)
     back = spark.read.orc(out).filter(F.col("o_totalprice") > 150000.0)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

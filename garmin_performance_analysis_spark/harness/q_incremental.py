@@ -90,10 +90,24 @@ def i1_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg_dir = scratch_dir(prefix="i1_dedup_replay_")
     try:
         key = incremental.exact_key_expr("text")
-        incremental.incremental_dedup(
-            spark, b1.select("doc_id", "text"), reg_dir, "doc_id", key
-        )
-        incremental.incremental_dedup(spark, b2, reg_dir, "doc_id", key)
+        # Stage batch 2's within-batch collapse CONCURRENTLY with
+        # ingest 1 (guide §2.6: overlap independent jobs) — the
+        # collapse touches only the batch, never the registry, so the
+        # two ingests' REGISTRY steps stay strictly sequential while
+        # batch 2's scan+md5+collapse back-fills executors idled by
+        # ingest 1's commit/collect phases.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged_b2 = pool.submit(
+                incremental.collapse_batch, b2, "doc_id", key
+            )
+            incremental.incremental_dedup(
+                spark, b1.select("doc_id", "text"), reg_dir, "doc_id", key
+            )
+            incremental.incremental_dedup(
+                spark, b2, reg_dir, "doc_id", key, staged=staged_b2.result()
+            )
         final = incremental.read_registry(spark, reg_dir).localCheckpoint(
             eager=True
         )
@@ -164,14 +178,27 @@ def i2_incremental_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     reg_dir = scratch_dir(prefix="i2_lsh_replay_")
     try:
-        incremental.incremental_lsh_candidates(
-            spark, b1, reg_dir, "doc_id", "text",
-            num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
-        )
-        pairs = incremental.incremental_lsh_candidates(
-            spark, b2, reg_dir, "doc_id", "text",
-            num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
-        ).localCheckpoint(eager=True)
+        # Stage batch 2's minhash signatures CONCURRENTLY with ingest 1
+        # (guide §2.6) — the signature pass touches only the batch,
+        # never the band/sig stores, so the store mutations stay
+        # strictly sequential while batch 2's shingle+minhash pass
+        # back-fills executors idled by ingest 1's append commits.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged_b2 = pool.submit(
+                incremental.stage_lsh_sigs, b2, "doc_id", "text",
+                _NUM_HASHES, 3,
+            )
+            incremental.incremental_lsh_candidates(
+                spark, b1, reg_dir, "doc_id", "text",
+                num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
+            )
+            pairs = incremental.incremental_lsh_candidates(
+                spark, b2, reg_dir, "doc_id", "text",
+                num_hashes=_NUM_HASHES, bands=_BANDS, n=3, threshold=0.5,
+                staged_sigs=staged_b2.result(),
+            ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(reg_dir, ignore_errors=True)
     return pairs.select(

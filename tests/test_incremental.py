@@ -303,3 +303,73 @@ def test_lsh_crash_between_appends_repairs_on_retry(spark, tmp_path):
     ).collect()
     found = {(r["old_doc"], r["new_doc"]) for r in p3}
     assert (20, 30) in found
+
+
+def test_staged_collapse_matches_unstaged(spark, tmp_path):
+    """r13: `staged=` (pre-computed collapse_batch, the §2.6 overlap
+    path) must be byte-equivalent to the unstaged call — same fresh
+    rows, same registry state."""
+    key = incremental.exact_key_expr("text")
+    b1 = _batch(spark, [(2, "alpha beta"), (4, "gamma delta")])
+    b2 = _batch(
+        spark,
+        [(7, "alpha beta"), (9, "epsilon zeta"), (11, "epsilon zeta")],
+    )
+
+    reg_a = str(tmp_path / "reg_unstaged")
+    incremental.incremental_dedup(spark, b1, reg_a, "doc_id", key)
+    fa = incremental.incremental_dedup(spark, b2, reg_a, "doc_id", key)
+
+    reg_b = str(tmp_path / "reg_staged")
+    staged = incremental.collapse_batch(b2, "doc_id", key)
+    incremental.incremental_dedup(spark, b1, reg_b, "doc_id", key)
+    fb = incremental.incremental_dedup(
+        spark, b2, reg_b, "doc_id", key, staged=staged
+    )
+
+    rows_a = sorted(map(tuple, fa.select("doc_id", "dedup_key").collect()))
+    rows_b = sorted(map(tuple, fb.select("doc_id", "dedup_key").collect()))
+    assert rows_a == rows_b == sorted(rows_b)
+    assert rows_b and [r[0] for r in rows_b] == [9]  # within-batch min id, cross-run drop
+    reg_rows_a = sorted(
+        map(tuple, incremental.read_registry(spark, reg_a).collect())
+    )
+    reg_rows_b = sorted(
+        map(tuple, incremental.read_registry(spark, reg_b).collect())
+    )
+    assert reg_rows_a == reg_rows_b
+
+
+def test_staged_lsh_sigs_match_unstaged(spark, tmp_path):
+    """r13: `staged_sigs=` must be byte-equivalent to the in-call
+    minhash pass — same pairs, same stores."""
+    t1 = "quick brown fox jumps over the lazy dog again and again"
+    t2 = "quick brown fox jumps over the lazy dog again and again!"
+    b1 = _batch(spark, [(2, t1)])
+    b2 = _batch(spark, [(3, t2)])
+
+    reg_a = str(tmp_path / "lsh_unstaged")
+    incremental.incremental_lsh_candidates(
+        spark, b1, reg_a, "doc_id", "text", num_hashes=16, bands=4, n=3,
+        threshold=0.0,
+    )
+    pa = incremental.incremental_lsh_candidates(
+        spark, b2, reg_a, "doc_id", "text", num_hashes=16, bands=4, n=3,
+        threshold=0.0,
+    )
+
+    reg_b = str(tmp_path / "lsh_staged")
+    staged = incremental.stage_lsh_sigs(b2, "doc_id", "text", 16, 3)
+    incremental.incremental_lsh_candidates(
+        spark, b1, reg_b, "doc_id", "text", num_hashes=16, bands=4, n=3,
+        threshold=0.0,
+    )
+    pb = incremental.incremental_lsh_candidates(
+        spark, b2, reg_b, "doc_id", "text", num_hashes=16, bands=4, n=3,
+        threshold=0.0, staged_sigs=staged,
+    )
+
+    rows_a = sorted(map(tuple, pa.collect()))
+    rows_b = sorted(map(tuple, pb.collect()))
+    assert rows_a == rows_b
+    assert rows_a, "near-identical docs must collide in at least one band"
