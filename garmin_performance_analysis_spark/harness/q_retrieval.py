@@ -2442,48 +2442,86 @@ def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the first pass projects ONLY the bound (one in-row
     norm expression — stored as a column in production), never the
-    dot; the shortlist is a TakeOrdered on the bound; the contender
-    filter broadcasts one θ scalar over that bound-only frame; and
-    full dots are computed ONLY by joining the (k-bounded) shortlist
-    and survivor id sets back to `embeddings` — the dot expression
-    appears in the physical plan exclusively downstream of the θ
-    filter, so on spread-norm corpora the scan cut is real, not
-    bookkeeping.  n_full_dots counts the distinct ids that paid a
-    dot (shortlist ∪ survivors).  Everything is deterministic double
-    arithmetic shared with the oracle (the v11 convention)."""
+    dot; the shortlist is a TakeOrdered on the bound; and full dots
+    are computed ONLY for the shortlist ids and the θ-survivor ids —
+    the dot expression appears in the physical plan exclusively
+    downstream of the shortlist/θ gate, so on spread-norm corpora the
+    scan cut is real, not bookkeeping.  θ itself comes from the
+    50-row shortlist, which is k-bounded BY CONSTRUCTION, so its dots
+    are collected and θ becomes a LITERAL (the o15/x12 driver-solve
+    convention): the r12 shape instead derived θ/stats/total as
+    broadcast scalar subqueries, which cost ~25 tiny broadcast-build
+    jobs per run of pure choreography (profiled 1.4 s at sf0.1 vs
+    0.41 s for the r11 one-pass shape; this keeps the deferred-dot
+    plan AND the r11-era job count).  n_full_dots counts the distinct
+    ids that paid a dot (shortlist ∪ survivors).  Everything is
+    deterministic double arithmetic shared with the oracle (the v11
+    convention)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("_qv"),
-        similarity._norm("embedding").alias("_qnorm"),
-    )
-    # Bound-only pass: no dot is computed here.  Narrow (vec_id, bound)
-    # frame, checkpointed because both the shortlist and the survivor
-    # filter scan it.
-    bounds = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            "vec_id",
-            (similarity._norm("embedding") * F.col("_qnorm")).alias("bound"),
+    # The query vector is ONE bounded row — collect it and inline it as
+    # a literal FLOAT array (the with_query_cosine convention, oracle-
+    # proven): every consumer below then evaluates the SAME _norm/_dot
+    # expressions against identical float32 values, with zero qdf
+    # broadcast-build jobs (three of them in the r12 shape).
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, dot double, rk int, n_full_dots long, prune_rate double",
         )
-        .localCheckpoint(eager=False)
-    )
-    cand_ids = (
-        bounds.orderBy(F.col("bound").desc(), F.col("vec_id").asc())
+    qlit = "array(" + ", ".join(
+        f"CAST({float(v)} AS FLOAT)" for v in qrow[0]
+    ) + ")"
+
+    def _with_q(df: DataFrame) -> DataFrame:
+        return df.withColumn("_qv", F.expr(qlit))
+
+    base = _with_q(emb.filter(F.col("vec_id") != 0))
+    bound_expr = similarity._norm("embedding") * similarity._norm("_qv")
+    # Bound-only pass: no dot is computed here — the shortlist is one
+    # TakeOrdered over (vec_id, bound).  In production the bound is a
+    # stored column; here the same expression gates the dot pass
+    # IN-ROW below, so no id set is ever joined back.
+    bounds = base.select("vec_id", bound_expr.alias("bound"))
+    cand_ids = [
+        r["vec_id"]
+        for r in bounds.orderBy(F.col("bound").desc(), F.col("vec_id").asc())
         .limit(50)
         .select("vec_id")
+        .collect()  # k-bounded by construction (≤ 50 ids)
+    ]
+    cand_rows = (
+        _with_q(emb.filter(F.col("vec_id").isin(cand_ids)))
+        .select("vec_id", similarity._dot("embedding", "_qv").alias("dot"))
+        .collect()  # ≤ 50 rows
     )
-
-    def _score(ids: DataFrame) -> DataFrame:
-        # Full dots ONLY for the given (k-bounded) id set: broadcast the
-        # ids into a hash join against the embeddings scan.
-        return (
-            emb.join(F.broadcast(ids), "vec_id")
-            .crossJoin(F.broadcast(qdf))
-            .select("vec_id", similarity._dot("embedding", "_qv").alias("dot"))
-        )
-
-    cand = _score(cand_ids)
+    # θ = the shortlist's 10th-best dot under (dot DESC, vec_id ASC) —
+    # the exact rk=10 row of the oracle's window; Python float and
+    # Spark double are the same binary64, so the literal comparison
+    # below is bit-identical to the broadcast-scalar join it replaces.
+    # No 10th row (tiny corpus) ⇒ no survivor filter, exactly like the
+    # oracle's join against an empty theta frame.
+    cand_sorted = sorted(cand_rows, key=lambda r: (-r["dot"], r["vec_id"]))
+    theta = cand_sorted[9]["dot"] if len(cand_sorted) >= 10 else None
+    in_cand = F.col("vec_id").isin(cand_ids)
+    if theta is not None:
+        pool_pred = (bound_expr >= F.lit(theta)) | in_cand
+    else:
+        pool_pred = in_cand
+    n_vectors = bounds.count()
+    # Full dots ONLY for the gated rows: one scan whose FILTER re-
+    # evaluates the bound expression against the θ literal (identical
+    # doubles ⇒ identical survivor set as a stored-bound predicate)
+    # and whose Project computes the dot — the dot expression sits
+    # exclusively ABOVE the θ filter in the plan, and no id set is
+    # shuffled or broadcast back.  Rows are unique per vec_id, so this
+    # IS the deduped shortlist ∪ survivors of the oracle's UNION.  The
+    # pool count (n_full_dots) is a window aggregate over the SAME
+    # bounded frame as the ranking, so stats + ranking + output are
+    # ONE job.
+    pool = base.filter(pool_pred).select(
+        "vec_id", similarity._dot("embedding", "_qv").alias("dot")
+    )
     from pyspark.sql import Window
 
     from ..operators.windows import bounded_partition_key
@@ -2491,33 +2529,21 @@ def v12_mips_norm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(bounded_partition_key("vec_id")).orderBy(
         F.col("dot").desc(), F.col("vec_id").asc()
     )
-    theta = (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 10)
-        .select(F.col("dot").alias("th"))
+    w_all = Window.partitionBy(bounded_partition_key("vec_id"))
+    ranked = (
+        pool.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_full_dots", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rk") <= 10)
     )
-    survivor_ids = bounds.crossJoin(F.broadcast(theta)).filter(
-        F.col("bound") >= F.col("th")
-    ).select("vec_id")
-    pool_ids = cand_ids.unionByName(survivor_ids).distinct()
-    pool = _score(pool_ids)
-    stats = pool.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_dots"))
-    total = bounds.agg(F.count(F.lit(1)).alias("n_vectors"))
-    ranked = pool.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 10
-    )
-    return (
-        ranked.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "vec_id",
-            _r6(F.col("dot")).alias("dot"),
-            "rk",
-            "n_full_dots",
-            _r6(1.0 - F.col("n_full_dots") * 1.0 / F.col("n_vectors")).alias(
-                "prune_rate"
-            ),
-        )
+    return ranked.select(
+        "vec_id",
+        _r6(F.col("dot")).alias("dot"),
+        "rk",
+        F.col("n_full_dots").cast("bigint").alias("n_full_dots"),
+        _r6(
+            1.0 - F.col("n_full_dots") * 1.0
+            / F.lit(n_vectors).cast("bigint")
+        ).alias("prune_rate"),
     )
 
 
