@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipelines import dedup, multimodal, shards, similarity, text
+from ..plans import layout
 from ..sources.tables import load_table
 from ..scratch import scratch_dir
 from .registry import r6 as _r6
@@ -847,6 +848,10 @@ def mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 8 == 6, F.unhex(jpeg_prog_hex))
         .otherwise(F.col("text").cast("binary"))
     )
+    # r13 note: a pre-assembly spread (the mm6 fix) was A/B'd here and
+    # REJECTED — the added exchange ships full text payloads and the
+    # assembly is light relative to the decode (which the kernel's own
+    # spread already parallelizes): 1.35 → 1.48 s at sf0.1.
     binary_df = docs.select(
         "doc_id",
         payload.alias("payload"),
@@ -985,6 +990,9 @@ def mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(did % 3 == 1, F.unhex(_wav_hex(2, rate8, 8, nf8, frame8)))
         .otherwise(F.col("text").cast("binary"))
     )
+    # r13 note: a pre-assembly spread (the mm6 fix) was A/B'd here and
+    # REJECTED (1.04 → 1.12 s at sf0.1 — cheap assembly, net exchange
+    # cost; the decode kernel's own spread covers the heavy part).
     binary_df = docs.select(
         "doc_id",
         payload.alias("payload"),
@@ -1043,6 +1051,9 @@ def mm5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(6)
     ]
     payload = F.unhex(F.concat(*frame_hexes, F.repeat(F.lit("7E"), 16)))
+    # r13 note: a pre-assembly spread (the mm6 fix) was A/B'd here and
+    # REJECTED (0.33 → 0.56 s at sf0.1 — 192-byte payloads, the
+    # exchange costs more than the serial assembly it spreads).
     binary_df = docs.select("doc_id", payload.alias("payload"))
     frames = multimodal.sample_frames(binary_df, frame_bytes=32, every_kth=2)
     return frames.select(
@@ -1541,6 +1552,13 @@ def mm6_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (7 + 19 * (F.floor(fam) % 7)).cast("int").alias("_fx"),
         ((F.col("doc_id") % 4) * 11).cast("int").alias("_delta"),
     ).withColumn("_stride", (F.floor((F.col("_w") * 3 + 3) / 4) * 4).cast("int"))
+    # r13: the BMP assembly below is KB of per-row JVM string work over
+    # a params frame read from ONE parquet split — spread the 8-int
+    # params BEFORE the expression so assembly parallelizes (the decode
+    # kernel's own spread sits AFTER assembly and cannot help; stage
+    # profile showed a 1.4-1.9 s single-task assembly stage per run).
+    # No-op when the scan is already wide (the 100 TB case).
+    d = layout.spread_for_compute(d, "doc_id")
 
     def _le32_lit(n: int) -> str:
         return n.to_bytes(4, "little").hex().upper()
@@ -1787,6 +1805,9 @@ def mm7_audio_energyhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5 + 17 * (fam % 13)).cast("int").alias("_fv"),
         ((F.col("doc_id") % 4) * 13).cast("int").alias("_delta"),
     )
+    # r13: spread the params BEFORE the WAV hex assembly (the mm6
+    # lesson — single-split scan serialized the per-row string work)
+    d = layout.spread_for_compute(d, "doc_id")
 
     def _le_lit(n: int, width: int) -> str:
         return n.to_bytes(width, "little").hex().upper()
@@ -3075,7 +3096,9 @@ def mm8_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lpad(F.hex(fill.cast("bigint")), 2, "0"), 32)
         )
     payload = F.unhex(F.concat(*frame_hexes))
-    binary_df = docs.select("doc_id", payload.alias("payload"))
+    # r13: spread the id column BEFORE the hex assembly (the mm6 lesson)
+    src = layout.spread_for_compute(docs.select("doc_id"), "doc_id")
+    binary_df = src.select("doc_id", payload.alias("payload"))
     frames = multimodal.sample_frames(binary_df, frame_bytes=32, every_kth=1)
     intensity = (
         F.expr(

@@ -199,10 +199,18 @@ def incremental_dedup(
     exists = _exists(spark, registry_path)
     width = _infer_width(spark, registry_path) if exists else None
     if exists and width is None:
-        # registry dir exists but no partition dir is visible yet
-        # (interrupted first append): fall back to the pinned or
-        # legacy default so the prune expression is well-formed
-        width = prefix_width if prefix_width is not None else 2
+        # Directory exists but holds NO partition dir: either a
+        # pre-created empty registry root (callers that mkdtemp the
+        # path — the i1 replay does) or a first append interrupted
+        # before any partition landed.  Both read back as EMPTY under
+        # the explicit schema, so treat it as a NEW registry: skip the
+        # prune/anti-join (identity against an empty frame) and derive
+        # the prefix width from this batch.  The r12 fallback pinned
+        # width=2 here, which silently re-enabled the 256-dir fan-out
+        # for every registry created inside a pre-made directory —
+        # measured at sf0.1 as 8-task ~1.4 s appends and 256-task
+        # pruned reads on a 2,499-row registry.
+        exists = False
     if exists:
         # prune the registry read to the prefixes this batch touches:
         # a small batch reads a few of the partition dirs, not the

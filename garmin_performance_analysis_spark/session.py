@@ -62,6 +62,24 @@ def get_spark(app_name: str = "garmin_performance_analysis_spark") -> SparkSessi
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Streaming state-store backend (round-12 VERDICT item 5):
+        # measured at sf0.1, RocksDB LOSES on every join replay —
+        # i4 3.99→6.24/6.54 s, i9 3.80→5.99/6.76 s (with and without
+        # changelog checkpointing), i3 ±0.4 s — the native store's
+        # per-commit open/compact overhead × (4 stores × partitions ×
+        # micro-batches) dominates at KB-scale state, so the
+        # HDFS-backed default stays.  At cluster scale (state ≫ heap)
+        # RocksDB is the production choice: set
+        # SPARK_GRAFT_STATE_STORE_PROVIDER=org.apache.spark.sql.
+        # execution.streaming.state.RocksDBStateStoreProvider.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_GRAFT_STATE_STORE_PROVIDER",
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
