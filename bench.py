@@ -647,20 +647,14 @@ def main() -> None:
     ]
     chunk = 15
     n_parts = (len(names) + chunk - 1) // chunk
-    for part, start in enumerate(range(0, len(names), chunk), start=1):
-        line = json.dumps(
-            {
-                "detail_part": part,
-                "of": n_parts,
-                "queries": {n: timings[n] for n in names[start : start + chunk]},
-            }
-        )
-        assert len(line) <= 1024, f"detail part {part} exceeds 1 KB"
-        print(line)
     # Per-query steal telemetry (round-12 VERDICT item 1): separate
     # chunks under a "steal" key — NOT "queries" — so any parser
     # collecting the timing dicts cannot confuse percent-steal with
-    # seconds.  Same name order as the timing chunks.
+    # seconds.  Same name order as the timing chunks.  Printed FIRST:
+    # the driver keeps only a bounded stdout TAIL (the r9 lesson), and
+    # the per-query SECONDS must sit closest to the summary — if the
+    # tail truncates anything, it truncates steal percentages, whose
+    # distribution survives in the summary's steal_p50/steal_max.
     for part, start in enumerate(range(0, len(names), chunk), start=1):
         line = json.dumps(
             {
@@ -670,6 +664,16 @@ def main() -> None:
             }
         )
         assert len(line) <= 1024, f"steal part {part} exceeds 1 KB"
+        print(line)
+    for part, start in enumerate(range(0, len(names), chunk), start=1):
+        line = json.dumps(
+            {
+                "detail_part": part,
+                "of": n_parts,
+                "queries": {n: timings[n] for n in names[start : start + chunk]},
+            }
+        )
+        assert len(line) <= 1024, f"detail part {part} exceeds 1 KB"
         print(line)
     steal_sorted = sorted(steals.values())
     # Load honesty (round-8 VERDICT item 5): BENCH_r08 was captured
